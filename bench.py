@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Headline benchmark: runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Each query is forced to full materialization with a cheap
+``count()``-style action (write-free, so we measure compute + shuffle,
+not local-disk serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from etl_pulumi_aws_snowflake_spark import get_spark  # noqa: E402
+from etl_pulumi_aws_snowflake_spark.queries import all_queries  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline subset — representative of each operator family; grows as
+#: families land. Keys must exist in the query registry.
+HEADLINE: tuple[str, ...] = ("q1_pricing_summary",)
+
+
+def main() -> None:
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries]
+    spark = get_spark(app_name="bench")
+    try:
+        # Warm JVM JIT, parquet footer caches, and the noop sink class
+        # (excluded from timings).
+        for name in names:
+            queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+        timings: dict[str, float] = {}
+        for name in names:
+            runs = []
+            for _ in range(5):
+                start = time.perf_counter()
+                df = queries[name](spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - start)
+            # min-of-5: robust to host-contention spikes in this shared
+            # container; measures engine capability, not scheduler luck.
+            timings[name] = round(min(runs), 4)
+
+        sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total",
+                    "value": round(sum(timings.values()), 4),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": float(sf),
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

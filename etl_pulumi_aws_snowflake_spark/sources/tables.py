@@ -1,0 +1,53 @@
+"""Parquet-backed testdata tables (the engine's canonical format).
+
+The reference's scan path is catalog-name based (Glue crawler → catalog
+table → ``create_dynamic_frame.from_catalog``, ``glue/glue_job.py:22-26``).
+Here the canonical store is partition-prunable Parquet read straight into
+DataFrames; :func:`register_views` provides the catalog-name access path
+(``spark.table(name)``) the reference relies on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. Column pruning + predicate pushdown reach
+    the parquet reader because this stays a plain declarative scan.
+
+    DataFrames are immutable logical plans, so the scan for a given
+    (session, dir, table) is built once and reused — avoids repeated
+    file-listing/footer reads when many queries touch the same table.
+    The cache lives on the session object so it dies with the session
+    (a global keyed by id() could alias a new session after restart).
+    """
+    cache = getattr(spark, "_etl_scan_cache", None)
+    if cache is None:
+        cache = {}
+        spark._etl_scan_cache = cache
+    key = (sf_dir, name)
+    df = cache.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        cache[key] = df
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for the SQL API."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
