@@ -1,0 +1,70 @@
+"""End-to-end reference pipeline replay (SURVEY.md §5): CSV with the
+customers schema -> JSON intermediate -> typed warehouse table; batch
+and streaming (file-arrival) variants."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import types as T
+
+from etl_pulumi_aws_snowflake_spark import schemas
+from etl_pulumi_aws_snowflake_spark.pipeline import run_reference_pipeline
+from etl_pulumi_aws_snowflake_spark.streaming import stream_csv_to_warehouse
+
+REFERENCE_CSV = "/root/reference/data/customers.csv"
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    yield str(tmp_path)
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def test_batch_pipeline_replay(spark, workdir):
+    result = run_reference_pipeline(spark, REFERENCE_CSV, workdir)
+    assert result.rows == 847
+    wh = spark.read.parquet(result.warehouse_path)
+    assert wh.columns == [f.name for f in schemas.CUSTOMERS.fields]
+    assert dict(wh.dtypes)["customerid"] == "bigint"
+    assert dict(wh.dtypes)["namestyle"] == "boolean"
+    assert dict(wh.dtypes)["modifieddate"] == "timestamp"
+    # spot-check a typed value survived CSV -> JSON -> align -> parquet
+    row = wh.filter("customerid = 1").collect()[0]
+    assert row.firstname == "Orlando" and row.modifieddate.year == 2005
+
+
+def test_streaming_pipeline_replay(spark, workdir):
+    indir = f"{workdir}/landing"
+    import os
+
+    os.makedirs(indir)
+    shutil.copy(REFERENCE_CSV, f"{indir}/batch1.csv")
+    wh = f"{workdir}/warehouse"
+    ckpt = f"{workdir}/ckpt"
+
+    stream_csv_to_warehouse(
+        spark, indir, schemas.CUSTOMERS_CSV, schemas.CUSTOMERS, wh, ckpt
+    )
+    assert spark.read.parquet(wh).count() == 847
+
+    # second file arrives -> only the new file is processed (checkpointed
+    # exactly-once, the crawler-idempotence semantics)
+    shutil.copy(REFERENCE_CSV, f"{indir}/batch2.csv")
+    stream_csv_to_warehouse(
+        spark, indir, schemas.CUSTOMERS_CSV, schemas.CUSTOMERS, wh, ckpt
+    )
+    assert spark.read.parquet(wh).count() == 2 * 847
+
+    # replay with same checkpoint and no new files -> no duplicates
+    stream_csv_to_warehouse(
+        spark, indir, schemas.CUSTOMERS_CSV, schemas.CUSTOMERS, wh, ckpt
+    )
+    assert spark.read.parquet(wh).count() == 2 * 847
+
+
+def test_json_intermediate_is_lines(spark, workdir):
+    result = run_reference_pipeline(spark, REFERENCE_CSV, workdir)
+    js = spark.read.json(result.json_path)
+    assert js.count() == 847
