@@ -25,7 +25,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 #: Headline subset — representative of each operator family; grows as
 #: families land. Keys must exist in the query registry.
-HEADLINE: tuple[str, ...] = ("q1_pricing_summary",)
+HEADLINE: tuple[str, ...] = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_broadcast",
+    "join_asof",
+    "agg_rollup",
+    "win_topk_per_group",
+    "scalar_array_explode",
+)
 
 
 def main() -> None:

@@ -1,0 +1,106 @@
+"""Join operators Spark lacks natively: as-of, range/interval, salted.
+
+SURVEY.md §2.3 — the reference has no joins at all; these are the EXT
+surface's hard cases, built as compositions of DataFrame ops so Catalyst
+still owns the physical strategy.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str] = (),
+    right_cols: Sequence[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.on <= left.on`` (inclusive), matched within ``by`` keys.
+
+    Implementation is the union-and-carry-forward trick: tag both
+    sides, union, and per ``by``-partition ordered by (``on``, side)
+    run ``last(value, ignorenulls=True)`` over an unbounded-preceding
+    frame.  ONE shuffle on the ``by`` keys — no row explosion, no
+    nested-loop — so it scales linearly; a merge-join-per-key
+    (pandas ``merge_asof`` via applyInPandas) would force every group
+    through Python.
+
+    Right-side ties on ``on`` resolve to the right row (side sorts
+    before left at equal timestamps), matching inclusive as-of
+    semantics (DuckDB ``ASOF JOIN ... ON r.ts <= l.ts``).
+    """
+    by = list(by)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c != on and c not in by]
+    carried = [f"{c}{suffix}" for c in right_cols]
+
+    lhs = left.withColumn("__side", F.lit(1))
+    for c, cc in zip(right_cols, carried):
+        lhs = lhs.withColumn(cc, F.lit(None).cast(right.schema[c].dataType))
+    rhs = right.select(
+        *by,
+        F.col(on),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(cc) for c, cc in zip(right_cols, carried)],
+    )
+    for c in left.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    unioned = lhs.unionByName(rhs.select(lhs.columns))
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for cc in carried:
+        unioned = unioned.withColumn(cc, F.last(cc, ignorenulls=True).over(w))
+    return unioned.filter(F.col("__side") == 1).drop("__side")
+
+
+def range_join(
+    left: DataFrame,
+    bands: DataFrame,
+    value: str,
+    lo: str = "lo",
+    hi: str = "hi",
+) -> DataFrame:
+    """Join each left row to the band where ``lo <= value < hi``.
+
+    Band tables are small by construction, so the right strategy at any
+    scale is an explicit broadcast (BroadcastNestedLoopJoin over a
+    handful of band rows ≈ a map-side lookup; a shuffle range-join
+    would be strictly worse).  For large range tables, bucketize both
+    sides and equi-join on bucket instead.
+    """
+    cond = (F.col(value) >= F.col(lo)) & (F.col(value) < F.col(hi))
+    return left.join(F.broadcast(bands), cond, "left")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with a salted key to spread one hot key over ``salt``
+    reducer partitions: the skewed (left) side gets a random salt in
+    [0, salt); the right side is exploded ``salt``× so every salted key
+    still finds its match.  Use when AQE's skew-join split isn't enough
+    (e.g. one key ≫ a single executor's memory).
+    """
+    salted_l = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    salted_r = right.withColumn(
+        "__salt", F.explode(F.array([F.lit(i) for i in range(salt)]))
+    )
+    out = salted_l.join(salted_r, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -12,6 +12,12 @@ from .registry import ORACLES, QUERIES, query
 
 # Import for registration side effects — order mirrors SURVEY.md §2.
 from . import relational  # noqa: E402,F401
+from . import joins  # noqa: E402,F401
+from . import aggregates  # noqa: E402,F401
+from . import windows  # noqa: E402,F401
+from . import setops_sorts  # noqa: E402,F401
+from . import scalars  # noqa: E402,F401
+from . import tpch  # noqa: E402,F401
 
 
 def all_queries():

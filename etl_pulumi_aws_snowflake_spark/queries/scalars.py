@@ -1,0 +1,221 @@
+"""Scalar-function surface (SURVEY.md §2.8): string, date/time, math,
+conditional, array, and JSON expressions — all JVM-side built-ins
+(whole-stage codegen; no Python in the row path).
+
+Math demos deliberately stick to IEEE-exact operations (+,-,*,/, sqrt,
+floor, ceil, abs, modulo): `log`/`pow` differ in the last ulp between
+the JVM's and DuckDB's libm, which a value-hash comparison would flag.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._util import t
+from .registry import query
+
+
+@query(
+    "scalar_string",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           LENGTH(c_name) AS name_len,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           SPLIT_PART(c_name, '#', 2) AS name_id_part,
+           CONCAT_WS('/', c_mktsegment, c_name) AS seg_name,
+           REPLACE(c_name, 'Customer', 'Cust') AS name_short,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS name_digits,
+           (c_name LIKE '%19%') AS has_19
+    FROM customer
+    """,
+)
+def scalar_string(spark, sf_dir):
+    name = F.col("c_name")
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.upper(name).alias("name_upper"),
+        F.length(name).alias("name_len"),
+        F.substring(name, 1, 8).alias("name_prefix"),
+        F.split_part(name, F.lit("#"), F.lit(2)).alias("name_id_part"),
+        F.concat_ws("/", F.col("c_mktsegment"), name).alias("seg_name"),
+        F.replace(name, F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.regexp_extract(name, "([0-9]+)", 1).alias("name_digits"),
+        name.like("%19%").alias("has_19"),
+    )
+
+
+@query(
+    "scalar_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_month,
+           CAST(DAYOFMONTH(o_orderdate) AS INT) AS order_day,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month_start,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(DATEDIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since_95,
+           CAST(EXTRACT(epoch FROM o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+)
+def scalar_datetime(spark, sf_dir):
+    d = F.col("o_orderdate")
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.dayofmonth(d).alias("order_day"),
+        F.date_trunc("month", d).alias("order_month_start"),
+        d.cast("date").alias("order_date"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+        F.unix_timestamp(d).alias("epoch_s"),
+    )
+
+
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05) AS disc_dev,
+           CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_decile,
+           CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+           SQRT(l_quantity) AS qty_sqrt,
+           l_quantity * l_quantity AS qty_sq,
+           CAST(CAST(ROUND(l_quantity) AS BIGINT) % 7 AS BIGINT) AS qty_mod7
+    FROM lineitem
+    """,
+)
+def scalar_math(spark, sf_dir):
+    q = F.col("l_quantity")
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor(q / 10).alias("qty_decile"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k_ceil"),
+        F.sqrt(q).alias("qty_sqrt"),
+        (q * q).alias("qty_sq"),
+        (F.round(q).cast("long") % 7).alias("qty_mod7"),
+    )
+
+
+@query(
+    "scalar_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 150000 THEN 'large'
+                WHEN o_totalprice > 50000 THEN 'medium'
+                ELSE 'small' END AS size_class,
+           COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'TOP') AS priority_label,
+           (o_orderstatus = 'F' AND o_totalprice > 100000) AS big_finished,
+           IF(o_orderstatus = 'O', 'open', 'closed') AS open_state
+    FROM orders
+    """,
+)
+def scalar_conditional(spark, sf_dir):
+    price = F.col("o_totalprice")
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(price > 150000, "large")
+        .when(price > 50000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")), F.lit("TOP")
+        ).alias("priority_label"),
+        ((F.col("o_orderstatus") == "F") & (price > 100000)).alias("big_finished"),
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("closed")
+        .alias("open_state"),
+    )
+
+
+@query(
+    "scalar_array",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           string_split(text, ' ')[1] AS first_token,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS first_three
+    FROM documents
+    """,
+)
+def scalar_array(spark, sf_dir):
+    tokens = F.split(F.col("text"), " ")
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens).alias("n_tokens"),
+        F.element_at(tokens, 1).alias("first_token"),
+        F.array_contains(tokens, "spark").alias("has_spark"),
+        F.array_join(F.slice(tokens, 1, 3), " ").alias("first_three"),
+    )
+
+
+@query(
+    "scalar_array_explode",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    """,
+)
+def scalar_array_explode(spark, sf_dir):
+    """explode → groupBy: the lateral-view token count (map-side combine
+    still applies after the generator)."""
+    return (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "scalar_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           (json_extract(props, '$.k') IS NOT NULL) AS has_k,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_value
+    FROM events
+    """,
+)
+def scalar_json(spark, sf_dir):
+    """JSON-string column access (events.props) — get_json_object stays
+    JVM-side; from_json with an explicit schema is the typed
+    alternative when the shape is known."""
+    props = F.col("props")
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object(props, "$.k").cast("long").alias("k_value"),
+        F.get_json_object(props, "$.k").isNotNull().alias("has_k"),
+        F.get_json_object(props, "$.missing").cast("long").alias("missing_value"),
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark, sf_dir):
+    """Pivot with an explicit value list — never let pivot scan for
+    distinct values at scale (it adds a full extra job)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )

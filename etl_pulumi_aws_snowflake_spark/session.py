@@ -38,6 +38,10 @@ ENGINE_CONF: dict[str, str] = {
     # enough that a 100 TB scan still yields ~1.6M balanced tasks.
     "spark.sql.files.maxPartitionBytes": str(64 * 1024 * 1024),
     "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    # Spark 4 rejects parquet TIMESTAMP(NANOS) outright; read the raw
+    # int64 nanos instead — sources.tables converts to µs timestamps
+    # (integer DIV, no double round-trip) to match engine semantics.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

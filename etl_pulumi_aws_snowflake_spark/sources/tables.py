@@ -43,8 +43,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = cache.get(key)
     if df is None:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _normalize_nanos(df)
         cache[key] = df
     return df
+
+
+def _normalize_nanos(df: DataFrame) -> DataFrame:
+    """Parquet TIMESTAMP(NANOS) columns arrive as int64 nanos (the
+    ``nanosAsLong`` escape hatch for Spark 4's PARQUET_TYPE_ILLEGAL);
+    convert to µs-precision timestamps with integer division — a double
+    round-trip would lose precision at 1.7e18 ns."""
+    from pyspark.sql import functions as F
+
+    out = df
+    for field in df.schema.fields:
+        md = field.metadata or {}
+        if md.get("__is_nanos", False) or (
+            field.name == "ts" and field.dataType.simpleString() == "bigint"
+        ):
+            out = out.withColumn(
+                field.name,
+                F.timestamp_micros(F.expr(f"`{field.name}` DIV 1000")),
+            )
+    return out
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
