@@ -34,6 +34,11 @@ HEADLINE: tuple[str, ...] = (
     "agg_rollup",
     "win_topk_per_group",
     "scalar_array_explode",
+    "win_tumbling",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_quality",
+    "mm_binary_features",
 )
 
 

@@ -1,0 +1,6 @@
+"""Scalar / higher-order expression builders shared by operators and
+oracle SQL (SURVEY.md §2.8, §2.10)."""
+
+from . import hashing, text, vectors
+
+__all__ = ["hashing", "text", "vectors"]

@@ -1,0 +1,175 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.10).
+
+Four families, all DataFrame-native (no Python in the hot path):
+
+- **exact**: group by content hash (``sha2``) — the shuffle key is the
+  32-byte digest, never the document body, so a 100 TB corpus shuffles
+  ~rowcount × 32 B, not the corpus.
+- **n-gram Jaccard**: inverted-index self-join on shingle hashes —
+  the classic all-pairs candidate generator; at scale, hot shingles
+  (boilerplate) are the skew risk → AQE skew-join handles it, and
+  `max_doc_freq` drops degenerate shingles entirely (a shingle in 10 %
+  of a 100 TB corpus generates ~n²/100 pairs — dropping it is both a
+  correctness choice (it carries no signal) and the thing that keeps
+  the join bounded).
+- **MinHash + LSH banding**: per-row signatures (narrow, zero-shuffle)
+  → explode band keys → equi-join on (band, key) → verify candidates
+  with exact Jaccard.  Signature math is deterministic (no RNG), so
+  results are reproducible across engines — see functions/hashing.py.
+- **SimHash**: one 32-bit code per document, computed in a single
+  narrow projection; near-dup candidates = equal codes (or small
+  Hamming distance via band rotation).
+
+Embedding-space near-dup lives in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One surviving row per distinct content: (keep_id, n_copies).
+
+    Deterministic survivor = min id.  ``sha2(text, 256)`` is computed
+    map-side; the groupBy shuffles only (digest, id) pairs.
+    """
+    return (
+        docs.select(
+            F.sha2(F.col(text_col), 256).alias("content_hash"),
+            F.col(id_col),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_sets(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, distinct k-gram shingle hashes, set size) per document —
+    one narrow projection, shared by the Jaccard and MinHash paths."""
+    sh = H.shingle_hashes(H.word_hashes(text_col), k)
+    return docs.select(
+        F.col(id_col),
+        F.array_distinct(F.expr(sh.spark)).alias("shingles"),
+    ).withColumn("n_shingles", F.size("shingles"))
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All document pairs with shingle-set Jaccard ≥ threshold:
+    (doc_a, doc_b, n_shared, jaccard).
+
+    Plan shape: shingle sets → explode to inverted index → self-join on
+    shingle hash (equi-join, Catalyst picks shuffled hash join; AQE
+    splits skewed shingles) → per-pair shared count → rejoin set sizes.
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    docs before the self-join — the standard guard against boilerplate
+    blowing up candidate generation at scale.
+    """
+    sets = shingle_sets(docs, k, text_col, id_col)
+    inv = sets.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    if max_doc_freq is not None:
+        freq = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        inv = inv.join(freq.filter(F.col("df") <= max_doc_freq), "sh").drop("df")
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = sets.select(F.col(id_col), "n_shingles")
+    return (
+        shared.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs via MinHash signatures + LSH banding, then exact
+    Jaccard verification of the candidates:
+    (doc_a, doc_b, jaccard).
+
+    vs. :func:`jaccard_pairs`: the band join touches ``bands`` keys per
+    doc instead of every shingle — at 100 TB this is the difference
+    between joining ~50 rows/doc and 8 rows/doc, and band keys are
+    near-uniform (hash values) so the join does not skew.  Candidates
+    are a superset filter; the verify join recomputes true Jaccard so
+    precision is exact (recall is the probabilistic part: ~1-(1-t^r)^b).
+    """
+    rows = num_hashes // bands
+    sig = H.minhash_signature(H.X("shingles", ""), num_hashes)
+    keys = H.band_keys(H.X("sig", ""), bands, rows)
+
+    sets = shingle_sets(docs, k, text_col, id_col).filter(F.col("n_shingles") > 0)
+    banded = (
+        sets.withColumn("sig", F.expr(sig.spark))
+        .select(F.col(id_col), F.posexplode(F.expr(keys.spark)).alias("band", "key"))
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_shared", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_codes(
+    docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash) — one narrow projection per document."""
+    code = H.simhash(H.word_hashes(text_col), bits)
+    return docs.select(F.col(id_col), F.expr(code.spark).alias("simhash"))

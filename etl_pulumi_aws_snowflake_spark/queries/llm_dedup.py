@@ -1,0 +1,145 @@
+"""Deduplication queries (SURVEY.md §2.10) over the documents table,
+each with a DuckDB oracle generated from the SAME expression templates
+the Spark side uses (functions/hashing.py), so the two dialects cannot
+drift.  All hash math is deterministic — even MinHash+LSH is exactly
+reproduced by the oracle, not just rows-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..operators import dedup as D
+from ._util import t
+from .registry import query
+
+# DuckDB-side building blocks over the documents table.
+_SHINGLES = H.shingle_hashes(H.word_hashes("text"), k=3).duck
+_SIG = H.minhash_signature(H.X("", "shingles"), k=16).duck
+_BANDS = H.band_keys(H.X("", "sig"), bands=8, rows=2).duck
+
+_SETS = f"""
+sets AS (
+    SELECT doc_id, list_distinct({_SHINGLES}) AS shingles
+    FROM documents
+), sized AS (
+    SELECT doc_id, shingles, len(shingles) AS n FROM sets
+)"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: survivor (min id) + multiplicity per distinct
+    content hash.  Shuffles 32-byte digests, never document bodies."""
+    return D.exact_dedup(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SETS},
+    inv AS (SELECT doc_id, unnest(shingles) AS sh FROM sized),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared,
+           CAST(n_shared AS DOUBLE)
+             / CAST(sa.n + sb.n - n_shared AS DOUBLE) AS jaccard
+    FROM shared
+    JOIN sized sa ON sa.doc_id = doc_a
+    JOIN sized sb ON sb.doc_id = doc_b
+    WHERE CAST(n_shared AS DOUBLE)
+            / CAST(sa.n + sb.n - n_shared AS DOUBLE) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Word-3-gram shingle Jaccard ≥ 0.8 via inverted-index self-join
+    (finds the corpus's planted near-duplicate pairs)."""
+    return D.jaccard_pairs(t(spark, sf_dir, "documents"), k=3, threshold=0.8)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SETS},
+    nonempty AS (SELECT * FROM sized WHERE n > 0),
+    sig AS (SELECT doc_id, shingles, n, {_SIG} AS sig FROM nonempty),
+    keys AS (SELECT doc_id, shingles, n, {_BANDS} AS bandkeys FROM sig),
+    banded AS (
+        SELECT doc_id, g.j AS band, bandkeys[g.j + 1] AS key
+        FROM keys CROSS JOIN generate_series(0, 7) g(j)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.key = b.key
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / CAST(sa.n + sb.n
+                    - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             AS jaccard
+    FROM cand
+    JOIN nonempty sa ON sa.doc_id = doc_a
+    JOIN nonempty sb ON sb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / CAST(sa.n + sb.n
+                   - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            >= 0.8
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16) + LSH(8 bands × 2 rows) candidate generation with
+    exact-Jaccard verification — the scale path for near-dup: the join
+    runs on 8 uniform band keys per doc instead of ~50 shingles."""
+    return D.minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), k=3, num_hashes=16, bands=8, threshold=0.8
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT doc_id, {H.simhash(H.word_hashes("text"), 32).duck} AS simhash
+    FROM documents
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash code per document (count-weighted bit votes) —
+    one narrow projection; candidates are equal/near codes."""
+    return D.simhash_codes(t(spark, sf_dir, "documents"), bits=32)
+
+
+@query(
+    "dedup_fingerprint_groups",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, {H.fingerprint("text").duck} AS fingerprint
+        FROM documents
+    )
+    SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM fp GROUP BY 1
+    """,
+)
+def dedup_fingerprint_groups(spark, sf_dir):
+    """Order-sensitive rolling-hash fingerprint dedup — byte-exact
+    dedup without shuffling text (64-bit-ish key instead of a digest
+    string; cheapest exact-dup key at scale)."""
+    fp = H.fingerprint("text")
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(fp.spark).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )

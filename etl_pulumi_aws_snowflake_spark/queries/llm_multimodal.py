@@ -1,0 +1,51 @@
+"""Multimodal-column queries (SURVEY.md §2.10): binary payload
+plumbing driven end-to-end through Arrow-batched ``mapInPandas``.
+The oracle recomputes the same features SQL-side (md5 of the utf-8
+bytes), so even the Python-worker path is value-checked — the decode
+step itself is the stubbed part (operators/multimodal.py)."""
+
+from __future__ import annotations
+
+from ..operators import multimodal as M
+from ._util import t
+from .registry import query
+
+
+@query(
+    "mm_binary_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def mm_binary_features(spark, sf_dir):
+    """documents → binary media rows → Arrow-batched feature extraction
+    (byte length + md5) via iterator mapInPandas.  Exercises the full
+    multimodal batch shape: BinaryType column, typed metadata, Python
+    worker streaming one partition at a time."""
+    return M.extract_features(M.as_media(t(spark, sf_dir, "documents")))
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH offsets AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0, (length(text) - 1) // 64)) AS j
+        FROM documents
+    )
+    SELECT doc_id,
+           j AS frame_no,
+           CAST(ascii(substring(text, j * 64 + 1, 1)) AS BIGINT) AS frame_byte
+    FROM offsets
+    """,
+)
+def mm_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: one output row per 64-byte offset of
+    each payload (the video-frame extraction batch shape: one input row
+    → many output rows through iterator mapInPandas).  Payloads are
+    utf-8 of ASCII text here, so byte-at-offset equals the oracle's
+    codepoint-at-offset."""
+    return M.frame_sample(M.as_media(t(spark, sf_dir, "documents")), every_n_bytes=64)

@@ -1,0 +1,114 @@
+"""Similarity-search queries (SURVEY.md §2.10) over the embeddings
+table.  Oracles reproduce the EXACT algorithm (including the IVF list
+assignment) — cosine math is a strict left fold in both engines, so
+doubles match bit-for-bit with no tolerance."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+from ..operators import similarity as S
+from ._util import t
+from .registry import query
+
+# Probes: every 50th vector (10 probes at the 500-row correctness SF).
+_PROBE_STRIDE = 50
+
+_E = "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+
+def _cos(a: str, b: str) -> str:
+    return V.cosine(V.X("", a), V.X("", b)).duck
+
+
+def _probes(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") % _PROBE_STRIDE == 0), emb
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH {_E},
+    p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id % {_PROBE_STRIDE} = 0),
+    pairs AS (
+        SELECT probe_id, e.vec_id AS vec_id, {_cos('pv', 'v')} AS cos
+        FROM p CROSS JOIN e WHERE probe_id != e.vec_id
+    ),
+    ranked AS (
+        SELECT probe_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM pairs
+    )
+    SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-5 per probe — the recall baseline.
+    Probe set broadcast; corpus scan stays partition-parallel."""
+    probes, corpus = _probes(spark, sf_dir)
+    return S.cosine_topk(probes, corpus, k=5)
+
+
+@query(
+    "sim_cosine_near_pairs",
+    oracle=f"""
+    WITH {_E},
+    p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id % {_PROBE_STRIDE} = 0)
+    SELECT probe_id, e.vec_id AS vec_id, {_cos('pv', 'v')} AS cos
+    FROM p CROSS JOIN e
+    WHERE probe_id != e.vec_id AND {_cos('pv', 'v')} >= 0.35
+    """,
+)
+def sim_cosine_near_pairs(spark, sf_dir):
+    """Embedding-space near-dup: probe/corpus pairs with cosine ≥ 0.35
+    (threshold sits above the corpus's random-pair band ≈ ±0.3)."""
+    probes, corpus = _probes(spark, sf_dir)
+    return S.cosine_near_pairs(probes, corpus, threshold=0.35)
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH {_E},
+    seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e
+              WHERE vec_id % {_PROBE_STRIDE} = 0),
+    assign AS (
+        SELECT e.vec_id, e.v, seed_id, {_cos('sv', 'v')} AS seed_cos,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos('sv', 'v')} DESC, seed_id) AS rn
+        FROM e CROSS JOIN seeds
+    ),
+    lists AS (SELECT vec_id, v, seed_id AS list_id FROM assign WHERE rn = 1),
+    p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+          WHERE vec_id % {_PROBE_STRIDE} = 0),
+    plists AS (
+        SELECT probe_id, pv, list_id FROM (
+            SELECT probe_id, pv, seed_id AS list_id,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY {_cos('pv', 'sv')} DESC, seed_id) AS lr
+            FROM p CROSS JOIN seeds
+        ) WHERE lr <= 2
+    ),
+    cand AS (
+        SELECT probe_id, pv, l.vec_id AS vec_id, l.v AS v
+        FROM plists JOIN lists l ON plists.list_id = l.list_id
+                                AND probe_id != l.vec_id
+    ),
+    ranked AS (
+        SELECT probe_id, vec_id, {_cos('pv', 'v')} AS cos,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY {_cos('pv', 'v')} DESC, vec_id) AS rank
+        FROM cand
+    )
+    SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= 3
+    """,
+)
+def sim_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN top-3: nearest-seed coarse quantization, probe
+    searches its 2 closest lists — the 100 TB scale path (prunes
+    ~(1 - nprobe/nlists) of the corpus before any distance math)."""
+    probes, corpus = _probes(spark, sf_dir)
+    return S.ivf_topk(probes, corpus, k=3, nprobe=2, seed_stride=_PROBE_STRIDE)

@@ -1,0 +1,95 @@
+"""Text-analysis queries (SURVEY.md §2.10) over the documents table:
+quality scoring, token counting, language-ID heuristic, fingerprinting.
+All per-row narrow projections — the oracle mirrors come from the same
+templates (functions/text.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import text as T
+from ._util import t
+from .registry import query
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           {T.n_words().duck} AS n_words,
+           {T.avg_word_len().duck} AS avg_word_len,
+           {T.stopword_ratio().duck} AS stopword_ratio,
+           {T.distinct_ratio().duck} AS distinct_ratio,
+           {T.punct_ratio().duck} AS punct_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Per-document quality metrics (length, stopword density, token
+    diversity, punctuation load) — the standard pre-training filters."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(T.n_words().spark).alias("n_words"),
+        F.expr(T.avg_word_len().spark).alias("avg_word_len"),
+        F.expr(T.stopword_ratio().spark).alias("stopword_ratio"),
+        F.expr(T.distinct_ratio().spark).alias("distinct_ratio"),
+        F.expr(T.punct_ratio().spark).alias("punct_ratio"),
+    )
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           {T.n_words().duck} AS n_ws_tokens,
+           {T.token_count_regex().duck} AS n_re_tokens,
+           length(text) AS n_chars_measured
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting two ways: whitespace split vs BPE-ish regex runs
+    (alpha/digit maximal runs) — the cost model for LLM batch sizing."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(T.n_words().spark).alias("n_ws_tokens"),
+        F.expr(T.token_count_regex().spark).alias("n_re_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    SELECT lang, {T.lang_id().duck} AS pred_lang, COUNT(*) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Marker-trigram language-ID heuristic vs the labeled lang column
+    (confusion-matrix shape). Deterministic argmax with fixed
+    tie-order; accuracy on synthetic word-soup is incidental — the
+    operator contract is the deterministic classification itself."""
+    return (
+        t(spark, sf_dir, "documents")
+        .select("lang", F.expr(T.lang_id().spark).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {H.fingerprint("text").duck} AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling-hash document fingerprint (token-level
+    polynomial) — stable 60-bit-ish identity for exact-dup detection
+    and incremental re-crawl diffing."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(H.fingerprint("text").spark).alias("fingerprint")
+    )

@@ -1,0 +1,211 @@
+"""LLM-data-pipeline operator tests (SURVEY.md §2.10) — properties the
+DuckDB oracle comparison can't express: cross-engine hash bit-parity,
+LSH recall vs the exact baseline, ANN subset-correctness, multimodal
+stub gating, and invariance properties (reorder sensitivity)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pulumi_aws_snowflake_spark.functions import hashing as H
+from etl_pulumi_aws_snowflake_spark.functions import text as T
+from etl_pulumi_aws_snowflake_spark.operators import dedup as D
+from etl_pulumi_aws_snowflake_spark.operators import multimodal as M
+from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+from etl_pulumi_aws_snowflake_spark.sources import load_table
+
+from .oracle_check import duckdb_con
+
+SAMPLES = [
+    "the quick brown fox jumps over the lazy dog",
+    "a a a repeated tokens a a",
+    "single",
+    "dog lazy the over jumps fox brown quick the",
+]
+
+
+@pytest.fixture(scope="module")
+def sample_df(spark):
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(SAMPLES)], "doc_id long, text string"
+    )
+
+
+def _duck_eval(expr: str, text: str):
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT {expr} AS v FROM (SELECT ? AS text)", params=[text]
+    ).fetchone()[0]
+
+
+@pytest.mark.parametrize(
+    "pair",
+    [
+        H.fingerprint("text"),
+        H.simhash(H.word_hashes("text"), 32),
+        H.minhash_signature(H.shingle_hashes(H.word_hashes("text"), 2), 4),
+        T.lang_id("text"),
+    ],
+    ids=["fingerprint", "simhash", "minhash_sig", "lang_id"],
+)
+def test_hash_bit_parity(spark, sample_df, pair):
+    """The Spark and DuckDB dialects of every hash/score expression must
+    agree exactly on every sample — this is what makes MinHash/SimHash
+    oracle-checkable rather than rows-only."""
+    got = [
+        r.v for r in sample_df.orderBy("doc_id").select(F.expr(pair.spark).alias("v")).collect()
+    ]
+    want = [_duck_eval(pair.duck, s) for s in SAMPLES]
+    assert got == want
+
+
+def test_exact_dedup_survivor(spark):
+    df = spark.createDataFrame(
+        [(10, "x"), (3, "x"), (7, "y")], "doc_id long, text string"
+    )
+    rows = {r.keep_id: r.n_copies for r in D.exact_dedup(df).collect()}
+    assert rows == {3: 2, 7: 1}
+
+
+def test_jaccard_pairs_known_overlap(spark):
+    # doc 1/2 share all but one word-2-gram; doc 3 disjoint.
+    df = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5"),
+            (2, "w1 w2 w3 w4 w6"),
+            (3, "z1 z2 z3 z4 z5"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = D.jaccard_pairs(df, k=2, threshold=0.5).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.doc_a, p.doc_b, p.n_shared) == (1, 2, 3)
+    assert math.isclose(p.jaccard, 3 / 5)
+
+
+def test_max_doc_freq_prunes_boilerplate(spark):
+    # 'b b' boilerplate shingle in every doc; unique content otherwise.
+    df = spark.createDataFrame(
+        [(i, f"u{i} v{i} b b") for i in range(6)], "doc_id long, text string"
+    )
+    assert D.jaccard_pairs(df, k=2, threshold=0.1).count() == 15
+    assert D.jaccard_pairs(df, k=2, threshold=0.1, max_doc_freq=3).count() == 0
+
+
+def test_minhash_lsh_recall(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in D.jaccard_pairs(docs, k=3, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(docs, k=3, threshold=0.8).collect()
+    }
+    assert exact, "corpus should contain planted near-dups"
+    assert lsh <= exact, "verify step must keep precision exact"
+    recall = len(lsh & exact) / len(exact)
+    # 8 bands × 2 rows at j=0.8 → P(candidate) ≈ 1-(1-0.64)^8 ≈ 0.9997
+    assert recall >= 0.9, f"LSH recall {recall} below expectation"
+
+
+def test_simhash_invariance(spark, sample_df):
+    codes = {r.doc_id: r.simhash for r in D.simhash_codes(sample_df).collect()}
+    # SimHash is a token-multiset statistic: reordering preserves it...
+    assert codes[0] == codes[3]
+    # ...while the rolling fingerprint is order-sensitive.
+    fps = {
+        r.doc_id: r.fp
+        for r in sample_df.select(
+            "doc_id", F.expr(H.fingerprint("text").spark).alias("fp")
+        ).collect()
+    }
+    assert fps[0] != fps[3]
+
+
+def test_cosine_topk_matches_numpy(spark, sf_smoke):
+    import numpy as np
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    got = S.cosine_topk(probes, emb, k=3).collect()
+
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    for probe_id in {r.probe_id for r in got}:
+        p = vecs[probe_id]
+        sims = {
+            vid: float(v @ p / (np.linalg.norm(v) * np.linalg.norm(p)))
+            for vid, v in vecs.items()
+            if vid != probe_id
+        }
+        want = sorted(sims, key=lambda v: (-sims[v], v))[:3]
+        mine = [r.vec_id for r in sorted(got, key=lambda r: r.rank) if r.probe_id == probe_id]
+        assert mine == want
+        for r in got:
+            if r.probe_id == probe_id:
+                assert math.isclose(r.cos, sims[r.vec_id], rel_tol=1e-9)
+
+
+def test_ivf_subset_of_brute(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    brute = {
+        (r.probe_id, r.vec_id): r.cos
+        for r in S.cosine_topk(probes, emb, k=500).collect()
+    }
+    ivf = S.ivf_topk(probes, emb, k=3, nprobe=2, seed_stride=50).collect()
+    assert ivf, "IVF search returned nothing"
+    for r in ivf:
+        # every ANN hit must carry the true cosine for that pair
+        assert math.isclose(r.cos, brute[(r.probe_id, r.vec_id)], rel_tol=1e-12)
+    # with 10 lists and nprobe=2 some recall is expected even on
+    # near-random vectors (the probe's own list is always searched)
+    hits = sum(
+        1
+        for r in ivf
+        if r.rank == 1
+    )
+    assert hits == len({r.probe_id for r in ivf})
+
+
+def test_multimodal_stub_gating():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG")
+    assert M.decode_image(b"\x89PNG", fake=True) == b"\x89PNG"
+
+
+def test_multimodal_features_checksum(spark, sample_df):
+    feats = {r.doc_id: r for r in M.extract_features(M.as_media(sample_df)).collect()}
+    for i, s in enumerate(SAMPLES):
+        assert feats[i].n_bytes == len(s.encode())
+        assert feats[i].checksum == hashlib.md5(s.encode()).hexdigest()
+
+
+def test_frame_sample_shape(spark, sample_df):
+    rows = M.frame_sample(M.as_media(sample_df), every_n_bytes=8).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, s in enumerate(SAMPLES):
+        buf = s.encode()
+        frames = sorted(by_doc[i], key=lambda r: r.frame_no)
+        assert len(frames) == math.ceil(len(buf) / 8)
+        assert [f.frame_byte for f in frames] == [
+            buf[off] for off in range(0, len(buf), 8)
+        ]
+
+
+def test_oracle_tables_present(spark, sf_smoke):
+    """documents/embeddings views exist in the oracle connection (guards
+    the TABLE_NAMES lists staying in sync)."""
+    con = duckdb_con(sf_smoke)
+    assert con.execute("SELECT count(*) FROM documents").fetchone()[0] > 0
+    assert con.execute("SELECT count(*) FROM embeddings").fetchone()[0] > 0
+    con.close()
