@@ -38,6 +38,16 @@ def norm(a: X) -> X:
     return X(f"sqrt({d.spark})", f"sqrt({d.duck})")
 
 
+def dot_cols(a: str, b: str) -> str:
+    """Spark-only dot of two ALREADY-double array columns — for the
+    precomputed-norm path in operators/similarity.py (one fold per
+    pair instead of three)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, "
+        f"(acc, v) -> acc + v)"
+    )
+
+
 def cosine(a: X, b: X) -> X:
     """dot/(‖a‖·‖b‖) — identical operation order in both dialects.
 

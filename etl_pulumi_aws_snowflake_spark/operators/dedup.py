@@ -12,10 +12,11 @@ Four families, all DataFrame-native (no Python in the hot path):
   of a 100 TB corpus generates ~n²/100 pairs — dropping it is both a
   correctness choice (it carries no signal) and the thing that keeps
   the join bounded).
-- **MinHash + LSH banding**: per-row signatures (narrow, zero-shuffle)
-  → explode band keys → equi-join on (band, key) → verify candidates
-  with exact Jaccard.  Signature math is deterministic (no RNG), so
-  results are reproducible across engines — see functions/hashing.py.
+- **MinHash + LSH banding**: signatures via explode + codegen'd
+  min-aggregate (shuffle = num_hashes int64 per doc) → band keys →
+  equi-join on (band, key) → verify candidates with exact Jaccard.
+  Signature math is deterministic (no RNG), so results are
+  reproducible across engines — see functions/hashing.py.
 - **SimHash**: one 32-bit code per document, computed in a single
   narrow projection; near-dup candidates = equal codes (or small
   Hamming distance via band rotation).
@@ -129,14 +130,47 @@ def minhash_lsh_pairs(
     precision is exact (recall is the probabilistic part: ~1-(1-t^r)^b).
     """
     rows = num_hashes // bands
-    sig = H.minhash_signature(H.X("shingles", ""), num_hashes)
-    keys = H.band_keys(H.X("sig", ""), bands, rows)
 
-    sets = shingle_sets(docs, k, text_col, id_col).filter(F.col("n_shingles") > 0)
-    banded = (
-        sets.withColumn("sig", F.expr(sig.spark))
-        .select(F.col(id_col), F.posexplode(F.expr(keys.spark)).alias("band", "key"))
+    # The shingle-set subtree feeds candidate generation AND both sides
+    # of the verify join; without persist, Spark computes the (hash-
+    # heavy) subtree three times — persist makes it once.  At 100 TB
+    # this is the difference between one corpus-wide hashing pass and
+    # three; MEMORY_AND_DISK spills instead of recomputing.
+    sets = (
+        shingle_sets(docs, k, text_col, id_col)
+        .filter(F.col("n_shingles") > 0)
+        .persist()
     )
+
+    # MinHash signatures via explode + codegen hash-aggregate: one
+    # (doc, shingle) row per shingle, then num_hashes `min` aggregates
+    # over the universal-hash family.  Identical values to
+    # functions/hashing.minhash_signature (same arithmetic, same
+    # family), but the per-element math runs inside whole-stage codegen
+    # with map-side partial min — the nested-transform form is
+    # interpreted per element and was the measured bottleneck.  The
+    # shuffle carries only num_hashes int64 per doc.
+    inv = sets.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    mins = []
+    for i in range(num_hashes):
+        a_i = ((i + 1) * 2654435761) % H.P
+        b_i = (((i + 1) * 40503) + 12345) % H.P
+        mins.append(
+            F.min((F.lit(a_i) * F.col("sh") + F.lit(b_i)) % F.lit(H.P)).alias(f"s{i}")
+        )
+    sig = inv.groupBy(id_col).agg(*mins)
+
+    # LSH band keys: combine each band's `rows` signature slots into one
+    # int64 (base P, same combine as functions/hashing.band_keys), then
+    # unpivot to (doc, band, key) rows with stack().
+    keyed = [F.col(f"s{b * rows}") for b in range(bands)]
+    for b in range(bands):
+        for j in range(1, rows):
+            keyed[b] = keyed[b] * F.lit(H.P) + F.col(f"s{b * rows + j}")
+    stack_args = ", ".join(f"{b}, k{b}" for b in range(bands))
+    banded = sig.select(
+        F.col(id_col), *[e.alias(f"k{b}") for b, e in enumerate(keyed)]
+    ).select(F.col(id_col), F.expr(f"stack({bands}, {stack_args}) as (band, key)"))
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(
