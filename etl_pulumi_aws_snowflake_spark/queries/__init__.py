@@ -19,6 +19,7 @@ from . import setops_sorts  # noqa: E402,F401
 from . import scalars  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import stream_windows  # noqa: E402,F401
+from . import udfs  # noqa: E402,F401
 from . import llm_dedup  # noqa: E402,F401
 from . import llm_similarity  # noqa: E402,F401
 from . import llm_text  # noqa: E402,F401

@@ -219,3 +219,38 @@ def pivot_status_by_priority(spark, sf_dir):
         .agg(F.count(F.lit(1)))
         .na.fill(0)
     )
+
+
+@query(
+    "scalar_map",
+    oracle="""
+    WITH m AS (
+        SELECT c_custkey,
+               MAP(['seg', 'name'], [c_mktsegment, c_name]) AS mm
+        FROM customer
+    )
+    SELECT c_custkey,
+           map_keys(mm) AS m_keys,
+           map_values(mm) AS m_vals,
+           mm['seg'][1] AS m_seg,
+           CAST(cardinality(mm) AS INT) AS m_size
+    FROM m
+    """,
+)
+def scalar_map(spark, sf_dir):
+    """Map-typed column surface: create_map / map_keys / map_values /
+    element_at / size.  The raw map column itself is never emitted —
+    engines disagree on map rendering, and at scale a map column in
+    output defeats column pruning; project the needed entries instead
+    (DuckDB's ``m['k']`` yields a 1-list, hence the ``[1]`` unwrap in
+    the oracle)."""
+    m = F.create_map(
+        F.lit("seg"), F.col("c_mktsegment"), F.lit("name"), F.col("c_name")
+    )
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.map_keys(m).alias("m_keys"),
+        F.map_values(m).alias("m_vals"),
+        F.element_at(m, "seg").alias("m_seg"),
+        F.size(m).alias("m_size"),
+    )

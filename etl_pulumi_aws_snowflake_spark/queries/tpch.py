@@ -96,3 +96,131 @@ def q5_local_supplier_volume(spark, sf_dir):
         .groupBy("n_name")
         .agg(scaled_sum(rev_i, "revenue", 100 * 100))
     )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {sql_scaled_sum(_REV_I, 'revenue', 100 * 100)}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item revenue per customer, top 20).
+    lineitem filters at the scan (returnflag pushed to parquet), joins
+    once on orderkey; customer and nation broadcast.  Tie-break on
+    c_custkey makes the LIMIT deterministic."""
+    nation = t(spark, sf_dir, "nation")
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev_i = ints("l_extendedprice") * (F.lit(100) - ints("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(scaled_sum(rev_i, "revenue", 100 * 100))
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({sql_ints('l.l_extendedprice')}) AS DOUBLE)
+             / 100.0 / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+        SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_thresh
+        FROM lineitem GROUP BY l_partkey
+    ) a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND p.p_size < 25
+      AND l.l_quantity < a.qty_thresh
+    """,
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape — correlated scalar subquery (per-part average
+    quantity) decorrelated into an aggregate + equi-join, the standard
+    Spark rewrite (Catalyst performs the same one for SQL-form
+    correlated subqueries).  The per-part aggregate shuffles (partkey,
+    sum, count) only; the part filter broadcasts.  AVG over integral
+    quantities is order-exact, so the 0.2× threshold compares
+    identically in both engines."""
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 25)
+    )
+    li = t(spark, sf_dir, "lineitem")
+    thresh = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(thresh, li.l_partkey == thresh.a_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            (F.sum(ints("l_extendedprice")).cast("double") / 100.0 / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customer",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, SUM(l.l_quantity) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 shape — IN-subquery with HAVING, rewritten as the
+    aggregate → left-semi join Spark plan.  The HAVING aggregate and
+    the outer aggregate both shuffle on orderkey, so with AQE the
+    exchange is reused rather than repeated; quantity sums are integral
+    → exact."""
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "b_orderkey"),
+                li.l_orderkey == F.col("b_orderkey"), "semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )

@@ -109,3 +109,59 @@ def test_stream_dedup_exactly_once(spark, tmp_path):
 
     loaded = spark.read.parquet(outdir)
     assert loaded.count() == loaded.select("event_id").distinct().count() == 200
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState keeps per-user totals across microbatches:
+    after two file arrivals the final emitted row per user equals the
+    batch group-by over everything that arrived."""
+    from etl_pulumi_aws_snowflake_spark.streaming.stateful import running_user_totals
+
+    events = load_table(spark, SF, "events").limit(400)
+    first, second = events.filter("event_id % 2 = 0"), events.filter("event_id % 2 = 1")
+    indir, outdir, ckpt = (str(tmp_path / d) for d in ("arrivals", "out", "ckpt"))
+    first.coalesce(1).write.parquet(indir)
+
+    stream = spark.readStream.schema(schemas.EVENTS).parquet(indir)
+    totals = running_user_totals(stream)
+
+    def sink(batch_df, epoch):
+        batch_df.withColumn("epoch", F.lit(epoch)).write.mode("append").parquet(outdir)
+
+    for arrival in (second, None):
+        q = (
+            totals.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if arrival is not None:
+            arrival.coalesce(1).write.mode("append").parquet(indir)
+
+    out = spark.read.parquet(outdir)
+    # last emission per user = cumulative totals over both arrivals
+    latest = (
+        out.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark").sql.Window.partitionBy("user_id").orderBy(
+                    F.desc("epoch")
+                )
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    )
+    expected = {
+        r.user_id: (r.n, r.total)
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert len(latest) == len(expected)
+    for r in latest:
+        n, total = expected[r.user_id]
+        assert r.n_events == n
+        assert abs(r.total_value - total) < 1e-6
