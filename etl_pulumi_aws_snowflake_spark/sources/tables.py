@@ -72,3 +72,32 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for the SQL API."""
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by join/agg
+    keys — the co-located-join primitive for keys joined REPEATEDLY.
+
+    Two tables bucketed on the same keys with the same bucket count
+    sort-merge-join with ZERO exchange on either side (each task reads
+    matching bucket files); a bucketed fact table likewise aggregates
+    on the bucket key without a shuffle.  At 100 TB this converts the
+    dominant recurring shuffle into a one-time write cost.  Bucket
+    count rule of thumb: total size / bucket ≲ executor task memory;
+    too few buckets caps parallelism, too many makes small files."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        # external table — bucketing metadata lives in the catalog, the
+        # data wherever the caller puts it
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)

@@ -1,0 +1,121 @@
+"""Scale-posture helpers (SURVEY.md §7): salted join/groupBy must be
+result-identical to their plain forms, and bucketed tables must
+sort-merge-join without a shuffle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pulumi_aws_snowflake_spark.operators.skew import (
+    salted_groupby,
+    salted_join,
+    with_salt,
+)
+from etl_pulumi_aws_snowflake_spark.sources import load_table
+from etl_pulumi_aws_snowflake_spark.sources.tables import write_bucketed
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salt_is_deterministic_and_spread(spark):
+    events = load_table(spark, SF, "events")
+    a = with_salt(events, 8).select("event_id", "_salt").collect()
+    b = with_salt(events, 8).select("event_id", "_salt").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # hot key user rows actually spread over salts
+    n_salts = (
+        with_salt(events, 8)
+        .groupBy("user_id")
+        .agg(F.countDistinct("_salt").alias("s"))
+        .agg(F.min("s"))
+        .first()[0]
+    )
+    assert n_salts > 1
+
+
+def test_salted_join_matches_plain(spark):
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_orderpriority")
+    plain = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "l_linenumber", "o_orderpriority")
+        .collect()
+    )
+    salted = (
+        salted_join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            orders,
+            on=["o_orderkey"],
+            n=8,
+            probe_id_cols=["o_orderkey", "l_linenumber"],
+        )
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"), "l_linenumber", "o_orderpriority"
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_salted_groupby_matches_plain(spark):
+    events = load_table(spark, SF, "events")
+    plain = {
+        (r.user_id): (r.n, round(r.total, 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    salted = {
+        (r.user_id): (r.n, round(r.total, 6))
+        for r in salted_groupby(
+            events,
+            ["user_id"],
+            aggs={"s": F.sum("value"), "c": F.count(F.lit(1))},
+            finals={"total": F.sum("s"), "n": F.sum("c")},
+            n=8,
+            id_cols=["event_id"],
+        ).collect()
+    }
+    assert plain == salted
+
+
+@pytest.fixture()
+def bucketed_tables(spark, tmp_path):
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(
+        li, "bk_lineitem", ["l_orderkey"], num_buckets=8, path=str(tmp_path / "li")
+    )
+    write_bucketed(
+        orders, "bk_orders", ["o_orderkey"], num_buckets=8, path=str(tmp_path / "o")
+    )
+    yield "bk_lineitem", "bk_orders"
+    spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+    spark.sql("DROP TABLE IF EXISTS bk_orders")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    li_t, o_t = bucketed_tables
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(li_t).join(
+            spark.table(o_t), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # and it still computes the right thing
+        n = joined.count()
+        expect = (
+            load_table(spark, SF, "lineitem")
+            .join(
+                load_table(spark, SF, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert n == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
