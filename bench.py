@@ -34,6 +34,8 @@ HEADLINE: tuple[str, ...] = (
     "agg_rollup",
     "win_topk_per_group",
     "scalar_array_explode",
+    "q18_large_volume_customer",
+    "udf_pandas_scalar",
     "win_tumbling",
     "dedup_minhash_lsh",
     "sim_cosine_topk",

@@ -254,3 +254,27 @@ def scalar_map(spark, sf_dir):
         F.element_at(m, "seg").alias("m_seg"),
         F.size(m).alias("m_size"),
     )
+
+
+@query(
+    "scalar_json_typed",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           json_structure(props) = '{"k":"UBIGINT"}' AS shape_ok
+    FROM events
+    """,
+)
+def scalar_json_typed(spark, sf_dir):
+    """Typed JSON parsing: ``from_json`` with an explicit schema (the
+    production path when the shape is known — parses once into a
+    struct, vs. one tree-walk per ``get_json_object`` call).  The
+    shape check mirrors ``schema_of_json``-style introspection."""
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        (F.schema_of_json(F.lit('{"k": 87}')) == F.lit("STRUCT<k: BIGINT>")).alias(
+            "shape_ok"
+        ),
+    )

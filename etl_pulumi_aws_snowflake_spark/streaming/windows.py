@@ -64,3 +64,26 @@ def dedup_stream(
     so the dedup state is dropped once keys age out — the unbounded
     variant would OOM a long-running job."""
     return events.withWatermark(ts, watermark).dropDuplicates(keys)
+
+
+def sliding_counts(
+    events: DataFrame,
+    size: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts: str = "ts",
+) -> DataFrame:
+    """Sliding count per (window, event_type): each event lands in
+    size/slide overlapping windows (state grows accordingly — watermark
+    sizing matters twice as much as for tumbling)."""
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.window(ts, size, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )

@@ -165,3 +165,23 @@ def test_stateful_running_totals(spark, tmp_path):
         n, total = expected[r.user_id]
         assert r.n_events == n
         assert abs(r.total_value - total) < 1e-6
+
+
+def test_stream_sliding_matches_batch(spark, events_stream_dir):
+    from etl_pulumi_aws_snowflake_spark.streaming.windows import sliding_counts
+
+    stream = spark.readStream.schema(schemas.EVENTS).parquet(events_stream_dir)
+    result = _run_to_memory(
+        spark, sliding_counts(stream), "sliding_out", "complete"
+    ).collect()
+
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("s"), "event_type", "n_events")
+        .collect()
+    )
+    assert {(r.window_start, r.event_type, r.n_events) for r in result} == {
+        (r.s, r.event_type, r.n_events) for r in batch
+    }
