@@ -207,3 +207,84 @@ def simhash_codes(
     """(id, simhash) — one narrow projection per document."""
     code = H.simhash(H.word_hashes(text_col), bits)
     return docs.select(F.col(id_col), F.expr(code.spark).alias("simhash"))
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup candidate pairs via min-label
+    propagation: (id, label) where label = smallest doc id reachable.
+
+    Iterative DataFrame loop (label_i+1 = min(label_i, neighbors'
+    labels)) — converges in O(component diameter) rounds, and near-dup
+    components are tiny by construction (a giant component would mean
+    the threshold is wrong), so 2-4 rounds in practice.  Each round
+    ``localCheckpoint``s to truncate lineage — without it the plan
+    doubles every iteration and the driver, not the data, becomes the
+    bottleneck.  The driver-side ``count()`` per round is the
+    convergence check, not a data collect.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("nlabel")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nlabel").alias("minn"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce(F.col("minn"), F.col("label"))).alias(
+                "new_label"
+            ),
+            F.col("label").alias("old_label"),
+        )
+        changed = new_labels.filter(F.col("new_label") < F.col("old_label")).count()
+        labels = new_labels.select(
+            "id", F.col("new_label").alias("label")
+        ).localCheckpoint()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-one resolution for near-dup PAIRS: every document maps to
+    its component's minimum id — (doc_id, keep_id, is_dup).  Documents
+    in no pair keep themselves.  This is the step that turns a pair
+    list into an actual dedup decision (drop rows where is_dup)."""
+    comp = connected_components(pairs).select(
+        F.col("id").alias(id_col), F.col("label").alias("keep_id")
+    )
+    return (
+        docs.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("keep_id", F.col(id_col)).alias("keep_id"),
+            (F.coalesce("keep_id", F.col(id_col)) != F.col(id_col)).alias("is_dup"),
+        )
+    )

@@ -28,11 +28,17 @@ def ints(col: Column | str, scale: int = 100) -> Column:
     """Scaled-integer view of a k-decimal double column (exact).
 
     SQL mirror: ``CAST(ROUND((x) * scale) AS BIGINT)`` (scale=1 → no mul).
+    Implemented as ``cast(x*scale + 0.5 as long)`` — value-identical to
+    ROUND-half-up for the NON-NEGATIVE money/quantity columns it is used
+    on (cast truncates toward zero), but stays a two-op codegen
+    expression instead of Spark's BigDecimal-backed ``round`` (measured
+    ~30% of TPC-H Q1's runtime before the switch).  Do not use on
+    columns that can go negative.
     """
     c = _c(col)
     if scale != 1:
         c = c * F.lit(scale)
-    return F.round(c).cast("long")
+    return (c + F.lit(0.5)).cast("long")
 
 
 def scaled_sum(int_col: Column, alias: str, scale: int) -> Column:

@@ -143,3 +143,58 @@ def dedup_fingerprint_groups(spark, sf_dir):
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+@query(
+    "dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_SETS},
+    nonempty AS (SELECT * FROM sized WHERE n > 0),
+    sig AS (SELECT doc_id, shingles, n, {_SIG} AS sig FROM nonempty),
+    keys AS (SELECT doc_id, shingles, n, {_BANDS} AS bandkeys FROM sig),
+    banded AS (
+        SELECT doc_id, g.j AS band, bandkeys[g.j + 1] AS key
+        FROM keys CROSS JOIN generate_series(0, 7) g(j)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.key = b.key
+                     AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM cand
+        JOIN nonempty sa ON sa.doc_id = doc_a
+        JOIN nonempty sb ON sb.doc_id = doc_b
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                / CAST(sa.n + sb.n
+                       - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                >= 0.8
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS keep_id FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           COALESCE(c.keep_id, d.doc_id) AS keep_id,
+           COALESCE(c.keep_id, d.doc_id) != d.doc_id AS is_dup
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def dedup_survivors(spark, sf_dir):
+    """Keep-one near-dup resolution: MinHash-LSH pairs → connected
+    components (iterative min-label propagation, operators/dedup.py)
+    → every doc mapped to its component minimum.  The oracle computes
+    the same components with a recursive transitive-closure CTE —
+    closure is O(component²) and fine for an oracle, the label loop is
+    the form that scales."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=8, threshold=0.8)
+    return D.dedup_survivors(docs, pairs)
