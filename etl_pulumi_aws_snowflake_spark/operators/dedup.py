@@ -204,7 +204,15 @@ def minhash_lsh_pairs(
 def simhash_codes(
     docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, simhash) — one narrow projection per document."""
+    """(id, simhash) — one narrow projection per document, no shuffle.
+
+    Measured note: the explode + per-bit sum-aggregate rewrite (the
+    shape that beat interpreted folds for MinHash signatures) is ~2×
+    SLOWER here — ``bits`` separate aggregation buffers per exploded
+    row cost more than the fold saves, and unlike MinHash there is no
+    downstream reuse to amortize a shuffle.  The single projection is
+    also the better 100 TB plan: embarrassingly parallel, zero
+    exchange."""
     code = H.simhash(H.word_hashes(text_col), bits)
     return docs.select(F.col(id_col), F.expr(code.spark).alias("simhash"))
 
