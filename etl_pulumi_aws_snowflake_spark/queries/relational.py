@@ -77,3 +77,40 @@ def q1_pricing_summary(spark, sf_dir):
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@query(
+    "align_by_name_ci",
+    oracle="""
+    SELECT doc_id,
+           text AS BODY,
+           lang AS language_code,
+           CAST(NULL AS BIGINT) AS quality_score
+    FROM documents
+    """,
+)
+def align_by_name_ci(spark, sf_dir):
+    """The reference's load semantic as a query: by-name
+    case-insensitive schema alignment (Snowpipe ``MATCH_BY_COLUMN_NAME
+    = CASE_INSENSITIVE``, /root/reference/modules/snowflake.py:150) —
+    matched columns case-folded and cast, missing target columns NULL,
+    extra source columns (source, n_chars) dropped.  Pure projection:
+    free at any scale."""
+    from pyspark.sql import types as T_
+
+    from ..operators import align
+
+    target = T_.StructType(
+        [
+            T_.StructField("DOC_ID", T_.LongType()),       # case-varied match
+            T_.StructField("BODY", T_.StringType()),       # no match by name...
+            T_.StructField("language_code", T_.StringType()),
+            T_.StructField("quality_score", T_.LongType()),  # missing -> NULL
+        ]
+    )
+    src = (
+        t(spark, sf_dir, "documents")
+        .withColumnRenamed("text", "Body")
+        .withColumnRenamed("lang", "LANGUAGE_CODE")
+    )
+    return align(src, target).withColumnRenamed("DOC_ID", "doc_id")

@@ -224,3 +224,124 @@ def q18_large_volume_customer(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape — EXISTS subquery as a left-semi join (the plan
+    Catalyst produces for the SQL form too).  The lineitem side is
+    filtered then deduplicated BY THE JOIN (semi joins stop at first
+    match — no distinct needed, no row explosion)."""
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                           AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape — left outer join with a non-key condition
+    (COUNT(col) ignores the nulls unmatched customers produce), then a
+    second aggregation over the first's result.  Both aggs are
+    algebraic: shuffle 1 is on custkey, shuffle 2 on the (tiny)
+    count domain."""
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle=f"""
+    WITH threshold AS (
+        SELECT CAST(SUM({sql_ints('c_acctbal')}) AS DOUBLE) / 100.0 / COUNT(*)
+                 AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           COUNT(*) AS numcust,
+           {sql_scaled_sum(sql_ints('c.c_acctbal'), 'totacctbal', 100)}
+    FROM customer c, threshold
+    WHERE c.c_acctbal > threshold.avg_bal
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape — scalar aggregate subquery (broadcast 1-row
+    cross join, the decorrelated plan) + NOT EXISTS as a left-anti
+    join (customers with above-average balance and no urgent orders).
+    The average is computed over exact scaled integers so the
+    threshold comparison is bit-identical across engines."""
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    threshold = (
+        customer.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(ints("c_acctbal")).cast("double") / 100.0 / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    return (
+        customer.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+            customer.c_custkey == orders.o_custkey,
+            "anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            scaled_sum(ints("c_acctbal"), "totacctbal", 100),
+        )
+        .orderBy("c_nationkey")
+    )
