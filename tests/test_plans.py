@@ -1,0 +1,92 @@
+"""Physical-plan regression guards (SURVEY.md §4 / SCALE.md): the
+optimizations the engine relies on at 100 TB must be visible in the
+plan, not assumed.  A refactor that silently drops a pushed filter or
+un-broadcasts a dimension should fail HERE, at sf0.001, not in a
+cluster bill."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_pulumi_aws_snowflake_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+QUERIES = all_queries()
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_column_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # ReadSchema must not include columns q1 never touches
+    assert "l_partkey" not in plan
+    assert "l_suppkey" not in plan
+
+
+def test_star_joins_broadcast_dimensions(spark):
+    for name in ("q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        # no shuffled hash/sort-merge join should survive for dims at this SF
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_broadcast_join_is_broadcast(spark):
+    plan = _plan(spark, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_anti_shapes(spark):
+    assert "LeftSemi" in _plan(spark, "q4_order_priority")
+    assert "LeftAnti" in _plan(spark, "q22_global_sales_opportunity")
+
+
+def test_topn_uses_take_ordered(spark):
+    # LIMIT+ORDER BY must not materialize a global sort
+    plan = _plan(spark, "sort_limit_topn")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_active(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF)
+    df.collect()  # AQE finalizes codegen stages only at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # "*(n)" prefixes mark WholeStageCodegen stages in the final plan
+    assert "*(" in plan and "HashAggregate" in plan
+
+
+def test_exact_dedup_shuffles_digest_not_text(spark):
+    import re
+
+    plan = _plan(spark, "dedup_exact")
+    assert "sha2" in plan
+    # the full text column must be projected away before the exchange:
+    # the Exchange node's Input list may carry the digest, never text
+    blocks = re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert blocks, plan
+    for cols in blocks:
+        assert "text#" not in cols, cols
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "win_tumbling"])
+def test_aqe_enabled_on_plans(spark, name):
+    plan = _plan(spark, name)
+    assert "AdaptiveSparkPlan" in plan
+
+
+@pytest.mark.parametrize("name", ["text_quality", "mm_binary_features", "dedup_simhash"])
+def test_narrow_ops_have_zero_shuffle(spark, name):
+    # per-row operators must stay embarrassingly parallel (no AQE
+    # wrapper because there is nothing adaptive to do — no exchange)
+    plan = _plan(spark, name)
+    assert "Exchange" not in plan, name

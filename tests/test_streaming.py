@@ -185,3 +185,38 @@ def test_stream_sliding_matches_batch(spark, events_stream_dir):
     assert {(r.window_start, r.event_type, r.n_events) for r in result} == {
         (r.s, r.event_type, r.n_events) for r in batch
     }
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (signup -> purchase within 30 min,
+    same user) must agree with the identical batch join."""
+    from etl_pulumi_aws_snowflake_spark.streaming.joins import interval_join
+
+    events = load_table(spark, SF, "events")
+    signups = events.filter(F.col("event_type") == "signup")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    sdir, pdir = str(tmp_path / "s"), str(tmp_path / "p")
+    signups.write.parquet(sdir)
+    purchases.write.parquet(pdir)
+
+    ls = spark.readStream.schema(schemas.EVENTS).parquet(sdir)
+    rs = spark.readStream.schema(schemas.EVENTS).parquet(pdir)
+    result = _run_to_memory(
+        spark, interval_join(ls, rs, "user_id"), "ssj_out", "append"
+    ).collect()
+
+    batch = (
+        signups.alias("l")
+        .join(
+            purchases.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 30 minutes")),
+        )
+        .select(F.col("l.event_id").alias("a"), F.col("r.event_id").alias("b"))
+        .collect()
+    )
+    assert {(r.l_event_id, r.r_event_id) for r in result} == {
+        (r.a, r.b) for r in batch
+    }
+    assert len(result) > 0
