@@ -90,3 +90,24 @@ def test_narrow_ops_have_zero_shuffle(spark, name):
     # wrapper because there is nothing adaptive to do — no exchange)
     plan = _plan(spark, name)
     assert "Exchange" not in plan, name
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """partitionBy(date) layout + date filter => the scan lists only
+    matching partitions (PartitionFilters, not a full-scan + filter) —
+    the 100 TB layout contract from SCALE.md."""
+    from etl_pulumi_aws_snowflake_spark.sources import load_table
+
+    out = str(tmp_path / "events_by_day")
+    events = load_table(spark, SF, "events").withColumn(
+        "day", __import__("pyspark").sql.functions.to_date("ts")
+    )
+    events.write.partitionBy("day").parquet(out)
+
+    back = spark.read.parquet(out).filter("day = DATE'2024-01-01'")
+    plan = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters: [isnotnull(day" in plan
+    # row-level predicate must NOT appear as a post-scan Filter on day
+    assert back.count() == events.filter("to_date(ts) = DATE'2024-01-01'").count()
