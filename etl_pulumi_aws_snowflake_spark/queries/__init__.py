@@ -24,6 +24,7 @@ from . import llm_dedup  # noqa: E402,F401
 from . import llm_similarity  # noqa: E402,F401
 from . import llm_text  # noqa: E402,F401
 from . import llm_multimodal  # noqa: E402,F401
+from . import llm_sampling  # noqa: E402,F401
 
 
 def all_queries():
