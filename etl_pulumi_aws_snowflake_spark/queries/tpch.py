@@ -345,3 +345,66 @@ def q22_global_sales_opportunity(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_scaled_sum(f"{sql_ints('l_extendedprice')} * {sql_ints('l_discount')}",
+                           'revenue', 100 * 100)}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape — pure scan-side filter + global sum, the
+    pushdown litmus test: all three predicates reach the parquet
+    reader, zero shuffle before the single-row final agg."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        scaled_sum(ints("l_extendedprice") * ints("l_discount"), "revenue", 100 * 100)
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                               THEN {_REV_I} ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM({_REV_I}) AS DOUBLE) AS promo_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-03-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape — conditional aggregation over a join: promo
+    revenue share.  part broadcasts; the integer revenue ratio divides
+    once at the end so the percentage is bit-exact."""
+    part = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-03-01 00:00:00").cast("timestamp"))
+    )
+    rev_i = ints("l_extendedprice") * (F.lit(100) - ints("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev_i).otherwise(F.lit(0)))
+                .cast("double")
+                / F.sum(rev_i).cast("double")
+            ).alias("promo_pct")
+        )
+    )
