@@ -1,4 +1,5 @@
-"""Join operators Spark lacks natively: as-of, range/interval, salted.
+"""Join operators Spark lacks natively: as-of and range/interval
+(skew-salted joins live in operators/skew.py).
 
 SURVEY.md §2.3 — the reference has no joins at all; these are the EXT
 surface's hard cases, built as compositions of DataFrame ops so Catalyst
@@ -85,22 +86,7 @@ def range_join(
     return left.join(F.broadcast(bands), cond, "left")
 
 
-def salted_join(
-    left: DataFrame,
-    right: DataFrame,
-    on: str,
-    salt: int = 16,
-    how: str = "inner",
-) -> DataFrame:
-    """Equi-join with a salted key to spread one hot key over ``salt``
-    reducer partitions: the skewed (left) side gets a random salt in
-    [0, salt); the right side is exploded ``salt``× so every salted key
-    still finds its match.  Use when AQE's skew-join split isn't enough
-    (e.g. one key ≫ a single executor's memory).
-    """
-    salted_l = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
-    salted_r = right.withColumn(
-        "__salt", F.explode(F.array([F.lit(i) for i in range(salt)]))
-    )
-    out = salted_l.join(salted_r, [on, "__salt"], how)
-    return out.drop("__salt")
+# Skew-salted join/groupBy live in operators/skew.py — the salt there is
+# deterministic (pmod(xxhash64(row id), n)), which a rand()-based salt is
+# not: task retries and speculative execution would re-roll assignments
+# and break exactly-once sinks.
