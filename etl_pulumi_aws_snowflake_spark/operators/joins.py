@@ -86,6 +86,37 @@ def range_join(
     return left.join(F.broadcast(bands), cond, "left")
 
 
+def range_join_bucketed(
+    left: DataFrame,
+    ranges: DataFrame,
+    value: str,
+    lo: str = "lo",
+    hi: str = "hi",
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """Inner range join for LARGE range tables — the scale path the
+    broadcast form can't take (SURVEY.md §2.3 "bucketize then equi-join
+    on bucket + refine").
+
+    Both sides map to integer buckets of ``bucket_width``: a left row
+    lands in exactly one bucket, a range is exploded into every bucket
+    it spans.  The join is then a plain EQUI-join on bucket (shuffled,
+    AQE-managed, no nested loop) with the range predicate re-applied as
+    a refine filter.  Each matching (row, range) pair meets in exactly
+    one bucket — the row's — so no dedup is needed.  Cost scales with
+    ranges × (span/bucket_width): pick the width near the median range
+    span so each range explodes to O(1) buckets.
+    """
+    b = F.lit(bucket_width)
+    lhs = left.withColumn("__bucket", F.floor(F.col(value) / b))
+    rhs = ranges.withColumn(
+        "__bucket",
+        F.explode(F.sequence(F.floor(F.col(lo) / b), F.floor(F.col(hi) / b))),
+    )
+    refine = (F.col(value) >= F.col(lo)) & (F.col(value) < F.col(hi))
+    return lhs.join(rhs, "__bucket").filter(refine).drop("__bucket")
+
+
 # Skew-salted join/groupBy live in operators/skew.py — the salt there is
 # deterministic (pmod(xxhash64(row id), n)), which a rand()-based salt is
 # not: task retries and speculative execution would re-roll assignments

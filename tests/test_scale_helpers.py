@@ -119,3 +119,31 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
         assert n == expect
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_range_join_matches_broadcast(spark):
+    """The scale-path bucketized range join must produce exactly the
+    broadcast nested-loop result (inner form)."""
+    from etl_pulumi_aws_snowflake_spark.operators.joins import (
+        range_join,
+        range_join_bucketed,
+    )
+
+    events = load_table(spark, SF, "events").select("event_id", "value")
+    bands = spark.createDataFrame(
+        [(i, float(i * 7), float((i + 1) * 7 + 3)) for i in range(-3, 20)],
+        "band_id long, lo double, hi double",
+    )  # overlapping bands: rows may match several
+    broadcast_res = (
+        range_join(events, bands, "value")
+        .filter(F.col("band_id").isNotNull())
+        .select("event_id", "band_id")
+        .collect()
+    )
+    bucketed_res = (
+        range_join_bucketed(events, bands, "value", bucket_width=5.0)
+        .select("event_id", "band_id")
+        .collect()
+    )
+    assert sorted(map(tuple, broadcast_res)) == sorted(map(tuple, bucketed_res))
+    assert len(bucketed_res) > 0
