@@ -408,3 +408,33 @@ def q14_promo_revenue(spark, sf_dir):
             ).alias("promo_pct")
         )
     )
+
+
+_Q3_ANSI = f"""
+    SELECT l.l_orderkey,
+           {sql_scaled_sum(_REV_I, 'revenue', 100 * 100)},
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """
+
+
+@query("sql_api_q3", oracle=_Q3_ANSI)
+def sql_api_q3(spark, sf_dir):
+    """The SQL entry path (SURVEY.md §2.1 S1: catalog-name access):
+    register the testdata tables as views and execute the SAME ANSI
+    SQL string the DuckDB oracle runs — one text, two engines,
+    identical values.  Shows the engine's SQL surface is the shared
+    dialect, with Catalyst doing exactly what it does for the
+    DataFrame form of Q3 (same optimized plan)."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q3_ANSI)
