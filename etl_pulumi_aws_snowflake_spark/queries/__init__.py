@@ -18,6 +18,7 @@ from . import windows  # noqa: E402,F401
 from . import setops_sorts  # noqa: E402,F401
 from . import scalars  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
+from . import tpch_full  # noqa: E402,F401
 from . import stream_windows  # noqa: E402,F401
 from . import udfs  # noqa: E402,F401
 from . import llm_dedup  # noqa: E402,F401

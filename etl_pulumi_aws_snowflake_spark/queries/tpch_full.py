@@ -1,0 +1,681 @@
+"""The remaining TPC-H query shapes (Q2/7/8/9/11/12/15/16/19/20/21),
+completing the 22-query suite alongside ``tpch.py``.
+
+The testdata star schema (TESTDATA.md) has no ``partsupp`` table and
+``lineitem`` lacks commitdate/receiptdate/shipmode, so the queries that
+depend on those are *adapted*: the join/subquery/aggregation SHAPE — the
+thing that stresses the optimizer and the shuffle plan — is preserved,
+with a documented column substitution:
+
+- ``partsupp`` → ``SELECT DISTINCT l_partkey, l_suppkey FROM lineitem``
+  (the observed supply relation), ``ps_supplycost`` → ``s_acctbal``
+  (Q2) / ``p_retailprice``-based cost (Q9).
+- "late" (receipt > commit) → ``l_shipdate > o_orderdate + 100 days``
+  (Q12/Q21) — the generator's ship lag is uniform, so this is ~36%
+  selective.
+- nation-pair filters widened to region pairs (Q7/Q8) so results are
+  non-degenerate at sf0.001 (25 nations × 10 suppliers would leave the
+  pair empty).
+
+All money aggregates use the exact scaled-integer policy from
+``_util.py``; every computed column is aliased identically in the Spark
+plan and the DuckDB oracle.  Reference parity: the reference
+(/root/reference, SURVEY.md §0) delegates all query semantics to
+Spark/Snowflake — these composites are the BASELINE.json north-star
+surface, not reference code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._util import ints, scaled_sum, sql_ints, sql_scaled_sum, t
+from .registry import query
+
+_REV_I = f"{sql_ints('l_extendedprice')} * (100 - {sql_ints('l_discount')})"
+
+
+def _rev_i():
+    return ints("l_extendedprice") * (F.lit(100) - ints("l_discount"))
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+           {sql_scaled_sum(_REV_I, 'revenue', 100 * 100)}
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+        OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_region, cust_region, l_year
+    ORDER BY supp_region, cust_region, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape — bilateral trade volume between two geographies
+    (region pair instead of nation pair; see module docstring).  The
+    same dimension table is joined twice under different aliases, and
+    the symmetric disjunction can only be evaluated AFTER both joins —
+    Catalyst keeps the two broadcast joins and filters between them.
+    lineitem's shipdate range is pushed to the parquet scan."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    supplier = t(spark, sf_dir, "supplier")
+    n1 = t(spark, sf_dir, "nation").alias("n1")
+    r1 = t(spark, sf_dir, "region").alias("r1")
+    n2 = t(spark, sf_dir, "nation").alias("n2")
+    r2 = t(spark, sf_dir, "region").alias("r2")
+    supp_geo = (
+        supplier.join(F.broadcast(n1), supplier.s_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r1), F.col("n1.n_regionkey") == F.col("r1.r_regionkey"))
+        .select("s_suppkey", F.col("r1.r_name").alias("supp_region"))
+    )
+    cust_geo = (
+        customer.join(F.broadcast(n2), customer.c_nationkey == F.col("n2.n_nationkey"))
+        .join(F.broadcast(r2), F.col("n2.n_regionkey") == F.col("r2.r_regionkey"))
+        .select("c_custkey", F.col("r2.r_name").alias("cust_region"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp_geo), li.l_suppkey == supp_geo.s_suppkey)
+        .join(F.broadcast(cust_geo), orders.o_custkey == cust_geo.c_custkey)
+        .filter(
+            ((F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE"))
+            | ((F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA"))
+        )
+        .groupBy(
+            "supp_region", "cust_region", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(scaled_sum(_rev_i(), "revenue", 100 * 100))
+        .orderBy("supp_region", "cust_region", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_region = 'ASIA' THEN volume_i ELSE 0 END)
+                AS DOUBLE) / CAST(SUM(volume_i) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+               {_REV_I} AS volume_i,
+               r2.r_name AS supp_region
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE r1.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape — one geography's share of another's import
+    volume, per year: an 8-way join where the share is a conditional
+    sum over the SUPPLIER geography divided by the total, both exact
+    integer sums → one bit-stable division.  Every dimension
+    broadcasts; the only shuffles are lineitem⋈orders and the final
+    tiny per-year aggregate."""
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1998-01-01 00:00:00"))
+    )
+    customer = t(spark, sf_dir, "customer")
+    supplier = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    cust_geo = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "AMERICA")
+        .select("c_custkey")
+    )
+    supp_geo = (
+        supplier.join(
+            F.broadcast(nation.alias("sn")),
+            supplier.s_nationkey == F.col("sn.n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.alias("sr")),
+            F.col("sn.n_regionkey") == F.col("sr.r_regionkey"),
+        )
+        .select("s_suppkey", F.col("sr.r_name").alias("supp_region"))
+    )
+    vol = _rev_i().alias("volume_i")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_geo), orders.o_custkey == cust_geo.c_custkey)
+        .join(F.broadcast(supp_geo), li.l_suppkey == supp_geo.s_suppkey)
+        .select(F.year("o_orderdate").alias("o_year"), vol, "supp_region")
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_region") == "ASIA", F.col("volume_i")).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.sum("volume_i").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT nation, o_year,
+           {sql_scaled_sum('profit_i', 'sum_profit', 100 * 100)}
+    FROM (
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS o_year,
+               {_REV_I} - {sql_ints('p.p_retailprice')}
+                          * CAST(ROUND(l.l_quantity) AS BIGINT) * 100 AS profit_i
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%widget%'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape — per-nation per-year profit on a part-name
+    substring filter.  No ``partsupp`` in the testdata, so supply cost
+    is proxied by ``p_retailprice × quantity`` (module docstring); the
+    profit expression stays a two-term exact integer difference at
+    scale 10⁴.  The LIKE filter cannot push to parquet as a range, but
+    column pruning + the broadcast keep the probe narrow."""
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = t(spark, sf_dir, "lineitem")
+    supplier = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    profit_i = _rev_i() - ints("p_retailprice") * ints("l_quantity", 1) * F.lit(100)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+            profit_i.alias("profit_i"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(scaled_sum(F.col("profit_i"), "sum_profit", 100 * 100))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle=f"""
+    WITH filtered AS (
+        SELECT l.l_partkey, {_REV_I} AS rev_i
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT l_partkey AS p_partkey,
+           {sql_scaled_sum('rev_i', 'part_value', 100 * 100)}
+    FROM filtered
+    GROUP BY l_partkey
+    HAVING SUM(rev_i) > (SELECT SUM(rev_i) * 1.5 / COUNT(DISTINCT l_partkey)
+                         FROM filtered)
+    ORDER BY part_value DESC, p_partkey
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape — per-part value with a HAVING threshold that is
+    a scalar subquery over the SAME filtered relation (parts whose
+    EUROPE-supplied revenue exceeds 1.5× the average part's; the
+    original's fixed 0.0001/SF fraction is scale-dependent, this form
+    is not).  The filtered subtree is persisted so the per-part
+    aggregate and the global threshold share one scan+join pass —
+    Spark recomputes identical subtrees otherwise (see memory:
+    spark-graft-perf-findings).  Threshold compares exact integer sums
+    via one double multiply on both engines."""
+    supplier = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    li = t(spark, sf_dir, "lineitem")
+    eu_supp = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey")
+    )
+    filtered = (
+        li.join(F.broadcast(eu_supp), li.l_suppkey == eu_supp.s_suppkey)
+        .select("l_partkey", _rev_i().alias("rev_i"))
+        .persist()
+    )
+    try:
+        per_part = filtered.groupBy("l_partkey").agg(F.sum("rev_i").alias("sum_i"))
+        thresh = filtered.agg(
+            (
+                F.sum("rev_i") * F.lit(1.5) / F.countDistinct("l_partkey")
+            ).alias("thresh")
+        )
+        return (
+            per_part.crossJoin(F.broadcast(thresh))
+            .filter(F.col("sum_i") > F.col("thresh"))
+            .select(
+                F.col("l_partkey").alias("p_partkey"),
+                (F.col("sum_i").cast("double") / F.lit(float(100 * 100))).alias(
+                    "part_value"
+                ),
+            )
+            .orderBy(F.col("part_value").desc(), F.col("p_partkey"))
+        )
+    finally:
+        filtered.unpersist(blocking=False)
+
+
+@query(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT l.l_returnflag AS flag_class,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 100 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY flag_class ORDER BY flag_class
+    """,
+)
+def q12_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q12 shape — two CASE-counters over a join, grouped by a
+    low-cardinality line attribute (``l_returnflag`` stands in for the
+    absent ``l_shipmode``; "late" is shipped >100 days after order —
+    module docstring).  The join predicate spans both tables so it
+    filters DURING the join; the shipdate year still pushes to the
+    scan.  Counts are integers — exact by construction."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("flag_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("flag_class")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, SUM({_REV_I}) AS total_revenue_i
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(total_revenue_i AS DOUBLE) / CAST(10000 AS DOUBLE)
+             AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue_i = (SELECT MAX(total_revenue_i) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape — the revenue "view" is aggregated once, then
+    compared against its own MAX (scalar subquery).  Implemented with a
+    persisted aggregate reused for both the max and the probe — at
+    scale the aggregate output is |suppliers| rows, so the second pass
+    is trivially cheap; the comparison is on the exact INTEGER revenue,
+    so float ties can't split between engines."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1996-07-01 00:00:00"))
+    )
+    supplier = t(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev_i()).alias("total_revenue_i"))
+        .persist()
+    )
+    try:
+        best = revenue.agg(F.max("total_revenue_i").alias("best_i"))
+        return (
+            revenue.crossJoin(F.broadcast(best))
+            .filter(F.col("total_revenue_i") == F.col("best_i"))
+            .join(F.broadcast(supplier), F.col("supplier_no") == supplier.s_suppkey)
+            .select(
+                "s_suppkey",
+                "s_name",
+                (F.col("total_revenue_i").cast("double") / F.lit(10000.0)).alias(
+                    "total_revenue"
+                ),
+            )
+            .orderBy("s_suppkey")
+        )
+    finally:
+        revenue.unpersist(blocking=False)
+
+
+@query(
+    "q16_supplier_part_count",
+    oracle="""
+    WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM supply ps JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 4, 7, 10, 14, 23, 25, 36, 40, 49)
+      AND ps.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_count(spark, sf_dir):
+    """TPC-H Q16 shape — distinct-supplier counts per part attribute
+    triple, with a NOT-IN exclusion subquery (suppliers below an
+    account-balance floor stand in for the absent comment-based
+    complaints filter; ``partsupp`` is the observed supply relation —
+    module docstring).  NOT IN over a non-nullable key column is
+    exactly a left-anti join, which is what Spark plans here; the
+    distinct supply pairs shuffle once and feed both the anti join and
+    the count-distinct."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 14, 23, 25, 36, 40, 49))
+    )
+    bad_supp = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000.0)
+        .select("s_suppkey")
+    )
+    supply = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        supply.join(F.broadcast(bad_supp), supply.l_suppkey == bad_supp.s_suppkey, "anti")
+        .join(F.broadcast(part), supply.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {sql_scaled_sum(_REV_I, 'revenue', 100 * 100)}
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape — an OR of three conjunctive blocks, each mixing
+    part-side and lineitem-side predicates, applied across a join.
+    Catalyst CNF-extracts the per-side implied disjunctions
+    (brand ∈ {2,3,4} → the broadcast build side shrinks before the
+    join; quantity ≤ 30 pushes to the lineitem scan) and evaluates the
+    residual OR during the join — the standard plan for this query."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    blocks = (
+        ((b == "Brand#2") & s.between(1, 5) & (q >= 1) & (q <= 11))
+        | ((b == "Brand#3") & s.between(1, 10) & (q >= 10) & (q <= 20))
+        | ((b == "Brand#4") & s.between(1, 15) & (q >= 20) & (q <= 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(blocks)
+        .agg(scaled_sum(_rev_i(), "revenue", 100 * 100))
+    )
+
+
+@query(
+    "q20_excess_shippers",
+    oracle="""
+    WITH shipped AS (
+        SELECT l.l_suppkey, l.l_partkey,
+               SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS qty_i
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE '%widget%'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l.l_suppkey, l.l_partkey
+    ),
+    part_total AS (SELECT l_partkey, SUM(qty_i) AS tot_i FROM shipped
+                   GROUP BY l_partkey)
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT sh.l_suppkey
+        FROM shipped sh JOIN part_total pt ON sh.l_partkey = pt.l_partkey
+        WHERE sh.qty_i > 0.5 * pt.tot_i
+    )
+    ORDER BY s.s_suppkey
+    """,
+)
+def q20_excess_shippers(spark, sf_dir):
+    """TPC-H Q20 shape — nested decorrelated subqueries: an inner
+    per-(supplier, part) aggregate compared against a per-part scalar
+    (half the part's total 1996 volume; availability via ``partsupp``
+    is absent — module docstring), collapsed into a semi join on the
+    supplier key.  Both aggregates reuse ONE shuffle: the per-part
+    total re-aggregates the (suppkey, partkey) partials, so no second
+    lineitem pass."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
+    )
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supplier = t(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(ints("l_quantity", 1)).alias("qty_i"))
+        .persist()
+    )
+    try:
+        part_total = shipped.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+            F.sum("qty_i").alias("tot_i")
+        )
+        excess = (
+            shipped.join(part_total, shipped.l_partkey == part_total.pt_partkey)
+            .filter(F.col("qty_i") > F.lit(0.5) * F.col("tot_i"))
+            .select("l_suppkey")
+        )
+        return (
+            supplier.join(excess, supplier.s_suppkey == excess.l_suppkey, "semi")
+            .select("s_suppkey", "s_name")
+            .orderBy("s_suppkey")
+        )
+    finally:
+        shipped.unpersist(blocking=False)
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 100 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 100 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape — the sole-late-supplier query: one EXISTS and
+    one NOT-EXISTS, both correlated to the same fact row, planned as a
+    semi join then an anti join on (orderkey, suppkey≠).  "Late" is
+    shipped >100 days after order date (module docstring).  The anti
+    side is the ALREADY-FILTERED late set — at 100 TB it is the ~36%
+    slice, and both self-joins are equi on orderkey so they sort-merge
+    on the same exchange."""
+    supplier = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = t(spark, sf_dir, "lineitem")
+    late1 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    late_other = late1.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    waiting = (
+        late1.join(
+            other,
+            (late1.l_orderkey == other.o2_orderkey)
+            & (late1.l_suppkey != other.o2_suppkey),
+            "semi",
+        )
+        .join(
+            late_other,
+            (late1.l_orderkey == F.col("o3_orderkey"))
+            & (late1.l_suppkey != F.col("o3_suppkey")),
+            "anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supplier), waiting.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    eu AS (
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT p.p_partkey, p.p_name, e.s_name, e.s_acctbal, e.n_name
+    FROM part p
+    JOIN supply ps ON p.p_partkey = ps.l_partkey
+    JOIN eu e ON e.s_suppkey = ps.l_suppkey
+    WHERE p.p_type = 'SMALL'
+      AND e.s_acctbal = (
+          SELECT MIN(e2.s_acctbal)
+          FROM supply ps2 JOIN eu e2 ON e2.s_suppkey = ps2.l_suppkey
+          WHERE ps2.l_partkey = p.p_partkey
+      )
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape — for each qualifying part, the supplier
+    minimizing a per-supplier attribute within a region, expressed as a
+    correlated MIN subquery over the supply relation (observed
+    ``DISTINCT (l_partkey, l_suppkey)``; ``s_acctbal`` proxies the
+    absent ``ps_supplycost`` — module docstring).  Decorrelated the
+    way Catalyst does it: per-part MIN aggregate → equi-join on
+    (partkey, acctbal).  Equality on the double is safe — both engines
+    compare the identical parquet-read value.  The supply distinct is
+    persisted: it feeds the min AND the probe."""
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    supplier = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    li = t(spark, sf_dir, "lineitem")
+    eu = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    supply_eu = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(eu), F.col("l_suppkey") == eu.s_suppkey)
+        .persist()
+    )
+    try:
+        min_bal = supply_eu.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+            F.min("s_acctbal").alias("min_bal")
+        )
+        return (
+            supply_eu.join(
+                min_bal,
+                (supply_eu.l_partkey == min_bal.m_partkey)
+                & (supply_eu.s_acctbal == min_bal.min_bal),
+            )
+            .join(F.broadcast(part), supply_eu.l_partkey == part.p_partkey)
+            .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+            .orderBy(
+                F.col("s_acctbal").desc(),
+                F.col("n_name"),
+                F.col("s_name"),
+                F.col("p_partkey"),
+            )
+            .limit(100)
+        )
+    finally:
+        supply_eu.unpersist(blocking=False)
