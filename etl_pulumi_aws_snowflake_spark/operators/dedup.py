@@ -128,7 +128,20 @@ def minhash_lsh_pairs(
     near-uniform (hash values) so the join does not skew.  Candidates
     are a superset filter; the verify join recomputes true Jaccard so
     precision is exact (recall is the probabilistic part: ~1-(1-t^r)^b).
+
+    The shingle subtree is persisted for the duration of the plan (it
+    feeds candidate generation AND both sides of the verify join);
+    callers running in a long-lived session should release it after
+    materializing the result — ``spark.catalog.clearCache()`` or the
+    returned frame's lineage keeps it pinned otherwise (bench.py does
+    exactly this between queries).
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "trailing signature slots would be silently ignored, weakening "
+            "the advertised recall ~1-(1-t^r)^b"
+        )
     rows = num_hashes // bands
 
     # The shingle-set subtree feeds candidate generation AND both sides
@@ -271,6 +284,21 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         ).localCheckpoint()
         if changed == 0:
             break
+    else:
+        # Exhausted max_iters with labels still moving: the output would
+        # silently over-count survivors (extra "keep" rows inside one
+        # true component).  Surface it — an unconverged dedup is a data
+        # bug (threshold too low → giant component), not a normal state.
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iters} iterations "
+            f"(last round still changed {changed} labels); labels may be split "
+            "across one true component — raise max_iters or check for a giant "
+            "component (near-dup threshold too low)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     edges.unpersist()
     return labels
 

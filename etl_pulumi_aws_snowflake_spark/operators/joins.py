@@ -28,29 +28,42 @@ def asof_join(
 
     Implementation is the union-and-carry-forward trick: tag both
     sides, union, and per ``by``-partition ordered by (``on``, side)
-    run ``last(value, ignorenulls=True)`` over an unbounded-preceding
-    frame.  ONE shuffle on the ``by`` keys — no row explosion, no
-    nested-loop — so it scales linearly; a merge-join-per-key
-    (pandas ``merge_asof`` via applyInPandas) would force every group
-    through Python.
+    run ``last(payload, ignorenulls=True)`` over an unbounded-preceding
+    frame, where ``payload`` is ONE struct of all carried right columns.
+    Carrying a single struct (not per-column ``last``) matters for
+    correctness: a struct row is non-NULL even when every field inside
+    it is NULL, so a right row whose payload value is genuinely NULL
+    still wins the carry (no skipping back to an older non-null value),
+    and all carried fields always come from the SAME most-recent right
+    row (no column tearing across rows) — matching DuckDB ``ASOF JOIN``
+    semantics when right-side payload columns contain NULLs.
+
+    ONE shuffle on the ``by`` keys — no row explosion, no nested-loop —
+    so it scales linearly; a merge-join-per-key (pandas ``merge_asof``
+    via applyInPandas) would force every group through Python.
 
     Right-side ties on ``on`` resolve to the right row (side sorts
     before left at equal timestamps), matching inclusive as-of
     semantics (DuckDB ``ASOF JOIN ... ON r.ts <= l.ts``).
     """
+    from pyspark.sql.types import StructField, StructType
+
     by = list(by)
     if right_cols is None:
         right_cols = [c for c in right.columns if c != on and c not in by]
     carried = [f"{c}{suffix}" for c in right_cols]
+    payload_type = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in right_cols]
+    )
 
-    lhs = left.withColumn("__side", F.lit(1))
-    for c, cc in zip(right_cols, carried):
-        lhs = lhs.withColumn(cc, F.lit(None).cast(right.schema[c].dataType))
+    lhs = left.withColumn("__side", F.lit(1)).withColumn(
+        "__payload", F.lit(None).cast(payload_type)
+    )
     rhs = right.select(
         *by,
         F.col(on),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(cc) for c, cc in zip(right_cols, carried)],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__payload"),
     )
     for c in left.columns:
         if c not in rhs.columns:
@@ -62,9 +75,13 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for cc in carried:
-        unioned = unioned.withColumn(cc, F.last(cc, ignorenulls=True).over(w))
-    return unioned.filter(F.col("__side") == 1).drop("__side")
+    unioned = unioned.withColumn(
+        "__payload", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = unioned.filter(F.col("__side") == 1)
+    for c, cc in zip(right_cols, carried):
+        out = out.withColumn(cc, F.col("__payload").getField(c))
+    return out.drop("__side", "__payload")
 
 
 def range_join(

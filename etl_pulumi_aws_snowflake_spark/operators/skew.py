@@ -54,7 +54,19 @@ def salted_join(
 
     ``probe_id_cols`` defaults to all probe columns; pass the probe's
     row-unique key columns when hashing every column is too wide.
+
+    Only probe-side-preserving join types are accepted: replicating the
+    build side n× means an UNMATCHED build row would survive once per
+    salt under 'right'/'full', returning n duplicates — so those modes
+    are rejected rather than silently wrong.
     """
+    safe = {"inner", "left", "leftouter", "left_outer", "semi", "leftsemi",
+            "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_join supports probe-preserving joins {sorted(safe)}; "
+            f"got how={how!r} (unmatched build rows would duplicate n×)"
+        )
     salted_probe = with_salt(probe, n, probe_id_cols)
     replicated = build.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1)).cast("array<bigint>"))

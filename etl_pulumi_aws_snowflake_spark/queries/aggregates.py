@@ -257,15 +257,39 @@ def agg_conditional(spark, sf_dir):
     )
 
 
-@query("agg_approx_distinct")  # approximate — rows-only check by design
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark, sf_dir):
     """HLL-sketch distinct count — the 100 TB default for exploratory
-    cardinality (exact distinct forces a full shuffle of the keys)."""
+    cardinality (exact distinct forces a full shuffle of the keys).
+
+    The HLL estimate itself is engine-specific, so it is not emitted
+    raw; instead the query emits the exact count plus a deterministic
+    ``within_5pct`` assertion that the sketch (rsd=0.02) landed within
+    5 % of exact — hash-checkable against an oracle that emits exact +
+    TRUE, and it actually asserts the estimate is sane."""
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
             F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                < F.lit(0.05)
+            ).alias("within_5pct"),
         )
     )

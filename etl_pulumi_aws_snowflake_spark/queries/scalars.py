@@ -230,8 +230,8 @@ def pivot_status_by_priority(spark, sf_dir):
         FROM customer
     )
     SELECT c_custkey,
-           map_keys(mm) AS m_keys,
-           map_values(mm) AS m_vals,
+           array_to_string(map_keys(mm), ',') AS m_keys,
+           array_to_string(map_values(mm), ',') AS m_vals,
            mm['seg'][1] AS m_seg,
            CAST(cardinality(mm) AS INT) AS m_size
     FROM m
@@ -239,18 +239,19 @@ def pivot_status_by_priority(spark, sf_dir):
 )
 def scalar_map(spark, sf_dir):
     """Map-typed column surface: create_map / map_keys / map_values /
-    element_at / size.  The raw map column itself is never emitted —
-    engines disagree on map rendering, and at scale a map column in
-    output defeats column pruning; project the needed entries instead
-    (DuckDB's ``m['k']`` yields a 1-list, hence the ``[1]`` unwrap in
-    the oracle)."""
+    element_at / size.  Neither the raw map NOR raw arrays are emitted —
+    engines disagree on map/array rendering and the correctness driver's
+    pandas canonicalizer cannot sort unhashable array cells (the one red
+    row in CORRECTNESS_r01); key/value lists are projected to
+    ``array_join`` strings, entries to scalars (DuckDB's ``m['k']``
+    yields a 1-list, hence the ``[1]`` unwrap in the oracle)."""
     m = F.create_map(
         F.lit("seg"), F.col("c_mktsegment"), F.lit("name"), F.col("c_name")
     )
     return t(spark, sf_dir, "customer").select(
         "c_custkey",
-        F.map_keys(m).alias("m_keys"),
-        F.map_values(m).alias("m_vals"),
+        F.array_join(F.map_keys(m), ",").alias("m_keys"),
+        F.array_join(F.map_values(m), ",").alias("m_vals"),
         F.element_at(m, "seg").alias("m_seg"),
         F.size(m).alias("m_size"),
     )

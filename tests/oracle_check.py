@@ -49,10 +49,21 @@ def _norm(v: Any) -> str:
 
 
 def _canon(rows: list[tuple], cols: list[str]) -> list[str]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = ["|".join(_norm(r[i]) for i in order) for r in rows]
-    out.sort()
-    return out
+    """Mirror the DRIVER's canonicalization, not a laxer one: build a
+    pandas frame and ``sort_values`` over all (name-sorted) columns.
+    This intentionally RAISES ``TypeError: unhashable type`` when a
+    query emits array/map/struct cells — exactly as the external gate
+    does (CORRECTNESS_r01 ``scalar_map``) — so the failure class is
+    caught by pytest instead of first appearing in the driver run."""
+    import pandas as pd
+
+    order = sorted(cols)
+    idx = list(range(len(rows)))
+    if rows:
+        df = pd.DataFrame(rows, columns=cols)[order]
+        idx = list(df.sort_values(by=order).index)
+    pos = {c: i for i, c in enumerate(cols)}
+    return ["|".join(_norm(rows[i][pos[c]]) for c in order) for i in idx]
 
 
 def compare(spark, sf_dir: str, fn, sql: str) -> dict:
