@@ -41,6 +41,13 @@ HEADLINE: tuple[str, ...] = (
     "sim_cosine_topk",
     "text_quality",
     "mm_binary_features",
+    # heaviest shapes — in the headline so regressions in these paths
+    # are visible round-over-round
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "dedup_ngram_jaccard",
+    "dedup_survivors",
+    "sim_ivf_topk",
 )
 
 
@@ -65,6 +72,10 @@ def main() -> None:
             # min-of-5: robust to host-contention spikes in this shared
             # container; measures engine capability, not scheduler luck.
             timings[name] = round(min(runs), 4)
+            # Release blocks persisted inside operators (e.g. the
+            # minhash shingle subtree) so repeated runs in one session
+            # don't accumulate cached data or re-persist warnings.
+            spark.catalog.clearCache()
 
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
         print(

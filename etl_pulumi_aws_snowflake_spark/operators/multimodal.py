@@ -63,12 +63,32 @@ def as_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+try:  # real decode path where a codec library exists (not this container)
+    from PIL import Image as _PILImage  # pragma: no cover
+
+    _HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    _HAVE_PIL = False
+
+
 def decode_image(payload: bytes, fake: bool = False) -> bytes:
-    """Decode an image payload to pixels.  STUB — codec libraries are
-    not available here; ``fake=True`` returns the payload unchanged as
-    a deterministic stand-in so plumbing tests stay runnable."""
+    """Decode an image payload to raw RGB pixel bytes.
+
+    Uses PIL when importable (guarded import — verified absent in this
+    container, so the real branch is exercised only in codec-equipped
+    deployments); ``fake=True`` returns the payload unchanged as a
+    deterministic stand-in so the distributed plumbing stays testable
+    everywhere."""
     if fake:
         return payload
+    if _HAVE_PIL:
+        import io
+
+        import numpy as np
+
+        img = _PILImage.open(io.BytesIO(payload))
+        return np.asarray(img.convert("RGB")).tobytes()
     raise NotImplementedError(
         "image decode requires a codec library (e.g. PIL) not present "
         "in this environment; pass fake=True for plumbing tests"

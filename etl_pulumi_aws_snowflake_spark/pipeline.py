@@ -15,7 +15,8 @@ variant in :mod:`.streaming` reproduces the event-driven trigger.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
+from typing import Protocol
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -30,25 +31,66 @@ def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+class WarehouseWriter(Protocol):
+    """The narrow seam between the engine-owned load semantics (by-name
+    CI align + cast — ``operators/align.py``) and the physical table
+    sink.  The reference's Snowpipe ``COPY INTO``
+    (``modules/snowflake.py:145-156``) is one implementation of this
+    seam; locally it's a Parquet directory.  Swapping to a real
+    warehouse is exactly one :class:`ConnectorWarehouseWriter` — the
+    align/cast stays byte-identical."""
+
+    def write(self, df: DataFrame, mode: str) -> None: ...
+
+
+@dataclass
+class ParquetWarehouseWriter:
+    """Local/lake table sink (the sandbox stand-in for the warehouse)."""
+
+    path: str
+    partition_by: tuple[str, ...] = ()
+
+    def write(self, df: DataFrame, mode: str) -> None:
+        writer = df.write.mode(mode)
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self.path)
+
+
+@dataclass
+class ConnectorWarehouseWriter:
+    """Generic DataSource connector sink: ``format(fmt)`` + options.
+
+    In production ``fmt`` is a warehouse connector format (e.g. the
+    spark-snowflake connector's source name with its table/account
+    options, or ``jdbc`` with url/dbtable) — none of those jars exist
+    in this sandbox, so tests exercise the seam with a built-in format;
+    the code path is identical either way."""
+
+    fmt: str
+    options: dict[str, str] = field(default_factory=dict)
+
+    def write(self, df: DataFrame, mode: str) -> None:
+        df.write.format(self.fmt).options(**self.options).mode(mode).save()
+
+
 def load_warehouse(
     df: DataFrame,
     target: T.StructType,
-    path: str,
+    path: str | None = None,
     mode: str = "append",
     partition_by: tuple[str, ...] = (),
+    writer: WarehouseWriter | None = None,
 ) -> None:
-    """Typed warehouse load: by-name CI align + cast, then a columnar
-    (Parquet) table write.
-
-    Locally this is the stand-in for the Snowflake table; in production
-    the aligned DataFrame would go through the spark-snowflake
-    connector instead — the align/cast semantics are the part the
-    engine owns (``modules/snowflake.py:150``).
-    """
-    writer = align(df, target).write.mode(mode)
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    """Typed warehouse load: by-name CI align + cast (the engine-owned
+    semantics, ``modules/snowflake.py:150``), then hand the ALIGNED
+    frame to the :class:`WarehouseWriter` seam — default a Parquet
+    table at ``path``."""
+    if writer is None:
+        if path is None:
+            raise ValueError("load_warehouse needs a path or an explicit writer")
+        writer = ParquetWarehouseWriter(path, partition_by)
+    writer.write(align(df, target), mode)
 
 
 @dataclass

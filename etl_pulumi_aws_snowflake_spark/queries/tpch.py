@@ -12,6 +12,23 @@ from .registry import query
 
 _REV_I = f"{sql_ints('l_extendedprice')} * (100 - {sql_ints('l_discount')})"
 
+# Shared by the DataFrame-built q5 (as its oracle) and the verbatim
+# SQL-entry sql_api_q5 (as both the Spark SQL text AND the oracle).
+_Q5_ANSI = f"""
+    SELECT n.n_name,
+           {sql_scaled_sum(_REV_I, 'revenue', 100 * 100)}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n.n_name
+    """
+
 
 @query(
     "q3_shipping_priority",
@@ -55,20 +72,7 @@ def q3_shipping_priority(spark, sf_dir):
 
 @query(
     "q5_local_supplier_volume",
-    oracle=f"""
-    SELECT n.n_name,
-           {sql_scaled_sum(_REV_I, 'revenue', 100 * 100)}
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    WHERE r.r_name = 'ASIA'
-      AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
-    GROUP BY n.n_name
-    """,
+    oracle=_Q5_ANSI,
 )
 def q5_local_supplier_volume(spark, sf_dir):
     """TPC-H Q5 shape: six-table join. All dimensions broadcast; the
@@ -438,3 +442,56 @@ def sql_api_q3(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_Q3_ANSI)
+
+
+@query("sql_api_q5", oracle=_Q5_ANSI)
+def sql_api_q5(spark, sf_dir):
+    """Verbatim-SQL entry #2 — the six-table Q5 star join as ONE ANSI
+    string executed by both Spark SQL and the DuckDB oracle.  Catalyst
+    plans it exactly like the DataFrame form (dimension broadcasts,
+    single fact-fact shuffle), proving the ``register_views`` +
+    ``spark.sql`` path handles multi-join analytical SQL, not just the
+    Q3 shape."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q5_ANSI)
+
+
+# Window functions in the shared dialect: running sums are kept exact
+# by accumulating scaled-integer cents (float running sums are
+# accumulation-order-dependent and engines disagree); rn <= 5 keeps
+# output bounded at any SF.  NOTE the shared text must use
+# CAST(ROUND(..)), not the `+ 0.5` truncation trick — CAST(double AS
+# BIGINT) truncates in Spark but rounds in DuckDB, so the same string
+# would differ by one cent on half-fraction values.
+_WINDOW_ANSI = """
+    SELECT o_custkey, o_orderkey, rn, run_cents
+    FROM (
+        SELECT o_custkey,
+               o_orderkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS rn,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS run_cents
+        FROM orders
+    ) w
+    WHERE rn <= 5
+    """
+
+
+@query("sql_api_window", oracle=_WINDOW_ANSI)
+def sql_api_window(spark, sf_dir):
+    """Verbatim-SQL entry #3 — analytic window functions (ROW_NUMBER +
+    running SUM over an explicit ROWS frame) as one ANSI string on both
+    engines.  The window partitions by customer, so Spark executes it
+    with a single hash-partition exchange on o_custkey — no global
+    sort."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_WINDOW_ANSI)

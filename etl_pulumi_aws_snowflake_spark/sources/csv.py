@@ -20,12 +20,22 @@ def ingest_csv(
     schema: T.StructType | None = None,
     infer: bool = False,
     register_as: str | None = None,
+    persist_table: bool = False,
     glob: str = "*.csv",
 ) -> DataFrame:
-    """Read a CSV directory/file; optionally register as a catalog view.
+    """Read a CSV directory/file; optionally register in the catalog.
 
     ``glob`` mirrors the reference's S3-notification suffix filter
     (``__main__.py:68`` filters ``.csv``) at the scan level.
+
+    ``register_as`` alone registers a session-scoped temp view;
+    ``persist_table=True`` instead writes a PERSISTENT catalog table
+    (``saveAsTable``, parquet in the warehouse dir) — full parity with
+    the reference's crawler, whose Glue catalog table
+    (``modules/glue.py:87-98``) outlives the writing job and is read by
+    name from a different process (``glue/glue_job.py:22-26``).  A
+    fresh session over the same warehouse/metastore sees the table by
+    qualified name with the ingested schema.
     """
     reader = (
         spark.read.option("header", True)
@@ -38,6 +48,10 @@ def ingest_csv(
         reader = reader.option("inferSchema", True)
     df = reader.csv(path)
     if register_as:
-        # Catalog registration stands in for crawler → Glue catalog table.
+        if persist_table:
+            # Crawler → persistent catalog table (not a temp view): the
+            # registration survives the session, like a Glue table.
+            df.write.mode("overwrite").format("parquet").saveAsTable(register_as)
+            return spark.table(register_as)
         df.createOrReplaceTempView(register_as)
     return df

@@ -209,3 +209,28 @@ def test_oracle_tables_present(spark, sf_smoke):
     assert con.execute("SELECT count(*) FROM documents").fetchone()[0] > 0
     assert con.execute("SELECT count(*) FROM embeddings").fetchone()[0] > 0
     con.close()
+
+
+def test_connected_components_warns_when_unconverged(spark):
+    """A 4-node path graph needs >1 round of min-label propagation;
+    max_iters=1 must WARN (silently returning split labels would
+    over-count dedup survivors) while full iteration converges quietly."""
+    import warnings
+
+    from etl_pulumi_aws_snowflake_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(chain, max_iters=1)
+    assert any("did not converge" in str(w.message) for w in caught)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        labels = {
+            r.id: r.label for r in connected_components(chain).collect()
+        }
+    assert not any("did not converge" in str(w.message) for w in caught)
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1}

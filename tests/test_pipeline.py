@@ -68,3 +68,33 @@ def test_json_intermediate_is_lines(spark, workdir):
     result = run_reference_pipeline(spark, REFERENCE_CSV, workdir)
     js = spark.read.json(result.json_path)
     assert js.count() == 847
+
+
+def test_warehouse_writer_seam(spark, workdir):
+    """The WarehouseWriter protocol: the same aligned frame goes to (a)
+    the default Parquet stand-in and (b) a ConnectorWarehouseWriter —
+    here with a built-in format, in production a warehouse connector
+    format — producing identical rows.  Proves the prod swap is one
+    writer object, zero changes to align/cast semantics."""
+    from etl_pulumi_aws_snowflake_spark.pipeline import (
+        ConnectorWarehouseWriter,
+        load_warehouse,
+    )
+
+    src = spark.read.option("header", True).csv(REFERENCE_CSV)
+
+    pq_path = f"{workdir}/wh_parquet"
+    load_warehouse(src, schemas.CUSTOMERS, pq_path, mode="overwrite")
+
+    json_path = f"{workdir}/wh_connector"
+    load_warehouse(
+        src,
+        schemas.CUSTOMERS,
+        mode="overwrite",
+        writer=ConnectorWarehouseWriter("json", {"path": json_path}),
+    )
+
+    a = spark.read.parquet(pq_path)
+    b = spark.read.schema(a.schema).json(json_path)
+    assert a.count() == b.count() == 847
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

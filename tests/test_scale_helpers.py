@@ -147,3 +147,42 @@ def test_bucketed_range_join_matches_broadcast(spark):
     )
     assert sorted(map(tuple, broadcast_res)) == sorted(map(tuple, bucketed_res))
     assert len(bucketed_res) > 0
+
+
+def test_salted_join_rejects_build_preserving_modes(spark):
+    """'right'/'full' would emit each unmatched build row once per salt
+    — the helper must refuse rather than silently duplicate."""
+    df = load_table(spark, SF, "nation")
+    with pytest.raises(ValueError, match="probe-preserving"):
+        salted_join(df, df, on=["n_nationkey"], how="right")
+    with pytest.raises(ValueError, match="probe-preserving"):
+        salted_join(df, df, on=["n_nationkey"], how="full")
+
+
+def test_asof_join_null_payload_no_tearing(spark):
+    """A right row whose payload fields are NULL must still WIN the
+    as-of carry (not be skipped for an older non-null value), and all
+    carried columns must come from that same right row — the struct-
+    carry semantics (operators/joins.py asof_join)."""
+    from etl_pulumi_aws_snowflake_spark.operators.joins import asof_join
+
+    right = spark.createDataFrame(
+        [
+            (1, 10, "a", 100),
+            (1, 20, None, 200),   # price is NULL at ts=20
+            (1, 30, "c", None),   # qty is NULL at ts=30
+        ],
+        "key int, ts int, price string, qty int",
+    )
+    left = spark.createDataFrame(
+        [(1, 25), (1, 35)], "key int, ts int"
+    )
+    got = {
+        r.ts: (r.price_right, r.qty_right)
+        for r in asof_join(left, right, on="ts", by=["key"]).collect()
+    }
+    # ts=25 → right row at 20: price NULL carried AS NULL (not torn
+    # back to 'a'), qty from the SAME row (200, not 100).
+    assert got[25] == (None, 200)
+    # ts=35 → right row at 30: ('c', NULL), not mixed with older rows.
+    assert got[35] == ("c", None)

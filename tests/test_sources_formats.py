@@ -42,3 +42,43 @@ def test_binary_file_source(spark, tmp_path):
     )
     rows = {r.name: (r.length, bytes(r.content)) for r in df.collect()}
     assert rows == {n: (len(b), b) for n, b in payloads.items()}
+
+
+def test_persistent_catalog_ingest(spark):
+    """Crawler parity (reference modules/glue.py:87-98): ingest with
+    ``persist_table=True`` writes a PERSISTENT catalog table that a
+    FRESH session over the same metastore reads back by name — unlike
+    ``register_as`` alone, whose temp view is session-scoped (the
+    distinction the reference's Glue job relies on when it reads the
+    crawler's table from a separate process, glue/glue_job.py:22-26)."""
+    from etl_pulumi_aws_snowflake_spark import schemas
+    from etl_pulumi_aws_snowflake_spark.sources.csv import ingest_csv
+
+    name = "catalog_customers_persist"
+    try:
+        df = ingest_csv(
+            spark,
+            "/root/reference/data/customers.csv",
+            schema=schemas.CUSTOMERS_CSV,
+            register_as=name,
+            persist_table=True,
+        )
+        assert df.count() == 847
+
+        # newSession(): same metastore/warehouse, but temp views do NOT
+        # carry over — exactly a second consumer process's view.
+        fresh = spark.newSession()
+        got = fresh.table(name)
+        assert got.count() == 847
+        assert got.columns == df.columns
+
+        ingest_csv(
+            spark,
+            "/root/reference/data/customers.csv",
+            schema=schemas.CUSTOMERS_CSV,
+            register_as="catalog_customers_temp",
+        )
+        assert not fresh.catalog.tableExists("catalog_customers_temp")
+        assert fresh.catalog.tableExists(name)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
