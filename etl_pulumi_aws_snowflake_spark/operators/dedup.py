@@ -80,8 +80,13 @@ def jaccard_pairs(
     ``max_doc_freq`` drops shingles appearing in more than that many
     docs before the self-join — the standard guard against boilerplate
     blowing up candidate generation at scale.
+
+    The (hash-heavy) shingle subtree feeds the inverted index AND both
+    size rejoins — persisted so the corpus is shingled once, not three
+    times (same discipline as :func:`minhash_lsh_pairs`; release via
+    ``spark.catalog.clearCache()`` in long-lived sessions).
     """
-    sets = shingle_sets(docs, k, text_col, id_col)
+    sets = shingle_sets(docs, k, text_col, id_col).persist()
     inv = sets.select(F.col(id_col), F.explode("shingles").alias("sh"))
     if max_doc_freq is not None:
         freq = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -271,17 +276,24 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .agg(F.min("nlabel").alias("minn"))
             .withColumnRenamed("src", "id")
         )
-        new_labels = labels.join(neighbor_min, "id", "left").select(
-            "id",
-            F.least(F.col("label"), F.coalesce(F.col("minn"), F.col("label"))).alias(
-                "new_label"
-            ),
-            F.col("label").alias("old_label"),
+        # Materialize FIRST (localCheckpoint), then derive the
+        # convergence scalar from the checkpointed blocks — counting
+        # before checkpointing would execute the join twice per round
+        # (once for the count's plan, once for the checkpoint's), which
+        # at 100 TB doubles the whole loop's cost.
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("minn"), F.col("label"))
+                ).alias("new_label"),
+                F.col("label").alias("old_label"),
+            )
+            .localCheckpoint()
         )
         changed = new_labels.filter(F.col("new_label") < F.col("old_label")).count()
-        labels = new_labels.select(
-            "id", F.col("new_label").alias("label")
-        ).localCheckpoint()
+        labels = new_labels.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             break
     else:
