@@ -250,11 +250,18 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """
     from pyspark.storagelevel import StorageLevel
 
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # Materialize the pair list ONCE before the symmetric union: the
+    # union's two branches both scan the `pairs` subtree, and for LSH
+    # candidates that subtree is the whole shingle→signature→band-join
+    # pipeline — without this checkpoint the first action computes it
+    # twice (measured: dedup_survivors carried a full duplicate LSH
+    # pass at sf0.1).  localCheckpoint is eager, so downstream plans
+    # (including every loop round) read materialized blocks.
+    base = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).localCheckpoint()
     edges = (
-        edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
