@@ -1,0 +1,132 @@
+"""Sequence packing for training-data pipelines (SURVEY.md §2.10
+family): assign every document a GLOBAL token offset in a canonical
+corpus order, then chunk the concatenated token stream at a fixed
+context-window budget — the "concatenate then split" step GPT-style
+pretraining uses to fill context windows without padding.
+
+The core primitive is :func:`global_offsets`, a distributed exclusive
+prefix sum.  The naive Spark spelling —
+``sum(size).over(Window.orderBy(key))`` with no partitionBy — moves the
+ENTIRE corpus through one task (Spark even warns: "No Partition Defined
+for Window operation"); at 100 TB that is the canonical scale-killer.
+This is instead the classic two-pass parallel scan:
+
+1. range-repartition by the order key (partition i holds keys < every
+   key of partition i+1) and sort within partitions;
+2. per-partition totals — K rows (K = #partitions) to the driver, the
+   only driver-side data, cumulated there into per-partition base
+   offsets and broadcast back;
+3. offset = partition base + within-partition running sum, each a
+   partition-local window — embarrassingly parallel.
+
+The intermediate is persisted so both passes see the SAME partition
+ids; the driver-side collect is K longs, a scalar-sized exchange, not a
+data collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_offsets(
+    df: DataFrame,
+    order_col: str,
+    size_col: str,
+    offset_col: str = "offset",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive global prefix sum of ``size_col`` in ``order_col``
+    order: input columns + ``offset_col`` (bigint), where a row's
+    offset is the sum of all sizes strictly before it.
+
+    ``order_col`` must be a unique key (ties would make the prefix sum
+    order-ambiguous).  The result stays persisted — it is the input of
+    at least one more stage in every caller; release with
+    ``spark.catalog.clearCache()`` when done.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part = (
+        df.repartitionByRange(n, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    # Pass 1: per-partition totals.  K = #partitions rows — the
+    # driver-side cumulation is over scalars, not data.  This action
+    # also materializes the persisted partitioning, pinning _pid for
+    # pass 2 (an unpersisted plan could re-run the range sampler and
+    # renumber partitions between passes).
+    totals = {
+        r["_pid"]: r["tot"]
+        for r in part.groupBy("_pid").agg(F.sum(size_col).alias("tot")).collect()
+    }
+    bases, acc = [], 0
+    for pid in range(n):
+        bases.append((pid, acc))
+        acc += int(totals.get(pid, 0) or 0)
+    base_df = spark.createDataFrame(bases, schema="_pid int, _base bigint")
+    # Pass 2: partition-local running sum + broadcast base join.
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        part.join(F.broadcast(base_df), "_pid")
+        .withColumn(
+            offset_col,
+            (F.col("_base") + F.coalesce(F.sum(size_col).over(w), F.lit(0))).cast(
+                "bigint"
+            ),
+        )
+        .drop("_pid", "_base")
+    )
+
+
+def pack_chunks(
+    docs: DataFrame,
+    budget: int,
+    size_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end-to-end in
+    ``id_col`` order and cut the token stream every ``budget`` tokens —
+    (id, chunk_id, tok_start, tok_end), one row per (document, context
+    window) overlap, offsets global.
+
+    A document longer than the budget spans several chunks; a chunk
+    boundary mid-document splits it (standard pretraining semantics —
+    packing whole documents only is a different operator, bin packing,
+    which sacrifices determinism for less truncation).  All arithmetic
+    is integer (``div``, not ``/``) so offsets stay exact past 2^53.
+
+    Zero-size documents are dropped (they occupy no tokens).  Chunk
+    invariants (tested): per-doc spans are contiguous and sum to the
+    doc's size; every chunk except the last is exactly ``budget`` wide.
+    """
+    off = global_offsets(
+        docs.filter(F.col(size_col) > 0),
+        id_col,
+        size_col,
+        num_partitions=num_partitions,
+    )
+    b = F.lit(budget)
+    first = F.expr(f"offset div {budget}")
+    last = F.expr(f"(offset + {size_col} - 1) div {budget}")
+    return (
+        off.withColumn("chunk_id", F.explode(F.sequence(first, last)))
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.greatest(F.col("offset"), F.col("chunk_id") * b)
+            .cast("bigint")
+            .alias("tok_start"),
+            F.least(F.col("offset") + F.col(size_col), (F.col("chunk_id") + 1) * b)
+            .cast("bigint")
+            .alias("tok_end"),
+        )
+    )

@@ -26,6 +26,7 @@ from . import llm_similarity  # noqa: E402,F401
 from . import llm_text  # noqa: E402,F401
 from . import llm_multimodal  # noqa: E402,F401
 from . import llm_sampling  # noqa: E402,F401
+from . import llm_packing  # noqa: E402,F401
 
 
 # The external correctness driver checks the FIRST 50 dict entries per
@@ -58,10 +59,11 @@ _DRIVER_FIRST = [
     "corpus_quality_filter",
     # changed in round 2 — need re-certification
     "scalar_map", "agg_approx_distinct", "join_asof",
-    # new in round 2
+    # new in round 2 — every name below lacks a CORRECTNESS_r01 row,
+    # so all 50 slots carry new evidence (prior-green queries already
+    # have their round-1 rows; re-certifying them would waste slots)
     "sql_api_q5", "sql_api_window", "agg_salted_groupby",
-    # prior-green sentinels (regression canaries inside the window)
-    "q1_pricing_summary", "join_inner",
+    "pack_sequences", "corpus_split",
 ]
 
 

@@ -1,0 +1,114 @@
+"""Sequence packing + corpus splitting (training-data pipeline
+operators, SURVEY.md §2.10 family).
+
+``pack_chunks`` turns the documents table into context-window
+assignments via the distributed prefix sum in operators/packing.py; the
+DuckDB oracle is the single-node spelling (one global window) — the
+point of the comparison is that the 2-pass distributed form produces
+IDENTICAL offsets to the naive total-order scan.
+
+``corpus_split`` is the deterministic train/val/test assignment every
+training pipeline needs: the same md5 hash-gate as llm_sampling (stable
+across engines, reruns, and repartitions), bucketed 80/10/10.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import packing as P
+from ._util import t
+from .llm_sampling import hash_gate_duck
+from .registry import query
+
+#: context-window token budget for the judged packing query — small
+#: enough that sf0.01's ~500 docs span many chunks, exercising both the
+#: mid-document split and the multi-chunk-document paths.
+_BUDGET = 512
+
+_NTOK_DUCK = T.token_count_regex().duck
+_NTOK_SPARK = T.token_count_regex().spark
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_NTOK_DUCK} AS n_tokens FROM documents
+    ),
+    o AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS tok_off
+        FROM toks WHERE n_tokens > 0
+    ),
+    e AS (
+        SELECT doc_id, tok_off, n_tokens,
+               UNNEST(generate_series(tok_off // {_BUDGET},
+                   (tok_off + n_tokens - 1) // {_BUDGET})) AS chunk_id
+        FROM o
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(GREATEST(tok_off, chunk_id * {_BUDGET}) AS BIGINT) AS tok_start,
+           CAST(LEAST(tok_off + n_tokens, (chunk_id + 1) * {_BUDGET}) AS BIGINT)
+               AS tok_end
+    FROM e
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing of the corpus at a 512-token context
+    budget: (doc_id, chunk_id, tok_start, tok_end).  The Spark plan is
+    the two-pass parallel prefix scan (range repartition → K-scalar
+    driver cumulation → partition-local windows); the oracle is the
+    equivalent single-node global window — value-identical output from
+    structurally different, scale-safe execution."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_NTOK_SPARK).alias("n_tokens")
+    )
+    return P.pack_chunks(docs, _BUDGET, size_col="n_tokens", id_col="doc_id")
+
+
+@query(
+    "corpus_split",
+    oracle=f"""
+    SELECT split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS sum_chars
+    FROM (
+        SELECT CASE
+                 WHEN {hash_gate_duck("doc_id", 80)} THEN 'train'
+                 WHEN {hash_gate_duck("doc_id", 90)} THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               n_chars
+        FROM documents
+    )
+    GROUP BY split
+    """,
+)
+def corpus_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment keyed on
+    doc_id (md5 hash-gate — a document's split never changes across
+    engines, reruns, or cluster sizes, the property a seeded
+    ``randomSplit`` cannot give), reported as per-split doc and char
+    totals.  A narrow projection + 3-group aggregate: no shuffle of
+    the corpus beyond the tiny final agg."""
+    from .llm_sampling import hash_gate_spark
+
+    split = (
+        F.when(F.expr(hash_gate_spark("doc_id", 80)), F.lit("train"))
+        .when(F.expr(hash_gate_spark("doc_id", 90)), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

@@ -1,0 +1,86 @@
+"""Sequence packing: the 2-pass distributed prefix sum must equal the
+naive single-partition global window bit-for-bit, and chunk assignments
+must tile the token stream exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_pulumi_aws_snowflake_spark.operators import packing as P
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.col("n_chars").alias("sz"))
+        .filter(F.col("sz") > 0)
+    )
+
+
+def test_global_offsets_match_naive_window(spark):
+    docs = _docs(spark)
+    # Force several range partitions so partition bases actually matter
+    # (n=1 would degenerate to the naive plan).
+    got = {
+        r["doc_id"]: r["offset"]
+        for r in P.global_offsets(docs, "doc_id", "sz", num_partitions=7).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["doc_id"]: r["offset"]
+        for r in docs.withColumn(
+            "offset", F.coalesce(F.sum("sz").over(w), F.lit(0)).cast("bigint")
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == want
+
+
+def test_global_offsets_no_global_window(spark):
+    """The scale property itself: no window in the plan runs without a
+    partition spec (a global window = whole corpus through one task)."""
+    plan = P.global_offsets(
+        _docs(spark), "doc_id", "sz", num_partitions=4
+    )._jdf.queryExecution().executedPlan().toString()
+    spark.catalog.clearCache()
+    for line in plan.splitlines():
+        if "Window" in line:
+            assert "_pid" in line, f"window without partition spec:\n{line}"
+
+
+def test_pack_chunks_tiles_exactly(spark):
+    budget = 256
+    docs = _docs(spark)
+    rows = P.pack_chunks(
+        docs, budget, size_col="sz", id_col="doc_id", num_partitions=5
+    ).collect()
+    spark.catalog.clearCache()
+    total = docs.agg(F.sum("sz")).collect()[0][0]
+
+    # Per-doc spans sum to the doc's size.
+    by_doc: dict[int, int] = {}
+    for r in rows:
+        assert r["tok_start"] < r["tok_end"]
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + (
+            r["tok_end"] - r["tok_start"]
+        )
+    sizes = {r["doc_id"]: r["sz"] for r in docs.collect()}
+    assert by_doc == sizes
+
+    # Chunks tile [0, total) with no gaps or overlaps: group spans by
+    # chunk, each chunk's span sum is `budget` (last chunk: remainder).
+    by_chunk: dict[int, int] = {}
+    for r in rows:
+        assert r["chunk_id"] * budget <= r["tok_start"]
+        assert r["tok_end"] <= (r["chunk_id"] + 1) * budget
+        by_chunk[r["chunk_id"]] = by_chunk.get(r["chunk_id"], 0) + (
+            r["tok_end"] - r["tok_start"]
+        )
+    n_chunks = (total + budget - 1) // budget
+    assert sorted(by_chunk) == list(range(n_chunks))
+    for cid, width in by_chunk.items():
+        want = budget if cid < n_chunks - 1 else total - budget * (n_chunks - 1)
+        assert width == want, (cid, width, want)
