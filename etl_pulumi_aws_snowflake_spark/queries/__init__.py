@@ -57,13 +57,16 @@ _DRIVER_FIRST = [
     "mm_binary_features", "mm_frame_sample",
     "sample_hash_bernoulli", "sample_stratified_by_lang",
     "corpus_quality_filter",
-    # changed in round 2 — need re-certification
-    "scalar_map", "agg_approx_distinct", "join_asof",
+    # red in round 1, fixed in round 2 — need green rows
+    # (join_asof's NULL-carry fix also landed, but it already has a
+    # green r1 row and sf0.01 output is identical, so it does not
+    # spend one of the 50 slots)
+    "scalar_map", "agg_approx_distinct",
     # new in round 2 — every name below lacks a CORRECTNESS_r01 row,
     # so all 50 slots carry new evidence (prior-green queries already
     # have their round-1 rows; re-certifying them would waste slots)
     "sql_api_q5", "sql_api_window", "agg_salted_groupby",
-    "pack_sequences", "corpus_split",
+    "pack_sequences", "corpus_split", "decontaminate",
 ]
 
 

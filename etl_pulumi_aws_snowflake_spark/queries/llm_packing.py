@@ -71,6 +71,44 @@ def pack_sequences(spark, sf_dir):
     return P.pack_chunks(docs, _BUDGET, size_col="n_tokens", id_col="doc_id")
 
 
+def _decontam_oracle() -> str:
+    from ..functions import hashing as H
+
+    sh5 = H.shingle_hashes(H.word_hashes("text"), k=5).duck
+    gate = hash_gate_duck("doc_id", 10)
+    return f"""
+    WITH sets AS (
+        SELECT doc_id, list_distinct({sh5}) AS shingles, {gate} AS is_bench
+        FROM documents
+    ),
+    ti AS (SELECT doc_id, unnest(shingles) AS sh FROM sets WHERE NOT is_bench),
+    bi AS (SELECT doc_id AS bench_id, unnest(shingles) AS sh
+           FROM sets WHERE is_bench)
+    SELECT ti.doc_id,
+           COUNT(DISTINCT bi.bench_id) AS n_eval_docs,
+           COUNT(DISTINCT ti.sh) AS n_shared_shingles
+    FROM ti JOIN bi ON ti.sh = bi.sh
+    GROUP BY ti.doc_id
+    """
+
+
+@query("decontaminate", oracle=_decontam_oracle())
+def decontaminate(spark, sf_dir):
+    """Benchmark decontamination: the 10% hash-gated slice of the
+    corpus stands in for an eval suite; every remaining (train) doc
+    sharing a verbatim 5-word span with it is flagged with collision
+    counts.  The eval side's exploded shingles are broadcast, so the
+    train corpus streams through a broadcast hash join with no shuffle
+    of text — the shape that holds when train is 100 TB and the eval
+    suite is megabytes."""
+    from ..operators.decontam import contamination
+    from .llm_sampling import hash_gate_spark
+
+    docs = t(spark, sf_dir, "documents")
+    gate = F.expr(hash_gate_spark("doc_id", 10))
+    return contamination(docs.filter(~gate), docs.filter(gate), k=5)
+
+
 @query(
     "corpus_split",
     oracle=f"""

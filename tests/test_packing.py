@@ -84,3 +84,43 @@ def test_pack_chunks_tiles_exactly(spark):
     for cid, width in by_chunk.items():
         want = budget if cid < n_chunks - 1 else total - budget * (n_chunks - 1)
         assert width == want, (cid, width, want)
+
+
+def test_contamination_flags_planted_overlap(spark):
+    """A train doc sharing a verbatim 5-word span with a bench doc is
+    flagged, with exact collision counts; disjoint docs are not."""
+    from etl_pulumi_aws_snowflake_spark.operators.decontam import contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text with no overlap at all here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox jumps over everything")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in contamination(train, bench, k=5).collect()}
+    assert set(rows) == {1}
+    # "the quick brown fox jumps" and "quick brown fox jumps over"
+    # are the two shared 5-gram shingles, from one bench doc.
+    assert rows[1]["n_eval_docs"] == 1
+    assert rows[1]["n_shared_shingles"] == 2
+
+
+def test_contamination_bench_side_broadcast(spark):
+    """The eval side must join as a broadcast — the train corpus never
+    shuffles for the collision check."""
+    from etl_pulumi_aws_snowflake_spark.operators.decontam import contamination
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        contamination(docs, docs.limit(10), k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
