@@ -111,3 +111,46 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(day" in plan
     # row-level predicate must NOT appear as a post-scan Filter on day
     assert back.count() == events.filter("to_date(ts) = DATE'2024-01-01'").count()
+
+
+def test_tpch_heavy_joins_push_filters_and_broadcast_dims(spark):
+    """q7/q8/q9 are the many-join shapes where a silently dropped
+    pushdown or an un-broadcast dimension costs the most at scale."""
+    for name in ("q7_volume_shipping", "q8_market_share", "q9_product_profit"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "PushedFilters: [" in plan, name
+
+
+def test_ivf_corpus_not_replicated(spark):
+    """IVF's big side (assigned corpus lists) must stream through a
+    broadcast join against probe lists — a sort-merge here would
+    shuffle the whole corpus per query batch."""
+    plan = _plan(spark, "sim_ivf_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_no_global_window(spark):
+    """The packing prefix sum must never degrade to a global window
+    (whole corpus through one task). Every Window node in the plan
+    carries the partition-id spec."""
+    plan = _plan(spark, "pack_sequences")
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_pid" in line, line
+    spark.catalog.clearCache()
+
+
+def test_minhash_signature_shuffle_is_narrow(spark):
+    """The LSH signature aggregate's exchange must carry doc ids and
+    hash slots only — never shingle arrays or document text."""
+    import re
+
+    plan = _plan(spark, "dedup_minhash_lsh")
+    blocks = re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert blocks
+    for cols in blocks:
+        assert "text#" not in cols, cols
+        assert "shingles#" not in cols, cols
+    spark.catalog.clearCache()
