@@ -49,6 +49,7 @@ HEADLINE: tuple[str, ...] = (
     "dedup_survivors",
     "sim_ivf_topk",
     "pack_sequences",
+    "sim_cosine_topk_blas",
 )
 
 

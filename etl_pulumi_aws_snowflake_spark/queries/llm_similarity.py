@@ -53,6 +53,38 @@ def sim_cosine_topk(spark, sf_dir):
 
 
 @query(
+    "sim_cosine_topk_blas",
+    oracle=f"""
+    WITH {_E},
+    p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id % {_PROBE_STRIDE} = 0),
+    pairs AS (
+        SELECT probe_id, e.vec_id AS vec_id, {_cos('pv', 'v')} AS cos
+        FROM p CROSS JOIN e WHERE probe_id != e.vec_id
+    ),
+    ranked AS (
+        SELECT probe_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM pairs
+    )
+    SELECT probe_id, rank, vec_id FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk_blas(spark, sf_dir):
+    """Same exact top-5 as sim_cosine_topk, via the Arrow/numpy matmul
+    path (one BLAS product per corpus batch, per-batch partial top-k,
+    tiny final window).  BLAS sums in a different order than the strict
+    left fold, so cos can differ in the last ulps — the judged output
+    is (probe_id, rank, vec_id), rank-stable because true cosine gaps
+    in the corpus are ≫ 1e-12; cos values are fold-vs-BLAS compared in
+    tests/test_llm_ops.py at 1e-9."""
+    probes, corpus = _probes(spark, sf_dir)
+    return S.cosine_topk_blas(probes, corpus, k=5).select(
+        "probe_id", "rank", "vec_id"
+    )
+
+
+@query(
     "sim_cosine_near_pairs",
     oracle=f"""
     WITH {_E},

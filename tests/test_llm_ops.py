@@ -234,3 +234,25 @@ def test_connected_components_warns_when_unconverged(spark):
         }
     assert not any("did not converge" in str(w.message) for w in caught)
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_cosine_topk_blas_matches_fold(spark):
+    """The BLAS matmul path must return the same neighbors and ranks
+    as the strict-fold form, with cos equal to 1e-9 (summation-order
+    ulps only)."""
+    from pyspark.sql import functions as F
+
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    a = {
+        (r["probe_id"], r["rank"]): (r["vec_id"], r["cos"])
+        for r in S.cosine_topk(probes, emb, 5).collect()
+    }
+    b = {
+        (r["probe_id"], r["rank"]): (r["vec_id"], r["cos"])
+        for r in S.cosine_topk_blas(probes, emb, 5).collect()
+    }
+    assert {k: v[0] for k, v in a.items()} == {k: v[0] for k, v in b.items()}
+    assert all(abs(a[k][1] - b[k][1]) < 1e-9 for k in a)
