@@ -1,0 +1,90 @@
+"""Warehouse-load operators: MERGE (upsert/delete) and SCD2 dimension
+versioning — the load-side semantics the reference's Snowflake
+consumers rely on (`/root/reference/modules/snowflake.py:81-156` stands
+up the warehouse; MERGE/SCD are how its tables are maintained),
+re-expressed as Spark copy-on-write over Parquet.
+
+Scale shapes:
+
+- **merge_upsert** — one full-outer shuffle join on the merge key per
+  batch (both sides hash-partitioned on the key; AQE handles skew).
+  With a small CDC batch Catalyst broadcasts the source side and the
+  target streams through untouched — the copy-on-write rewrite is the
+  Parquet-without-a-table-format equivalent of Delta/Iceberg MERGE.
+- **scd2_history** — two windows over (key, change-ts), both
+  partitioned by the key: no global sort, no driver state.  Change-log
+  → interval-versioned dimension in one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE semantics over immutable storage: rows of ``target``
+    matched by ``source`` (equi on ``key``) are replaced by the source
+    row (update), unmatched source rows are appended (insert), and
+    matched source rows with ``delete_col`` true are dropped (delete).
+    Unmatched target rows pass through.  Returns the new snapshot with
+    ``target``'s column set.
+
+    Source must carry every target column (plus optionally
+    ``delete_col``); a source row's non-key values win wholesale —
+    per-column update expressions belong in the source query, keeping
+    the merge itself mechanical (exactly how warehouse MERGE ... UPDATE
+    SET is compiled).
+    """
+    t = target.withColumn("_t_exists", F.lit(True)).alias("t")
+    s = source.withColumn("_s_exists", F.lit(True)).alias("s")
+    joined = t.join(s, on=key, how="full_outer")
+    matched_s = F.col("_s_exists").isNotNull()
+    if delete_col is not None:
+        joined = joined.filter(
+            ~(matched_s & F.coalesce(F.col(f"s.{delete_col}"), F.lit(False)))
+        )
+    cols = [
+        F.col(c)
+        if c in key
+        else F.when(matched_s, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in target.columns
+    ]
+    return joined.select(*cols)
+
+
+def scd2_history(
+    changes: DataFrame,
+    key: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a change log: one
+    row per (key, attribute version) with ``valid_from`` / ``valid_to``
+    / ``is_current``, consecutive duplicate attribute values collapsed
+    (a change event that changes nothing opens no new version).
+
+    ``valid_to`` is the next version's ``valid_from`` (half-open
+    intervals, NULL = still current) — the standard warehouse join
+    contract ``ON key AND ts >= valid_from AND (ts < valid_to OR
+    valid_to IS NULL)``.
+    """
+    w = Window.partitionBy(*key).orderBy(ts_col)
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    versions = (
+        changes.withColumn("_prev", F.lag(attrs).over(w))
+        .filter(F.col("_prev").isNull() | (attrs != F.col("_prev")))
+        .drop("_prev")
+    )
+    w2 = Window.partitionBy(*key).orderBy(ts_col)
+    return (
+        versions.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop(ts_col)
+    )

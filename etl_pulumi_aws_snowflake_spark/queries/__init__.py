@@ -27,6 +27,7 @@ from . import llm_text  # noqa: E402,F401
 from . import llm_multimodal  # noqa: E402,F401
 from . import llm_sampling  # noqa: E402,F401
 from . import llm_packing  # noqa: E402,F401
+from . import warehouse_ops  # noqa: E402,F401
 
 
 # The external correctness driver checks the FIRST 50 dict entries per

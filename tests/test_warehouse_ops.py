@@ -1,0 +1,65 @@
+"""MERGE and SCD2 edge semantics on tiny frames where every case is
+enumerable by hand."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from etl_pulumi_aws_snowflake_spark.operators import warehouse as W
+
+
+def test_merge_update_insert_delete_passthrough(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k bigint, name string, bal double",
+    )
+    source = spark.createDataFrame(
+        [
+            (2, "b2", 99.0, False),  # update
+            (3, "c", 0.0, True),  # delete
+            (9, "z", 1.0, False),  # insert
+        ],
+        "k bigint, name string, bal double, is_delete boolean",
+    )
+    got = {
+        r["k"]: (r["name"], r["bal"])
+        for r in W.merge_upsert(target, source, ["k"], "is_delete").collect()
+    }
+    assert got == {1: ("a", 10.0), 2: ("b2", 99.0), 9: ("z", 1.0)}
+
+
+def test_merge_without_delete_col_keeps_all_matches(spark):
+    target = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    source = spark.createDataFrame([(1, "A"), (2, "B")], "k bigint, v string")
+    got = {r["k"]: r["v"] for r in W.merge_upsert(target, source, ["k"]).collect()}
+    assert got == {1: "A", 2: "B"}
+
+
+def test_scd2_collapses_noop_changes_and_orders_intervals(spark):
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    changes = spark.createDataFrame(
+        [
+            (1, ts(0), "bronze"),
+            (1, ts(1), "bronze"),  # no-op: collapsed
+            (1, ts(2), "gold"),
+            (2, ts(0), "silver"),
+        ],
+        "user_id bigint, ts timestamp, tier string",
+    )
+    rows = sorted(
+        W.scd2_history(changes, ["user_id"], "ts", ["tier"]).collect(),
+        key=lambda r: (r["user_id"], r["valid_from"]),
+    )
+    as_tuples = [
+        (r["user_id"], r["tier"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in rows
+    ]
+    assert as_tuples == [
+        (1, "bronze", ts(0), ts(2), False),
+        (1, "gold", ts(2), None, True),
+        (2, "silver", ts(0), None, True),
+    ]
