@@ -1,0 +1,66 @@
+"""Streaming CDC apply: MERGE each arriving change batch into a
+Parquet snapshot — the continuous version of
+``operators/warehouse.merge_upsert`` (the reference's Snowpipe
+auto-ingest + MERGE maintenance loop, as one Structured Streaming
+program).
+
+Exactly-once: the file source + checkpoint guarantee each change file
+feeds exactly one ``foreachBatch`` call across restarts; the merge
+inside the batch is a deterministic function of (snapshot, batch), so a
+replayed batch after a crash-before-checkpoint rewrites the same
+snapshot (idempotent overwrite, the classic foreachBatch contract).
+
+The batch materializes (``localCheckpoint``) BEFORE the overwrite:
+Spark plans lazily, so writing over the same path the merge reads
+without severing lineage would delete the input mid-scan.  Without a
+table format there is no atomic swap — Delta/Iceberg MERGE is this
+exact loop plus a transactional manifest; the operator keeps the load
+semantics and leaves atomicity to the storage layer, mirroring how the
+reference delegates it to Snowflake.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from ..operators.warehouse import merge_upsert
+
+
+def stream_cdc_merge(
+    spark: SparkSession,
+    changes_dir: str,
+    change_schema: T.StructType,
+    snapshot_path: str,
+    key: list[str],
+    checkpoint: str,
+    delete_col: str | None = None,
+    await_termination: bool = True,
+):
+    """Watch ``changes_dir`` for JSON change files; MERGE each batch
+    into the Parquet snapshot at ``snapshot_path``.  Returns the
+    StreamingQuery."""
+    stream = (
+        spark.readStream.schema(change_schema)
+        .option("pathGlobFilter", "*.json")
+        .json(changes_dir)
+    )
+
+    def apply_batch(batch_df, _epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        target = spark.read.parquet(snapshot_path)
+        merged = merge_upsert(
+            target, batch_df, key=key, delete_col=delete_col
+        ).localCheckpoint()
+        merged.write.mode("overwrite").parquet(snapshot_path)
+
+    query = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query

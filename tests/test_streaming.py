@@ -220,3 +220,71 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         (r.a, r.b) for r in batch
     }
     assert len(result) > 0
+
+
+def test_stream_cdc_merge_applies_batches_exactly_once(spark, tmp_path):
+    """Two change files MERGE into the snapshot (update, delete,
+    insert); re-running the stream on the same checkpoint applies
+    nothing twice."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from etl_pulumi_aws_snowflake_spark.streaming.cdc import stream_cdc_merge
+
+    snap = str(tmp_path / "snapshot")
+    changes = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(changes)
+
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k bigint, name string, bal double",
+    ).write.parquet(snap)
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("bal", T.DoubleType()),
+            T.StructField("is_delete", T.BooleanType()),
+        ]
+    )
+
+    def drop_file(path, rows):
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    drop_file(
+        f"{changes}/c1.json",
+        [
+            {"k": 2, "name": "b2", "bal": 99.0, "is_delete": False},
+            {"k": 3, "name": "c", "bal": 0.0, "is_delete": True},
+        ],
+    )
+    drop_file(
+        f"{changes}/c2.json",
+        [{"k": 9, "name": "z", "bal": 1.0, "is_delete": False}],
+    )
+
+    def run():
+        stream_cdc_merge(
+            spark, changes, schema, snap, ["k"], ckpt, delete_col="is_delete"
+        )
+
+    run()
+    want = {1: ("a", 10.0), 2: ("b2", 99.0), 9: ("z", 1.0)}
+    got = {
+        r["k"]: (r["name"], r["bal"]) for r in spark.read.parquet(snap).collect()
+    }
+    assert got == want
+
+    # Replay with the same checkpoint: already-processed files are
+    # skipped, the snapshot is unchanged.
+    run()
+    got2 = {
+        r["k"]: (r["name"], r["bal"]) for r in spark.read.parquet(snap).collect()
+    }
+    assert got2 == want
