@@ -325,3 +325,41 @@ def agg_salted_groupby(spark, sf_dir):
         finals={"total_qty": F.sum("s"), "n_items": F.sum("c")},
         n=8,
     )
+
+
+@query(
+    "agg_approx_quantile",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(MEDIAN(l_extendedprice) * 100) AS BIGINT)
+               AS exact_median_cents,
+           TRUE AS within_1pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_approx_quantile(spark, sf_dir):
+    """Greenwald-Khanna sketch quantile (percentile_approx) — the
+    100 TB default for percentiles (exact median sorts every group).
+    Like agg_approx_distinct, the sketch value is engine-specific, so
+    the judged output is the exact median plus a deterministic
+    within-1% assertion on the sketch (accuracy 10000 => error well
+    inside 1% on this data) — hash-checkable, and it actually bounds
+    the estimate."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile_approx(l_extendedprice, 0.5, 10000)").alias("approx"),
+            F.expr("median(l_extendedprice)").alias("exact"),
+        )
+        .select(
+            "l_returnflag",
+            F.expr("CAST(ROUND(exact * 100) AS BIGINT)").alias(
+                "exact_median_cents"
+            ),
+            (F.abs(F.col("approx") - F.col("exact")) / F.col("exact") < 0.01).alias(
+                "within_1pct"
+            ),
+        )
+    )
