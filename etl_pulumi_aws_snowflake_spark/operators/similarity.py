@@ -147,27 +147,40 @@ def cosine_near_pairs(
 def ivf_assign(corpus: DataFrame, seed_stride: int = 50) -> DataFrame:
     """Assign every vector to its nearest seed centroid (vec_id %
     stride = 0 rows): (vec_id, v, nrm, list_id).  Deterministic argmax:
-    highest cosine, then lowest seed id."""
+    highest cosine, then lowest seed id.
+
+    Plan shape: the argmax is a ``max_by`` hash aggregate over
+    (vec_id, seed_id, seed_cos) triples — the broadcast join emits each
+    corpus row's nlists candidates inside one partition, so the
+    map-side partial ``max_by`` collapses them to ONE 24-byte row per
+    vector before anything shuffles.  The vectors rejoin by id
+    afterwards and therefore cross the wire once.  The previous
+    row_number-window form shuffled nlists COPIES of every corpus
+    vector through the argmax exchange — at 100 TB that is nlists×
+    the corpus through one shuffle vs. a stream of triples."""
     prepped = _prep(corpus)
     seeds = prepped.filter(F.col("vec_id") % seed_stride == 0).withColumnRenamed(
         "vec_id", "seed_id"
     )
     a, b = seeds.alias("a"), prepped.alias("b")
-    w = Window.partitionBy("vec_id").orderBy(F.desc("seed_cos"), F.asc("seed_id"))
-    return (
+    # max over (cos, -seed_id) == highest cosine, then lowest seed id —
+    # identical pick to the ORDER BY cos DESC, seed_id ASC window rule.
+    assign = (
         F.broadcast(a)
         .join(b)
         .select(
             F.col("b.vec_id").alias("vec_id"),
-            F.col("b.v").alias("v"),
-            F.col("b.nrm").alias("nrm"),
             F.col("a.seed_id").alias("seed_id"),
             (F.expr(_DOT_AB) / (F.col("a.nrm") * F.col("b.nrm"))).alias("seed_cos"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "nrm", F.col("seed_id").alias("list_id"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "seed_id", F.struct(F.col("seed_cos"), (-F.col("seed_id")).alias("nid"))
+            ).alias("list_id")
+        )
     )
+    return prepped.join(assign, "vec_id").select("vec_id", "v", "nrm", "list_id")
 
 
 def ivf_topk(

@@ -70,6 +70,14 @@ _DRIVER_FIRST = [
     "pack_sequences", "corpus_split", "decontaminate",
 ]
 
+#: Registered after the round-2 slot list was frozen — no r01/r02 row;
+#: front-load these in round 3 (all already pass the local driver
+#: mirror, scripts/driver_mirror.py).
+_DRIVER_ROUND3 = [
+    "join_salted", "agg_approx_quantile", "sim_cosine_topk_blas",
+    "merge_upsert_customers", "scd2_user_state", "dq_audit",
+]
+
 
 def _driver_order(d: dict) -> dict:
     out = {k: d[k] for k in _DRIVER_FIRST if k in d}
