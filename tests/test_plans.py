@@ -131,6 +131,19 @@ def test_ivf_corpus_not_replicated(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_ivf_assign_argmax_is_aggregate_not_window(spark):
+    """The list-assignment argmax must stay a (map-side combinable)
+    max_by hash aggregate over 24-byte triples.  The window spelling
+    shuffles nlists COPIES of every corpus vector; the only Window in
+    the plan is the final per-probe top-k."""
+    plan = _plan(spark, "sim_ivf_topk")
+    assert "max_by" in plan
+    windows = [
+        line for line in plan.splitlines() if "windowspecdefinition" in line
+    ]
+    assert len(windows) <= 2, windows  # probe→list rank + final top-k
+
+
 def test_pack_sequences_no_global_window(spark):
     """The packing prefix sum must never degrade to a global window
     (whole corpus through one task). Every Window node in the plan
