@@ -1,0 +1,362 @@
+"""Property-based semantics tests (hypothesis) for the composite
+operators whose edge cases a fixed fixture can miss: as-of carry with
+NULL payloads, MERGE deletes of absent keys, SCD2 no-change collapse
+with NULL attributes, salted == plain under NULL/hot keys, connected
+components vs union-find, and bucketized == broadcast range joins.
+
+Each example is tiny (≤ ~25 rows) — the point is adversarial VARIETY,
+not volume; sf-scale behavior is covered by the oracle suite.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from etl_pulumi_aws_snowflake_spark.operators.dedup import connected_components
+from etl_pulumi_aws_snowflake_spark.operators.joins import (
+    asof_join,
+    range_join,
+    range_join_bucketed,
+)
+from etl_pulumi_aws_snowflake_spark.operators.skew import salted_groupby, salted_join
+from etl_pulumi_aws_snowflake_spark.operators.warehouse import (
+    merge_upsert,
+    scd2_history,
+)
+
+PROP = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_keys = st.integers(min_value=0, max_value=3)
+_ts = st.integers(min_value=0, max_value=50)
+_val = st.one_of(st.none(), st.integers(min_value=-5, max_value=5))
+
+
+
+def _nsort(rows):
+    """None-safe deterministic sort for tuples mixing None and values."""
+    return sorted(rows, key=lambda t: tuple((v is None, v) for v in t))
+
+
+# ---------------------------------------------------------------- as-of
+
+
+@st.composite
+def _asof_case(draw):
+    left = draw(
+        st.lists(st.tuples(_keys, _ts), min_size=0, max_size=20)
+    )
+    # unique (key, ts) on the right so the winning row is well defined
+    right = draw(
+        st.lists(
+            st.tuples(_keys, _ts, _val, _val),
+            min_size=0,
+            max_size=20,
+            unique_by=lambda r: (r[0], r[1]),
+        )
+    )
+    return left, right
+
+
+@PROP
+@given(_asof_case())
+def test_asof_join_matches_reference(spark, case):
+    left_rows, right_rows = case
+    lschema = StructType(
+        [StructField("k", LongType()), StructField("ts", LongType())]
+    )
+    rschema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("ts", LongType()),
+            StructField("x", LongType(), True),
+            StructField("y", LongType(), True),
+        ]
+    )
+    left = spark.createDataFrame(left_rows, lschema)
+    right = spark.createDataFrame(right_rows, rschema)
+    got = _nsort(
+        tuple(r)
+        for r in asof_join(left, right, on="ts", by=["k"]).collect()
+    )
+
+    def ref_row(k, ts):
+        cands = [r for r in right_rows if r[0] == k and r[1] <= ts]
+        if not cands:
+            return (k, ts, None, None)
+        best = max(cands, key=lambda r: r[1])
+        # BOTH payload fields must come from the same winning row,
+        # even when one or both are NULL (no per-column skip-back).
+        return (k, ts, best[2], best[3])
+
+    want = _nsort(ref_row(k, ts) for k, ts in left_rows)
+    assert got == want
+
+
+# ---------------------------------------------------------------- MERGE
+
+
+@st.composite
+def _merge_case(draw):
+    target = draw(
+        st.lists(
+            st.tuples(_keys, _val, _val),
+            min_size=0,
+            max_size=10,
+            unique_by=lambda r: r[0],
+        )
+    )
+    source = draw(
+        st.lists(
+            st.tuples(_keys, _val, _val, st.booleans()),
+            min_size=0,
+            max_size=10,
+            unique_by=lambda r: r[0],
+        )
+    )
+    return target, source
+
+
+@PROP
+@given(_merge_case())
+def test_merge_upsert_matches_reference(spark, case):
+    target_rows, source_rows = case
+    tschema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("a", LongType(), True),
+            StructField("b", LongType(), True),
+        ]
+    )
+    sschema = StructType(list(tschema.fields) + [StructField("is_delete", BooleanType())])
+    target = spark.createDataFrame(target_rows, tschema)
+    source = spark.createDataFrame(source_rows, sschema)
+    got = _nsort(
+        tuple(r)
+        for r in merge_upsert(target, source, key=["k"], delete_col="is_delete").collect()
+    )
+
+    ref = {k: (k, a, b) for k, a, b in target_rows}
+    for k, a, b, is_delete in source_rows:
+        if is_delete:
+            ref.pop(k, None)  # delete of an absent key is a no-op
+        else:
+            ref[k] = (k, a, b)
+    assert got == _nsort(ref.values())
+
+
+# ----------------------------------------------------------------- SCD2
+
+
+@st.composite
+def _scd2_case(draw):
+    return draw(
+        st.lists(
+            st.tuples(_keys, _ts, _val, _val),
+            min_size=0,
+            max_size=20,
+            unique_by=lambda r: (r[0], r[1]),  # one change event per (key, ts)
+        )
+    )
+
+
+@PROP
+@given(_scd2_case())
+def test_scd2_matches_reference(spark, rows):
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("ts", LongType()),
+            StructField("a", LongType(), True),
+            StructField("b", LongType(), True),
+        ]
+    )
+    changes = spark.createDataFrame(rows, schema)
+    got = _nsort(
+        (r["k"], r["a"], r["b"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_history(changes, key=["k"], ts_col="ts", attr_cols=["a", "b"]).collect()
+    )
+
+    want = []
+    for k in {r[0] for r in rows}:
+        events = sorted((r for r in rows if r[0] == k), key=lambda r: r[1])
+        versions = []
+        for _, ts, a, b in events:
+            if versions and versions[-1][1] == (a, b):
+                continue  # no-change event opens no version (NULL-safe)
+            versions.append((ts, (a, b)))
+        for i, (ts, (a, b)) in enumerate(versions):
+            nxt = versions[i + 1][0] if i + 1 < len(versions) else None
+            want.append((k, a, b, ts, nxt, nxt is None))
+    assert got == _nsort(want)
+
+
+# --------------------------------------------------------------- salted
+
+
+@st.composite
+def _salted_case(draw):
+    # mostly-hot key distribution: key 0 dominates, NULL keys included
+    key = st.one_of(
+        st.just(0), st.just(0), st.just(0), st.integers(0, 3), st.none()
+    )
+    rows = draw(
+        st.lists(
+            st.tuples(st.integers(0, 10**6), key, st.integers(-5, 5)),
+            min_size=0,
+            max_size=25,
+            unique_by=lambda r: r[0],
+        )
+    )
+    dim = draw(
+        st.lists(
+            st.tuples(st.integers(0, 4), _val),
+            min_size=0,
+            max_size=5,
+            unique_by=lambda r: r[0],
+        )
+    )
+    return rows, dim
+
+
+@PROP
+@given(_salted_case())
+def test_salted_join_and_groupby_match_plain(spark, case):
+    rows, dim_rows = case
+    fschema = StructType(
+        [
+            StructField("rid", LongType()),
+            StructField("k", LongType(), True),
+            StructField("v", LongType()),
+        ]
+    )
+    dschema = StructType(
+        [StructField("k", LongType()), StructField("d", LongType(), True)]
+    )
+    fact = spark.createDataFrame(rows, fschema)
+    dim = spark.createDataFrame(dim_rows, dschema)
+
+    plain_join = _nsort(
+        tuple(r) for r in fact.join(dim, on=["k"], how="left").collect()
+    )
+    salted = _nsort(
+        tuple(r)
+        for r in salted_join(
+            fact, dim, on=["k"], n=4, probe_id_cols=["rid"], how="left"
+        ).collect()
+    )
+    assert salted == plain_join
+
+    plain_agg = _nsort(
+        tuple(r)
+        for r in fact.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    salted_agg = _nsort(
+        tuple(r)
+        for r in salted_groupby(
+            fact,
+            ["k"],
+            aggs={"ps": F.sum("v"), "pn": F.count(F.lit(1))},
+            finals={"s": F.sum("ps"), "n": F.sum("pn")},
+            n=4,
+            id_cols=["rid"],
+        ).collect()
+    )
+    assert salted_agg == plain_agg
+
+
+# --------------------------------------------- connected components
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=20,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_connected_components_match_union_find(spark, edge_list):
+    edges = [(a, b) for a, b in edge_list if a != b]
+    schema = StructType(
+        [StructField("doc_a", LongType()), StructField("doc_b", LongType())]
+    )
+    pairs = spark.createDataFrame(edges, schema)
+    got = {r["id"]: r["label"] for r in connected_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
+
+
+# ----------------------------------------------------------- range join
+
+
+@st.composite
+def _range_case(draw):
+    vals = draw(st.lists(st.integers(-20, 20), min_size=0, max_size=15))
+    bands = draw(
+        st.lists(
+            st.tuples(st.integers(0, 10**6), st.integers(-20, 20), st.integers(1, 15)),
+            min_size=0,
+            max_size=8,
+            unique_by=lambda r: r[0],
+        )
+    )
+    width = draw(st.sampled_from([0.5, 1.0, 3.0, 7.0]))
+    return vals, bands, width
+
+
+@PROP
+@given(_range_case())
+def test_bucketized_range_join_matches_broadcast(spark, case):
+    vals, band_rows, width = case
+    lschema = StructType([StructField("x", DoubleType())])
+    bschema = StructType(
+        [
+            StructField("band_id", LongType()),
+            StructField("lo", DoubleType()),
+            StructField("hi", DoubleType()),
+        ]
+    )
+    left = spark.createDataFrame([(float(v),) for v in vals], lschema)
+    bands = spark.createDataFrame(
+        [(bid, float(lo), float(lo + span)) for bid, lo, span in band_rows], bschema
+    )
+    broadcast_inner = _nsort(
+        tuple(r)
+        for r in range_join(left, bands, value="x").filter(F.col("band_id").isNotNull()).collect()
+    )
+    bucketized = _nsort(
+        tuple(r)
+        for r in range_join_bucketed(left, bands, value="x", bucket_width=width)
+        .select(*[f.name for f in lschema.fields], *[f.name for f in bschema.fields])
+        .collect()
+    )
+    assert bucketized == broadcast_inner
