@@ -9,7 +9,7 @@ partial+final hash agg.
 
 from __future__ import annotations
 
-from .hashing import X, words
+from .hashing import X, let, words
 
 # Stopword list for quality scoring — deliberately tiny and inlined so
 # both dialects share one literal (a real deployment broadcasts a
@@ -74,6 +74,92 @@ def punct_ratio(text: str = "text") -> X:
         f" / cast(length({text}) as double)",
         f"CAST(length(regexp_replace({text}, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)"
         f" / CAST(length({text}) AS DOUBLE)",
+    )
+
+
+def top_word_frac(text: str = "text") -> X:
+    """Most-frequent-token fraction (Gopher-style repetition signal):
+    modal word count / total words.  Exact integer counts divided once
+    as doubles — a single IEEE division, identical in both engines.
+
+    O(distinct·n) per row via array functions instead of the
+    explode+groupBy form: the quadratic term is bounded by document
+    length while explode would shuffle every token of a 100 TB corpus
+    through an aggregation exchange.  Zero shuffle, stays in codegen."""
+    w = words(text)
+    body = X(
+        "cast(array_max(transform(array_distinct(ws), "
+        "d -> size(filter(ws, x -> x = d)))) as double)"
+        " / cast(size(ws) as double)",
+        "CAST(list_max(list_transform(list_distinct(ws), "
+        "d -> len(list_filter(ws, x -> x = d)))) AS DOUBLE)"
+        " / CAST(len(ws) AS DOUBLE)",
+    )
+    return let(w, "ws", body)
+
+
+def dup_bigram_frac(text: str = "text") -> X:
+    """Duplicate-bigram fraction (1 − distinct bigrams / bigrams) —
+    the other standard repetition filter.  Empty/one-word docs score
+    0.  Distinctness via array_distinct on the per-row bigram array:
+    narrow, no shuffle (the CASE guards Spark's sequence(1, -1), which
+    would count DOWN for size < 2)."""
+    w = words(text)
+    bg_spark = (
+        "transform(sequence(1, size(ws) - 1), "
+        "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+    )
+    bg_duck = (
+        "list_transform(generate_series(1, len(ws) - 1), "
+        "i -> ws[i] || ' ' || ws[i + 1])"
+    )
+    body = X(
+        f"case when size(ws) < 2 then 0D else "
+        f"1D - cast(size(array_distinct({bg_spark})) as double)"
+        f" / cast(size(ws) - 1 as double) end",
+        f"CASE WHEN len(ws) < 2 THEN 0.0 ELSE "
+        f"1.0 - CAST(len(list_distinct({bg_duck})) AS DOUBLE)"
+        f" / CAST(len(ws) - 1 AS DOUBLE) END",
+    )
+    return let(w, "ws", body)
+
+
+#: PII patterns — escape-free (character classes only) so the same
+#: literal parses identically under Java regex and RE2, with no
+#: backslash to be eaten by SQL string-literal rules.
+PII_EMAIL = "[a-z0-9.]+@[a-z0-9]+[.][a-z]+"
+PII_PHONE = "555-[0-9]{4}"
+
+
+def pii_inject(text: str = "text", id_col: str = "doc_id") -> X:
+    """Deterministically append a synthetic email + phone to each doc
+    (the corpus itself is PII-free), so the redaction operator has
+    known ground truth in both engines."""
+    return X(
+        f"concat({text}, ' reach user', cast({id_col} as string), "
+        f"'@mail', cast({id_col} % 7 as string), '.com or call 555-', "
+        f"lpad(cast({id_col} % 10000 as string), 4, '0'))",
+        f"{text} || ' reach user' || CAST({id_col} AS VARCHAR) || "
+        f"'@mail' || CAST({id_col} % 7 AS VARCHAR) || '.com or call 555-' || "
+        f"lpad(CAST({id_col} % 10000 AS VARCHAR), 4, '0')",
+    )
+
+
+def pii_count(expr: X, pattern: str) -> X:
+    return X(
+        f"size(regexp_extract_all({expr.spark}, '{pattern}', 0))",
+        f"len(regexp_extract_all({expr.duck}, '{pattern}'))",
+    )
+
+
+def pii_redact(expr: X) -> X:
+    """Replace every email then phone occurrence with typed tags.
+    Spark's regexp_replace is global by default; DuckDB needs 'g'."""
+    return X(
+        f"regexp_replace(regexp_replace({expr.spark}, "
+        f"'{PII_EMAIL}', '<EMAIL>'), '{PII_PHONE}', '<PHONE>')",
+        f"regexp_replace(regexp_replace({expr.duck}, "
+        f"'{PII_EMAIL}', '<EMAIL>', 'g'), '{PII_PHONE}', '<PHONE>', 'g')",
     )
 
 

@@ -183,6 +183,45 @@ def ivf_assign(corpus: DataFrame, seed_stride: int = 50) -> DataFrame:
     return prepped.join(assign, "vec_id").select("vec_id", "v", "nrm", "list_id")
 
 
+def semantic_near_pairs(
+    corpus: DataFrame, threshold: float = 0.35, seed_stride: int = 50
+) -> DataFrame:
+    """SemDeDup-shaped embedding near-dup candidates: vectors can pair
+    only if they share an IVF coarse list — (doc_a, doc_b, cos) with
+    cosine ≥ threshold and doc_a < doc_b.
+
+    This is the corpus-scale answer to "embedding-cosine near-dup":
+    an all-pairs self-join is O(n²) over 100 TB, while clustering
+    first (here: nearest-seed coarse quantization, the reproducible
+    stand-in for k-means) makes candidate generation an equi-join on
+    ``list_id`` — each list pairs only within itself, so the work is
+    Σ|list|², bounded by the coarse partitioning, and the join
+    shuffles each side once by list id.  Recall < 1 across list
+    boundaries by design (same trade as IVF search; raise nlists
+    overlap or add multi-assignment to tighten it).
+
+    The assignment subtree is persisted for the duration of the plan:
+    both sides of the self-join read it, and without the persist Spark
+    computes the (broadcast × corpus) argmax twice.  Callers that
+    materialize the result should ``spark.catalog.clearCache()`` (the
+    bench harness does) or unpersist explicitly."""
+    assigned = ivf_assign(corpus, seed_stride).persist()
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            _cos_ab(),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def ivf_topk(
     probes: DataFrame,
     corpus: DataFrame,

@@ -76,6 +76,7 @@ _DRIVER_FIRST = [
 _DRIVER_ROUND3 = [
     "join_salted", "agg_approx_quantile", "sim_cosine_topk_blas",
     "merge_upsert_customers", "scd2_user_state", "dq_audit",
+    "text_repetition", "text_pii_redact", "dedup_embedding_survivors",
 ]
 
 

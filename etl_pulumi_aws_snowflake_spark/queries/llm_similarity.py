@@ -144,3 +144,51 @@ def sim_ivf_topk(spark, sf_dir):
     ~(1 - nprobe/nlists) of the corpus before any distance math)."""
     probes, corpus = _probes(spark, sf_dir)
     return S.ivf_topk(probes, corpus, k=3, nprobe=2, seed_stride=_PROBE_STRIDE)
+
+
+@query(
+    "dedup_embedding_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_E},
+    seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e
+              WHERE vec_id % {_PROBE_STRIDE} = 0),
+    assign AS (
+        SELECT e.vec_id, e.v, seed_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos('sv', 'v')} DESC, seed_id) AS rn
+        FROM e CROSS JOIN seeds
+    ),
+    lists AS (SELECT vec_id, v, seed_id AS list_id FROM assign WHERE rn = 1),
+    pairs AS (
+        SELECT a.vec_id AS pa, b.vec_id AS pb
+        FROM lists a JOIN lists b ON a.list_id = b.list_id
+                                 AND a.vec_id < b.vec_id
+        WHERE {_cos('a.v', 'b.v')} >= 0.35
+    ),
+    edges AS (
+        SELECT pa AS a, pb AS b FROM pairs
+        UNION SELECT pb, pa FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+    ),
+    comp AS (SELECT a AS vec_id, MIN(b) AS keep_id FROM reach GROUP BY a)
+    SELECT em.vec_id,
+           COALESCE(c.keep_id, em.vec_id) AS keep_id,
+           COALESCE(c.keep_id, em.vec_id) != em.vec_id AS is_dup
+    FROM embeddings em LEFT JOIN comp c USING (vec_id)
+    """,
+)
+def dedup_embedding_survivors(spark, sf_dir):
+    """Embedding-cosine near-dup keep-one (SemDeDup shape): cluster by
+    nearest seed, pair within clusters at cosine ≥ 0.35, resolve to
+    each component's minimum vec_id via iterative connected
+    components.  The oracle replays the identical assignment + pairing
+    and closes components with a recursive CTE."""
+    from ..operators import dedup as D
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = S.semantic_near_pairs(emb, threshold=0.35, seed_stride=_PROBE_STRIDE)
+    return D.dedup_survivors(emb, pairs, id_col="vec_id")

@@ -93,3 +93,55 @@ def text_fingerprint(spark, sf_dir):
     return t(spark, sf_dir, "documents").select(
         "doc_id", F.expr(H.fingerprint("text").spark).alias("fingerprint")
     )
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    SELECT doc_id,
+           {T.top_word_frac().duck} AS top_word_frac,
+           {T.dup_bigram_frac().duck} AS dup_bigram_frac
+    FROM documents
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals: modal-word fraction and
+    duplicate-bigram fraction per document — the filters that drop
+    boilerplate/spam before pre-training.  Both are per-row array
+    expressions (no token explode, no shuffle); exact integer counts
+    meet exactly one IEEE double division, so the oracle matches
+    bit-for-bit."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(T.top_word_frac().spark).alias("top_word_frac"),
+        F.expr(T.dup_bigram_frac().spark).alias("dup_bigram_frac"),
+    )
+
+
+# Shared between the Spark query and the oracle: inject deterministic
+# synthetic PII (the synthetic corpus has none), then redact it.
+_PII_AUG = T.pii_inject()
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           {T.pii_count(_PII_AUG, T.PII_EMAIL).duck} AS n_emails,
+           {T.pii_count(_PII_AUG, T.PII_PHONE).duck} AS n_phones,
+           {T.pii_redact(_PII_AUG).duck} AS redacted
+    FROM documents
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrubbing: count + redact email/phone patterns (injected
+    deterministically per doc_id so ground truth exists in both
+    engines).  Escape-free regex literals keep Java-regex and RE2
+    semantics identical; a narrow projection — codegen, zero shuffle,
+    and the redaction runs where the data lives (no text collected)."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(T.pii_count(_PII_AUG, T.PII_EMAIL).spark).alias("n_emails"),
+        F.expr(T.pii_count(_PII_AUG, T.PII_PHONE).spark).alias("n_phones"),
+        F.expr(T.pii_redact(_PII_AUG).spark).alias("redacted"),
+    )
