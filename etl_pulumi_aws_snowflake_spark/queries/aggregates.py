@@ -299,7 +299,7 @@ def agg_approx_distinct(spark, sf_dir):
     "agg_salted_groupby",
     oracle="""
     SELECT l_suppkey,
-           SUM(CAST(l_quantity AS BIGINT)) AS total_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
            COUNT(*) AS n_items
     FROM lineitem
     GROUP BY l_suppkey

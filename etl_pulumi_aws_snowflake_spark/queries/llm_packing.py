@@ -114,7 +114,7 @@ def decontaminate(spark, sf_dir):
     oracle=f"""
     SELECT split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS sum_chars
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM (
         SELECT CASE
                  WHEN {hash_gate_duck("doc_id", 80)} THEN 'train'

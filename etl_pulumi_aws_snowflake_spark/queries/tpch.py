@@ -473,11 +473,11 @@ _WINDOW_ANSI = """
                ROW_NUMBER() OVER (
                    PARTITION BY o_custkey
                    ORDER BY o_orderdate, o_orderkey) AS rn,
-               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
                    PARTITION BY o_custkey
                    ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS run_cents
+               ) AS BIGINT) AS run_cents
         FROM orders
     ) w
     WHERE rn <= 5

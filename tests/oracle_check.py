@@ -8,9 +8,6 @@ columns sorted by name) — the same signal CORRECTNESS_r{N}.json records.
 
 from __future__ import annotations
 
-import math
-from typing import Any
-
 import duckdb
 
 TABLE_NAMES = (
@@ -36,45 +33,46 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm(v: Any) -> str:
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, bool):
-        return str(v).lower()
-    return str(v)
-
-
 def _canon(rows: list[tuple], cols: list[str]) -> list[str]:
     """Mirror the DRIVER's canonicalization, not a laxer one: build a
-    pandas frame and ``sort_values`` over all (name-sorted) columns.
-    This intentionally RAISES ``TypeError: unhashable type`` when a
+    pandas frame, ``sort_values`` over all (name-sorted) columns, then
+    stringify per-column via ``astype(str)``.  Dtype class survives —
+    a float64 SUM renders "123.0" even when Spark's BIGINT says "123"
+    (the r02 HUGEINT reds), while an all-midnight datetime64 column
+    renders date-only, matching Spark's ``datetime.date`` objects (why
+    ``scalar_datetime`` is driver-green).  ``sort_values`` on the RAW
+    frame intentionally RAISES ``TypeError: unhashable type`` when a
     query emits array/map/struct cells — exactly as the external gate
     does (CORRECTNESS_r01 ``scalar_map``) — so the failure class is
     caught by pytest instead of first appearing in the driver run."""
     import pandas as pd
 
+    if not rows:
+        return []
     order = sorted(cols)
-    idx = list(range(len(rows)))
-    if rows:
-        df = pd.DataFrame(rows, columns=cols)[order]
-        idx = list(df.sort_values(by=order).index)
-    pos = {c: i for i, c in enumerate(cols)}
-    return ["|".join(_norm(rows[i][pos[c]]) for c in order) for i in idx]
+    df = pd.DataFrame(rows, columns=cols)[order].sort_values(by=order)
+    return ["|".join(r) for r in df.astype(str).itertuples(index=False, name=None)]
 
 
 def compare(spark, sf_dir: str, fn, sql: str) -> dict:
     sdf = fn(spark, sf_dir)
-    spark_rows = [tuple(r) for r in sdf.collect()]
-    spark_cols = sdf.columns
+    # Spark side ALSO goes through pandas (driver-faithful): a nullable
+    # int64 column becomes float64 on both engines symmetrically instead
+    # of collect()'s Python ints on one side only.
+    pdf = sdf.toPandas()
+    spark_rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+    spark_cols = list(pdf.columns)
 
     con = duckdb_con(sf_dir)
+    # Fetch via pandas (.df()), NOT fetchall(): the driver canonicalizes
+    # through pandas, where DuckDB HUGEINT becomes float64 ("123.0") while
+    # fetchall() yields Python ints ("123") and masks the divergence —
+    # the exact class behind the r01 scalar_map and r02 q12/sql_api_window/
+    # agg_salted_groupby/corpus_split reds.
     res = con.execute(sql)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    ddf = res.df()
+    duck_cols = list(ddf.columns)
+    duck_rows = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
     con.close()
 
     result = {

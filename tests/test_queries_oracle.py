@@ -7,7 +7,7 @@ import pytest
 
 from etl_pulumi_aws_snowflake_spark.queries import all_oracles, all_queries
 
-from .oracle_check import compare
+from .oracle_check import compare, duckdb_con
 
 ORACLES = all_oracles()
 QUERIES = all_queries()
@@ -17,6 +17,25 @@ QUERIES = all_queries()
 def test_oracle_match(spark, sf_smoke, name):
     result = compare(spark, sf_smoke, QUERIES[name], ORACLES[name])
     assert result["ok"], f"{name}: {result}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_no_hugeint(sf_smoke, name):
+    """No oracle may emit HUGEINT/UHUGEINT (DuckDB's uncast integer-SUM
+    type): pandas renders it float64 ("123.0") while Spark emits BIGINT
+    ("123"), which hash-mismatches in the driver even when values agree
+    — the sole root cause of the r02 reds.  Wrap integer SUMs in
+    CAST(... AS BIGINT)."""
+    con = duckdb_con(sf_smoke)
+    try:
+        cols = con.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
+    finally:
+        con.close()
+    bad = [(c[0], c[1]) for c in cols if "HUGEINT" in str(c[1]).upper()]
+    assert not bad, (
+        f"{name}: oracle emits HUGEINT column(s) {bad}; "
+        "add CAST(... AS BIGINT) around the aggregate"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
