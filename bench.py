@@ -64,6 +64,7 @@ def main() -> None:
             queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
         timings: dict[str, float] = {}
+        medians: dict[str, float] = {}
         for name in names:
             runs = []
             for _ in range(5):
@@ -73,7 +74,11 @@ def main() -> None:
                 runs.append(time.perf_counter() - start)
             # min-of-5: robust to host-contention spikes in this shared
             # container; measures engine capability, not scheduler luck.
+            # Median reported alongside so harness-order effects (a
+            # query slow only when run in-suite) are visible: min and
+            # median disagreeing by ≫20% flags contention, not code.
             timings[name] = round(min(runs), 4)
+            medians[name] = round(sorted(runs)[len(runs) // 2], 4)
             # Release blocks persisted inside operators (e.g. the
             # minhash shingle subtree) so repeated runs in one session
             # don't accumulate cached data or re-persist warnings.
@@ -87,6 +92,7 @@ def main() -> None:
                     "value": round(sum(timings.values()), 4),
                     "unit": "sec",
                     "queries": timings,
+                    "queries_median": medians,
                     "sf": float(sf),
                 }
             )

@@ -72,6 +72,15 @@ except ImportError:
     _HAVE_PIL = False
 
 
+def capabilities() -> dict[str, bool]:
+    """One place to ask what the multimodal path can actually do in
+    this deployment, instead of discovering a missing codec per-call:
+    ``{"image_decode": ...}`` is True only when PIL imported at module
+    load.  Callers that need real decode should check this up front;
+    the fake/plumbing path is always available."""
+    return {"image_decode": _HAVE_PIL}
+
+
 def decode_image(payload: bytes, fake: bool = False) -> bytes:
     """Decode an image payload to raw RGB pixel bytes.
 

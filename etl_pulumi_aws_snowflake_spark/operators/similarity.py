@@ -80,7 +80,19 @@ def cosine_topk(probes: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
-def cosine_topk_blas(probes: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
+#: cosine_topk_blas collects the probe set to the driver and ships it
+#: inside every task's closure — fine for a probe SET (queries against
+#: a corpus), catastrophic if a caller passes a corpus as probes.  At
+#: the default cap a 1k-dim float64 probe matrix is ~80 MB in-closure.
+MAX_BLAS_PROBES = 10_000
+
+
+def cosine_topk_blas(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    max_probes: int = MAX_BLAS_PROBES,
+) -> DataFrame:
     """Exact top-k nearest (cosine), BLAS path: Arrow-batched
     ``mapInPandas`` computes each corpus batch's probe similarities as
     ONE numpy matmul (B×d @ d×P) and emits only its per-probe partial
@@ -97,7 +109,14 @@ def cosine_topk_blas(probes: DataFrame, corpus: DataFrame, k: int = 5) -> DataFr
     the oracle-checked entry therefore compares ids/ranks, with cos
     verified against the fold form in tests.
     """
-    rows = probes.select("vec_id", "embedding").collect()
+    rows = probes.select("vec_id", "embedding").limit(max_probes + 1).collect()
+    if len(rows) > max_probes:
+        raise ValueError(
+            f"cosine_topk_blas broadcasts the probe set to every task; got "
+            f"more than max_probes={max_probes} probe rows. For corpus-sized "
+            "probe sets use cosine_topk (distributed join) or ivf_topk "
+            "(bucketed ANN) instead, or raise max_probes explicitly."
+        )
     import numpy as np
 
     pids = np.array([r["vec_id"] for r in rows], dtype=np.int64)

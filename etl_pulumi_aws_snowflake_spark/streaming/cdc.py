@@ -10,13 +10,13 @@ inside the batch is a deterministic function of (snapshot, batch), so a
 replayed batch after a crash-before-checkpoint rewrites the same
 snapshot (idempotent overwrite, the classic foreachBatch contract).
 
-The batch materializes (``localCheckpoint``) BEFORE the overwrite:
-Spark plans lazily, so writing over the same path the merge reads
-without severing lineage would delete the input mid-scan.  Without a
-table format there is no atomic swap — Delta/Iceberg MERGE is this
-exact loop plus a transactional manifest; the operator keeps the load
-semantics and leaves atomicity to the storage layer, mirroring how the
-reference delegates it to Snowflake.
+Each merge publishes a NEW immutable version dir and atomically swaps
+the ``_CURRENT`` pointer (``streaming/snapshot.py``): the merge never
+writes over the files it is reading (no lineage hazard, no
+``localCheckpoint`` needed), and a reader concurrent with the rewrite
+sees entirely-old or entirely-new rows, never a torn table — the
+transactional MERGE behavior the reference gets from Snowflake
+(reference ``modules/snowflake.py:158-167``), owned engine-side here.
 """
 
 from __future__ import annotations
@@ -25,6 +25,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
 from ..operators.warehouse import merge_upsert
+from .snapshot import snapshot_commit, snapshot_read
 
 
 def stream_cdc_merge(
@@ -49,11 +50,9 @@ def stream_cdc_merge(
     def apply_batch(batch_df, _epoch_id: int) -> None:
         if not batch_df.take(1):
             return
-        target = spark.read.parquet(snapshot_path)
-        merged = merge_upsert(
-            target, batch_df, key=key, delete_col=delete_col
-        ).localCheckpoint()
-        merged.write.mode("overwrite").parquet(snapshot_path)
+        target = snapshot_read(spark, snapshot_path)
+        merged = merge_upsert(target, batch_df, key=key, delete_col=delete_col)
+        snapshot_commit(merged, snapshot_path)
 
     query = (
         stream.writeStream.foreachBatch(apply_batch)

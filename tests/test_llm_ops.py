@@ -181,6 +181,19 @@ def test_multimodal_stub_gating():
     assert M.decode_image(b"\x89PNG", fake=True) == b"\x89PNG"
 
 
+def test_multimodal_capabilities(monkeypatch):
+    """capabilities() is the single source of truth for codec presence
+    — truthful in both the codec-absent (this container) and
+    codec-present deployments."""
+    assert M.capabilities() == {"image_decode": M._HAVE_PIL}
+    monkeypatch.setattr(M, "_HAVE_PIL", False)
+    assert M.capabilities() == {"image_decode": False}
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"x")
+    monkeypatch.setattr(M, "_HAVE_PIL", True)
+    assert M.capabilities() == {"image_decode": True}
+
+
 def test_multimodal_features_checksum(spark, sample_df):
     feats = {r.doc_id: r for r in M.extract_features(M.as_media(sample_df)).collect()}
     for i, s in enumerate(SAMPLES):
@@ -256,3 +269,15 @@ def test_cosine_topk_blas_matches_fold(spark):
     }
     assert {k: v[0] for k, v in a.items()} == {k: v[0] for k, v in b.items()}
     assert all(abs(a[k][1] - b[k][1]) < 1e-9 for k in a)
+
+
+def test_cosine_topk_blas_rejects_oversized_probe_set(spark):
+    """Passing a corpus as probes must raise cleanly (limit+1 probe
+    collect), never OOM the driver by collecting the full input."""
+    import pytest
+
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="max_probes"):
+        S.cosine_topk_blas(emb, emb, 5, max_probes=10)

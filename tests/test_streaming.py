@@ -274,10 +274,13 @@ def test_stream_cdc_merge_applies_batches_exactly_once(spark, tmp_path):
             spark, changes, schema, snap, ["k"], ckpt, delete_col="is_delete"
         )
 
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import snapshot_read
+
     run()
     want = {1: ("a", 10.0), 2: ("b2", 99.0), 9: ("z", 1.0)}
     got = {
-        r["k"]: (r["name"], r["bal"]) for r in spark.read.parquet(snap).collect()
+        r["k"]: (r["name"], r["bal"])
+        for r in snapshot_read(spark, snap).collect()
     }
     assert got == want
 
@@ -285,6 +288,48 @@ def test_stream_cdc_merge_applies_batches_exactly_once(spark, tmp_path):
     # skipped, the snapshot is unchanged.
     run()
     got2 = {
-        r["k"]: (r["name"], r["bal"]) for r in spark.read.parquet(snap).collect()
+        r["k"]: (r["name"], r["bal"])
+        for r in snapshot_read(spark, snap).collect()
     }
     assert got2 == want
+
+
+def test_snapshot_commit_is_atomic_for_readers(spark, tmp_path):
+    """A reader concurrent with a snapshot rewrite sees old-or-new,
+    never partial: the new version dir is invisible until the pointer
+    swap, and the pointer swap is a single atomic rename."""
+    import os
+
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "snap")
+    seed = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    seed.write.parquet(root)
+    assert {r["k"] for r in snapshot_read(spark, root).collect()} == {1, 2}
+
+    # Mid-rewrite state: the next version's files exist on disk but the
+    # pointer has not swapped — a reader must still resolve the OLD data
+    # (this is exactly what a reader sees while snapshot_commit's
+    # parquet write is in flight).
+    new = spark.createDataFrame([(1, "a2"), (3, "c")], "k bigint, v string")
+    new.write.parquet(os.path.join(root, "v-00001"))
+    assert {r["k"] for r in snapshot_read(spark, root).collect()} == {1, 2}
+
+    # Committed (the writer finishing that same in-flight version and
+    # swapping the pointer): readers now resolve the new data, in full.
+    v = snapshot_commit(new, root)
+    assert v == "v-00001"
+    assert {
+        (r["k"], r["v"]) for r in snapshot_read(spark, root).collect()
+    } == {(1, "a2"), (3, "c")}
+
+    # Successive commits prune all but the live + previous version (a
+    # reader that resolved the pointer just before the swap may still
+    # be scanning the previous dir).
+    snapshot_commit(new, root)
+    snapshot_commit(new, root)
+    versions = sorted(d for d in os.listdir(root) if d.startswith("v-"))
+    assert versions == ["v-00002", "v-00003"]
