@@ -260,11 +260,14 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     base = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).localCheckpoint()
-    edges = (
-        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # No distinct on the edge list: duplicate edges are absorbed by the
+    # per-round min aggregate (min over duplicates is the min), and for
+    # the canonical a<b pair lists the two union branches are disjoint
+    # anyway — a distinct here would be a full extra shuffle per run
+    # that can never change the labels.
+    edges = base.union(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
