@@ -38,6 +38,29 @@ def test_oracle_no_hugeint(sf_smoke, name):
     )
 
 
+def test_mirror_detects_hugeint_dtype_divergence(spark, sf_smoke):
+    """The failure class behind every r01/r02 driver red must FAIL the
+    local mirror: an uncast DuckDB integer SUM (HUGEINT → pandas
+    float64, \"123.0\") against Spark's BIGINT (\"123\") diverges at the
+    dtype level even though the values are equal.  If this test ever
+    passes with `bad[\"ok\"] is True`, the mirror has drifted lax again."""
+
+    def fn(spark, _sf_dir):
+        return spark.sql("SELECT CAST(123 AS BIGINT) AS s")
+
+    bad = compare(
+        spark, sf_smoke, fn, "SELECT SUM(x) AS s FROM (SELECT CAST(123 AS BIGINT) AS x)"
+    )
+    assert not bad["ok"], "mirror failed to catch HUGEINT dtype divergence"
+    good = compare(
+        spark,
+        sf_smoke,
+        fn,
+        "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (SELECT CAST(123 AS BIGINT) AS x)",
+    )
+    assert good["ok"], f"cast oracle should match: {good}"
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only(spark, sf_smoke, name):
     df = QUERIES[name](spark, sf_smoke)
