@@ -49,7 +49,7 @@ _DRIVER_FIRST = [
     # (c) new in r03: the reference pipeline end-to-end (batch + TRUE
     # streaming) under the driver hash — the shapes that were
     # "pass-local only" in r01/r02 now carry driver evidence
-    "pipeline_batch_e2e", "pipeline_stream_e2e",
+    "pipeline_batch_e2e", "pipeline_stream_e2e", "cdc_merge_stream_e2e",
     # re-certification below (already green in r01/r02)
     # 42 without a CORRECTNESS_r01 row
     "q4_order_priority", "q13_customer_distribution",

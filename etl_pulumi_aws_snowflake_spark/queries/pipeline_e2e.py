@@ -129,3 +129,87 @@ def pipeline_stream_e2e(spark, sf_dir):
         spark, landing, source_schema, _TARGET, wh, ckpt, await_termination=True
     )
     return spark.read.parquet(wh)
+
+
+_CDC_ORACLE = """
+    WITH changes AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               c_acctbal + 100.0 AS c_acctbal, c_mktsegment,
+               FALSE AS is_delete
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, TRUE
+        FROM customer WHERE c_custkey % 17 = 0 AND c_custkey % 10 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEW', 0, 1.0, 'NEW', FALSE
+        FROM customer WHERE c_custkey % 23 = 0
+    )
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+    FROM customer c
+    WHERE c.c_custkey NOT IN (SELECT c_custkey FROM changes)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM changes WHERE NOT is_delete
+"""
+
+
+@query("cdc_merge_stream_e2e", oracle=_CDC_ORACLE)
+def cdc_merge_stream_e2e(spark, sf_dir):
+    """Streaming CDC MERGE end-to-end under the driver hash: a seed
+    snapshot plus deterministically derived change files (updates %10,
+    deletes %17, inserts %23 — disjoint key classes, so the result is
+    identical however `AvailableNow` batches the files) stream through
+    ``stream_cdc_merge`` — foreachBatch MERGE + atomic snapshot version
+    swap — and the final snapshot is compared against the SQL MERGE
+    expansion (anti-join survivors ∪ applied changes).  Hash-level
+    evidence for merge_upsert, the checkpointed CDC loop, AND the
+    snapshot pointer protocol in one row (the transactional load path
+    the reference delegates to Snowflake, ``modules/snowflake.py:145-178``)."""
+    from ..streaming.cdc import stream_cdc_merge
+    from ..streaming.snapshot import snapshot_read
+
+    work = _workdir(sf_dir, "cdc")
+    cust = t(spark, sf_dir, "customer")
+    snap = os.path.join(work, "snapshot")
+    cust.write.parquet(snap)
+
+    k = F.col("c_custkey")
+    upd = (
+        cust.filter(k % 10 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(100.0))
+        .withColumn("is_delete", F.lit(False))
+    )
+    dele = cust.filter((k % 17 == 0) & (k % 10 != 0)).withColumn(
+        "is_delete", F.lit(True)
+    )
+    ins = cust.filter(k % 23 == 0).select(
+        (k + F.lit(1000000)).alias("c_custkey"),
+        F.lit("NEW").alias("c_name"),
+        F.lit(0).cast("int").alias("c_nationkey"),
+        F.lit(1.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit(False).alias("is_delete"),
+    )
+    changes_dir = os.path.join(work, "changes")
+    upd.unionByName(dele).unionByName(ins).repartition(2).write.json(changes_dir)
+
+    change_schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+            T.StructField("is_delete", T.BooleanType()),
+        ]
+    )
+    stream_cdc_merge(
+        spark,
+        changes_dir,
+        change_schema,
+        snap,
+        ["c_custkey"],
+        os.path.join(work, "ckpt"),
+        delete_col="is_delete",
+    )
+    return snapshot_read(spark, snap)
