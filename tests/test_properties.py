@@ -157,6 +157,63 @@ def test_merge_upsert_matches_reference(spark, case):
     assert got == _nsort(ref.values())
 
 
+@st.composite
+def _merge_fold_case(draw):
+    target = draw(
+        st.lists(
+            st.tuples(_keys, _val, _val),
+            min_size=0,
+            max_size=8,
+            unique_by=lambda r: r[0],
+        )
+    )
+    # An ORDERED change sequence — keys may repeat across (not within)
+    # batches; later changes must win, exactly as arriving CDC files do.
+    changes = draw(st.lists(st.tuples(_keys, _val, _val, st.booleans()), max_size=12))
+    cuts = draw(st.lists(st.integers(0, len(changes)), max_size=3))
+    bounds = sorted({0, *cuts, len(changes)})
+    batches = [
+        changes[i:j] for i, j in zip(bounds, bounds[1:]) if changes[i:j]
+    ]
+    # Dedup keys WITHIN a batch (last wins) — one change per key per
+    # file is the CDC contract; cross-batch repeats are the point here.
+    batches = [list({c[0]: c for c in b}.values()) for b in batches]
+    return target, batches
+
+
+@PROP
+@given(_merge_fold_case())
+def test_merge_fold_over_batches_matches_sequential_reference(spark, case):
+    """The streaming CDC loop's core guarantee: folding merge_upsert
+    over arriving batches equals replaying the ordered change sequence
+    — however the files happen to be batched (`AvailableNow` may group
+    them arbitrarily)."""
+    target_rows, batches = case
+    tschema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("a", LongType(), True),
+            StructField("b", LongType(), True),
+        ]
+    )
+    sschema = StructType(list(tschema.fields) + [StructField("is_delete", BooleanType())])
+    snap = spark.createDataFrame(target_rows, tschema)
+    for batch in batches:
+        snap = merge_upsert(
+            snap, spark.createDataFrame(batch, sschema), key=["k"], delete_col="is_delete"
+        ).localCheckpoint()
+    got = _nsort(tuple(r) for r in snap.collect())
+
+    ref = {k: (k, a, b) for k, a, b in target_rows}
+    for batch in batches:
+        for k, a, b, is_delete in batch:
+            if is_delete:
+                ref.pop(k, None)
+            else:
+                ref[k] = (k, a, b)
+    assert got == _nsort(ref.values())
+
+
 # ----------------------------------------------------------------- SCD2
 
 
