@@ -163,24 +163,74 @@ def cosine_near_pairs(
     return _pairs(probes, corpus).filter(F.col("cos") >= threshold)
 
 
+#: Above this many seeds the broadcast centroid matrix stops being
+#: "small" and assignment falls back to the broadcast-join + map-side
+#: max_by form.  (A greatest()-of-literal-structs third form was
+#: measured and rejected: nlists nested HOF folds in one projection
+#: disable whole-stage codegen entirely — 3× SLOWER than the join.)
+MAX_LITERAL_SEEDS = 256
+
+
 def ivf_assign(corpus: DataFrame, seed_stride: int = 50) -> DataFrame:
     """Assign every vector to its nearest seed centroid (vec_id %
     stride = 0 rows): (vec_id, v, nrm, list_id).  Deterministic argmax:
     highest cosine, then lowest seed id.
 
-    Plan shape: the argmax is a ``max_by`` hash aggregate over
-    (vec_id, seed_id, seed_cos) triples — the broadcast join emits each
-    corpus row's nlists candidates inside one partition, so the
-    map-side partial ``max_by`` collapses them to ONE 24-byte row per
-    vector before anything shuffles.  The vectors rejoin by id
-    afterwards and therefore cross the wire once.  The previous
-    row_number-window form shuffled nlists COPIES of every corpus
-    vector through the argmax exchange — at 100 TB that is nlists×
-    the corpus through one shuffle vs. a stream of triples."""
+    Plan shape — two tiers, bit-identical results (verified by a
+    property test):
+
+    - **≤ MAX_LITERAL_SEEDS** (the IVF contract — coarse lists are few
+      by construction): the seed matrix is collected once and shipped
+      in the task closure; an Arrow ``mapInPandas`` computes each
+      batch's cosines as numpy vector ops and takes the argmax —
+      ZERO exchanges, the corpus never leaves its partitions.  This is
+      how real IVF broadcasts its centroid table.  Bit-identity with
+      the JVM fold is preserved by summing dims in a strict left fold
+      (``acc = acc + seed[t]·col[t]``, vectorized over ROWS, ordered
+      over DIMS — the exact IEEE sequence of ``zip_with``+``aggregate``)
+      and ``np.argmax``'s first-max tie rule over ascending seed ids
+      (== the (cos, -seed_id) max rule).
+    - **fallback**: a ``max_by`` hash aggregate over (vec_id, seed_id,
+      seed_cos) triples — the broadcast join emits each corpus row's
+      nlists candidates inside one partition, map-side partial
+      ``max_by`` collapses them to ONE 24-byte row per vector before
+      anything shuffles, then vectors rejoin by id (corpus crosses the
+      wire once, vs. zero for the pandas tier)."""
     prepped = _prep(corpus)
     seeds = prepped.filter(F.col("vec_id") % seed_stride == 0).withColumnRenamed(
         "vec_id", "seed_id"
     )
+
+    seed_rows = sorted(
+        seeds.limit(MAX_LITERAL_SEEDS + 1).collect(), key=lambda r: r["seed_id"]
+    )
+    if 0 < len(seed_rows) <= MAX_LITERAL_SEEDS:
+        import numpy as np
+
+        sid = np.array([r["seed_id"] for r in seed_rows], dtype=np.int64)
+        sv = np.array([r["v"] for r in seed_rows], dtype=np.float64)
+        snrm = np.array([r["nrm"] for r in seed_rows], dtype=np.float64)
+
+        def assign_parts(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+                nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+                cos = np.empty((len(pdf), len(sid)))
+                for j in range(len(sid)):
+                    acc = np.zeros(len(pdf))
+                    for d in range(m.shape[1]):
+                        acc = acc + sv[j, d] * m[:, d]
+                    cos[:, j] = acc / (snrm[j] * nrm)
+                out = pdf.copy()
+                out["list_id"] = sid[np.argmax(cos, axis=1)]
+                yield out
+
+        return prepped.mapInPandas(
+            assign_parts, "vec_id long, v array<double>, nrm double, list_id long"
+        )
+
     a, b = seeds.alias("a"), prepped.alias("b")
     # max over (cos, -seed_id) == highest cosine, then lowest seed id —
     # identical pick to the ORDER BY cos DESC, seed_id ASC window rule.

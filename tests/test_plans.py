@@ -131,17 +131,51 @@ def test_ivf_corpus_not_replicated(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_ivf_assign_argmax_is_aggregate_not_window(spark):
-    """The list-assignment argmax must stay a (map-side combinable)
-    max_by hash aggregate over 24-byte triples.  The window spelling
-    shuffles nlists COPIES of every corpus vector; the only Window in
-    the plan is the final per-probe top-k."""
+def test_ivf_assign_argmax_is_zero_exchange(spark):
+    """The list-assignment argmax must be the zero-exchange pandas tier
+    (broadcast centroid matrix in the task closure) — never a window
+    that shuffles nlists COPIES of every corpus vector.  The only
+    windows in the plan are the probe→list rank and the final per-probe
+    top-k; MapInPandas in the plan confirms the tier engaged (seed
+    count ≤ MAX_LITERAL_SEEDS at test scale), and the assign subtree
+    itself carries no Exchange."""
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+
     plan = _plan(spark, "sim_ivf_topk")
-    assert "max_by" in plan
+    assert "MapInPandas" in plan
     windows = [
         line for line in plan.splitlines() if "windowspecdefinition" in line
     ]
     assert len(windows) <= 2, windows  # probe→list rank + final top-k
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assign_plan = (
+        S.ivf_assign(corpus)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in assign_plan, assign_plan
+
+
+def test_ivf_assign_literal_path_matches_join_path(spark):
+    """The two ivf_assign tiers must agree BIT-FOR-BIT: same fold
+    expression, same operand order, same struct tiebreak — so the
+    fallback threshold can never change results."""
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lit_assign = {
+        r["vec_id"]: r["list_id"]
+        for r in S.ivf_assign(corpus, seed_stride=50).collect()
+    }
+    old = S.MAX_LITERAL_SEEDS
+    S.MAX_LITERAL_SEEDS = 0  # force the broadcast-join + max_by tier
+    try:
+        join_assign = {
+            r["vec_id"]: r["list_id"]
+            for r in S.ivf_assign(corpus, seed_stride=50).collect()
+        }
+    finally:
+        S.MAX_LITERAL_SEEDS = old
+    assert lit_assign == join_assign
 
 
 def test_pack_sequences_no_global_window(spark):
