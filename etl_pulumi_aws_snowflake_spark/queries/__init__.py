@@ -50,11 +50,11 @@ _DRIVER_FIRST = [
     # streaming) under the driver hash — the shapes that were
     # "pass-local only" in r01/r02 now carry driver evidence
     "pipeline_batch_e2e", "pipeline_stream_e2e", "cdc_merge_stream_e2e",
-    # (d) the r03 word-hash fold rewrite changed the implementation under
-    # every shingle consumer; the dedup_* entries already sit inside the
-    # 50-slot window, these three would fall outside it — recertify on
-    # the new code
-    "text_fingerprint", "pack_sequences", "decontaminate",
+    # (d) r03 implementation rewrites needing recertification on the new
+    # code: the word-hash fold change (every shingle consumer; dedup_*
+    # already sit inside the 50-slot window, these three would fall
+    # outside it) and the zero-exchange pandas IVF assign
+    "text_fingerprint", "pack_sequences", "decontaminate", "sim_ivf_topk",
     # re-certification below (already green in r01/r02)
     # 42 without a CORRECTNESS_r01 row
     "q4_order_priority", "q13_customer_distribution",
