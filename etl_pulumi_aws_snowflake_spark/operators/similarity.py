@@ -176,6 +176,15 @@ def ivf_assign(corpus: DataFrame, seed_stride: int = 50) -> DataFrame:
     stride = 0 rows): (vec_id, v, nrm, list_id).  Deterministic argmax:
     highest cosine, then lowest seed id.
 
+    **Eager seed collection**: the literal tier runs a Spark job at
+    DataFrame-CONSTRUCTION time to collect the seed set, freezing the
+    centroids then — rows appended to ``corpus``'s source between plan
+    construction and the action are assigned against those frozen
+    centroids (the fallback tier re-reads seeds at action time).  This
+    matches the static-corpus IVF contract (an index is built once);
+    don't embed ``ivf_assign`` in long-lived lazy plans over mutable
+    sources.
+
     Plan shape — two tiers, bit-identical results (verified by a
     property test):
 

@@ -57,8 +57,17 @@ _ORACLE = """
 
 
 def _workdir(sf_dir: str, leaf: str) -> str:
+    # Keyed by PID as well as sf dir so concurrent processes (driver run
+    # alongside pytest, pytest-xdist) never clobber each other's
+    # landing/checkpoint dirs.  The returned DataFrames read these paths
+    # lazily, so cleanup happens on the NEXT entry within the same
+    # process (rmtree-on-entry), not on query return.
     root = os.path.join(
-        "/tmp", "spark_graft_pipeline_e2e", os.path.basename(sf_dir.rstrip("/")), leaf
+        "/tmp",
+        "spark_graft_pipeline_e2e",
+        f"pid{os.getpid()}",
+        os.path.basename(sf_dir.rstrip("/")),
+        leaf,
     )
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)

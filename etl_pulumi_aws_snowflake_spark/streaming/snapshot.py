@@ -67,7 +67,12 @@ def snapshot_commit(df: DataFrame, root: str, keep: int = 2) -> str:
     with open(tmp, "w") as f:
         f.write(new)
     os.replace(tmp, os.path.join(root, _POINTER))
-    versions = sorted(d for d in os.listdir(root) if d.startswith("v-"))
+    # Numeric sort — lexicographic would order "v-100000" before
+    # "v-99999" once the zero-padding overflows, pruning the live dir.
+    versions = sorted(
+        (d for d in os.listdir(root) if d.startswith("v-")),
+        key=lambda d: int(d.rsplit("-", 1)[1]),
+    )
     for old in versions[:-keep]:
         shutil.rmtree(os.path.join(root, old), ignore_errors=True)
     return new

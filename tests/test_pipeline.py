@@ -64,6 +64,29 @@ def test_streaming_pipeline_replay(spark, workdir):
     assert spark.read.parquet(wh).count() == 2 * 847
 
 
+def test_e2e_workdirs_are_process_scoped():
+    """Two concurrent processes running the e2e registry queries over
+    the same sf dir must not clobber each other's scratch dirs: the
+    root is keyed by PID, and re-entering one leaf never touches a
+    sibling leaf's content."""
+    import os
+
+    from etl_pulumi_aws_snowflake_spark.queries.pipeline_e2e import _workdir
+
+    a = _workdir("/root/testdata/sf0.001", "batch")
+    assert f"pid{os.getpid()}" in a
+
+    b = _workdir("/root/testdata/sf0.001", "stream")
+    marker = os.path.join(b, "marker.txt")
+    with open(marker, "w") as f:
+        f.write("x")
+    # re-entering the batch leaf rmtree's ONLY its own subtree
+    _workdir("/root/testdata/sf0.001", "batch")
+    assert os.path.exists(marker)
+    # a different process (different pid) would get a disjoint root
+    assert a != b and os.path.dirname(a) == os.path.dirname(b)
+
+
 def test_json_intermediate_is_lines(spark, workdir):
     result = run_reference_pipeline(spark, REFERENCE_CSV, workdir)
     js = spark.read.json(result.json_path)

@@ -333,3 +333,33 @@ def test_snapshot_commit_is_atomic_for_readers(spark, tmp_path):
     snapshot_commit(new, root)
     versions = sorted(d for d in os.listdir(root) if d.startswith("v-"))
     assert versions == ["v-00002", "v-00003"]
+
+
+def test_snapshot_prune_survives_padding_overflow(spark, tmp_path):
+    """Version pruning must sort numerically: past v-99999 the 5-digit
+    zero-padding overflows and 'v-100000' sorts lexicographically BEFORE
+    'v-99999' — a lexicographic prune would rmtree the just-committed
+    live version while _CURRENT points at it."""
+    import os
+
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "snap")
+    os.makedirs(root)
+    df = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    for v in ("v-99998", "v-99999"):
+        df.write.parquet(os.path.join(root, v))
+    with open(os.path.join(root, "_CURRENT"), "w") as f:
+        f.write("v-99999")
+
+    new = spark.createDataFrame([(2, "b")], "k bigint, v string")
+    assert snapshot_commit(new, root) == "v-100000"
+    versions = set(d for d in os.listdir(root) if d.startswith("v-"))
+    # live + previous survive; the oldest is pruned
+    assert versions == {"v-99999", "v-100000"}
+    assert {(r["k"], r["v"]) for r in snapshot_read(spark, root).collect()} == {
+        (2, "b")
+    }
