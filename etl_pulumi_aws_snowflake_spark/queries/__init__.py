@@ -29,6 +29,7 @@ from . import llm_sampling  # noqa: E402,F401
 from . import llm_packing  # noqa: E402,F401
 from . import warehouse_ops  # noqa: E402,F401
 from . import pipeline_e2e  # noqa: E402,F401
+from . import streaming_e2e  # noqa: E402,F401
 
 
 # The external correctness driver checks the FIRST 50 dict entries per
@@ -39,6 +40,16 @@ from . import pipeline_e2e  # noqa: E402,F401
 # this round with CAST(... AS BIGINT)).  Everything after those 13 is
 # re-certification of already-green rows, in prior-round order.
 _DRIVER_FIRST = [
+    # r04 (a): new queries — the formerly pass-local stateful-streaming
+    # ops now run TRUE StreamingQueries inside the registry callable
+    "stream_stateful_dedup_e2e", "stream_interval_join_e2e",
+    # r04 (b): recertification on r04 code changes — PID-scoped e2e
+    # scratch dirs (pipeline_*), snapshot-prune numeric sort +
+    # partition-pruned MERGE (cdc/merge/scd2), similarity changes
+    "pipeline_batch_e2e", "pipeline_stream_e2e", "cdc_merge_stream_e2e",
+    "merge_upsert_customers", "scd2_user_state",
+    "sim_ivf_topk", "dedup_embedding_survivors", "sim_cosine_near_pairs",
+    # r03 order below (already green; fills the remaining slots)
     # (a) never driver-checked (registered after the r02 slot list froze)
     "join_salted", "agg_approx_quantile", "sim_cosine_topk_blas",
     "merge_upsert_customers", "scd2_user_state", "dq_audit",
