@@ -11,6 +11,13 @@ Scale shapes:
   With a small CDC batch Catalyst broadcasts the source side and the
   target streams through untouched — the copy-on-write rewrite is the
   Parquet-without-a-table-format equivalent of Delta/Iceberg MERGE.
+- **merge_upsert_pruned** — the 100 TB form: with a partitioned
+  snapshot (``streaming/snapshot.py`` manifest layout), only the
+  partitions whose values appear in the batch are read, merged, and
+  rewritten; everything else is carried forward by manifest reference.
+  Per-batch cost drops from O(table) to O(changed partitions) — the
+  partition-pruned rewrite Delta/Iceberg MERGE performs via data-file
+  pruning.
 - **scd2_history** — two windows over (key, change-ts), both
   partitioned by the key: no global sort, no driver state.  Change-log
   → interval-versioned dimension in one pass.
@@ -18,7 +25,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -56,6 +63,65 @@ def merge_upsert(
         for c in target.columns
     ]
     return joined.select(*cols)
+
+
+#: A CDC batch spread over more partitions than this gains little from
+#: pruning (the isin literal list and per-partition scans grow linearly)
+#: — fall back to the full-rewrite merge instead of a degenerate prune.
+MAX_PRUNED_PARTITIONS = 256
+
+
+def merge_upsert_pruned(
+    spark: SparkSession,
+    snapshot_root: str,
+    source: DataFrame,
+    key: list[str],
+    partition_col: str,
+    delete_col: str | None = None,
+    keep: int = 2,
+) -> str:
+    """Partition-pruned MERGE into a versioned snapshot: read ONLY the
+    partitions named by the batch, merge, rewrite only those, carry the
+    rest forward by reference; commits and returns the new version.
+
+    **Contract** (the standard one for partition-pruned MERGE):
+    ``partition_col`` is stable — a matched target row's partition
+    value equals its source row's (the column is part of the key,
+    functionally determined by it, or simply never updated).  A source
+    that moves a row across partitions would strand the old copy in an
+    unread partition; that workload needs the full :func:`merge_upsert`.
+
+    The distinct partition values of the batch are collected (bounded:
+    a CDC batch touches few partitions; above MAX_PRUNED_PARTITIONS the
+    merge falls back to a full rewrite, which is also the upgrade path
+    from an unpartitioned seed snapshot).
+    """
+    from ..streaming.snapshot import (
+        _current_version,
+        _read_manifest,
+        snapshot_commit_partitioned,
+        snapshot_read,
+    )
+
+    live = _current_version(snapshot_root)
+    partitioned = live is not None and _read_manifest(snapshot_root, live) is not None
+    pvals = None
+    if partitioned:
+        pvals = [
+            r[0]
+            for r in source.select(partition_col)
+            .distinct()
+            .limit(MAX_PRUNED_PARTITIONS + 1)
+            .collect()
+        ]
+        if len(pvals) > MAX_PRUNED_PARTITIONS:
+            pvals = None
+
+    target = snapshot_read(spark, snapshot_root, partition_values=pvals)
+    merged = merge_upsert(target, source, key=key, delete_col=delete_col)
+    return snapshot_commit_partitioned(
+        merged, snapshot_root, partition_col, changed_values=pvals, keep=keep
+    )
 
 
 def scd2_history(

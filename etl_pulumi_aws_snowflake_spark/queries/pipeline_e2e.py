@@ -162,6 +162,76 @@ _CDC_ORACLE = """
 """
 
 
+def _write_cdc_changes(spark, cust, work):
+    """Deterministically derived change files (updates %10, deletes
+    %17, inserts %23 — disjoint key classes, so the merged result is
+    identical however ``AvailableNow`` batches the files)."""
+    k = F.col("c_custkey")
+    upd = (
+        cust.filter(k % 10 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(100.0))
+        .withColumn("is_delete", F.lit(False))
+    )
+    dele = cust.filter((k % 17 == 0) & (k % 10 != 0)).withColumn(
+        "is_delete", F.lit(True)
+    )
+    ins = cust.filter(k % 23 == 0).select(
+        (k + F.lit(1000000)).alias("c_custkey"),
+        F.lit("NEW").alias("c_name"),
+        F.lit(0).cast("int").alias("c_nationkey"),
+        F.lit(1.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit(False).alias("is_delete"),
+    )
+    changes_dir = os.path.join(work, "changes")
+    upd.unionByName(dele).unionByName(ins).repartition(2).write.json(changes_dir)
+    return changes_dir
+
+
+_CDC_CHANGE_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+        T.StructField("is_delete", T.BooleanType()),
+    ]
+)
+
+
+@query("cdc_merge_pruned_e2e", oracle=_CDC_ORACLE)
+def cdc_merge_pruned_e2e(spark, sf_dir):
+    """Partition-pruned streaming CDC MERGE under the driver hash: the
+    seed snapshot is committed PARTITIONED by ``c_nationkey`` (a
+    key-stable column — updates never move a customer's nation), each
+    change batch rewrites only the nations it touches via
+    ``merge_upsert_pruned``, untouched nations ride along as manifest
+    references, and the final snapshot must hash-equal the same SQL
+    MERGE expansion as the full-rewrite CDC entry.  The 100 TB MERGE
+    shape: per-batch cost O(changed partitions), not O(table)."""
+    from ..streaming.cdc import stream_cdc_merge
+    from ..streaming.snapshot import snapshot_commit_partitioned, snapshot_read
+
+    work = _workdir(sf_dir, "cdc_pruned")
+    cust = t(spark, sf_dir, "customer")
+    snap = os.path.join(work, "snapshot")
+    snapshot_commit_partitioned(cust, snap, "c_nationkey")
+
+    changes_dir = _write_cdc_changes(spark, cust, work)
+    stream_cdc_merge(
+        spark,
+        changes_dir,
+        _CDC_CHANGE_SCHEMA,
+        snap,
+        ["c_custkey"],
+        os.path.join(work, "ckpt"),
+        delete_col="is_delete",
+        partition_col="c_nationkey",
+    )
+    return snapshot_read(spark, snap)
+
+
 @query("cdc_merge_stream_e2e", oracle=_CDC_ORACLE)
 def cdc_merge_stream_e2e(spark, sf_dir):
     """Streaming CDC MERGE end-to-end under the driver hash: a seed
@@ -182,40 +252,11 @@ def cdc_merge_stream_e2e(spark, sf_dir):
     snap = os.path.join(work, "snapshot")
     cust.write.parquet(snap)
 
-    k = F.col("c_custkey")
-    upd = (
-        cust.filter(k % 10 == 0)
-        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(100.0))
-        .withColumn("is_delete", F.lit(False))
-    )
-    dele = cust.filter((k % 17 == 0) & (k % 10 != 0)).withColumn(
-        "is_delete", F.lit(True)
-    )
-    ins = cust.filter(k % 23 == 0).select(
-        (k + F.lit(1000000)).alias("c_custkey"),
-        F.lit("NEW").alias("c_name"),
-        F.lit(0).cast("int").alias("c_nationkey"),
-        F.lit(1.0).alias("c_acctbal"),
-        F.lit("NEW").alias("c_mktsegment"),
-        F.lit(False).alias("is_delete"),
-    )
-    changes_dir = os.path.join(work, "changes")
-    upd.unionByName(dele).unionByName(ins).repartition(2).write.json(changes_dir)
-
-    change_schema = T.StructType(
-        [
-            T.StructField("c_custkey", T.LongType()),
-            T.StructField("c_name", T.StringType()),
-            T.StructField("c_nationkey", T.IntegerType()),
-            T.StructField("c_acctbal", T.DoubleType()),
-            T.StructField("c_mktsegment", T.StringType()),
-            T.StructField("is_delete", T.BooleanType()),
-        ]
-    )
+    changes_dir = _write_cdc_changes(spark, cust, work)
     stream_cdc_merge(
         spark,
         changes_dir,
-        change_schema,
+        _CDC_CHANGE_SCHEMA,
         snap,
         ["c_custkey"],
         os.path.join(work, "ckpt"),

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
-from ..operators.warehouse import merge_upsert
+from ..operators.warehouse import merge_upsert, merge_upsert_pruned
 from .snapshot import snapshot_commit, snapshot_read
 
 
@@ -36,11 +36,18 @@ def stream_cdc_merge(
     key: list[str],
     checkpoint: str,
     delete_col: str | None = None,
+    partition_col: str | None = None,
     await_termination: bool = True,
 ):
     """Watch ``changes_dir`` for JSON change files; MERGE each batch
     into the Parquet snapshot at ``snapshot_path``.  Returns the
-    StreamingQuery."""
+    StreamingQuery.
+
+    With ``partition_col`` the per-batch rewrite is partition-pruned
+    (``merge_upsert_pruned``): only partitions named by the batch are
+    rewritten, the rest ride along as manifest references — O(changed
+    partitions) per batch instead of O(table).  Requires the pruned
+    merge's stable-partition-column contract."""
     stream = (
         spark.readStream.schema(change_schema)
         .option("pathGlobFilter", "*.json")
@@ -49,6 +56,16 @@ def stream_cdc_merge(
 
     def apply_batch(batch_df, _epoch_id: int) -> None:
         if not batch_df.take(1):
+            return
+        if partition_col is not None:
+            merge_upsert_pruned(
+                spark,
+                snapshot_path,
+                batch_df,
+                key=key,
+                partition_col=partition_col,
+                delete_col=delete_col,
+            )
             return
         target = snapshot_read(spark, snapshot_path)
         merged = merge_upsert(target, batch_df, key=key, delete_col=delete_col)

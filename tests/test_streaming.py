@@ -363,3 +363,144 @@ def test_snapshot_prune_survives_padding_overflow(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in snapshot_read(spark, root).collect()} == {
         (2, "b")
     }
+
+
+def _seed_partitioned(spark, root):
+    """Seed a 3-partition snapshot via a full partitioned commit."""
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_commit_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3, f"r{i}") for i in range(30)], "k bigint, p bigint, v string"
+    )
+    snapshot_commit_partitioned(df, root, "p")
+    return df
+
+
+def _part_files(root, version, p):
+    import os
+
+    d = os.path.join(root, version, "data", f"p={p}")
+    out = {}
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".parquet"):
+            with open(os.path.join(d, f), "rb") as fh:
+                out[f] = fh.read()
+    return out
+
+
+def test_pruned_merge_matches_full_merge(spark, tmp_path):
+    """merge_upsert_pruned over a partitioned snapshot must produce the
+    same table as the plain full-rewrite merge_upsert."""
+    from etl_pulumi_aws_snowflake_spark.operators.warehouse import (
+        merge_upsert,
+        merge_upsert_pruned,
+    )
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import snapshot_read
+
+    root = str(tmp_path / "snap")
+    seed = _seed_partitioned(spark, root)
+    # update k=4 (p=1), delete k=7 (p=1), insert k=100 (p=1): one
+    # changed partition out of three
+    batch = spark.createDataFrame(
+        [(4, 1, "UPD", False), (7, 1, "r7", True), (100, 1, "NEW", False)],
+        "k bigint, p bigint, v string, is_delete boolean",
+    )
+    merge_upsert_pruned(spark, root, batch, ["k"], "p", delete_col="is_delete")
+    got = {(r.k, r.p, r.v) for r in snapshot_read(spark, root).collect()}
+    want = {
+        (r.k, r.p, r.v)
+        for r in merge_upsert(seed, batch, ["k"], delete_col="is_delete").collect()
+    }
+    assert got == want
+    assert (4, 1, "UPD") in got and (100, 1, "NEW") in got
+    assert not any(k == 7 for k, _, _ in got)
+
+
+def test_pruned_merge_unrelated_partition_is_untouched_bytes(spark, tmp_path):
+    """The point of pruning: a merge touching only p=1 must leave the
+    other partitions' physical files byte-identical (carried forward by
+    manifest reference, no data copy) and write no p=0/p=2 dirs in the
+    new version."""
+    import json
+    import os
+
+    from etl_pulumi_aws_snowflake_spark.operators.warehouse import merge_upsert_pruned
+
+    root = str(tmp_path / "snap")
+    _seed_partitioned(spark, root)
+    before = {p: _part_files(root, "v-00001", p) for p in (0, 2)}
+
+    batch = spark.createDataFrame(
+        [(4, 1, "UPD", False)], "k bigint, p bigint, v string, is_delete boolean"
+    )
+    v = merge_upsert_pruned(spark, root, batch, ["k"], "p", delete_col="is_delete")
+    assert v == "v-00002"
+
+    with open(os.path.join(root, v, "_MANIFEST.json")) as f:
+        man = json.load(f)
+    assert man["entries"] == {"0": "v-00001", "1": "v-00002", "2": "v-00001"}
+    assert not os.path.exists(os.path.join(root, v, "data", "p=0"))
+    assert not os.path.exists(os.path.join(root, v, "data", "p=2"))
+    for p in (0, 2):
+        assert _part_files(root, "v-00001", p) == before[p]
+
+
+def test_pruned_merge_drops_emptied_partition(spark, tmp_path):
+    """Deleting every row of a partition removes its manifest entry;
+    read-back no longer includes the partition."""
+    import json
+    import os
+
+    from etl_pulumi_aws_snowflake_spark.operators.warehouse import merge_upsert_pruned
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import snapshot_read
+
+    root = str(tmp_path / "snap")
+    _seed_partitioned(spark, root)
+    rows = [(k, 2, f"r{k}", True) for k in range(30) if k % 3 == 2]
+    batch = spark.createDataFrame(rows, "k bigint, p bigint, v string, is_delete boolean")
+    v = merge_upsert_pruned(spark, root, batch, ["k"], "p", delete_col="is_delete")
+    with open(os.path.join(root, v, "_MANIFEST.json")) as f:
+        man = json.load(f)
+    assert "2" not in man["entries"]
+    out = snapshot_read(spark, root)
+    assert out.filter("p = 2").count() == 0
+    assert out.count() == 20
+
+
+def test_gc_keeps_referenced_versions(spark, tmp_path):
+    """A version outside the keep window survives while a kept manifest
+    still references its partitions, and is deleted once nothing does."""
+    import os
+
+    from etl_pulumi_aws_snowflake_spark.operators.warehouse import merge_upsert_pruned
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import snapshot_read
+
+    root = str(tmp_path / "snap")
+    _seed_partitioned(spark, root)  # v-00001 holds p=0,1,2
+
+    def touch(pval, k, ver_expect):
+        batch = spark.createDataFrame(
+            [(k, pval, "UPD", False)], "k bigint, p bigint, v string, is_delete boolean"
+        )
+        v = merge_upsert_pruned(spark, root, batch, ["k"], "p", delete_col="is_delete")
+        assert v == ver_expect
+
+    touch(1, 4, "v-00002")
+    touch(1, 4, "v-00003")
+    # keep window = {v-00002, v-00003}, but both manifests still point
+    # p=0/p=2 at v-00001 -> it must survive GC
+    assert os.path.exists(os.path.join(root, "v-00001"))
+
+    # rewrite the remaining referenced partitions: after v-00005 the
+    # LIVE manifest no longer references v-00001, but the kept PREVIOUS
+    # version (v-00004) still points p=2 there — it must survive until
+    # that too ages out (previous stays fully readable)
+    touch(0, 3, "v-00004")
+    touch(2, 5, "v-00005")
+    assert os.path.exists(os.path.join(root, "v-00001"))
+    touch(1, 4, "v-00006")
+    assert not os.path.exists(os.path.join(root, "v-00001"))
+    # table still fully readable from surviving referenced versions
+    assert snapshot_read(spark, root).count() == 30
