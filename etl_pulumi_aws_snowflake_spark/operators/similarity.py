@@ -171,7 +171,53 @@ def cosine_near_pairs(
 MAX_LITERAL_SEEDS = 256
 
 
-def ivf_assign(corpus: DataFrame, seed_stride: int = 50) -> DataFrame:
+def _seed_frame(
+    corpus: DataFrame, seed_stride: int, centroids: list | None
+) -> DataFrame:
+    """(seed_id, v, nrm) — the coarse centroid table.  Default: every
+    ``seed_stride``-th corpus member (deterministic, oracle-checkable).
+    With ``centroids`` (list of ``(list_id, [float, ...])`` — e.g. from
+    :func:`train_ivf_centroids`): a local-relation frame.  Norms are
+    computed by the same JVM fold either way, so both flavors feed the
+    identical assignment code paths."""
+    if centroids is None:
+        return _prep(corpus).filter(
+            F.col("vec_id") % seed_stride == 0
+        ).withColumnRenamed("vec_id", "seed_id")
+    spark = corpus.sparkSession
+    rows = [(int(i), [float(x) for x in v]) for i, v in centroids]
+    return spark.createDataFrame(rows, "seed_id long, v array<double>").withColumn(
+        "nrm", F.expr(f"sqrt({V.dot_cols('v', 'v')})")
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame, nlists: int = 16, seed: int = 7, max_iter: int = 20
+) -> list[tuple[int, list[float]]]:
+    """KMeans-trained coarse centroids for the IVF index — the
+    quality-over-reproducibility alternative to the seeded default:
+    ``ivf_assign(corpus, centroids=train_ivf_centroids(corpus, 16))``.
+
+    Runs ``pyspark.ml.clustering.KMeans`` (k-means|| init, distributed
+    Lloyd iterations — the corpus never leaves the executors; only the
+    k centroid vectors come back).  Deterministic for a fixed (data,
+    seed, partitioning); across engines/partitionings k-means is NOT
+    reproducible, which is exactly why the driver-hashed entries keep
+    the seeded assignment and the trained path is pytest-verified
+    (matches reference file: none — pure EXT, BASELINE.json:6)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = _prep(corpus).select(array_to_vector(F.col("v")).alias("features"))
+    model = KMeans(k=nlists, seed=seed, maxIter=max_iter).fit(feats)
+    return [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+
+
+def ivf_assign(
+    corpus: DataFrame, seed_stride: int = 50, centroids: list | None = None
+) -> DataFrame:
     """Assign every vector to its nearest seed centroid (vec_id %
     stride = 0 rows): (vec_id, v, nrm, list_id).  Deterministic argmax:
     highest cosine, then lowest seed id.
@@ -204,11 +250,14 @@ def ivf_assign(corpus: DataFrame, seed_stride: int = 50) -> DataFrame:
       nlists candidates inside one partition, map-side partial
       ``max_by`` collapses them to ONE 24-byte row per vector before
       anything shuffles, then vectors rejoin by id (corpus crosses the
-      wire once, vs. zero for the pandas tier)."""
+      wire once, vs. zero for the pandas tier).
+
+    ``centroids`` swaps the seeded centroid table for trained ones
+    (:func:`train_ivf_centroids`) — same two assignment tiers, same
+    argmax rule; only the centroid VALUES change (recall, not plan
+    shape)."""
     prepped = _prep(corpus)
-    seeds = prepped.filter(F.col("vec_id") % seed_stride == 0).withColumnRenamed(
-        "vec_id", "seed_id"
-    )
+    seeds = _seed_frame(corpus, seed_stride, centroids)
 
     seed_rows = sorted(
         seeds.limit(MAX_LITERAL_SEEDS + 1).collect(), key=lambda r: r["seed_id"]
@@ -306,6 +355,7 @@ def ivf_topk(
     k: int = 3,
     nprobe: int = 2,
     seed_stride: int = 50,
+    centroids: list | None = None,
 ) -> DataFrame:
     """ANN top-k via inverted lists: each probe searches only its
     ``nprobe`` nearest lists — (probe_id, rank, vec_id, cos).
@@ -313,12 +363,11 @@ def ivf_topk(
     Recall < 1 by design (that is the ANN trade); precision within the
     searched lists is exact.  The probe→list assignment reuses
     :func:`ivf_assign`'s ordering rule, so results are deterministic.
+    ``centroids`` uses trained centroids for BOTH the corpus assignment
+    and the probe→list routing (they must agree or recall craters).
     """
-    assigned = ivf_assign(corpus, seed_stride)
-    prepped = _prep(corpus)
-    seeds = prepped.filter(F.col("vec_id") % seed_stride == 0).withColumnRenamed(
-        "vec_id", "seed_id"
-    )
+    assigned = ivf_assign(corpus, seed_stride, centroids=centroids)
+    seeds = _seed_frame(corpus, seed_stride, centroids)
     # nprobe nearest lists per probe (probe may be a corpus member of
     # another list — search is over lists, membership is irrelevant).
     a = _prep(probes).withColumnRenamed("vec_id", "probe_id").alias("a")

@@ -101,10 +101,9 @@ def sim_cosine_near_pairs(spark, sf_dir):
     return S.cosine_near_pairs(probes, corpus, threshold=0.35)
 
 
-@query(
-    "sim_ivf_topk",
-    oracle=f"""
-    WITH {_E},
+#: The IVF pipeline as DuckDB CTEs (seeded assignment → probe routing →
+#: list-pruned ranking) — shared by the topk and recall oracles.
+_IVF_CTES = f"""{_E},
     seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e
               WHERE vec_id % {_PROBE_STRIDE} = 0),
     assign AS (
@@ -134,7 +133,13 @@ def sim_cosine_near_pairs(spark, sf_dir):
                ROW_NUMBER() OVER (PARTITION BY probe_id
                                   ORDER BY {_cos('pv', 'v')} DESC, vec_id) AS rank
         FROM cand
-    )
+    )"""
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH {_IVF_CTES}
     SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= 3
     """,
 )
@@ -144,6 +149,60 @@ def sim_ivf_topk(spark, sf_dir):
     ~(1 - nprobe/nlists) of the corpus before any distance math)."""
     probes, corpus = _probes(spark, sf_dir)
     return S.ivf_topk(probes, corpus, k=3, nprobe=2, seed_stride=_PROBE_STRIDE)
+
+
+@query(
+    "sim_ivf_recall",
+    oracle=f"""
+    WITH {_IVF_CTES},
+    ivf AS (SELECT probe_id, vec_id FROM ranked WHERE rank <= 3),
+    xranked AS (
+        SELECT probe_id, e.vec_id AS vec_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY {_cos('pv', 'v')} DESC, e.vec_id) AS rank
+        FROM p CROSS JOIN e WHERE probe_id != e.vec_id
+    ),
+    exact AS (SELECT probe_id, vec_id FROM xranked WHERE rank <= 3),
+    hits AS (
+        SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM ivf JOIN exact USING (probe_id, vec_id)
+        GROUP BY probe_id
+    )
+    SELECT p.probe_id,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) / 3.0 AS recall_at_3
+    FROM p LEFT JOIN hits h ON p.probe_id = h.probe_id
+    """,
+)
+def sim_ivf_recall(spark, sf_dir):
+    """Measured ANN quality: per-probe recall@3 of the IVF index
+    against the exact brute-force top-3 — the number an operator of the
+    100 TB index watches when tuning nlists/nprobe.  Deterministic
+    because the seeded assignment is; the oracle replays both pipelines
+    and computes the same intersection.  (The KMeans-trained centroid
+    path, ``train_ivf_centroids``, raises this metric but is
+    cross-engine-irreproducible, so it is pytest-verified instead.)"""
+    probes, corpus = _probes(spark, sf_dir)
+    ann = S.ivf_topk(
+        probes, corpus, k=3, nprobe=2, seed_stride=_PROBE_STRIDE
+    ).select("probe_id", "vec_id")
+    exact = S.cosine_topk(probes, corpus, k=3).select("probe_id", "vec_id")
+    hits = (
+        ann.join(exact, ["probe_id", "vec_id"])
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        probes.select(F.col("vec_id").alias("probe_id"))
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(3.0)).alias(
+                "recall_at_3"
+            ),
+        )
+    )
 
 
 @query(

@@ -175,6 +175,40 @@ def test_ivf_subset_of_brute(spark, sf_smoke):
     assert hits == len({r.probe_id for r in ivf})
 
 
+def test_ivf_trained_centroids(spark, sf_smoke):
+    """The KMeans path plugs trained centroids into the SAME ivf
+    machinery: every vector gets a list in [0, nlists), ivf_topk
+    returns valid exact-cosine candidates, and recall@3 vs brute force
+    is at least as good as chance would allow (the probe's own list is
+    always searched, so rank-1 self-neighbors are found)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    cents = S.train_ivf_centroids(emb, nlists=8, seed=7, max_iter=5)
+    assert len(cents) == 8 and all(len(v) > 0 for _, v in cents)
+
+    assigned = S.ivf_assign(emb, centroids=cents)
+    lists = {r.list_id for r in assigned.select("list_id").distinct().collect()}
+    assert lists <= set(range(8)) and len(lists) > 1
+    assert assigned.count() == emb.count()
+
+    brute = {
+        (r.probe_id, r.vec_id): r.cos
+        for r in S.cosine_topk(probes, emb, k=500).collect()
+    }
+    ivf = S.ivf_topk(probes, emb, k=3, nprobe=2, centroids=cents).collect()
+    assert ivf
+    for r in ivf:
+        assert math.isclose(r.cos, brute[(r.probe_id, r.vec_id)], rel_tol=1e-12)
+    # deterministic given (data, seed, partitioning): rerun agrees
+    again = S.ivf_topk(
+        probes, emb, k=3, nprobe=2,
+        centroids=S.train_ivf_centroids(emb, nlists=8, seed=7, max_iter=5),
+    ).collect()
+    assert {(r.probe_id, r.rank, r.vec_id) for r in ivf} == {
+        (r.probe_id, r.rank, r.vec_id) for r in again
+    }
+
+
 def test_multimodal_stub_gating():
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG")
