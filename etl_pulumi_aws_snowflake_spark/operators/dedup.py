@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import deferred_persist
 from ..functions import hashing as H
 
 
@@ -83,10 +84,12 @@ def jaccard_pairs(
 
     The (hash-heavy) shingle subtree feeds the inverted index AND both
     size rejoins — persisted so the corpus is shingled once, not three
-    times (same discipline as :func:`minhash_lsh_pairs`; release via
-    ``spark.catalog.clearCache()`` in long-lived sessions).
+    times (same discipline as :func:`minhash_lsh_pairs`).  The persist
+    is registered in the deferred pool (``cache.deferred_persist``):
+    the query registry releases it at the next query boundary, so it
+    cannot leak in a long-lived session.
     """
-    sets = shingle_sets(docs, k, text_col, id_col).persist()
+    sets = deferred_persist(shingle_sets(docs, k, text_col, id_col))
     inv = sets.select(F.col(id_col), F.explode("shingles").alias("sh"))
     if max_doc_freq is not None:
         freq = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -136,10 +139,9 @@ def minhash_lsh_pairs(
 
     The shingle subtree is persisted for the duration of the plan (it
     feeds candidate generation AND both sides of the verify join);
-    callers running in a long-lived session should release it after
-    materializing the result — ``spark.catalog.clearCache()`` or the
-    returned frame's lineage keeps it pinned otherwise (bench.py does
-    exactly this between queries).
+    the persist sits in the deferred pool (``cache.deferred_persist``),
+    released automatically at the next query-registry boundary — after
+    the caller has materialized this plan in any sequential run.
     """
     if num_hashes % bands != 0:
         raise ValueError(
@@ -154,10 +156,8 @@ def minhash_lsh_pairs(
     # heavy) subtree three times — persist makes it once.  At 100 TB
     # this is the difference between one corpus-wide hashing pass and
     # three; MEMORY_AND_DISK spills instead of recomputing.
-    sets = (
-        shingle_sets(docs, k, text_col, id_col)
-        .filter(F.col("n_shingles") > 0)
-        .persist()
+    sets = deferred_persist(
+        shingle_sets(docs, k, text_col, id_col).filter(F.col("n_shingles") > 0)
     )
 
     # MinHash signatures via explode + codegen hash-aggregate: one

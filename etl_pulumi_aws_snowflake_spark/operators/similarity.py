@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import deferred_persist
 from ..functions import vectors as V
 
 #: dot over pre-cast double arrays — the only per-pair fold.
@@ -329,10 +330,11 @@ def semantic_near_pairs(
 
     The assignment subtree is persisted for the duration of the plan:
     both sides of the self-join read it, and without the persist Spark
-    computes the (broadcast × corpus) argmax twice.  Callers that
-    materialize the result should ``spark.catalog.clearCache()`` (the
-    bench harness does) or unpersist explicitly."""
-    assigned = ivf_assign(corpus, seed_stride).persist()
+    computes the (broadcast × corpus) argmax twice.  The persist sits
+    in the deferred pool (``cache.deferred_persist``) and is released
+    automatically at the next query-registry boundary — after the
+    caller has materialized this plan in any sequential run."""
+    assigned = deferred_persist(ivf_assign(corpus, seed_stride))
     a, b = assigned.alias("a"), assigned.alias("b")
     return (
         a.join(

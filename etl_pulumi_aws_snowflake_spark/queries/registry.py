@@ -7,6 +7,7 @@ from functools import wraps
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..cache import query_boundary
 from ..session import configure
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -26,6 +27,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             # The correctness driver hands us its own session; pin the
             # runtime-settable conf (UTC tz, AQE) it may not have set.
             configure(spark)
+            # A DIFFERENT query starting means the previous query's
+            # operator-internal persists and localCheckpoints have
+            # served their materialization (sequential runs) — release
+            # them so storage never accumulates across queries.
+            # Same-name reps share their plan cache (see cache.py).
+            query_boundary(spark, name)
             return fn(spark, sf_dir)
 
         QUERIES[name] = wrapped

@@ -315,3 +315,31 @@ def test_cosine_topk_blas_rejects_oversized_probe_set(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with pytest.raises(ValueError, match="max_probes"):
         S.cosine_topk_blas(emb, emb, 5, max_probes=10)
+
+
+def test_operator_persists_released_at_query_boundary(spark, sf_smoke):
+    """Operator-internal persists (minhash/ngram shingle sets, the
+    semantic_near_pairs IVF assignment) must not outlive their query in
+    a registry run: the deferred pool releases them when the next
+    registry query starts, so a sequential session never accumulates
+    caches."""
+    from etl_pulumi_aws_snowflake_spark.queries import all_queries
+
+    qs = all_queries()
+    spark.catalog.clearCache()
+
+    def n_persisted():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    # a persisting query, materialized (as the driver would)
+    qs["dedup_minhash_lsh"](spark, sf_smoke).collect()
+    assert n_persisted() > 0  # the shingle cache is live for this query
+
+    # next registry query -> previous query's caches are released
+    qs["dedup_exact"](spark, sf_smoke).collect()
+    assert n_persisted() == 0
+
+    # same for the semantic_near_pairs assignment persist
+    qs["dedup_embedding_survivors"](spark, sf_smoke).collect()
+    qs["dedup_exact"](spark, sf_smoke).collect()
+    assert n_persisted() == 0
