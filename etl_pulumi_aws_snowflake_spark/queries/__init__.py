@@ -50,6 +50,9 @@ _DRIVER_FIRST = [
     "pipeline_batch_e2e", "pipeline_stream_e2e", "cdc_merge_stream_e2e",
     "merge_upsert_customers", "scd2_user_state",
     "sim_ivf_topk", "dedup_embedding_survivors", "sim_cosine_near_pairs",
+    # r04 (c): deferred-persist rewrite touched the shingle subtrees —
+    # recertify the persisting dedup entries on the new code
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_survivors",
     # r03 order below (already green; fills the remaining slots)
     # (a) never driver-checked (registered after the r02 slot list froze)
     "join_salted", "agg_approx_quantile", "sim_cosine_topk_blas",
