@@ -56,15 +56,44 @@ _ORACLE = """
 """
 
 
+_SCRATCH_ROOT = os.path.join("/tmp", "spark_graft_pipeline_e2e")
+
+
+def _reap_dead_pid_dirs() -> None:
+    """Remove sibling pid-scoped scratch roots whose owning process has
+    exited — keeps /tmp bounded across many driver/pytest runs without
+    ever touching a LIVE process's dirs."""
+    try:
+        entries = os.listdir(_SCRATCH_ROOT)
+    except FileNotFoundError:
+        return
+    for d in entries:
+        if not d.startswith("pid"):
+            continue
+        try:
+            pid = int(d[3:])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # signal 0: existence check only
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(_SCRATCH_ROOT, d), ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid — leave it
+
+
 def _workdir(sf_dir: str, leaf: str) -> str:
     # Keyed by PID as well as sf dir so concurrent processes (driver run
     # alongside pytest, pytest-xdist) never clobber each other's
     # landing/checkpoint dirs.  The returned DataFrames read these paths
     # lazily, so cleanup happens on the NEXT entry within the same
-    # process (rmtree-on-entry), not on query return.
+    # process (rmtree-on-entry), not on query return; dead processes'
+    # roots are reaped opportunistically.
+    _reap_dead_pid_dirs()
     root = os.path.join(
-        "/tmp",
-        "spark_graft_pipeline_e2e",
+        _SCRATCH_ROOT,
         f"pid{os.getpid()}",
         os.path.basename(sf_dir.rstrip("/")),
         leaf,

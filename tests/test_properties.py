@@ -417,3 +417,67 @@ def test_bucketized_range_join_matches_broadcast(spark, case):
         .collect()
     )
     assert bucketized == broadcast_inner
+
+
+# ------------------------------------------------- partition-pruned MERGE
+
+
+@st.composite
+def _pruned_merge_case(draw):
+    """Target/source with partition p functionally determined by the key
+    (p = k % 3) — the pruned merge's stable-partition contract — and
+    adversarial variety: absent-key deletes, empty sides, partitions
+    fully emptied, inserts into brand-new partitions."""
+    tkeys = draw(st.lists(st.integers(0, 9), min_size=0, max_size=8, unique=True))
+    skeys = draw(st.lists(st.integers(0, 11), min_size=0, max_size=8, unique=True))
+    target = [(k, k % 3, draw(_val)) for k in tkeys]
+    source = [(k, k % 3, draw(_val), draw(st.booleans())) for k in skeys]
+    return target, source
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(_pruned_merge_case())
+def test_pruned_merge_matches_full_merge_property(spark, case):
+    import shutil
+    import tempfile
+
+    from etl_pulumi_aws_snowflake_spark.operators.warehouse import (
+        merge_upsert_pruned,
+    )
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_commit_partitioned,
+        snapshot_read,
+    )
+
+    target_rows, source_rows = case
+    tschema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("p", LongType()),
+            StructField("v", LongType(), True),
+        ]
+    )
+    sschema = StructType(
+        list(tschema.fields) + [StructField("is_delete", BooleanType())]
+    )
+    target = spark.createDataFrame(target_rows, tschema)
+    source = spark.createDataFrame(source_rows, sschema)
+
+    root = tempfile.mkdtemp(prefix="pruned_merge_prop_")
+    try:
+        snapshot_commit_partitioned(target, root, "p")
+        merge_upsert_pruned(spark, root, source, ["k"], "p", delete_col="is_delete")
+        got = _nsort(tuple(r) for r in snapshot_read(spark, root).collect())
+        want = _nsort(
+            tuple(r)
+            for r in merge_upsert(
+                target, source, key=["k"], delete_col="is_delete"
+            ).collect()
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
