@@ -23,17 +23,23 @@ that resolved ``_CURRENT`` just before a swap may still be scanning it.
 
 **Partitioned versions (partition-pruned MERGE).**  A version written
 by :func:`snapshot_commit_partitioned` lays its rows out Hive-style
-under ``v-NNNNN/data/<pcol>=<value>/`` and records a ``_MANIFEST.json``
+under ``v-NNNNN/data/_p=<value>/`` and records a ``_MANIFEST.json``
 mapping every live partition VALUE to the version dir that physically
-holds it.  A pruned commit writes ONLY the changed partitions' data and
-carries every untouched partition forward as a manifest pointer to the
-older version — reference, not copy, exactly how Iceberg/Delta MERGE
-touches only matching data files.  At 100 TB this turns a per-CDC-batch
-full-table rewrite into Σ|changed partitions|.  GC then keeps, besides
-the last ``keep`` version dirs, any older version still referenced by a
-kept manifest (the expire-snapshots rule).  Pointers always name the
-version that physically holds the data (carried-forward entries copy
-the previous manifest's pointer), so references never chain.
+holds it.  The partition column is DUPLICATED into the data files (the
+``_p`` dir key is a write-time copy): a manifest read is then one
+``spark.read.parquet(dir, dir, ...)`` over the selected dirs — a
+single scan relation whose plan size does not grow with partition
+count, with exact column values (no dir-name type inference), which is
+what survives 10⁴+ partitions.  A pruned commit writes ONLY the
+changed partitions' data and carries every untouched partition forward
+as a manifest pointer to the older version — reference, not copy,
+exactly how Iceberg/Delta MERGE touches only matching data files.  At
+100 TB this turns a per-CDC-batch full-table rewrite into Σ|changed
+partitions|.  GC then keeps, besides the last ``keep`` version dirs,
+any older version still referenced by a kept manifest (the
+expire-snapshots rule).  Pointers always name the version that
+physically holds the data (carried-forward entries copy the previous
+manifest's pointer), so references never chain.
 
 Path manipulation uses the local filesystem API (the test/driver
 environment); a cluster port swaps ``open``/``os.replace`` for the
@@ -46,7 +52,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,6 +59,9 @@ from pyspark.sql import types as T
 
 _POINTER = "_CURRENT"
 _MANIFEST = "_MANIFEST.json"
+#: Internal dir-key column for partitioned versions; the real partition
+#: column stays IN the data files (see module docstring).
+_PDIR = "_p"
 
 
 def _current_version(root: str) -> str | None:
@@ -73,8 +81,8 @@ def _read_manifest(root: str, version: str) -> dict | None:
         return None
 
 
-def _partition_dir(root: str, version: str, pcol: str, value: str) -> str:
-    return os.path.join(root, version, "data", f"{pcol}={value}")
+def _partition_dir(root: str, version: str, value: str) -> str:
+    return os.path.join(root, version, "data", f"{_PDIR}={value}")
 
 
 def snapshot_read(
@@ -100,21 +108,19 @@ def snapshot_read(
                 "has no manifest"
             )
         return spark.read.parquet(os.path.join(root, v))
-    pcol, ptype, columns = man["partition_col"], man["partition_type"], man["columns"]
+    columns = man["columns"]
     entries: dict[str, str] = man["entries"]
     if partition_values is not None:
         wanted = {str(x) for x in partition_values}
         entries = {k: ver for k, ver in entries.items() if k in wanted}
-    parts = [
-        spark.read.parquet(_partition_dir(root, ver, pcol, val)).withColumn(
-            pcol, F.lit(val).cast(ptype)
-        )
-        for val, ver in entries.items()
-    ]
-    if not parts:
+    paths = [_partition_dir(root, ver, val) for val, ver in entries.items()]
+    if not paths:
         schema = T.StructType.fromJson(json.loads(man["schema"]))
         return spark.createDataFrame([], schema).select(*columns)
-    return reduce(lambda a, b: a.unionByName(b), parts).select(*columns)
+    # One scan relation over the selected dirs (wherever their version
+    # lives); the partition column is read from the data files, so no
+    # dir-name type inference and no per-partition plan nodes.
+    return spark.read.parquet(*paths).select(*columns)
 
 
 def _next_version(root: str) -> str:
@@ -185,13 +191,18 @@ def snapshot_commit_partitioned(
 
     Partition values must be Hive-dir-safe and non-null (ints or simple
     strings — the standard partition-column contract)."""
+    if _PDIR in df.columns:
+        raise ValueError(f"column name {_PDIR!r} is reserved by the snapshot layout")
     new = _next_version(root)
     ddir = os.path.join(root, new, "data")
-    df.write.mode("overwrite").partitionBy(partition_col).parquet(ddir)
+    # Partition by a COPY of the column: the dir key gives the layout,
+    # while the real column stays in the data files so reads never
+    # depend on dir-name parsing (exact values, single scan relation).
+    df.withColumn(_PDIR, F.col(partition_col)).write.mode("overwrite").partitionBy(
+        _PDIR
+    ).parquet(ddir)
     written = {
-        d.split("=", 1)[1]
-        for d in os.listdir(ddir)
-        if d.startswith(f"{partition_col}=")
+        d.split("=", 1)[1] for d in os.listdir(ddir) if d.startswith(f"{_PDIR}=")
     }
 
     entries: dict[str, str] = {}

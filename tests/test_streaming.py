@@ -381,7 +381,7 @@ def _seed_partitioned(spark, root):
 def _part_files(root, version, p):
     import os
 
-    d = os.path.join(root, version, "data", f"p={p}")
+    d = os.path.join(root, version, "data", f"_p={p}")
     out = {}
     for f in sorted(os.listdir(d)):
         if f.endswith(".parquet"):
@@ -441,8 +441,8 @@ def test_pruned_merge_unrelated_partition_is_untouched_bytes(spark, tmp_path):
     with open(os.path.join(root, v, "_MANIFEST.json")) as f:
         man = json.load(f)
     assert man["entries"] == {"0": "v-00001", "1": "v-00002", "2": "v-00001"}
-    assert not os.path.exists(os.path.join(root, v, "data", "p=0"))
-    assert not os.path.exists(os.path.join(root, v, "data", "p=2"))
+    assert not os.path.exists(os.path.join(root, v, "data", "_p=0"))
+    assert not os.path.exists(os.path.join(root, v, "data", "_p=2"))
     for p in (0, 2):
         assert _part_files(root, "v-00001", p) == before[p]
 
