@@ -201,3 +201,40 @@ def test_minhash_signature_shuffle_is_narrow(spark):
         assert "text#" not in cols, cols
         assert "shingles#" not in cols, cols
     spark.catalog.clearCache()
+
+
+def test_partitioned_snapshot_read_is_single_scan(spark, tmp_path):
+    """A manifest snapshot read must be ONE parquet scan relation no
+    matter how many partitions (or versions) back it — the partition
+    column rides in the data files, so the plan cannot grow with
+    partition count (the property that survives 10^4+ partitions)."""
+    from pyspark.sql import functions as F
+
+    from etl_pulumi_aws_snowflake_spark.operators.warehouse import merge_upsert_pruned
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_commit_partitioned,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "snap")
+    df = spark.createDataFrame(
+        [(i, i % 5, f"r{i}") for i in range(50)], "k bigint, p bigint, v string"
+    )
+    snapshot_commit_partitioned(df, root, "p")
+    # a pruned merge so the live manifest spans TWO versions
+    batch = spark.createDataFrame(
+        [(2, 2, "UPD", False)], "k bigint, p bigint, v string, is_delete boolean"
+    )
+    merge_upsert_pruned(spark, root, batch, ["k"], "p", delete_col="is_delete")
+
+    out = snapshot_read(spark, root)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # formatted explain prints each node twice (tree + detail): one
+    # scan == one file index listing all selected partition dirs
+    assert plan.count("InMemoryFileIndex") == 1, plan
+    assert "Union" not in plan, plan
+    # and the values (incl. the partition column) round-trip exactly
+    assert out.filter(F.col("p") == 2).count() == 10
+    assert {tuple(r) for r in out.filter("k = 2").collect()} == {(2, 2, "UPD")}
