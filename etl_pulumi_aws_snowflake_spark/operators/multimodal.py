@@ -124,6 +124,48 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_media(media: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """'Resize' for the image-shaped path: deterministic byte-stride
+    downsampling of each payload to ≈``target_bytes`` — (doc_id,
+    in_bytes, stride, out_bytes, out_checksum).
+
+    The stride pick (``max(1, in_bytes // target)``) and the sampled
+    bytes are the deterministic stand-in for the codec-bound step (a
+    real deployment swaps in ``PIL.Image.resize`` behind
+    :func:`decode_image`); the batch shape — payload in, smaller
+    payload-derived row out, one Python worker streaming a partition —
+    is the part a real resizer shares.  Size/stride math is
+    oracle-checked; the checksum is pytest-verified (bytes-level, not
+    SQL-expressible without byte/char assumptions)."""
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("in_bytes", LongType()),
+            StructField("stride", LongType()),
+            StructField("out_bytes", LongType()),
+            StructField("out_checksum", StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "in_bytes", "stride", "out_bytes", "out_checksum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                buf = decode_image(payload, fake=True)
+                n = len(buf)
+                stride = max(1, n // target_bytes)
+                out = buf[::stride]
+                rows["doc_id"].append(doc_id)
+                rows["in_bytes"].append(n)
+                rows["stride"].append(stride)
+                rows["out_bytes"].append(len(out))
+                rows["out_checksum"].append(hashlib.md5(out).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' for the video-shaped path: emit one row per
     byte-offset sample of each payload (UDTF-shaped explode inside

@@ -43,7 +43,7 @@ _DRIVER_FIRST = [
     # r04 (a): new queries — the formerly pass-local stateful-streaming
     # ops now run TRUE StreamingQueries inside the registry callable
     "stream_stateful_dedup_e2e", "stream_interval_join_e2e",
-    "cdc_merge_pruned_e2e", "sim_ivf_recall",
+    "cdc_merge_pruned_e2e", "sim_ivf_recall", "mm_resize",
     # r04 (b): recertification on r04 code changes — PID-scoped e2e
     # scratch dirs (pipeline_*), snapshot-prune numeric sort +
     # partition-pruned MERGE (cdc/merge/scd2), similarity changes

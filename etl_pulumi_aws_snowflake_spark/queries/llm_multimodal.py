@@ -29,6 +29,31 @@ def mm_binary_features(spark, sf_dir):
 
 
 @query(
+    "mm_resize",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS in_bytes
+        FROM documents
+    )
+    SELECT doc_id, in_bytes,
+           GREATEST(1, in_bytes // 64) AS stride,
+           (in_bytes + GREATEST(1, in_bytes // 64) - 1)
+             // GREATEST(1, in_bytes // 64) AS out_bytes
+    FROM p
+    """,
+)
+def mm_resize(spark, sf_dir):
+    """Resize plumbing (image-shaped path): byte-stride downsample to
+    ~64 bytes per payload through iterator mapInPandas.  The judged
+    columns are the exact size/stride arithmetic; the sampled-bytes
+    checksum is pytest-verified."""
+    return M.resize_media(
+        M.as_media(t(spark, sf_dir, "documents")), target_bytes=64
+    ).select("doc_id", "in_bytes", "stride", "out_bytes")
+
+
+@query(
     "mm_frame_sample",
     oracle="""
     WITH offsets AS (

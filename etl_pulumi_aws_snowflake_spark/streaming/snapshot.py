@@ -97,9 +97,7 @@ def snapshot_read(
     the read side of partition-pruned MERGE.  On an unpartitioned
     snapshot it degrades to a post-scan filter."""
     v = _current_version(root)
-    if v is None:
-        return spark.read.parquet(root)
-    man = _read_manifest(root, v)
+    man = _read_manifest(root, v) if v is not None else None
     if man is None:
         if partition_values is not None:
             raise ValueError(
@@ -107,7 +105,7 @@ def snapshot_read(
                 "(snapshot_commit_partitioned); this root's live version "
                 "has no manifest"
             )
-        return spark.read.parquet(os.path.join(root, v))
+        return spark.read.parquet(os.path.join(root, v) if v else root)
     columns = man["columns"]
     entries: dict[str, str] = man["entries"]
     if partition_values is not None:

@@ -343,3 +343,30 @@ def test_operator_persists_released_at_query_boundary(spark, sf_smoke):
     qs["dedup_embedding_survivors"](spark, sf_smoke).collect()
     qs["dedup_exact"](spark, sf_smoke).collect()
     assert n_persisted() == 0
+
+
+def test_resize_media_checksum_matches_local(spark, sf_smoke):
+    """resize_media's sampled bytes (the part the SQL oracle can't
+    express) must equal a local python replay of the same stride walk."""
+    import hashlib
+
+    from etl_pulumi_aws_snowflake_spark.operators.multimodal import (
+        as_media,
+        resize_media,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").limit(50)
+    got = {
+        r.doc_id: (r.in_bytes, r.stride, r.out_bytes, r.out_checksum)
+        for r in resize_media(as_media(docs), target_bytes=64).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        buf = r.text.encode("utf-8")
+        stride = max(1, len(buf) // 64)
+        out = buf[::stride]
+        assert got[r.doc_id] == (
+            len(buf),
+            stride,
+            len(out),
+            hashlib.md5(out).hexdigest(),
+        )
