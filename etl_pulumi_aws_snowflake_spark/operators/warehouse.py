@@ -79,6 +79,7 @@ def merge_upsert_pruned(
     partition_col: str,
     delete_col: str | None = None,
     keep: int = 2,
+    max_pruned_partitions: int = MAX_PRUNED_PARTITIONS,
 ) -> str:
     """Partition-pruned MERGE into a versioned snapshot: read ONLY the
     partitions named by the batch, merge, rewrite only those, carry the
@@ -111,10 +112,10 @@ def merge_upsert_pruned(
             r[0]
             for r in source.select(partition_col)
             .distinct()
-            .limit(MAX_PRUNED_PARTITIONS + 1)
+            .limit(max_pruned_partitions + 1)
             .collect()
         ]
-        if len(pvals) > MAX_PRUNED_PARTITIONS:
+        if len(pvals) > max_pruned_partitions:
             pvals = None
 
     target = snapshot_read(spark, snapshot_root, partition_values=pvals)

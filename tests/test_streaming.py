@@ -504,3 +504,37 @@ def test_gc_keeps_referenced_versions(spark, tmp_path):
     assert not os.path.exists(os.path.join(root, "v-00001"))
     # table still fully readable from surviving referenced versions
     assert snapshot_read(spark, root).count() == 30
+
+
+def test_pruned_merge_wide_batch_falls_back_to_full_rewrite(spark, tmp_path):
+    """A batch spreading over more partitions than the prune cap must
+    fall back to the full rewrite — and still be correct, with every
+    partition's manifest entry pointing at the NEW version."""
+    import json
+    import os
+
+    from etl_pulumi_aws_snowflake_spark.operators.warehouse import merge_upsert_pruned
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import snapshot_read
+
+    root = str(tmp_path / "snap")
+    _seed_partitioned(spark, root)
+    # batch touches 2 partitions but the cap is 1 -> full rewrite
+    batch = spark.createDataFrame(
+        [(4, 1, "UPD", False), (5, 2, "UPD", False)],
+        "k bigint, p bigint, v string, is_delete boolean",
+    )
+    v = merge_upsert_pruned(
+        spark, root, batch, ["k"], "p", delete_col="is_delete",
+        max_pruned_partitions=1,
+    )
+    with open(os.path.join(root, v, "_MANIFEST.json")) as f:
+        man = json.load(f)
+    assert set(man["entries"].values()) == {v}
+    got = {(r.k, r.v) for r in snapshot_read(spark, root).collect()}
+    assert (4, "UPD") in got and (5, "UPD") in got and len(got) == 30
+
+    # and a pruned read of a value with no manifest entry is empty but
+    # keeps the schema (the empty-manifest-subset branch)
+    empty = snapshot_read(spark, root, partition_values=[99])
+    assert empty.columns == ["k", "p", "v"]
+    assert empty.count() == 0
