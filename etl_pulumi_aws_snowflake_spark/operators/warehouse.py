@@ -80,6 +80,7 @@ def merge_upsert_pruned(
     delete_col: str | None = None,
     keep: int = 2,
     max_pruned_partitions: int = MAX_PRUNED_PARTITIONS,
+    fs=None,
 ) -> str:
     """Partition-pruned MERGE into a versioned snapshot: read ONLY the
     partitions named by the batch, merge, rewrite only those, carry the
@@ -95,17 +96,29 @@ def merge_upsert_pruned(
     The distinct partition values of the batch are collected (bounded:
     a CDC batch touches few partitions; above MAX_PRUNED_PARTITIONS the
     merge falls back to a full rewrite, which is also the upgrade path
-    from an unpartitioned seed snapshot).
+    from an unpartitioned seed snapshot).  Batch partition values are
+    validated against the snapshot layout's Hive-dir-safe contract
+    BEFORE any merge work, so a bad CDC batch fails fast instead of
+    after the join (``snapshot.py`` re-validates at commit).
+
+    ``fs`` is the snapshot protocol's filesystem seam
+    (``streaming/snapshot.LocalFilesystem`` by default — pass a
+    Hadoop/S3-backed implementation on a cluster).
     """
     from ..streaming.snapshot import (
+        DEFAULT_FS,
         _current_version,
         _read_manifest,
+        _validate_partition_value,
         snapshot_commit_partitioned,
         snapshot_read,
     )
 
-    live = _current_version(snapshot_root)
-    partitioned = live is not None and _read_manifest(snapshot_root, live) is not None
+    fs = fs or DEFAULT_FS
+    live = _current_version(snapshot_root, fs)
+    partitioned = (
+        live is not None and _read_manifest(snapshot_root, live, fs) is not None
+    )
     pvals = None
     if partitioned:
         pvals = [
@@ -117,11 +130,14 @@ def merge_upsert_pruned(
         ]
         if len(pvals) > max_pruned_partitions:
             pvals = None
+        else:
+            for v in pvals:
+                _validate_partition_value(v, f"CDC batch {partition_col!r}")
 
-    target = snapshot_read(spark, snapshot_root, partition_values=pvals)
+    target = snapshot_read(spark, snapshot_root, partition_values=pvals, fs=fs)
     merged = merge_upsert(target, source, key=key, delete_col=delete_col)
     return snapshot_commit_partitioned(
-        merged, snapshot_root, partition_col, changed_values=pvals, keep=keep
+        merged, snapshot_root, partition_col, changed_values=pvals, keep=keep, fs=fs
     )
 
 

@@ -38,6 +38,7 @@ def stream_cdc_merge(
     delete_col: str | None = None,
     partition_col: str | None = None,
     await_termination: bool = True,
+    fs=None,
 ):
     """Watch ``changes_dir`` for JSON change files; MERGE each batch
     into the Parquet snapshot at ``snapshot_path``.  Returns the
@@ -47,7 +48,11 @@ def stream_cdc_merge(
     (``merge_upsert_pruned``): only partitions named by the batch are
     rewritten, the rest ride along as manifest references — O(changed
     partitions) per batch instead of O(table).  Requires the pruned
-    merge's stable-partition-column contract."""
+    merge's stable-partition-column contract.
+
+    ``fs`` is the snapshot protocol's filesystem seam
+    (``streaming/snapshot.LocalFilesystem`` by default — pass a
+    Hadoop/S3-backed implementation on a cluster)."""
     stream = (
         spark.readStream.schema(change_schema)
         .option("pathGlobFilter", "*.json")
@@ -65,11 +70,12 @@ def stream_cdc_merge(
                 key=key,
                 partition_col=partition_col,
                 delete_col=delete_col,
+                fs=fs,
             )
             return
-        target = snapshot_read(spark, snapshot_path)
+        target = snapshot_read(spark, snapshot_path, fs=fs)
         merged = merge_upsert(target, batch_df, key=key, delete_col=delete_col)
-        snapshot_commit(merged, snapshot_path)
+        snapshot_commit(merged, snapshot_path, fs=fs)
 
     query = (
         stream.writeStream.foreachBatch(apply_batch)

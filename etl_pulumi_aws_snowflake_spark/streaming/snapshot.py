@@ -9,10 +9,10 @@ Layout under one snapshot root::
       v-00002/
 
 Writers publish a NEW version dir, then atomically swap the
-``_CURRENT`` pointer (``os.replace`` — POSIX rename atomicity; on an
-object store the same pattern is an atomic single-key PUT, which is how
-Delta's ``_last_checkpoint`` and Iceberg's ``version-hint.text`` do
-it).  Readers resolve the pointer once and scan an immutable dir, so a
+``_CURRENT`` pointer (rename atomicity; on an object store the same
+pattern is an atomic single-key PUT, which is how Delta's
+``_last_checkpoint`` and Iceberg's ``version-hint.text`` do it).
+Readers resolve the pointer once and scan an immutable dir, so a
 read concurrent with a rewrite sees entirely-old or entirely-new rows,
 never a half-written table — the transactionality the reference
 delegates to Snowflake (reference ``modules/snowflake.py:158-167``),
@@ -41,10 +41,28 @@ expire-snapshots rule).  Pointers always name the version that
 physically holds the data (carried-forward entries copy the previous
 manifest's pointer), so references never chain.
 
-Path manipulation uses the local filesystem API (the test/driver
-environment); a cluster port swaps ``open``/``os.replace`` for the
-Hadoop FileSystem equivalents with ``rename`` — the protocol is
-unchanged.
+**Partition-value contract — ENFORCED.**  Manifest keys are the
+partition values' string forms and must round-trip through a Hive dir
+name unchanged.  A value Spark's ``escapePathName`` would rewrite
+(``:``, ``/``, ``%``, …), an empty string, or a NULL
+(``__HIVE_DEFAULT_PARTITION__``) would make the dir key diverge from
+``str(value)`` — the changed partition's old manifest entry would not
+be popped while a new escaped-key entry is added, yielding duplicate
+rows on later reads.  :func:`snapshot_commit_partitioned` therefore
+REJECTS such values (checked driver-side for ``changed_values``, and
+against the written dir keys for the data itself, with the unpublished
+version dir cleaned up) instead of committing corruption.
+
+**Filesystem seam.**  All pointer/manifest path manipulation goes
+through a small injectable filesystem object (:class:`LocalFilesystem`
+by default) exposing exactly the five calls the protocol needs —
+``read_text`` / ``write_text`` / ``rename`` (atomic) / ``listdir`` /
+``rmtree``.  A cluster deployment passes an implementation backed by
+the Hadoop FileSystem API (``open``/``create``/``rename``/
+``listStatus``/``delete(recursive=True)``) or an object store's
+single-key PUT for ``rename`` — configuration, not surgery.  Spark's
+own Parquet IO already speaks Hadoop filesystems natively and needs no
+seam.
 """
 
 from __future__ import annotations
@@ -63,20 +81,86 @@ _MANIFEST = "_MANIFEST.json"
 #: column stays IN the data files (see module docstring).
 _PDIR = "_p"
 
+#: Characters Spark/Hive partition paths escape (the set
+#: ``ExternalCatalogUtils.charToEscape`` marks in the public Spark
+#: source: ASCII control chars plus ``" # % ' * / : = ? \\ { [ ] ^``
+#: and DEL).  A partition value containing any of these cannot be used
+#: as a manifest key — its dir name would not equal ``str(value)``.
+_HIVE_UNSAFE = frozenset('"#%\'*/:=?\\{[]^\x7f') | frozenset(
+    chr(c) for c in range(0x20)
+)
+_HIVE_NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
 
-def _current_version(root: str) -> str | None:
+
+class LocalFilesystem:
+    """Default (local-disk) implementation of the snapshot protocol's
+    filesystem seam.  ``rename`` MUST be atomic-replace — it is the
+    protocol's only commit primitive (pointer swap, manifest publish).
+
+    Hadoop/S3 port: ``read_text``→``FileSystem.open``, ``write_text``→
+    ``create``, ``rename``→``FileSystem.rename`` (HDFS) or a single-key
+    PUT (object stores — last-writer-wins on one key is atomic),
+    ``listdir``→``listStatus``, ``rmtree``→``delete(path, recursive)``.
+    """
+
+    def read_text(self, path: str) -> str:
+        """Return the file's text; raise ``FileNotFoundError`` if absent."""
+        with open(path) as f:
+            return f.read()
+
+    def write_text(self, path: str, text: str) -> None:
+        with open(path, "w") as f:
+            f.write(text)
+
+    def rename(self, src: str, dst: str) -> None:
+        """Atomic replace: after return, readers see dst's new content
+        entirely, never a partial write."""
+        os.replace(src, dst)
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def rmtree(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+DEFAULT_FS = LocalFilesystem()
+
+
+def _validate_partition_value(val, what: str) -> str:
+    """str(val) if it survives a Hive dir round-trip; raise otherwise
+    (nulls, empties, and escape-needing characters corrupt the manifest
+    key mapping — see module docstring)."""
+    if val is None:
+        raise ValueError(
+            f"partitioned snapshot {what} contains NULL: NULL partition "
+            f"values map to the {_HIVE_NULL_DIR} dir and cannot serve as "
+            "manifest keys — filter or fill the partition column first"
+        )
+    s = str(val)
+    if s == "" or s == _HIVE_NULL_DIR or any(ch in _HIVE_UNSAFE for ch in s):
+        raise ValueError(
+            f"partitioned snapshot {what} value {s!r} does not survive a "
+            "Hive partition-dir round-trip (empty, reserved, or contains "
+            "a character Spark's escapePathName rewrites); use a dir-safe "
+            "partition column (ints or simple strings)"
+        )
+    return s
+
+
+def _current_version(root: str, fs: LocalFilesystem = DEFAULT_FS) -> str | None:
     try:
-        with open(os.path.join(root, _POINTER)) as f:
-            v = f.read().strip()
+        v = fs.read_text(os.path.join(root, _POINTER)).strip()
         return v or None
     except FileNotFoundError:
         return None
 
 
-def _read_manifest(root: str, version: str) -> dict | None:
+def _read_manifest(
+    root: str, version: str, fs: LocalFilesystem = DEFAULT_FS
+) -> dict | None:
     try:
-        with open(os.path.join(root, version, _MANIFEST)) as f:
-            return json.load(f)
+        return json.loads(fs.read_text(os.path.join(root, version, _MANIFEST)))
     except FileNotFoundError:
         return None
 
@@ -86,7 +170,10 @@ def _partition_dir(root: str, version: str, value: str) -> str:
 
 
 def snapshot_read(
-    spark: SparkSession, root: str, partition_values: list | None = None
+    spark: SparkSession,
+    root: str,
+    partition_values: list | None = None,
+    fs: LocalFilesystem | None = None,
 ) -> DataFrame:
     """Load the live snapshot version (or the bare root for a seed
     table written by a plain ``df.write.parquet(root)``).
@@ -94,10 +181,13 @@ def snapshot_read(
     ``partition_values`` restricts a PARTITIONED snapshot to those
     partition values — physical pruning by construction (only the named
     manifest entries' dirs are opened, wherever their version lives),
-    the read side of partition-pruned MERGE.  On an unpartitioned
-    snapshot it degrades to a post-scan filter."""
-    v = _current_version(root)
-    man = _read_manifest(root, v) if v is not None else None
+    the read side of partition-pruned MERGE.  On an UNPARTITIONED
+    snapshot (no manifest) passing ``partition_values`` raises
+    ``ValueError`` — pruning needs the manifest's value→dir mapping;
+    there is no silent post-scan-filter fallback."""
+    fs = fs or DEFAULT_FS
+    v = _current_version(root, fs)
+    man = _read_manifest(root, v, fs) if v is not None else None
     if man is None:
         if partition_values is not None:
             raise ValueError(
@@ -121,20 +211,19 @@ def snapshot_read(
     return spark.read.parquet(*paths).select(*columns)
 
 
-def _next_version(root: str) -> str:
-    v = _current_version(root)
+def _next_version(root: str, fs: LocalFilesystem = DEFAULT_FS) -> str:
+    v = _current_version(root, fs)
     n = int(v.rsplit("-", 1)[1]) if v else 0
     return f"v-{n + 1:05d}"
 
 
-def _swap_pointer(root: str, new: str) -> None:
+def _swap_pointer(root: str, new: str, fs: LocalFilesystem = DEFAULT_FS) -> None:
     tmp = os.path.join(root, f".{_POINTER}.{new}.tmp")
-    with open(tmp, "w") as f:
-        f.write(new)
-    os.replace(tmp, os.path.join(root, _POINTER))
+    fs.write_text(tmp, new)
+    fs.rename(tmp, os.path.join(root, _POINTER))
 
 
-def _gc(root: str, keep: int) -> None:
+def _gc(root: str, keep: int, fs: LocalFilesystem = DEFAULT_FS) -> None:
     """Remove version dirs beyond the last ``keep``, EXCEPT any still
     referenced by a kept version's manifest (a carried-forward
     partition's data lives in the version that last rewrote it — the
@@ -142,30 +231,33 @@ def _gc(root: str, keep: int) -> None:
     # Numeric sort — lexicographic would order "v-100000" before
     # "v-99999" once the zero-padding overflows, pruning the live dir.
     versions = sorted(
-        (d for d in os.listdir(root) if d.startswith("v-")),
+        (d for d in fs.listdir(root) if d.startswith("v-")),
         key=lambda d: int(d.rsplit("-", 1)[1]),
     )
     kept = set(versions[-keep:])
     referenced: set[str] = set()
     for ver in kept:
-        man = _read_manifest(root, ver)
+        man = _read_manifest(root, ver, fs)
         if man:
             referenced.update(man["entries"].values())
     for old in versions[:-keep]:
         if old not in referenced:
-            shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+            fs.rmtree(os.path.join(root, old))
 
 
-def snapshot_commit(df: DataFrame, root: str, keep: int = 2) -> str:
+def snapshot_commit(
+    df: DataFrame, root: str, keep: int = 2, fs: LocalFilesystem | None = None
+) -> str:
     """Publish ``df`` as the next snapshot version and atomically swap
     the pointer; returns the new version name.  Idempotent under
     foreachBatch replay: a crash between the version write and the
     pointer swap leaves ``_CURRENT`` on the old version, and the rerun
     overwrites the orphaned dir before swapping."""
-    new = _next_version(root)
+    fs = fs or DEFAULT_FS
+    new = _next_version(root, fs)
     df.write.mode("overwrite").parquet(os.path.join(root, new))
-    _swap_pointer(root, new)
-    _gc(root, keep)
+    _swap_pointer(root, new, fs)
+    _gc(root, keep, fs)
     return new
 
 
@@ -175,6 +267,7 @@ def snapshot_commit_partitioned(
     partition_col: str,
     changed_values: list | None = None,
     keep: int = 2,
+    fs: LocalFilesystem | None = None,
 ) -> str:
     """Publish ``df`` as a PARTITIONED snapshot version.
 
@@ -187,11 +280,18 @@ def snapshot_commit_partitioned(
     movement).  A changed partition that ends up empty (every row
     deleted) is dropped from the manifest.
 
-    Partition values must be Hive-dir-safe and non-null (ints or simple
-    strings — the standard partition-column contract)."""
+    Partition values must be Hive-dir-safe and non-null — VALIDATED,
+    not assumed: unsafe ``changed_values`` raise before any write, and
+    unsafe values in the DATA are detected from the written dir keys,
+    the unpublished version dir is removed, and the commit raises with
+    the live pointer untouched (see module docstring)."""
+    fs = fs or DEFAULT_FS
     if _PDIR in df.columns:
         raise ValueError(f"column name {_PDIR!r} is reserved by the snapshot layout")
-    new = _next_version(root)
+    if changed_values is not None:
+        for val in changed_values:
+            _validate_partition_value(val, "changed_values")
+    new = _next_version(root, fs)
     ddir = os.path.join(root, new, "data")
     # Partition by a COPY of the column: the dir key gives the layout,
     # while the real column stays in the data files so reads never
@@ -200,13 +300,23 @@ def snapshot_commit_partitioned(
         _PDIR
     ).parquet(ddir)
     written = {
-        d.split("=", 1)[1] for d in os.listdir(ddir) if d.startswith(f"{_PDIR}=")
+        d.split("=", 1)[1] for d in fs.listdir(ddir) if d.startswith(f"{_PDIR}=")
     }
+    try:
+        for key in written:
+            # An escaped dir key ('%XX') or the null dir never equals
+            # str(value) — the manifest mapping would corrupt.
+            _validate_partition_value(key, f"column {partition_col!r}")
+    except ValueError:
+        # Nothing was published: the pointer still names the old
+        # version.  Drop the orphaned dir so GC bookkeeping stays clean.
+        fs.rmtree(os.path.join(root, new))
+        raise
 
     entries: dict[str, str] = {}
     if changed_values is not None:
-        prev = _current_version(root)
-        prev_man = _read_manifest(root, prev) if prev else None
+        prev = _current_version(root, fs)
+        prev_man = _read_manifest(root, prev, fs) if prev else None
         if prev_man is None:
             raise ValueError(
                 "changed_values requires the previous version to be "
@@ -226,9 +336,8 @@ def snapshot_commit_partitioned(
         "entries": entries,
     }
     tmp = os.path.join(root, new, f".{_MANIFEST}.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(root, new, _MANIFEST))
-    _swap_pointer(root, new)
-    _gc(root, keep)
+    fs.write_text(tmp, json.dumps(manifest))
+    fs.rename(tmp, os.path.join(root, new, _MANIFEST))
+    _swap_pointer(root, new, fs)
+    _gc(root, keep, fs)
     return new

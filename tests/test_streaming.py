@@ -538,3 +538,148 @@ def test_pruned_merge_wide_batch_falls_back_to_full_rewrite(spark, tmp_path):
     empty = snapshot_read(spark, root, partition_values=[99])
     assert empty.columns == ["k", "p", "v"]
     assert empty.count() == 0
+
+
+def test_partition_value_validation_rejects_unsafe_changed_values(spark, tmp_path):
+    """Commit-time validation (ADVICE r04): a changed_values entry that
+    Hive-escaping would rewrite must raise BEFORE any write — nothing
+    new appears under the root and the live version is untouched."""
+    import os
+
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_read,
+        snapshot_commit_partitioned,
+    )
+
+    root = str(tmp_path / "snap")
+    _seed_partitioned(spark, root)
+    before = sorted(os.listdir(root))
+    df = spark.createDataFrame([(1, "a:b", "x")], "k bigint, p string, v string")
+    for bad in [None, "a:b", "a/b", "50%", "", "__HIVE_DEFAULT_PARTITION__"]:
+        with pytest.raises(ValueError, match="partition"):
+            snapshot_commit_partitioned(df, root, "p", changed_values=[bad])
+    assert sorted(os.listdir(root)) == before
+    assert snapshot_read(spark, root).count() == 30
+
+
+def test_partition_value_validation_detects_unsafe_data(spark, tmp_path):
+    """Unsafe values IN THE DATA are detected from the written dir keys
+    (they arrive Hive-escaped or as the null dir): the unpublished
+    version dir is removed and the commit raises, pointer untouched."""
+    import os
+
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_read,
+        snapshot_commit_partitioned,
+    )
+
+    root = str(tmp_path / "snap")
+    _seed_partitioned(spark, root)
+    for bad in ["a:b", None]:
+        df = spark.createDataFrame(
+            [(1, "ok", "x"), (2, bad, "y")], "k bigint, p string, v string"
+        )
+        with pytest.raises(ValueError, match="partition"):
+            snapshot_commit_partitioned(df, root, "p")
+        # the aborted version dir is cleaned up, live data still reads
+        assert sorted(d for d in os.listdir(root) if d.startswith("v-")) == [
+            "v-00001"
+        ]
+    assert snapshot_read(spark, root).count() == 30
+
+
+def test_pruning_unpartitioned_snapshot_raises(spark, tmp_path):
+    """snapshot_read(partition_values=...) on a manifest-less snapshot
+    raises (no silent post-scan-filter fallback — the docstring
+    contract)."""
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "snap")
+    snapshot_commit(spark.range(5), root)
+    with pytest.raises(ValueError, match="manifest"):
+        snapshot_read(spark, root, partition_values=[1])
+
+
+class _RecordingFS:
+    """LocalFilesystem that records every protocol call — proves the
+    snapshot protocol reaches storage ONLY through the seam and that
+    every visible commit is an atomic rename."""
+
+    def __init__(self):
+        from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+            LocalFilesystem,
+        )
+
+        self._inner = LocalFilesystem()
+        self.calls: list[tuple[str, ...]] = []
+
+    def read_text(self, path):
+        self.calls.append(("read_text", path))
+        return self._inner.read_text(path)
+
+    def write_text(self, path, text):
+        self.calls.append(("write_text", path))
+        return self._inner.write_text(path, text)
+
+    def rename(self, src, dst):
+        self.calls.append(("rename", src, dst))
+        return self._inner.rename(src, dst)
+
+    def listdir(self, path):
+        self.calls.append(("listdir", path))
+        return self._inner.listdir(path)
+
+    def rmtree(self, path):
+        self.calls.append(("rmtree", path))
+        return self._inner.rmtree(path)
+
+
+def test_snapshot_protocol_through_injected_fs(spark, tmp_path):
+    """The full partitioned-commit + pruned-merge + read cycle driven
+    through an injected filesystem: (a) results identical to the
+    default-FS path, (b) the pointer and manifest become visible ONLY
+    via atomic renames (write_text targets are tmp paths), (c) no
+    protocol metadata IO bypasses the seam."""
+    import os
+
+    from etl_pulumi_aws_snowflake_spark.operators.warehouse import (
+        merge_upsert_pruned,
+    )
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        _MANIFEST,
+        _POINTER,
+        snapshot_commit_partitioned,
+        snapshot_read,
+    )
+
+    fs = _RecordingFS()
+    root = str(tmp_path / "snap")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"r{i}") for i in range(30)], "k bigint, p bigint, v string"
+    )
+    snapshot_commit_partitioned(df, root, "p", fs=fs)
+    batch = spark.createDataFrame(
+        [(4, 1, "UPD", False), (100, 1, "NEW", False)],
+        "k bigint, p bigint, v string, is_delete boolean",
+    )
+    merge_upsert_pruned(
+        spark, root, batch, ["k"], "p", delete_col="is_delete", fs=fs
+    )
+    got = {(r.k, r.p, r.v) for r in snapshot_read(spark, root, fs=fs).collect()}
+    assert (4, 1, "UPD") in got and (100, 1, "NEW") in got and len(got) == 31
+
+    # every pointer/manifest publish is write-tmp-then-rename: the
+    # final path only ever appears as a rename DESTINATION
+    finals = {_POINTER, _MANIFEST}
+    for call in fs.calls:
+        if call[0] == "write_text":
+            assert os.path.basename(call[1]) not in finals, call
+    renamed_to = {os.path.basename(c[2]) for c in fs.calls if c[0] == "rename"}
+    assert renamed_to == finals
+    # both commits swapped the pointer atomically
+    assert sum(
+        1 for c in fs.calls if c[0] == "rename" and c[2].endswith(_POINTER)
+    ) == 2
