@@ -9,34 +9,61 @@ materializes internally can.  But a persist nobody ever releases leaks
 executor storage in a long-lived session.
 
 The contract here: operators register such persists in a module pool
-(:func:`deferred_persist`), and the query registry releases the pool
-when the NEXT query starts (``queries/registry.py``).  In any
-sequential run — the correctness driver, bench, pytest — a query's
-caches are therefore gone by the time the following query executes, and
-at most one query's caches are live at any moment.  Long-lived
-interactive sessions call :func:`release_deferred` (or
+(:func:`deferred_persist`; lineage-truncating materializations go
+through :func:`tracked_local_checkpoint`), and the query registry
+releases the pool when the NEXT query starts (``queries/registry.py``).
+In any sequential run — the correctness driver, bench, pytest — a
+query's caches are therefore gone by the time the following query
+executes, and at most one query's caches are live at any moment.
+Long-lived interactive sessions call :func:`release_deferred` (or
 ``spark.catalog.clearCache()``) at their own boundaries.
+
+The release is SCOPED to what this package registered: a host
+application's own ``df.persist()`` / ``cacheTable`` / ``checkpoint``
+survives a registry query untouched (only RDD ids recorded by
+:func:`tracked_local_checkpoint` are swept from persistent-RDD
+storage — never the whole ``getPersistentRDDs`` map).
+
+Thread safety: the pool and the boundary state are guarded by a module
+lock, so concurrent registrations/releases never corrupt the
+bookkeeping.  The BOUNDARY SEMANTIC itself remains sequential — two
+registry queries driven concurrently from one process would release
+each other's still-needed caches at their interleaved boundaries
+(correctness is unaffected: a released persist recomputes; a released
+localCheckpoint is only swept at a boundary, by which point the prior
+query's result has been materialized in any driver/bench/pytest flow).
+Concurrent SAME-session query execution wants per-query scoping, which
+the plan-cache-sharing contract (see :func:`query_boundary`)
+deliberately trades away.
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
+_LOCK = threading.RLock()
 _PENDING: list[DataFrame] = []
+#: Persistent-RDD ids created by tracked_local_checkpoint — the ONLY
+#: raw-RDD storage release_deferred will sweep.
+_TRACKED_RDD_IDS: set[int] = set()
 _LAST_QUERY: str | None = None
 
 
 def query_boundary(spark, name: str) -> int:
     """Called by the query registry when query ``name`` starts.  If a
-    DIFFERENT query ran before, release its deferred persists and sweep
-    persistent-RDD storage; repeat invocations of the SAME query keep
-    their caches — CacheManager matches the identical analyzed plan, so
-    back-to-back reps (bench's min-of-5) legitimately share the
-    materialized subtree, exactly like a warehouse plan cache."""
+    DIFFERENT query ran before, release its deferred persists and
+    tracked localCheckpoint storage; repeat invocations of the SAME
+    query keep their caches — CacheManager matches the identical
+    analyzed plan, so back-to-back reps (bench's min-of-5) legitimately
+    share the materialized subtree, exactly like a warehouse plan
+    cache."""
     global _LAST_QUERY
-    if name == _LAST_QUERY:
-        return 0
-    _LAST_QUERY = name
+    with _LOCK:
+        if name == _LAST_QUERY:
+            return 0
+        _LAST_QUERY = name
     return release_deferred(spark)
 
 
@@ -47,37 +74,68 @@ def deferred_persist(df: DataFrame, level=None) -> DataFrame:
         df.persist(level)
     else:
         df.persist()
-    _PENDING.append(df)
+    with _LOCK:
+        _PENDING.append(df)
     return df
+
+
+def _persistent_rdd_ids(spark) -> set[int]:
+    ids: set[int] = set()
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
+def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
+    """``df.localCheckpoint()`` whose storage is registered for release
+    at the next query boundary.
+
+    ``localCheckpoint`` blocks live on raw RDDs outside the
+    CacheManager and are unreachable from ``DataFrame.unpersist`` /
+    ``clearCache`` — the ids are captured here (diff of the
+    persistent-RDD map around the eager checkpoint) so the boundary
+    sweep frees exactly these blocks and nothing the host application
+    cached itself."""
+    spark = df.sparkSession
+    with _LOCK:
+        before = _persistent_rdd_ids(spark)
+        out = df.localCheckpoint()
+        _TRACKED_RDD_IDS.update(_persistent_rdd_ids(spark) - before)
+    return out
 
 
 def release_deferred(spark=None) -> int:
     """Unpersist every deferred cache; returns how many were released.
 
-    With ``spark`` given, additionally sweeps ALL persistent RDD
-    storage (``sc.getPersistentRDDs``) — this is what frees
-    ``localCheckpoint`` blocks (the connected-components rounds), which
-    live on raw RDDs outside the CacheManager and are therefore
-    unreachable from ``DataFrame.unpersist``/``clearCache``.  Only call
-    the sweeping form at a QUERY BOUNDARY, where every prior result has
-    been materialized: a swept localCheckpoint cannot recompute (its
-    lineage is truncated by design), so a stale handle collected after
-    the sweep fails instead of silently recomputing."""
+    With ``spark`` given, additionally frees the persistent-RDD storage
+    recorded by :func:`tracked_local_checkpoint` — ONLY those ids; a
+    host application's own persists/checkpoints are never touched.
+    Only call the sweeping form at a QUERY BOUNDARY, where every prior
+    result has been materialized: a swept localCheckpoint cannot
+    recompute (its lineage is truncated by design), so a stale handle
+    collected after the sweep fails instead of silently recomputing."""
+    with _LOCK:
+        pending = _PENDING[:]
+        _PENDING.clear()
+        tracked = set(_TRACKED_RDD_IDS)
+        _TRACKED_RDD_IDS.clear()
     n = 0
-    while _PENDING:
-        df = _PENDING.pop()
+    for df in pending:
         try:
             df.unpersist(blocking=False)
             n += 1
         except Exception:
             # a stopped session's handles are already gone
             pass
-    if spark is not None:
+    if spark is not None and tracked:
         try:
             it = spark.sparkContext._jsc.sc().getPersistentRDDs().valuesIterator()
             while it.hasNext():
-                it.next().unpersist(False)
-                n += 1
+                rdd = it.next()
+                if rdd.id() in tracked:
+                    rdd.unpersist(False)
+                    n += 1
         except Exception:
             pass
     return n

@@ -247,8 +247,14 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     doubles every iteration and the driver, not the data, becomes the
     bottleneck.  The driver-side ``count()`` per round is the
     convergence check, not a data collect.
+
+    Checkpoints go through ``cache.tracked_local_checkpoint`` so their
+    raw-RDD storage is registered for the query-boundary sweep (a plain
+    ``localCheckpoint`` is invisible to CacheManager and would leak).
     """
     from pyspark.storagelevel import StorageLevel
+
+    from ..cache import tracked_local_checkpoint
 
     # Materialize the pair list ONCE before the symmetric union: the
     # union's two branches both scan the `pairs` subtree, and for LSH
@@ -257,9 +263,9 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     # twice (measured: dedup_survivors carried a full duplicate LSH
     # pass at sf0.1).  localCheckpoint is eager, so downstream plans
     # (including every loop round) read materialized blocks.
-    base = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).localCheckpoint()
+    base = tracked_local_checkpoint(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
     # No distinct on the edge list: duplicate edges are absorbed by the
     # per-round min aggregate (min over duplicates is the min), and for
     # the canonical a<b pair lists the two union branches are disjoint
@@ -268,11 +274,10 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     edges = base.union(
         base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    labels = (
+    labels = tracked_local_checkpoint(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
     )
     for _ in range(max_iters):
         neighbor_min = (
@@ -291,7 +296,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         # before checkpointing would execute the join twice per round
         # (once for the count's plan, once for the checkpoint's), which
         # at 100 TB doubles the whole loop's cost.
-        new_labels = (
+        new_labels = tracked_local_checkpoint(
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
@@ -300,7 +305,6 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                 ).alias("new_label"),
                 F.col("label").alias("old_label"),
             )
-            .localCheckpoint()
         )
         changed = new_labels.filter(F.col("new_label") < F.col("old_label")).count()
         labels = new_labels.select("id", F.col("new_label").alias("label"))

@@ -1,0 +1,108 @@
+"""Deferred-cache pool contract (cache.py): scoped release + thread
+safety.  The boundary sweep must free exactly what the package
+registered — never a host application's own persists/checkpoints — and
+the pool bookkeeping must survive concurrent registration/release."""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import functions as F
+
+from etl_pulumi_aws_snowflake_spark import cache
+
+
+def _persistent_ids(spark):
+    ids = set()
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
+def test_release_spares_host_application_caches(spark):
+    """A user's own df.persist() and df.localCheckpoint() must survive
+    release_deferred: only package-registered storage is swept (the
+    r04-ADVICE session-global-sweep fix)."""
+    spark.catalog.clearCache()
+    cache.release_deferred(spark)
+
+    before_user = _persistent_ids(spark)
+    user_persist = spark.range(100).withColumn("x", F.col("id") * 2).persist()
+    user_persist.count()  # materialize the user's cache
+    user_ckpt = spark.range(50).localCheckpoint()
+    assert user_ckpt.count() == 50
+    outside = _persistent_ids(spark)
+    assert outside - before_user  # both live
+
+    ours_df = spark.range(10).withColumn("y", F.col("id") + 1)
+    cache.deferred_persist(ours_df).count()
+    ours_ckpt = cache.tracked_local_checkpoint(spark.range(20))
+    assert ours_ckpt.count() == 20
+
+    cache.release_deferred(spark)
+    # ours are gone, the user's storage is exactly as before
+    assert _persistent_ids(spark) == outside
+    assert user_persist.storageLevel.useMemory
+    # the user's truncated-lineage checkpoint still COLLECTS (a global
+    # sweep would have made this fail permanently)
+    assert user_ckpt.count() == 50
+    assert user_persist.count() == 100
+
+    # test cleanup: drop the "user" storage by raw id so later tests
+    # (which assert zero persistent RDDs) start clean
+    user_persist.unpersist(blocking=True)
+    leftover = _persistent_ids(spark) - before_user
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().valuesIterator()
+    while it.hasNext():
+        rdd = it.next()
+        if rdd.id() in leftover:
+            rdd.unpersist(True)
+    assert _persistent_ids(spark) == before_user
+
+
+def test_tracked_checkpoint_storage_released_at_boundary(spark):
+    """tracked_local_checkpoint ids are swept by query_boundary when a
+    DIFFERENT query starts; same-name reps keep their storage."""
+    spark.catalog.clearCache()
+    cache.release_deferred(spark)
+    base = _persistent_ids(spark)
+
+    cache.query_boundary(spark, "qA")
+    cache.tracked_local_checkpoint(spark.range(30)).count()
+    assert _persistent_ids(spark) - base  # checkpoint storage live
+
+    cache.query_boundary(spark, "qA")  # same query: kept
+    assert _persistent_ids(spark) - base
+
+    cache.query_boundary(spark, "qB")  # different query: swept
+    assert _persistent_ids(spark) == base
+
+
+def test_pool_bookkeeping_is_thread_safe(spark):
+    """Concurrent deferred_persist/query_boundary from several threads
+    must not corrupt the pool: no exceptions, and a final boundary
+    leaves zero package-tracked storage (the module-lock contract;
+    boundary SEMANTICS stay sequential — see cache.py docstring)."""
+    spark.catalog.clearCache()
+    cache.release_deferred(spark)
+    errors = []
+
+    def worker(tag):
+        try:
+            for i in range(8):
+                cache.query_boundary(spark, f"q-{tag}-{i % 3}")
+                df = cache.deferred_persist(spark.range(5 + i))
+                df.count()
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    cache.query_boundary(spark, "final-sweep")
+    cache.release_deferred(spark)
+    assert not cache._PENDING and not cache._TRACKED_RDD_IDS
