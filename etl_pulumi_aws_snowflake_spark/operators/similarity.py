@@ -311,8 +311,86 @@ def ivf_assign(
     return prepped.join(assign, "vec_id").select("vec_id", "v", "nrm", "list_id")
 
 
+def ivf_assign_topn(
+    corpus: DataFrame,
+    seed_stride: int = 50,
+    n_assign: int = 2,
+    centroids: list | None = None,
+) -> DataFrame:
+    """Multi-assignment variant of :func:`ivf_assign`: each vector maps
+    to its ``n_assign`` nearest coarse lists (by cos desc, seed_id asc
+    — the same deterministic ordering rule), up to ``n_assign`` rows
+    per vector: (vec_id, v, nrm, list_id).  ``n_assign=1`` reproduces
+    the single-assign rows exactly (the top-1 list is always among the
+    top-n), which is what makes multi-assign candidates a strict
+    SUPERSET of single-assign ones downstream.
+
+    Same two tiers as :func:`ivf_assign`: ≤ MAX_LITERAL_SEEDS seeds →
+    in-closure numpy top-n per Arrow batch, ZERO exchanges (stable
+    argsort over the strict-left-fold cosine matrix: ties resolve to
+    the ascending seed order, matching the (cos, -seed_id) max rule);
+    above the cap → broadcast-join candidates ranked by a per-vector
+    window over narrow (vec_id, seed_id, cos) triples — one shuffle of
+    24-byte rows, vectors rejoin by id."""
+    prepped = _prep(corpus)
+    seeds = _seed_frame(corpus, seed_stride, centroids)
+
+    seed_rows = sorted(
+        seeds.limit(MAX_LITERAL_SEEDS + 1).collect(), key=lambda r: r["seed_id"]
+    )
+    if 0 < len(seed_rows) <= MAX_LITERAL_SEEDS:
+        import numpy as np
+
+        sid = np.array([r["seed_id"] for r in seed_rows], dtype=np.int64)
+        sv = np.array([r["v"] for r in seed_rows], dtype=np.float64)
+        snrm = np.array([r["nrm"] for r in seed_rows], dtype=np.float64)
+        nn = min(n_assign, len(sid))
+
+        def assign_parts(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+                nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+                cos = np.empty((len(pdf), len(sid)))
+                for j in range(len(sid)):
+                    acc = np.zeros(len(pdf))
+                    for d in range(m.shape[1]):
+                        acc = acc + sv[j, d] * m[:, d]
+                    cos[:, j] = acc / (snrm[j] * nrm)
+                # stable sort: equal cos keeps ascending seed order ==
+                # the (cos desc, seed_id asc) rule of ivf_assign
+                order = np.argsort(-cos, axis=1, kind="stable")[:, :nn]
+                out = pdf.loc[pdf.index.repeat(nn)].reset_index(drop=True)
+                out["list_id"] = sid[order].ravel()
+                yield out
+
+        return prepped.mapInPandas(
+            assign_parts, "vec_id long, v array<double>, nrm double, list_id long"
+        )
+
+    a, b = seeds.alias("a"), prepped.alias("b")
+    wl = Window.partitionBy("vec_id").orderBy(F.desc("seed_cos"), F.asc("list_id"))
+    cand = (
+        F.broadcast(a)
+        .join(b)
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("a.seed_id").alias("list_id"),
+            (F.expr(_DOT_AB) / (F.col("a.nrm") * F.col("b.nrm"))).alias("seed_cos"),
+        )
+        .withColumn("_r", F.row_number().over(wl))
+        .filter(F.col("_r") <= n_assign)
+        .select("vec_id", "list_id")
+    )
+    return prepped.join(cand, "vec_id").select("vec_id", "v", "nrm", "list_id")
+
+
 def semantic_near_pairs(
-    corpus: DataFrame, threshold: float = 0.35, seed_stride: int = 50
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    seed_stride: int = 50,
+    n_assign: int = 1,
 ) -> DataFrame:
     """SemDeDup-shaped embedding near-dup candidates: vectors can pair
     only if they share an IVF coarse list — (doc_a, doc_b, cos) with
@@ -325,8 +403,17 @@ def semantic_near_pairs(
     ``list_id`` — each list pairs only within itself, so the work is
     Σ|list|², bounded by the coarse partitioning, and the join
     shuffles each side once by list id.  Recall < 1 across list
-    boundaries by design (same trade as IVF search; raise nlists
-    overlap or add multi-assignment to tighten it).
+    boundaries by design (same trade as IVF search).
+
+    ``n_assign > 1`` tightens that recall gap: every vector joins its
+    top-``n_assign`` coarse lists (:func:`ivf_assign_topn`), so a pair
+    split across list boundaries is caught whenever ANY list is shared.
+    Candidates stay bounded by the same Σ|list|² (lists are ~n_assign×
+    larger) and duplicates from multiple shared lists collapse on
+    (doc_a, doc_b).  The result is a SUPERSET of the single-assign
+    pairs (top-1 is always among top-n) at ≤ n_assign²× the join work —
+    the standard IVF multi-probe trade.  Single-assign stays the
+    default (and the oracle-checked entry's shape).
 
     The assignment subtree is persisted for the duration of the plan:
     both sides of the self-join read it, and without the persist Spark
@@ -334,9 +421,12 @@ def semantic_near_pairs(
     in the deferred pool (``cache.deferred_persist``) and is released
     automatically at the next query-registry boundary — after the
     caller has materialized this plan in any sequential run."""
-    assigned = deferred_persist(ivf_assign(corpus, seed_stride))
+    if n_assign <= 1:
+        assigned = deferred_persist(ivf_assign(corpus, seed_stride))
+    else:
+        assigned = deferred_persist(ivf_assign_topn(corpus, seed_stride, n_assign))
     a, b = assigned.alias("a"), assigned.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.list_id") == F.col("b.list_id"))
@@ -349,6 +439,12 @@ def semantic_near_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+    if n_assign > 1:
+        # a pair sharing several of its lists would emit once per
+        # shared list — identical rows (cos is a pure function of the
+        # vectors), collapsed here
+        pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
+    return pairs
 
 
 def ivf_topk(

@@ -57,7 +57,16 @@ def _run_to_parquet(stream_df, outdir: str, ckpt: str) -> None:
     bounded 10k-row run — pure task overhead.  Cap it for the stream's
     lifetime and restore the caller's setting after (result sets here
     are partition-count-independent; on a real cluster a continuous job
-    sizes this to input rate × state retention instead)."""
+    sizes this to input rate × state retention instead).
+
+    SINGLE-SHOT, FRESH-CHECKPOINT ONLY: the foreachBatch append has no
+    epoch idempotence, so restarting a crashed run against the same
+    checkpoint could replay the last uncommitted batch and double-append.
+    Safe here because every caller builds ``outdir``/``ckpt`` under a
+    freshly-reset workdir (``_workdir`` rmtree's it); a restartable
+    production sink writes epoch-keyed subdirs (overwrite mode on
+    ``outdir/epoch=N``) instead — see ``streaming/cdc.py`` for the
+    idempotent-merge form."""
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
@@ -97,6 +106,18 @@ def stream_stateful_dedup_e2e(spark, sf_dir):
     work = _workdir(sf_dir, "stateful_dedup")
     landing = os.path.join(work, "arrivals")
     events = t(spark, sf_dir, "events").select(*_EVENT_COLS)
+    # The oracle is plain SELECT * FROM events, which equals the
+    # deduped stream ONLY while event_id is unique in the fixture —
+    # pin that assumption so a future FIXTURES change fails loudly
+    # here instead of silently weakening the entry (VERDICT r04 nit).
+    n, nd = events.agg(
+        F.count("event_id"), F.count_distinct("event_id")
+    ).first()
+    assert n == nd, (
+        f"stream_stateful_dedup_e2e oracle assumes unique event_id; "
+        f"fixture has {n} rows / {nd} distinct ids — update the oracle "
+        "to SELECT DISTINCT-by-id semantics before trusting this entry"
+    )
     events.coalesce(1).write.parquet(landing)
     events.coalesce(1).write.mode("append").parquet(landing)
 

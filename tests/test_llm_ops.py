@@ -370,3 +370,58 @@ def test_resize_media_checksum_matches_local(spark, sf_smoke):
             len(out),
             hashlib.md5(out).hexdigest(),
         )
+
+
+def test_semantic_near_pairs_multi_assign_tightens_recall(spark, sf_correct):
+    """VERDICT r04 #6: n_assign=2 must recover strictly more of the
+    exact near-pair ground truth than single-assign, while remaining a
+    superset of the single-assign candidates (top-1 is always among
+    top-2) and a subset of the truth (candidates are verified by exact
+    cosine, so multi-assign adds recall, never false positives)."""
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+    thr, stride = 0.35, 50
+    truth = {
+        (r.probe_id, r.vec_id)
+        for r in S.cosine_near_pairs(emb, emb, thr)
+        .filter("probe_id < vec_id")
+        .collect()
+    }
+    single = {
+        (r.doc_a, r.doc_b) for r in S.semantic_near_pairs(emb, thr, stride).collect()
+    }
+    multi = {
+        (r.doc_a, r.doc_b)
+        for r in S.semantic_near_pairs(emb, thr, stride, n_assign=2).collect()
+    }
+    assert single < multi <= truth  # strictly more recall, no junk
+    # bounded cost: a pair appears once however many lists it shares
+    rows = S.semantic_near_pairs(emb, thr, stride, n_assign=2).count()
+    assert rows == len(multi)
+
+
+def test_ivf_assign_topn_first_choice_matches_single_assign(spark, sf_correct):
+    """ivf_assign_topn(n_assign=1) must reproduce ivf_assign exactly,
+    and its top-2 assignment must CONTAIN the single assignment — the
+    superset property semantic_near_pairs' multi-assign relies on.
+    Checked on both tiers (literal and window-fallback)."""
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+    single = {(r.vec_id, r.list_id) for r in S.ivf_assign(emb, 50).collect()}
+
+    def check():
+        top1 = {(r.vec_id, r.list_id) for r in S.ivf_assign_topn(emb, 50, 1).collect()}
+        assert top1 == single
+        top2 = {(r.vec_id, r.list_id) for r in S.ivf_assign_topn(emb, 50, 2).collect()}
+        assert single < top2
+        assert len(top2) == 2 * len(single)  # exactly two lists per vector
+
+    check()
+    old = S.MAX_LITERAL_SEEDS
+    S.MAX_LITERAL_SEEDS = 0  # force the window-fallback tier
+    try:
+        check()
+    finally:
+        S.MAX_LITERAL_SEEDS = old
