@@ -33,73 +33,40 @@ from . import streaming_e2e  # noqa: E402,F401
 
 
 # The external correctness driver checks the FIRST 50 dict entries per
-# round (CORRECTNESS_r01-r03 each recorded exactly queries()[:50] in
-# order).  Round 4 front-loads (a) the 5 brand-new entries (streaming
-# e2e ×2, pruned CDC MERGE, IVF recall, resize), then (b) entries whose
-# code changed this round (scratch-dir/PID rework, snapshot layout,
-# similarity refactor, deferred-persist dedup).  Everything after is
-# re-certification of already-green rows in prior-round order; the
-# r01-r03 slot rationale is preserved in the comments below.
+# round (CORRECTNESS_r01-r04 each recorded exactly queries()[:50] in
+# order).  Round 5 is the evidence-freshness rotation VERDICT r04 #1
+# asked for: with every operator family green and no new families due,
+# the window goes to (a) the 5 entries whose CODE r05 touches —
+# snapshot partition-value validation + filesystem seam
+# (cdc_merge_pruned_e2e, cdc_merge_stream_e2e), the stateful-dedup
+# fixture assert (stream_stateful_dedup_e2e), and the
+# tracked-localCheckpoint sweep + semantic_near_pairs multi-assign
+# refactor (dedup_survivors, dedup_embedding_survivors) — then (b) 45
+# of the 48 entries whose latest driver row is still CORRECTNESS_r01
+# (all mirror-green on current code; this converts that back into the
+# hard driver signal).  The 3 deferred r1-stale entries (join_cross,
+# join_right_outer, join_semi — the joins family keeps 8 other rows in
+# this window) plus the 11 r2-stale entries lead the r06 window next.
 _DRIVER_FIRST = [
-    # r04 (a): new queries — the formerly pass-local stateful-streaming
-    # ops now run TRUE StreamingQueries inside the registry callable
-    "stream_stateful_dedup_e2e", "stream_interval_join_e2e",
-    "cdc_merge_pruned_e2e", "sim_ivf_recall", "mm_resize",
-    # r04 (b): recertification on r04 code changes — PID-scoped e2e
-    # scratch dirs (pipeline_*), snapshot-prune numeric sort +
-    # partition-pruned MERGE (cdc/merge/scd2), similarity changes
-    "pipeline_batch_e2e", "pipeline_stream_e2e", "cdc_merge_stream_e2e",
-    "merge_upsert_customers", "scd2_user_state",
-    "sim_ivf_topk", "dedup_embedding_survivors", "sim_cosine_near_pairs",
-    # r04 (c): deferred-persist rewrite touched the shingle subtrees —
-    # recertify the persisting dedup entries on the new code
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_survivors",
-    # r03 order below (already green; fills the remaining slots)
-    # (a) never driver-checked (registered after the r02 slot list froze)
-    "join_salted", "agg_approx_quantile", "sim_cosine_topk_blas",
-    "merge_upsert_customers", "scd2_user_state", "dq_audit",
-    "text_repetition", "text_pii_redact", "dedup_embedding_survivors",
-    # (b) red in r02, oracle CAST fixed this round — need green rows
-    "q12_late_shipment_priority", "sql_api_window",
-    "agg_salted_groupby", "corpus_split",
-    # (c) new in r03: the reference pipeline end-to-end (batch + TRUE
-    # streaming) under the driver hash — the shapes that were
-    # "pass-local only" in r01/r02 now carry driver evidence
-    "pipeline_batch_e2e", "pipeline_stream_e2e", "cdc_merge_stream_e2e",
-    # (d) r03 implementation rewrites needing recertification on the new
-    # code: the word-hash fold change (every shingle consumer; dedup_*
-    # already sit inside the 50-slot window, these three would fall
-    # outside it) and the zero-exchange pandas IVF assign
-    "text_fingerprint", "pack_sequences", "decontaminate", "sim_ivf_topk",
-    # re-certification below (already green in r01/r02)
-    # 42 without a CORRECTNESS_r01 row
-    "q4_order_priority", "q13_customer_distribution",
-    "q22_global_sales_opportunity", "q6_forecast_revenue",
-    "q14_promo_revenue", "sql_api_q3", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q11_important_parts",
-    "q12_late_shipment_priority", "q15_top_supplier",
-    "q16_supplier_part_count", "q19_disjunctive_revenue",
-    "q20_excess_shippers", "q21_waiting_suppliers", "q2_min_cost_supplier",
-    "win_tumbling", "win_sliding", "win_session",
-    "udf_pandas_scalar", "udf_grouped_agg", "udf_grouped_map",
-    "udf_row_scalar",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_fingerprint_groups", "dedup_survivors",
-    "sim_cosine_topk", "sim_cosine_near_pairs", "sim_ivf_topk",
-    "text_quality", "text_token_stats", "text_langid", "text_fingerprint",
-    "mm_binary_features", "mm_frame_sample",
-    "sample_hash_bernoulli", "sample_stratified_by_lang",
-    "corpus_quality_filter",
-    # red in round 1, fixed in round 2 — need green rows
-    # (join_asof's NULL-carry fix also landed, but it already has a
-    # green r1 row and sf0.01 output is identical, so it does not
-    # spend one of the 50 slots)
-    "scalar_map", "agg_approx_distinct",
-    # new in round 2 — every name below lacks a CORRECTNESS_r01 row,
-    # so all 50 slots carry new evidence (prior-green queries already
-    # have their round-1 rows; re-certifying them would waste slots)
-    "sql_api_q5", "sql_api_window", "agg_salted_groupby",
-    "pack_sequences", "corpus_split", "decontaminate",
+    # (a) r05 code-touched — fresh evidence on the new code
+    "stream_stateful_dedup_e2e", "cdc_merge_pruned_e2e",
+    "cdc_merge_stream_e2e", "dedup_survivors", "dedup_embedding_survivors",
+    # (b) stalest certifications: last driver-checked in round 1
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q10_returned_items", "q17_small_qty_revenue", "q18_large_volume_customer",
+    "align_by_name_ci",
+    "join_inner", "join_broadcast", "join_left_outer", "join_full_outer",
+    "join_anti", "join_theta", "join_range", "join_asof",
+    "agg_groupby_basic", "agg_distinct", "agg_cube", "agg_rollup",
+    "agg_grouping_sets", "agg_median", "agg_stats", "agg_collect",
+    "agg_conditional", "pivot_status_by_priority",
+    "win_rank_dense", "win_lag_lead", "win_running_sum", "win_range_frame",
+    "win_topk_per_group",
+    "sort_limit_topn", "sort_multi_key",
+    "set_union_all", "set_union_by_name", "set_intersect", "set_except",
+    "set_distinct_rows",
+    "scalar_string", "scalar_datetime", "scalar_math", "scalar_conditional",
+    "scalar_array", "scalar_array_explode", "scalar_json", "scalar_json_typed",
 ]
 
 def _driver_order(d: dict) -> dict:

