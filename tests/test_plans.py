@@ -238,3 +238,22 @@ def test_partitioned_snapshot_read_is_single_scan(spark, tmp_path):
     # and the values (incl. the partition column) round-trip exactly
     assert out.filter(F.col("p") == 2).count() == 10
     assert {tuple(r) for r in out.filter("k = 2").collect()} == {(2, 2, "UPD")}
+
+
+def test_ivf_assign_topn_literal_tier_is_zero_exchange(spark):
+    """Multi-assignment keeps the single-assign scale shape: under the
+    literal-seed cap the top-n assignment is the in-closure pandas tier
+    — the corpus never leaves its partitions (no Exchange, no window);
+    row count grows n×, shuffle stays zero."""
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        S.ivf_assign_topn(corpus, 50, 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, plan
+    assert "windowspecdefinition" not in plan
