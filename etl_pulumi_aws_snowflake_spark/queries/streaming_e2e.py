@@ -1,14 +1,14 @@
 """Driver-checkable stateful-streaming queries (SURVEY.md §2.9).
 
-Stateful dedup across arrivals and the stream-stream interval join
-previously had only pytest stream==batch evidence ("pass-local" in
-VERDICT r03).  Each entry here runs a TRUE StreamingQuery —
-``Trigger.AvailableNow`` over deterministically derived files, exactly
-the pattern proven by ``pipeline_stream_e2e`` — inside the registry
-callable, then returns the materialized sink so the driver hash-compares
+The four hard streaming semantics — stateful dedup across arrivals,
+the stream-stream interval join, checkpoint replay idempotence, and
+watermark late-data discard — each run a TRUE StreamingQuery here
+(``Trigger.AvailableNow`` over deterministically derived files, exactly
+the pattern proven by ``pipeline_stream_e2e``) inside the registry
+callable, then return the materialized sink so the driver hash-compares
 the streaming result against the batch-twin SQL oracle.
 
-Determinism under arbitrary microbatching:
+Determinism arguments:
 
 - **dedup**: the same event file arrives twice (two files, and
   ``maxFilesPerTrigger=1`` forces two microbatches so the dedup state
@@ -20,17 +20,27 @@ Determinism under arbitrary microbatching:
   filter an AvailableNow run whose data all arrives before the final
   watermark advance) — so the emitted set equals the batch join however
   the files are batched.
-
-The remaining §2.9 rows — watermark late-data discard and checkpoint
-replay idempotence — are semantics about the INTERACTION of multiple
-runs/arrival orders, which a single finite driver query cannot express;
-they stay pytest-verified (``tests/test_streaming.py``,
-``tests/test_pipeline.py``).
+- **replay idempotence**: the callable runs THREE StreamingQueries
+  against one checkpoint (new data lands between runs 1 and 2; run 3
+  sees nothing new).  The file source's offset log makes each file
+  processed exactly once across restarts, so the sink equals the plain
+  input set however the runs are cut — graceful-stop restarts only
+  (see ``_run_to_parquet`` for the crash-mid-batch caveat).
+- **late-data discard**: arrival order is forced (one file per
+  microbatch via ``maxFilesPerTrigger=1``, file order pinned by
+  explicit mtimes 60s apart), so the watermark trajectory is a pure
+  function of the fixed batch contents.  The late file arrives AFTER
+  an on-time batch has advanced the watermark and append-mode eviction
+  has finalized the old windows; append mode's
+  exactly-once-per-window contract then REQUIRES the late rows be
+  dropped (re-aggregating them would re-emit finalized windows), so
+  the sink deterministically equals the on-time-only aggregate.
 """
 
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import functions as F
 
@@ -59,14 +69,16 @@ def _run_to_parquet(stream_df, outdir: str, ckpt: str) -> None:
     are partition-count-independent; on a real cluster a continuous job
     sizes this to input rate × state retention instead).
 
-    SINGLE-SHOT, FRESH-CHECKPOINT ONLY: the foreachBatch append has no
-    epoch idempotence, so restarting a crashed run against the same
-    checkpoint could replay the last uncommitted batch and double-append.
-    Safe here because every caller builds ``outdir``/``ckpt`` under a
-    freshly-reset workdir (``_workdir`` rmtree's it); a restartable
-    production sink writes epoch-keyed subdirs (overwrite mode on
-    ``outdir/epoch=N``) instead — see ``streaming/cdc.py`` for the
-    idempotent-merge form."""
+    NO CRASH RECOVERY: the foreachBatch append has no epoch
+    idempotence, so restarting a run that CRASHED mid-batch against the
+    same checkpoint could replay the last uncommitted batch and
+    double-append.  Safe here because every caller either uses a fresh
+    checkpoint under a freshly-reset workdir (``_workdir`` rmtree's it)
+    or restarts only after a graceful ``awaitTermination`` (the replay
+    entry), where the offset log and sink are consistent; a
+    crash-restartable production sink writes epoch-keyed subdirs
+    (overwrite mode on ``outdir/epoch=N``) or merges by key — see
+    ``streaming/cdc.py`` for the idempotent-merge form."""
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
@@ -173,4 +185,134 @@ def stream_interval_join_e2e(spark, sf_dir):
     )
     return spark.read.parquet(outdir).select(
         "user_id", "l_event_id", "r_event_id", "l_ts", "r_ts"
+    )
+
+
+_REPLAY_ORACLE = """
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+"""
+
+
+@query("stream_replay_idempotence_e2e", oracle=_REPLAY_ORACLE)
+def stream_replay_idempotence_e2e(spark, sf_dir):
+    """Checkpoint replay idempotence (SURVEY.md §2.9) under the driver
+    hash: three StreamingQuery RESTARTS share one checkpoint.  Run 1
+    processes the first half of events, run 2 (after the second half
+    lands) must process ONLY the new file, and run 3 — a pure replay
+    with nothing new — must append nothing.  If the checkpoint's file
+    offset log were ignored, the first half would land twice and the
+    row count would diverge from the plain ``events`` oracle.
+
+    Restarts here follow graceful stops (awaitTermination between
+    runs), where the append sink is safe; exactly-once across a crash
+    MID-batch additionally needs an idempotent sink — that path is
+    ``stream_cdc_merge``'s keyed MERGE (``streaming/cdc.py``).
+    Reference parity: Snowpipe's load-history dedup of already-loaded
+    files (``modules/snowflake.py:158-178``)."""
+    work = _workdir(sf_dir, "replay")
+    landing = os.path.join(work, "arrivals")
+    outdir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    events = t(spark, sf_dir, "events").select(*_EVENT_COLS)
+
+    def restart() -> None:
+        stream = spark.readStream.schema(schemas.EVENTS).parquet(landing)
+        _run_to_parquet(stream.select(*_EVENT_COLS), outdir, ckpt)
+
+    events.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(
+        landing
+    )
+    restart()
+    events.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(
+        landing
+    )
+    restart()
+    restart()
+    return spark.read.parquet(outdir).select(*_EVENT_COLS)
+
+
+_LATE_ORACLE = """
+    WITH finalized AS (
+        SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP)
+                   AS window_start,
+               CAST(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+                    AS TIMESTAMP) AS window_end,
+               event_type
+        FROM events
+    )
+    SELECT window_start, window_end, event_type,
+           COUNT(*) AS n_events
+    FROM finalized
+    WHERE window_end <= (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
+    GROUP BY 1, 2, 3
+"""
+
+
+def _force_mtime(d: str, when: float) -> None:
+    """Pin every file's mtime so the file source's oldest-first listing
+    gives a deterministic file → microbatch mapping (sequential writes
+    can tie at mtime granularity)."""
+    for root, _, files in os.walk(d):
+        for f in files:
+            os.utime(os.path.join(root, f), (when, when))
+
+
+@query("stream_late_data_discard_e2e", oracle=_LATE_ORACLE)
+def stream_late_data_discard_e2e(spark, sf_dir):
+    """Watermark late-data discard (SURVEY.md §2.9) under the driver
+    hash.  Three files stream through the watermarked 1-hour tumbling
+    aggregation in append mode, one per microbatch in forced order:
+
+    1. all events (max event time T);
+    2. one on-time row (ts == T) — advances nothing, but the batch
+       boundary lets eviction finalize every window ending ≤ T - 1h;
+    3. a LATE replay of every event with ts ≤ T - 3h (ids offset) —
+       its windows are already finalized, so append-mode semantics
+       force the whole file to be dropped
+       (``numRowsDroppedByWatermark``, pinned in
+       ``tests/test_streaming.py``).
+
+    The sink therefore equals the on-time aggregate over ``events``
+    restricted to finalized windows — which is exactly the oracle; if
+    the late file were aggregated instead, the finalized windows would
+    re-emit and the row set would diverge."""
+    from ..streaming.windows import tumbling_counts
+
+    work = _workdir(sf_dir, "late_discard")
+    landing = os.path.join(work, "arrivals")
+    events = t(spark, sf_dir, "events").select(*_EVENT_COLS)
+    t_max = events.agg(F.max("ts")).first()[0]
+
+    on_time = events
+    probe = events.filter(F.col("ts") == F.lit(t_max)).withColumn(
+        "event_id", F.col("event_id") + F.lit(30_000_000)
+    )
+    late = events.filter(
+        F.col("ts") <= F.lit(t_max) - F.expr("INTERVAL 3 HOURS")
+    ).withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+    # The demo is only meaningful if something is actually late.
+    assert late.limit(1).count() == 1, (
+        "stream_late_data_discard_e2e: fixture has no events older than "
+        "max(ts) - 3h; the late file would be empty"
+    )
+    now = time.time()
+    for i, df in enumerate((on_time, probe, late)):
+        sub = os.path.join(landing, f"f{i}")
+        df.coalesce(1).write.parquet(sub)
+        _force_mtime(sub, now - 300 + i * 60)
+
+    stream = (
+        spark.readStream.schema(schemas.EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "*"))
+    )
+    outdir = os.path.join(work, "out")
+    _run_to_parquet(
+        tumbling_counts(stream).drop("total_value"),
+        outdir,
+        os.path.join(work, "ckpt"),
+    )
+    return spark.read.parquet(outdir).select(
+        "window_start", "window_end", "event_type", "n_events"
     )

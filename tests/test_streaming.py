@@ -683,3 +683,83 @@ def test_snapshot_protocol_through_injected_fs(spark, tmp_path):
     assert sum(
         1 for c in fs.calls if c[0] == "rename" and c[2].endswith(_POINTER)
     ) == 2
+
+
+def test_late_file_dropped_only_after_eviction(spark, tmp_path):
+    """The mechanism behind stream_late_data_discard_e2e's oracle
+    equality: append-mode eviction finalizes a window, and a late file
+    arriving AFTER that is dropped at the stateful operator
+    (numRowsDroppedByWatermark) instead of re-aggregated — re-emitting
+    a finalized window would break append's exactly-once-per-window
+    contract.  Conversely, the late rows never reach the sink."""
+    import os
+    import time
+
+    from etl_pulumi_aws_snowflake_spark.queries.streaming_e2e import _force_mtime
+    from etl_pulumi_aws_snowflake_spark.streaming.windows import tumbling_counts
+
+    events = load_table(spark, SF, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    t_max = events.agg(F.max("ts")).first()[0]
+    on_time = events
+    probe = events.filter(F.col("ts") == F.lit(t_max)).withColumn(
+        "event_id", F.col("event_id") + F.lit(30_000_000)
+    )
+    late = events.filter(
+        F.col("ts") <= F.lit(t_max) - F.expr("INTERVAL 3 HOURS")
+    ).withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+    assert late.limit(1).count() == 1
+
+    landing = str(tmp_path / "landing")
+    now = time.time()
+    for i, df in enumerate((on_time, probe, late)):
+        sub = os.path.join(landing, f"f{i}")
+        df.coalesce(1).write.parquet(sub)
+        _force_mtime(sub, now - 300 + i * 60)
+
+    stream = (
+        spark.readStream.schema(schemas.EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "*"))
+    )
+    outdir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def sink(batch_df, _epoch):
+        batch_df.write.mode("append").parquet(outdir)
+
+    q = (
+        tumbling_counts(stream)
+        .drop("total_value")
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    dropped_per_batch = [
+        sum(s.get("numRowsDroppedByWatermark", 0) for s in p["stateOperators"])
+        for p in sorted(q.recentProgress, key=lambda p: p["batchId"])
+    ]
+    # Batches 0/1 (on-time) drop nothing; the late batch drops its
+    # whole (partially-aggregated) input.
+    assert dropped_per_batch[0] == 0
+    assert dropped_per_batch[-1] > 0, dropped_per_batch
+
+    got = {
+        (r.window_start, r.event_type, r.n_events)
+        for r in spark.read.parquet(outdir).collect()
+    }
+    want = {
+        (r.ws, r.event_type, r.n_events)
+        for r in on_time.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(
+            F.col("window.end") <= F.lit(t_max) - F.expr("INTERVAL 1 HOUR")
+        )
+        .select(F.col("window.start").alias("ws"), "event_type", "n_events")
+        .collect()
+    }
+    assert got == want
