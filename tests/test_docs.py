@@ -39,3 +39,19 @@ def test_coverage_pytest_totals_match_collection():
         f"COVERAGE.md claims {m.group(1)} collected checks but pytest "
         f"collects {tail.group(1)} — refresh the totals line"
     )
+
+
+def test_driver_window_names_are_real_and_unique():
+    """_DRIVER_FIRST is applied with `if k in d`, so a typo'd or renamed
+    entry silently falls out of the 50-slot driver window instead of
+    failing — the rotation would quietly check the wrong queries."""
+    from etl_pulumi_aws_snowflake_spark.queries import _DRIVER_FIRST, all_queries
+
+    names = set(all_queries())
+    unknown = [n for n in _DRIVER_FIRST if n not in names]
+    assert not unknown, f"_DRIVER_FIRST names not in registry: {unknown}"
+    dupes = [n for n in set(_DRIVER_FIRST) if _DRIVER_FIRST.count(n) > 1]
+    assert not dupes, f"_DRIVER_FIRST duplicates: {dupes}"
+    assert len(_DRIVER_FIRST) == 50, (
+        f"driver window holds exactly 50 slots, got {len(_DRIVER_FIRST)}"
+    )
