@@ -1,0 +1,98 @@
+"""Hadoop-FileSystem implementation of the snapshot protocol's seam.
+
+:mod:`.snapshot` reaches storage only through five calls
+(``read_text`` / ``write_text`` / ``rename`` / ``listdir`` /
+``rmtree`` — :class:`.snapshot.LocalFilesystem`).  This module provides
+the cluster-side implementation over the Hadoop FileSystem API (the
+same JVM classes Spark's own Parquet IO uses, reached through the
+session's py4j gateway), so pointing a snapshot root at ``hdfs://...``
+or ``s3a://...`` is configuration::
+
+    fs = HadoopFilesystem(spark, "hdfs://namenode:8020/")
+    snapshot_commit(df, "hdfs://namenode:8020/tables/customers", fs=fs)
+
+``rename`` uses ``FileContext.rename(src, dst, Options.Rename.OVERWRITE)``
+— the atomic-replace primitive the protocol's pointer swap requires.
+That atomicity holds on HDFS (and on ``file://`` for local testing);
+**S3A renames are copy+delete and NOT atomic** — on S3, either front
+the pointer with a consistent store (the Delta/Iceberg approach: a
+DynamoDB- or catalog-backed commit) or accept that a reader racing the
+swap can see a missing-pointer window and retry.  The data files
+themselves are immutable version dirs either way, so no reader ever
+sees partial DATA — the race is confined to the tiny pointer object.
+
+Driver-side METADATA only crosses this seam (pointer text, manifest
+JSON, dir listings — bytes to kilobytes per commit); the bulk data path
+stays Spark's native parquet reader/writer, which already speaks every
+Hadoop filesystem.  Reference parity: the reference delegates this
+transactionality to Snowflake's stage→table load
+(``modules/snowflake.py:158-167``); here it is owned engine-side on
+whatever filesystem the cluster runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+class HadoopFilesystem:
+    """Snapshot-protocol filesystem over ``org.apache.hadoop.fs``.
+
+    ``base_uri`` selects the filesystem (``file:///``, ``hdfs://nn/``,
+    ``s3a://bucket/``); paths passed to the five calls must be
+    resolvable by that filesystem (plain paths or full URIs on the
+    same scheme).
+    """
+
+    def __init__(self, spark: SparkSession, base_uri: str) -> None:
+        jvm = spark._jvm
+        self._jvm = jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        juri = jvm.java.net.URI(base_uri)
+        self._fs = jvm.org.apache.hadoop.fs.FileSystem.get(juri, hconf)
+        self._fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            juri, hconf
+        )
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        rename_cls = jvm.org.apache.hadoop.fs.Options.Rename
+        gw = spark.sparkContext._gateway
+        self._overwrite = gw.new_array(rename_cls, 1)
+        self._overwrite[0] = rename_cls.OVERWRITE
+
+    def _p(self, path: str):
+        return self._Path(path)
+
+    def read_text(self, path: str) -> str:
+        p = self._p(path)
+        if not self._fs.exists(p):
+            raise FileNotFoundError(path)
+        stream = self._fs.open(p)
+        try:
+            sink = self._jvm.java.io.ByteArrayOutputStream()
+            self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+                stream, sink, 4096, False
+            )
+            return bytes(sink.toByteArray()).decode("utf-8")
+        finally:
+            stream.close()
+
+    def write_text(self, path: str, text: str) -> None:
+        out = self._fs.create(self._p(path), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def rename(self, src: str, dst: str) -> None:
+        """Atomic replace (``Options.Rename.OVERWRITE``) — see module
+        docstring for the S3A caveat."""
+        self._fc.rename(self._p(src), self._p(dst), self._overwrite)
+
+    def listdir(self, path: str) -> list[str]:
+        p = self._p(path)
+        if not self._fs.exists(p):
+            raise FileNotFoundError(path)
+        return [st.getPath().getName() for st in self._fs.listStatus(p)]
+
+    def rmtree(self, path: str) -> None:
+        self._fs.delete(self._p(path), True)

@@ -763,3 +763,54 @@ def test_late_file_dropped_only_after_eviction(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_snapshot_protocol_through_hadoop_fs(spark, tmp_path):
+    """The cluster-side seam implementation: the full commit →
+    partitioned-commit → pruned-merge-style carry-forward → pruned-read
+    cycle runs through HadoopFilesystem (file:// locally; same JVM API
+    as hdfs://), interoperably with the default LocalFilesystem on the
+    same root — the S3/HDFS port is configuration, not surgery."""
+    from etl_pulumi_aws_snowflake_spark.streaming.hadoop_fs import (
+        HadoopFilesystem,
+    )
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_commit,
+        snapshot_commit_partitioned,
+        snapshot_read,
+    )
+
+    fs = HadoopFilesystem(spark, "file:///")
+    root = str(tmp_path / "snap")
+
+    seed = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    snapshot_commit(seed, root, fs=fs)
+    assert {r.k for r in snapshot_read(spark, root, fs=fs).collect()} == {1, 2}
+
+    pdf = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "x")],
+        "k bigint, v string, part string",
+    )
+    snapshot_commit_partitioned(pdf, root, "part", fs=fs)
+    upd = spark.createDataFrame([(2, "B2", "y")], "k bigint, v string, part string")
+    snapshot_commit_partitioned(upd, root, "part", changed_values=["y"], fs=fs)
+
+    got = {(r.k, r.v) for r in snapshot_read(spark, root, fs=fs).collect()}
+    assert got == {(1, "a"), (3, "c"), (2, "B2")}
+    pruned = {
+        (r.k, r.v)
+        for r in snapshot_read(
+            spark, root, partition_values=["x"], fs=fs
+        ).collect()
+    }
+    assert pruned == {(1, "a"), (3, "c")}
+
+    # Same physical layout: the default local seam resolves the root
+    # the hadoop seam wrote (pointer text, manifest, version dirs).
+    assert snapshot_read(spark, root).count() == 3
+
+    # The protocol's absence contract holds across implementations.
+    with pytest.raises(FileNotFoundError):
+        fs.read_text(str(tmp_path / "missing.txt"))
+    with pytest.raises(FileNotFoundError):
+        fs.listdir(str(tmp_path / "missing_dir"))
