@@ -814,3 +814,90 @@ def test_snapshot_protocol_through_hadoop_fs(spark, tmp_path):
         fs.read_text(str(tmp_path / "missing.txt"))
     with pytest.raises(FileNotFoundError):
         fs.listdir(str(tmp_path / "missing_dir"))
+
+
+def test_late_rows_with_live_state_are_aggregated_not_dropped(spark, tmp_path):
+    """Pins the other half of the measured watermark contract (SCALE.md
+    "where the watermark actually drops late rows"): when a late file's
+    windows still have LIVE state (no eviction batch in between), this
+    engine aggregates the late rows rather than dropping them — the
+    docs' drop guarantee is one-sided.  If a Spark upgrade starts
+    dropping at ingest, this fails and SCALE.md (and the
+    stream_late_data_discard_e2e design notes) need re-measuring."""
+    import os
+    import time
+
+    from etl_pulumi_aws_snowflake_spark.queries.streaming_e2e import _force_mtime
+    from etl_pulumi_aws_snowflake_spark.streaming.windows import tumbling_counts
+
+    events = load_table(spark, SF, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    t_max = events.agg(F.max("ts")).first()[0]
+    late = events.filter(
+        F.col("ts") <= F.lit(t_max) - F.expr("INTERVAL 3 HOURS")
+    ).withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+
+    landing = str(tmp_path / "landing")
+    now = time.time()
+    # File order: all events, then the late replay — NO on-time batch
+    # in between, so the late windows' state is never evicted first.
+    for i, df in enumerate((events, late)):
+        sub = os.path.join(landing, f"f{i}")
+        df.coalesce(1).write.parquet(sub)
+        _force_mtime(sub, now - 300 + i * 60)
+
+    stream = (
+        spark.readStream.schema(schemas.EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "*"))
+    )
+    outdir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def sink(batch_df, epoch):
+        batch_df.withColumn("epoch", F.lit(epoch)).write.mode("append").parquet(
+            outdir
+        )
+
+    q = (
+        tumbling_counts(stream)
+        .drop("total_value")
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert all(
+        s.get("numRowsDroppedByWatermark", 0) == 0
+        for p in q.recentProgress
+        for s in p["stateOperators"]
+    )
+
+    from pyspark.sql import Window
+
+    latest = (
+        spark.read.parquet(outdir)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("window_start", "event_type").orderBy(
+                    F.desc("epoch")
+                )
+            ),
+        )
+        .filter("rn = 1")
+    )
+    got = {
+        (r.window_start, r.event_type, r.n_events) for r in latest.collect()
+    }
+    want = {
+        (r.ws, r.event_type, r.n_events)
+        for r in events.unionByName(late)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n_events")
+        .collect()
+    }
+    assert got == want
