@@ -35,24 +35,27 @@ from . import streaming_e2e  # noqa: E402,F401
 # The external correctness driver checks the FIRST 50 dict entries per
 # round (CORRECTNESS_r01-r04 each recorded exactly queries()[:50] in
 # order).  Round 5 is the evidence-freshness rotation VERDICT r04 #1
-# asked for, plus the two NEW entries that close the last pass-local
-# §2.9 rows: the window goes to (a) the 2 brand-new streaming-semantic
-# entries (checkpoint replay idempotence, watermark late-data discard
-# — never driver-checked), then (b) the 5 entries whose CODE r05
-# touches — snapshot partition-value validation + filesystem seam
+# asked for, plus the three NEW entries that convert the last
+# pytest-only §2.9 semantics: the window goes to (a) the 3 brand-new
+# streaming-semantic entries (checkpoint replay idempotence, watermark
+# late-data discard, applyInPandasWithState arbitrary state — never
+# driver-checked), then (b) the 5 entries whose CODE r05 touches —
+# snapshot partition-value validation + filesystem seam
 # (cdc_merge_pruned_e2e, cdc_merge_stream_e2e), the stateful-dedup
 # fixture assert (stream_stateful_dedup_e2e), and the
 # tracked-localCheckpoint sweep + semantic_near_pairs multi-assign
-# refactor (dedup_survivors, dedup_embedding_survivors) — then (c) 43
+# refactor (dedup_survivors, dedup_embedding_survivors) — then (c) 42
 # of the 48 entries whose latest driver row is still CORRECTNESS_r01
 # (all mirror-green on current code; this converts that back into the
-# hard driver signal).  The 5 deferred r1-stale entries (join_cross,
-# join_right_outer, join_semi, scalar_array_explode, scalar_json_typed
-# — each family keeps sibling rows in this window) plus the 11
-# r2-stale entries lead the r06 window next.
+# hard driver signal).  The 6 deferred r1-stale entries (join_cross,
+# join_right_outer, join_semi, scalar_array_explode, scalar_json_typed,
+# set_distinct_rows — each family keeps sibling rows in this window)
+# plus the 11 r2-stale entries lead the r06 window next
+# (scripts/driver_staleness.py generates the rotation candidates).
 _DRIVER_FIRST = [
     # (a) new this round — first-ever driver evidence
     "stream_replay_idempotence_e2e", "stream_late_data_discard_e2e",
+    "stream_arbitrary_state_e2e",
     # (b) r05 code-touched — fresh evidence on the new code
     "stream_stateful_dedup_e2e", "cdc_merge_pruned_e2e",
     "cdc_merge_stream_e2e", "dedup_survivors", "dedup_embedding_survivors",
@@ -69,7 +72,6 @@ _DRIVER_FIRST = [
     "win_topk_per_group",
     "sort_limit_topn", "sort_multi_key",
     "set_union_all", "set_union_by_name", "set_intersect", "set_except",
-    "set_distinct_rows",
     "scalar_string", "scalar_datetime", "scalar_math", "scalar_conditional",
     "scalar_array", "scalar_json",
 ]

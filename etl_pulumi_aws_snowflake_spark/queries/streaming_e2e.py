@@ -1,8 +1,9 @@
 """Driver-checkable stateful-streaming queries (SURVEY.md §2.9).
 
-The four hard streaming semantics — stateful dedup across arrivals,
-the stream-stream interval join, checkpoint replay idempotence, and
-watermark late-data discard — each run a TRUE StreamingQuery here
+The five hard streaming semantics — stateful dedup across arrivals,
+the stream-stream interval join, checkpoint replay idempotence,
+watermark late-data discard, and ``applyInPandasWithState`` arbitrary
+state — each run a TRUE StreamingQuery here
 (``Trigger.AvailableNow`` over deterministically derived files, exactly
 the pattern proven by ``pipeline_stream_e2e``) inside the registry
 callable, then return the materialized sink so the driver hash-compares
@@ -35,6 +36,10 @@ Determinism arguments:
   exactly-once-per-window contract then REQUIRES the late rows be
   dropped (re-aggregating them would re-emit finalized windows), so
   the sink deterministically equals the on-time-only aggregate.
+- **arbitrary state**: cumulative per-user totals are
+  order-independent (the Python accumulator sums pre-scaled
+  integer-valued doubles — exact addition commutes), so the latest
+  emission per user equals the batch group-by under any batching.
 """
 
 from __future__ import annotations
@@ -185,6 +190,91 @@ def stream_interval_join_e2e(spark, sf_dir):
     )
     return spark.read.parquet(outdir).select(
         "user_id", "l_event_id", "r_event_id", "l_ts", "r_ts"
+    )
+
+
+_STATE_ORACLE = """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND((value) * 10000) AS BIGINT)) AS DOUBLE)
+               / CAST(10000 AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+"""
+
+
+@query("stream_arbitrary_state_e2e", oracle=_STATE_ORACLE)
+def stream_arbitrary_state_e2e(spark, sf_dir):
+    """Arbitrary custom state (``applyInPandasWithState``,
+    SURVEY.md §2.9) under the driver hash: per-user running totals
+    accumulate in the state store across two microbatches
+    (``maxFilesPerTrigger=1`` over two half-files), each batch emits
+    the group's cumulative row, and the LATEST emission per user must
+    equal the batch group-by over everything that arrived.
+
+    Hash determinism: the Python-side accumulator sums ``value``
+    PRE-SCALED to integer-valued doubles (exact under float addition
+    in any order — the ``_util.ints`` policy applied inside a stateful
+    op), and one final double division matches the oracle's
+    ``CAST(SUM(int) AS DOUBLE)/scale`` bit-for-bit.  The cumulative
+    total per user is order-independent, so the result is stable under
+    any file→batch assignment."""
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import running_user_totals
+    from ._util import ints
+
+    work = _workdir(sf_dir, "arb_state")
+    landing = os.path.join(work, "arrivals")
+    events = t(spark, sf_dir, "events").select(*_EVENT_COLS)
+    scaled = events.withColumn("value", ints("value", 10000).cast("double"))
+    for half in ("event_id % 2 = 0", "event_id % 2 = 1"):
+        scaled.filter(half).coalesce(1).write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.schema(schemas.EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    outdir = os.path.join(work, "out")
+
+    def epoch_sink(batch_df, epoch_id: int) -> None:
+        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+            "append"
+        ).parquet(outdir)
+
+    totals = running_user_totals(stream)
+    spark_prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(min(int(spark_prev), _MAX_STATE_PARTITIONS)),
+    )
+    try:
+        q = (
+            totals.writeStream.foreachBatch(epoch_sink)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", spark_prev)
+
+    latest = (
+        spark.read.parquet(outdir)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("epoch"))
+            ),
+        )
+        .filter("rn = 1")
+    )
+    return latest.select(
+        "user_id",
+        "n_events",
+        (F.col("total_value") / F.lit(10000.0)).alias("total_value"),
     )
 
 
