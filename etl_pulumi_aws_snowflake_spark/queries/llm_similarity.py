@@ -251,3 +251,56 @@ def dedup_embedding_survivors(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     pairs = S.semantic_near_pairs(emb, threshold=0.35, seed_stride=_PROBE_STRIDE)
     return D.dedup_survivors(emb, pairs, id_col="vec_id")
+
+
+@query(
+    "dedup_embedding_survivors_multi",
+    oracle=f"""
+    WITH RECURSIVE {_E},
+    seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e
+              WHERE vec_id % {_PROBE_STRIDE} = 0),
+    assign AS (
+        SELECT e.vec_id, e.v, seed_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos('sv', 'v')} DESC, seed_id) AS rn
+        FROM e CROSS JOIN seeds
+    ),
+    lists AS (SELECT vec_id, v, seed_id AS list_id FROM assign WHERE rn <= 2),
+    pairs AS (
+        SELECT DISTINCT a.vec_id AS pa, b.vec_id AS pb
+        FROM lists a JOIN lists b ON a.list_id = b.list_id
+                                 AND a.vec_id < b.vec_id
+        WHERE {_cos('a.v', 'b.v')} >= 0.35
+    ),
+    edges AS (
+        SELECT pa AS a, pb AS b FROM pairs
+        UNION SELECT pb, pa FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+    ),
+    comp AS (SELECT a AS vec_id, MIN(b) AS keep_id FROM reach GROUP BY a)
+    SELECT em.vec_id,
+           COALESCE(c.keep_id, em.vec_id) AS keep_id,
+           COALESCE(c.keep_id, em.vec_id) != em.vec_id AS is_dup
+    FROM embeddings em LEFT JOIN comp c USING (vec_id)
+    """,
+)
+def dedup_embedding_survivors_multi(spark, sf_dir):
+    """Multi-assignment SemDeDup keep-one: identical to
+    :func:`dedup_embedding_survivors` except every vector joins its
+    TOP-2 coarse lists (``n_assign=2``), recovering near-dup pairs
+    split across a single-assign list boundary (at sf0.01/thr 0.35 the
+    candidate set grows 88 → 176 of 271 true pairs; property-tested
+    superset in tests/test_llm_ops.py).  Work stays Σ|list|² with
+    duplicate pairs collapsed on (doc_a, doc_b); the oracle replays the
+    same top-2 assignment with ``rn <= 2`` + DISTINCT pairs."""
+    from ..operators import dedup as D
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = S.semantic_near_pairs(
+        emb, threshold=0.35, seed_stride=_PROBE_STRIDE, n_assign=2
+    )
+    return D.dedup_survivors(emb, pairs, id_col="vec_id")
