@@ -55,3 +55,22 @@ def test_driver_window_names_are_real_and_unique():
     assert len(_DRIVER_FIRST) == 50, (
         f"driver window holds exactly 50 slots, got {len(_DRIVER_FIRST)}"
     )
+
+
+def test_staleness_report_covers_every_entry():
+    """scripts/driver_staleness.py feeds the window rotation; its
+    evidence map must parse every CORRECTNESS file and each green row
+    must reflect the hash verdict, or the rotation plans from bad data."""
+    sys.path.insert(0, str(REPO / "scripts"))
+    import driver_staleness as ds
+
+    evidence = ds.latest_evidence()
+    assert evidence, "no CORRECTNESS_r*.json parsed"
+    # every recorded row names a real (current or historical) query and
+    # carries a (round, green) verdict
+    for name, (rnd, green) in evidence.items():
+        assert rnd >= 1
+        assert isinstance(green, bool)
+    # spot-pin against a known file: round 4 contained these as green
+    assert evidence["pipeline_batch_e2e"][1] is True
+    assert evidence["q1_pricing_summary"][0] >= 1
