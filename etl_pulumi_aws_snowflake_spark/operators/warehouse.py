@@ -47,7 +47,37 @@ def merge_upsert(
     per-column update expressions belong in the source query, keeping
     the merge itself mechanical (exactly how warehouse MERGE ... UPDATE
     SET is compiled).
+
+    Schema drift fails LOUDLY, before the join: a source missing target
+    columns raises (instead of an opaque unresolved-column analysis
+    error deep in the plan), and a source column whose dtype differs
+    from the target's raises (the ``when(matched, s.c).otherwise(t.c)``
+    coalesce would otherwise silently promote the SNAPSHOT's column
+    type — e.g. an int column becoming string because one CDC feed
+    drifted).  Intentional coercion belongs upstream: cast in the
+    source query or run it through ``operators.align.align`` first.
     """
+    t_types = dict(target.dtypes)
+    s_types = dict(source.dtypes)
+    missing = [c for c in target.columns if c not in s_types]
+    if missing:
+        raise ValueError(
+            f"merge_upsert source is missing target column(s) {missing}; "
+            "a MERGE source must carry every target column (align or "
+            "select them in the source query)"
+        )
+    drifted = {
+        c: (s_types[c], t_types[c])
+        for c in target.columns
+        if s_types[c] != t_types[c]
+    }
+    if drifted:
+        raise ValueError(
+            "merge_upsert source dtypes differ from target "
+            f"{{col: (source, target)}} = {drifted}; merging would "
+            "silently retype the snapshot — cast the source explicitly "
+            "(operators.align.align for by-name typed coercion)"
+        )
     t = target.withColumn("_t_exists", F.lit(True)).alias("t")
     s = source.withColumn("_s_exists", F.lit(True)).alias("s")
     joined = t.join(s, on=key, how="full_outer")

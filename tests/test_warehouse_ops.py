@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from etl_pulumi_aws_snowflake_spark.operators import warehouse as W
 
 
@@ -63,3 +65,22 @@ def test_scd2_collapses_noop_changes_and_orders_intervals(spark):
         (1, "gold", ts(2), None, True),
         (2, "silver", ts(0), None, True),
     ]
+
+
+def test_merge_upsert_rejects_missing_source_column(spark):
+    """Schema drift fails loudly: a CDC source that lost a target
+    column raises with the column named, not an unresolved-attribute
+    analysis error deep in the join plan."""
+    target = spark.createDataFrame([(1, "a", 1.0)], "k bigint, name string, bal double")
+    source = spark.createDataFrame([(1, "a2")], "k bigint, name string")
+    with pytest.raises(ValueError, match=r"missing target column.*bal"):
+        W.merge_upsert(target, source, key=["k"])
+
+
+def test_merge_upsert_rejects_dtype_drift(spark):
+    """A source column with a drifted dtype raises instead of silently
+    retyping the snapshot column through the when/otherwise coalesce."""
+    target = spark.createDataFrame([(1, 10)], "k bigint, n int")
+    source = spark.createDataFrame([(1, "11")], "k bigint, n string")
+    with pytest.raises(ValueError, match=r"dtypes differ.*'n'"):
+        W.merge_upsert(target, source, key=["k"])
