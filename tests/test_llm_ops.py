@@ -425,3 +425,36 @@ def test_ivf_assign_topn_first_choice_matches_single_assign(spark, sf_correct):
         check()
     finally:
         S.MAX_LITERAL_SEEDS = old
+
+
+def test_dedup_survivors_with_no_pairs_keeps_everything(spark):
+    """Degenerate input: an empty candidate-pair list (clean corpus, or
+    a threshold nothing crosses) must yield every doc keeping itself —
+    not an error from the empty edge set inside connected_components."""
+    from etl_pulumi_aws_snowflake_spark.operators.dedup import dedup_survivors
+
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [], "doc_a bigint, doc_b bigint, sim double"
+    )
+    rows = dedup_survivors(docs, pairs).collect()
+    assert len(rows) == 5
+    assert all(r.keep_id == r.doc_id and not r.is_dup for r in rows)
+
+
+def test_pack_chunks_doc_spanning_multiple_budgets(spark):
+    """Hand-checkable degenerate case: one 7-token doc at budget 4 must
+    split 4+3 across chunks 0 and 1, and the next doc starts mid-chunk
+    — the enumerated twin of test_packing.py's invariant sweep."""
+    from etl_pulumi_aws_snowflake_spark.operators.packing import pack_chunks
+
+    docs = spark.createDataFrame(
+        [(1, 7), (2, 3)], "doc_id bigint, n_tokens bigint"
+    )
+    rows = sorted(
+        pack_chunks(docs, budget=4).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    spark.catalog.clearCache()
+    got = [(r.doc_id, r.chunk_id, r.tok_start, r.tok_end) for r in rows]
+    assert got == [(1, 0, 0, 4), (1, 1, 4, 7), (2, 1, 7, 8), (2, 2, 8, 10)]
