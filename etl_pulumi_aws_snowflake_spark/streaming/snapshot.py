@@ -169,11 +169,26 @@ def _partition_dir(root: str, version: str, value: str) -> str:
     return os.path.join(root, version, "data", f"{_PDIR}={value}")
 
 
+def snapshot_versions(
+    root: str, fs: LocalFilesystem | None = None
+) -> list[str]:
+    """Version dirs still on disk, oldest→newest (numeric order), with
+    the live one last only if it IS the newest (it always is after a
+    normal commit).  Versions beyond ``keep`` are GC'd at commit time,
+    so this is the time-travel horizon, not full history."""
+    fs = fs or DEFAULT_FS
+    return sorted(
+        (d for d in fs.listdir(root) if d.startswith("v-")),
+        key=lambda d: int(d.rsplit("-", 1)[1]),
+    )
+
+
 def snapshot_read(
     spark: SparkSession,
     root: str,
     partition_values: list | None = None,
     fs: LocalFilesystem | None = None,
+    version: str | None = None,
 ) -> DataFrame:
     """Load the live snapshot version (or the bare root for a seed
     table written by a plain ``df.write.parquet(root)``).
@@ -184,9 +199,28 @@ def snapshot_read(
     the read side of partition-pruned MERGE.  On an UNPARTITIONED
     snapshot (no manifest) passing ``partition_values`` raises
     ``ValueError`` — pruning needs the manifest's value→dir mapping;
-    there is no silent post-scan-filter fallback."""
+    there is no silent post-scan-filter fallback.
+
+    ``version`` time-travels to a retained older version (name from
+    :func:`snapshot_versions`; raises ``ValueError`` if it is not on
+    disk — GC'd or never existed).  Version dirs are immutable and a
+    partitioned version's manifest pins each partition to the version
+    that physically holds it, so an old read is exactly what a reader
+    saw when that version was live — including carried-forward
+    partitions whose data lives in an even older dir (GC keeps
+    referenced dirs alive, the expire-snapshots rule)."""
     fs = fs or DEFAULT_FS
-    v = _current_version(root, fs)
+    if version is not None:
+        if version not in snapshot_versions(root, fs):
+            raise ValueError(
+                f"snapshot version {version!r} not on disk under {root} "
+                f"(retained: {snapshot_versions(root, fs)}); it was GC'd "
+                "or never committed — raise `keep` on commits to widen "
+                "the time-travel horizon"
+            )
+        v = version
+    else:
+        v = _current_version(root, fs)
     man = _read_manifest(root, v, fs) if v is not None else None
     if man is None:
         if partition_values is not None:

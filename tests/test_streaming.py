@@ -901,3 +901,54 @@ def test_late_rows_with_live_state_are_aggregated_not_dropped(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_snapshot_time_travel_reads_retained_versions(spark, tmp_path):
+    """Time travel: a retained older version reads back exactly what a
+    reader saw when it was live — including a partitioned version whose
+    carried-forward partition data lives in an even older dir — and a
+    GC'd / unknown version raises with the retained list."""
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_commit,
+        snapshot_commit_partitioned,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    root = str(tmp_path / "snap")
+    v1 = snapshot_commit(
+        spark.createDataFrame([(1, "a")], "k bigint, v string"), root, keep=4
+    )
+    pdf = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "k bigint, v string, part string"
+    )
+    v2 = snapshot_commit_partitioned(pdf, root, "part", keep=4)
+    upd = spark.createDataFrame([(2, "B2", "y")], "k bigint, v string, part string")
+    v3 = snapshot_commit_partitioned(
+        upd, root, "part", changed_values=["y"], keep=4
+    )
+    assert snapshot_versions(root) == [v1, v2, v3]
+
+    # live == v3 semantics; v2 time-travel shows the pre-merge rows
+    assert {(r.k, r.v) for r in snapshot_read(spark, root).collect()} == {
+        (1, "a"),
+        (2, "B2"),
+    }
+    assert {
+        (r.k, r.v) for r in snapshot_read(spark, root, version=v2).collect()
+    } == {(1, "a"), (2, "b")}
+    # v3's x-partition is carried forward BY REFERENCE into v2's dir —
+    # time travel and live read agree on it
+    assert {
+        (r.k, r.v)
+        for r in snapshot_read(
+            spark, root, version=v3, partition_values=["x"]
+        ).collect()
+    } == {(1, "a")}
+    # unpartitioned seed version stays readable
+    assert {
+        (r.k, r.v) for r in snapshot_read(spark, root, version=v1).collect()
+    } == {(1, "a")}
+
+    with pytest.raises(ValueError, match=r"v-99999.*retained"):
+        snapshot_read(spark, root, version="v-99999")
