@@ -54,23 +54,35 @@ def merge_upsert(
     from the target's raises (the ``when(matched, s.c).otherwise(t.c)``
     coalesce would otherwise silently promote the SNAPSHOT's column
     type — e.g. an int column becoming string because one CDC feed
-    drifted).  Intentional coercion belongs upstream: cast in the
-    source query or run it through ``operators.align.align`` first.
+    drifted).  Name matching is case-INsensitive, mirroring Spark's
+    default analyzer resolution (a source differing only in column case
+    merged fine before these checks existed and still does); two source
+    columns differing only in case are ambiguous and raise.  Intentional
+    coercion belongs upstream: cast in the source query or run it
+    through ``operators.align.align`` first.
     """
     t_types = dict(target.dtypes)
-    s_types = dict(source.dtypes)
-    missing = [c for c in target.columns if c not in s_types]
+    s_by_ci: dict[str, list[tuple[str, str]]] = {}
+    for name, dt in source.dtypes:
+        s_by_ci.setdefault(name.lower(), []).append((name, dt))
+    missing, drifted = [], {}
+    for c in target.columns:
+        matches = s_by_ci.get(c.lower(), [])
+        if not matches:
+            missing.append(c)
+        elif len(matches) > 1:
+            raise ValueError(
+                f"merge_upsert source has ambiguous case-variant columns "
+                f"{[n for n, _ in matches]} for target column {c!r}"
+            )
+        elif matches[0][1] != t_types[c]:
+            drifted[c] = (matches[0][1], t_types[c])
     if missing:
         raise ValueError(
             f"merge_upsert source is missing target column(s) {missing}; "
             "a MERGE source must carry every target column (align or "
             "select them in the source query)"
         )
-    drifted = {
-        c: (s_types[c], t_types[c])
-        for c in target.columns
-        if s_types[c] != t_types[c]
-    }
     if drifted:
         raise ValueError(
             "merge_upsert source dtypes differ from target "

@@ -44,6 +44,7 @@ Determinism arguments:
 
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 
@@ -57,22 +58,37 @@ from .registry import query
 _EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
 
 #: State-store instances per stateful stream = shuffle partitions at
-#: stream start; bounded e2e runs need few (see _run_to_parquet).
+#: stream start; bounded e2e runs need few (see _capped_state_partitions).
 _MAX_STATE_PARTITIONS = 32
+
+
+@contextlib.contextmanager
+def _capped_state_partitions(spark):
+    """Cap ``spark.sql.shuffle.partitions`` for a stream's lifetime.
+
+    Stateful operators allocate one state-store instance per shuffle
+    partition at stream START, so a driver session's batch-oriented
+    partition count (e.g. 200) would mean 200 state stores for a
+    bounded 10k-row run — pure task overhead.  Restores the caller's
+    setting after (result sets here are partition-count-independent; on
+    a real cluster a continuous job sizes this to input rate × state
+    retention instead)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(min(int(prev), _MAX_STATE_PARTITIONS)),
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _run_to_parquet(stream_df, outdir: str, ckpt: str) -> None:
     """Drive a streaming DataFrame to a parquet dir via foreachBatch +
     AvailableNow (the reference's process-what-landed-then-stop
-    semantics, ``modules/snowflake.py:158-178``).
-
-    Stateful operators allocate one state-store instance per shuffle
-    partition at stream START, so a driver session's batch-oriented
-    partition count (e.g. 200) would mean 200 state stores for a
-    bounded 10k-row run — pure task overhead.  Cap it for the stream's
-    lifetime and restore the caller's setting after (result sets here
-    are partition-count-independent; on a real cluster a continuous job
-    sizes this to input rate × state retention instead).
+    semantics, ``modules/snowflake.py:158-178``), shuffle partitions
+    capped for the stream's lifetime (``_capped_state_partitions``).
 
     NO CRASH RECOVERY: the foreachBatch append has no epoch
     idempotence, so restarting a run that CRASHED mid-batch against the
@@ -84,12 +100,7 @@ def _run_to_parquet(stream_df, outdir: str, ckpt: str) -> None:
     crash-restartable production sink writes epoch-keyed subdirs
     (overwrite mode on ``outdir/epoch=N``) or merges by key — see
     ``streaming/cdc.py`` for the idempotent-merge form."""
-    spark = stream_df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(min(int(prev), _MAX_STATE_PARTITIONS))
-    )
-    try:
+    with _capped_state_partitions(stream_df.sparkSession):
 
         def sink(batch_df, _epoch_id: int) -> None:
             batch_df.write.mode("append").parquet(outdir)
@@ -101,8 +112,6 @@ def _run_to_parquet(stream_df, outdir: str, ckpt: str) -> None:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 _DEDUP_ORACLE = """
@@ -243,23 +252,16 @@ def stream_arbitrary_state_e2e(spark, sf_dir):
             "append"
         ).parquet(outdir)
 
-    totals = running_user_totals(stream)
-    spark_prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(min(int(spark_prev), _MAX_STATE_PARTITIONS)),
-    )
-    try:
+    with _capped_state_partitions(spark):
         q = (
-            totals.writeStream.foreachBatch(epoch_sink)
+            running_user_totals(stream)
+            .writeStream.foreachBatch(epoch_sink)
             .outputMode("update")
             .option("checkpointLocation", os.path.join(work, "ckpt"))
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", spark_prev)
 
     latest = (
         spark.read.parquet(outdir)
@@ -348,6 +350,39 @@ def _force_mtime(d: str, when: float) -> None:
             os.utime(os.path.join(root, f), (when, when))
 
 
+def _stage_late_arrivals(events, landing: str):
+    """Write the late-discard scenario's three mtime-ordered files under
+    ``landing`` (shared by the driver entry and the mechanism-pinning
+    tests so they cannot drift apart):
+
+    1. all events (max event time T);
+    2. one on-time probe row (ts == T, ids offset) — its batch boundary
+       lets eviction finalize every window ending ≤ T - 1h;
+    3. a LATE replay of every event with ts ≤ T - 3h (ids offset).
+
+    Returns ``(on_time, t_max)`` — the frame and bound the expected
+    (finalized, on-time-only) aggregate is computed from."""
+    events = events.select(*_EVENT_COLS)
+    t_max = events.agg(F.max("ts")).first()[0]
+    probe = events.filter(F.col("ts") == F.lit(t_max)).withColumn(
+        "event_id", F.col("event_id") + F.lit(30_000_000)
+    )
+    late = events.filter(
+        F.col("ts") <= F.lit(t_max) - F.expr("INTERVAL 3 HOURS")
+    ).withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+    # The demo is only meaningful if something is actually late.
+    assert late.limit(1).count() == 1, (
+        "late-discard staging: fixture has no events older than "
+        "max(ts) - 3h; the late file would be empty"
+    )
+    now = time.time()
+    for i, df in enumerate((events, probe, late)):
+        sub = os.path.join(landing, f"f{i}")
+        df.coalesce(1).write.parquet(sub)
+        _force_mtime(sub, now - 300 + i * 60)
+    return events, t_max
+
+
 @query("stream_late_data_discard_e2e", oracle=_LATE_ORACLE)
 def stream_late_data_discard_e2e(spark, sf_dir):
     """Watermark late-data discard (SURVEY.md §2.9) under the driver
@@ -371,26 +406,7 @@ def stream_late_data_discard_e2e(spark, sf_dir):
 
     work = _workdir(sf_dir, "late_discard")
     landing = os.path.join(work, "arrivals")
-    events = t(spark, sf_dir, "events").select(*_EVENT_COLS)
-    t_max = events.agg(F.max("ts")).first()[0]
-
-    on_time = events
-    probe = events.filter(F.col("ts") == F.lit(t_max)).withColumn(
-        "event_id", F.col("event_id") + F.lit(30_000_000)
-    )
-    late = events.filter(
-        F.col("ts") <= F.lit(t_max) - F.expr("INTERVAL 3 HOURS")
-    ).withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
-    # The demo is only meaningful if something is actually late.
-    assert late.limit(1).count() == 1, (
-        "stream_late_data_discard_e2e: fixture has no events older than "
-        "max(ts) - 3h; the late file would be empty"
-    )
-    now = time.time()
-    for i, df in enumerate((on_time, probe, late)):
-        sub = os.path.join(landing, f"f{i}")
-        df.coalesce(1).write.parquet(sub)
-        _force_mtime(sub, now - 300 + i * 60)
+    _stage_late_arrivals(t(spark, sf_dir, "events"), landing)
 
     stream = (
         spark.readStream.schema(schemas.EVENTS)

@@ -169,18 +169,45 @@ def _partition_dir(root: str, version: str, value: str) -> str:
     return os.path.join(root, version, "data", f"{_PDIR}={value}")
 
 
+def _vnum(d: str) -> int:
+    return int(d.rsplit("-", 1)[1])
+
+
 def snapshot_versions(
     root: str, fs: LocalFilesystem | None = None
 ) -> list[str]:
-    """Version dirs still on disk, oldest→newest (numeric order), with
-    the live one last only if it IS the newest (it always is after a
-    normal commit).  Versions beyond ``keep`` are GC'd at commit time,
-    so this is the time-travel horizon, not full history."""
+    """FULLY-READABLE retained versions, oldest→newest — the time-travel
+    horizon, not full history (commits GC beyond ``keep``).
+
+    Two classes of on-disk ``v-*`` dirs are deliberately NOT listed:
+
+    - dirs numerically ABOVE the live pointer: an in-progress commit's
+      half-written output, or a crash orphan from a commit that died
+      before its pointer swap (listing either would offer a torn read
+      of never-committed data — version numbers only become readable
+      at the swap);
+    - committed dirs whose manifest references a dir GC has dropped:
+      GC keeps a version alive as a DATA holder whenever a kept
+      manifest points into it, but that survivor's OWN manifest may
+      name even-older dirs that nothing kept needed — it is no longer
+      readable *as a version* and time travel to it must refuse, not
+      PATH_NOT_FOUND mid-scan."""
     fs = fs or DEFAULT_FS
-    return sorted(
-        (d for d in fs.listdir(root) if d.startswith("v-")),
-        key=lambda d: int(d.rsplit("-", 1)[1]),
-    )
+    cur = _current_version(root, fs)
+    if cur is None:
+        return []
+    on_disk = {d for d in fs.listdir(root) if d.startswith("v-")}
+    out = []
+    for d in sorted(on_disk, key=_vnum):
+        if _vnum(d) > _vnum(cur):
+            continue
+        man = _read_manifest(root, d, fs)
+        if man is not None and not all(
+            ver in on_disk for ver in man["entries"].values()
+        ):
+            continue
+        out.append(d)
+    return out
 
 
 def snapshot_read(
@@ -201,22 +228,25 @@ def snapshot_read(
     ``ValueError`` — pruning needs the manifest's value→dir mapping;
     there is no silent post-scan-filter fallback.
 
-    ``version`` time-travels to a retained older version (name from
-    :func:`snapshot_versions`; raises ``ValueError`` if it is not on
-    disk — GC'd or never existed).  Version dirs are immutable and a
-    partitioned version's manifest pins each partition to the version
-    that physically holds it, so an old read is exactly what a reader
-    saw when that version was live — including carried-forward
-    partitions whose data lives in an even older dir (GC keeps
-    referenced dirs alive, the expire-snapshots rule)."""
+    ``version`` time-travels to a version in the readable horizon
+    (:func:`snapshot_versions`; raises ``ValueError`` otherwise — GC'd,
+    never committed, partially unreferenced, or an in-progress/orphaned
+    dir).  Version dirs are immutable and a partitioned version's
+    manifest pins each partition to the version that physically holds
+    it, so an old read is exactly what a reader saw when that version
+    was live — including carried-forward partitions whose data lives in
+    an even older dir (GC keeps referenced dirs alive, the
+    expire-snapshots rule)."""
     fs = fs or DEFAULT_FS
     if version is not None:
-        if version not in snapshot_versions(root, fs):
+        readable = snapshot_versions(root, fs)
+        if version not in readable:
             raise ValueError(
-                f"snapshot version {version!r} not on disk under {root} "
-                f"(retained: {snapshot_versions(root, fs)}); it was GC'd "
-                "or never committed — raise `keep` on commits to widen "
-                "the time-travel horizon"
+                f"snapshot version {version!r} is not in the readable "
+                f"time-travel horizon of {root} (readable: {readable}); "
+                "it was GC'd (fully or via a dropped reference), never "
+                "committed, or is an in-progress/orphaned dir — raise "
+                "`keep` on commits to widen the horizon"
             )
         v = version
     else:
@@ -224,10 +254,14 @@ def snapshot_read(
     man = _read_manifest(root, v, fs) if v is not None else None
     if man is None:
         if partition_values is not None:
+            which = (
+                f"requested version {version!r}"
+                if version is not None
+                else "this root's live version"
+            )
             raise ValueError(
                 "partition_values pruning requires a partitioned snapshot "
-                "(snapshot_commit_partitioned); this root's live version "
-                "has no manifest"
+                f"(snapshot_commit_partitioned); {which} has no manifest"
             )
         return spark.read.parquet(os.path.join(root, v) if v else root)
     columns = man["columns"]
@@ -247,8 +281,7 @@ def snapshot_read(
 
 def _next_version(root: str, fs: LocalFilesystem = DEFAULT_FS) -> str:
     v = _current_version(root, fs)
-    n = int(v.rsplit("-", 1)[1]) if v else 0
-    return f"v-{n + 1:05d}"
+    return f"v-{(_vnum(v) if v else 0) + 1:05d}"
 
 
 def _swap_pointer(root: str, new: str, fs: LocalFilesystem = DEFAULT_FS) -> None:
@@ -262,11 +295,13 @@ def _gc(root: str, keep: int, fs: LocalFilesystem = DEFAULT_FS) -> None:
     referenced by a kept version's manifest (a carried-forward
     partition's data lives in the version that last rewrote it — the
     expire-snapshots rule)."""
-    # Numeric sort — lexicographic would order "v-100000" before
-    # "v-99999" once the zero-padding overflows, pruning the live dir.
+    # Raw on-disk listing, NOT snapshot_versions: GC must also see
+    # reference-only data holders and crash orphans (which the readable
+    # horizon deliberately excludes).  Numeric sort — lexicographic
+    # would order "v-100000" before "v-99999" once the zero-padding
+    # overflows, pruning the live dir.
     versions = sorted(
-        (d for d in fs.listdir(root) if d.startswith("v-")),
-        key=lambda d: int(d.rsplit("-", 1)[1]),
+        (d for d in fs.listdir(root) if d.startswith("v-")), key=_vnum
     )
     kept = set(versions[-keep:])
     referenced: set[str] = set()

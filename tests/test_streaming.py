@@ -693,30 +693,18 @@ def test_late_file_dropped_only_after_eviction(spark, tmp_path):
     a finalized window would break append's exactly-once-per-window
     contract.  Conversely, the late rows never reach the sink."""
     import os
-    import time
 
-    from etl_pulumi_aws_snowflake_spark.queries.streaming_e2e import _force_mtime
+    from etl_pulumi_aws_snowflake_spark.queries.streaming_e2e import (
+        _stage_late_arrivals,
+    )
     from etl_pulumi_aws_snowflake_spark.streaming.windows import tumbling_counts
 
-    events = load_table(spark, SF, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
-    t_max = events.agg(F.max("ts")).first()[0]
-    on_time = events
-    probe = events.filter(F.col("ts") == F.lit(t_max)).withColumn(
-        "event_id", F.col("event_id") + F.lit(30_000_000)
-    )
-    late = events.filter(
-        F.col("ts") <= F.lit(t_max) - F.expr("INTERVAL 3 HOURS")
-    ).withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
-    assert late.limit(1).count() == 1
-
     landing = str(tmp_path / "landing")
-    now = time.time()
-    for i, df in enumerate((on_time, probe, late)):
-        sub = os.path.join(landing, f"f{i}")
-        df.coalesce(1).write.parquet(sub)
-        _force_mtime(sub, now - 300 + i * 60)
+    # The SAME staging the driver entry uses — so this mechanism pin
+    # cannot drift from the arrival pattern the entry actually runs.
+    on_time, t_max = _stage_late_arrivals(
+        load_table(spark, SF, "events"), landing
+    )
 
     stream = (
         spark.readStream.schema(schemas.EVENTS)
@@ -950,5 +938,59 @@ def test_snapshot_time_travel_reads_retained_versions(spark, tmp_path):
         (r.k, r.v) for r in snapshot_read(spark, root, version=v1).collect()
     } == {(1, "a")}
 
-    with pytest.raises(ValueError, match=r"v-99999.*retained"):
+    with pytest.raises(ValueError, match=r"v-99999.*readable"):
         snapshot_read(spark, root, version="v-99999")
+
+
+def test_snapshot_versions_excludes_unreadable_and_orphaned(spark, tmp_path):
+    """The readable horizon (code-review findings, r05): a version kept
+    on disk only because newer manifests reference its DATA may itself
+    reference GC'd dirs — it must not be offered for time travel
+    (reading it would PATH_NOT_FOUND mid-scan); and a dir numerically
+    above the live pointer (in-progress commit or crash orphan) must
+    not be listed — reading it would be a torn read of never-committed
+    data."""
+    import os
+
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_commit_partitioned,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    root = str(tmp_path / "snap")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k bigint, v string, part string"
+    )
+    snapshot_commit_partitioned(
+        mk([(1, "a", "x"), (2, "b", "y")]), root, "part", keep=2
+    )  # v1: holds x and y
+    snapshot_commit_partitioned(
+        mk([(2, "b2", "y")]), root, "part", changed_values=["y"], keep=2
+    )  # v2: holds y, references v1 for x
+    snapshot_commit_partitioned(
+        mk([(2, "b3", "y")]), root, "part", changed_values=["y"], keep=2
+    )  # v3: holds y, references v1 for x
+    snapshot_commit_partitioned(
+        mk([(1, "a4", "x")]), root, "part", changed_values=["x"], keep=2
+    )  # v4: holds x, references v3 for y; GC drops v1 (nothing kept
+    #    needs it), keeps v3+v4 — v2 is gone, and if a chain had kept
+    #    v2 alive its x->v1 reference would now dangle.
+    on_disk = sorted(d for d in os.listdir(root) if d.startswith("v-"))
+    readable = snapshot_versions(root)
+    assert set(readable) <= set(on_disk)
+    for v in readable:  # every listed version must actually read
+        assert snapshot_read(spark, root, version=v).count() >= 1
+    # live still correct after the chain of pruned merges
+    assert {(r.k, r.v) for r in snapshot_read(spark, root).collect()} == {
+        (1, "a4"),
+        (2, "b3"),
+    }
+
+    # Crash-orphan simulation: a half-written next version above the
+    # pointer is invisible to the horizon and refuses time travel.
+    mk([(9, "z", "x")]).write.parquet(os.path.join(root, "v-00099"))
+    assert "v-00099" not in snapshot_versions(root)
+    with pytest.raises(ValueError, match="v-00099"):
+        snapshot_read(spark, root, version="v-00099")
+

@@ -84,3 +84,18 @@ def test_merge_upsert_rejects_dtype_drift(spark):
     source = spark.createDataFrame([(1, "11")], "k bigint, n string")
     with pytest.raises(ValueError, match=r"dtypes differ.*'n'"):
         W.merge_upsert(target, source, key=["k"])
+
+
+def test_merge_upsert_matches_source_columns_case_insensitively(spark):
+    """Spark's default analyzer resolves columns case-insensitively, so
+    a CDC feed differing only in column case must still merge (the
+    drift guard may not regress that); two source columns differing
+    only in case are ambiguous and raise."""
+    target = spark.createDataFrame([(1, "a", 1.0)], "k bigint, name string, bal double")
+    source = spark.createDataFrame([(1, "a2", 2.0)], "k bigint, NAME string, Bal double")
+    rows = W.merge_upsert(target, source, key=["k"]).collect()
+    assert [(r.k, r.name, r.bal) for r in rows] == [(1, "a2", 2.0)]
+
+    dup = source.select("*", source.Bal.alias("BAL"))
+    with pytest.raises(ValueError, match="ambiguous case-variant"):
+        W.merge_upsert(target, dup, key=["k"])
