@@ -54,27 +54,47 @@ def merge_upsert(
     from the target's raises (the ``when(matched, s.c).otherwise(t.c)``
     coalesce would otherwise silently promote the SNAPSHOT's column
     type — e.g. an int column becoming string because one CDC feed
-    drifted).  Name matching is case-INsensitive, mirroring Spark's
-    default analyzer resolution (a source differing only in column case
-    merged fine before these checks existed and still does); two source
-    columns differing only in case are ambiguous and raise.  Intentional
-    coercion belongs upstream: cast in the source query or run it
-    through ``operators.align.align`` first.
+    drifted).  Name matching follows the session's analyzer mode
+    (``spark.sql.caseSensitive``, default false → case-INsensitive, so
+    a source differing only in column case merged fine before these
+    checks existed and still does); in the default mode two source
+    columns differing only in case are ambiguous and raise.  The
+    optional ``delete_col`` gets the same presence/ambiguity checks —
+    it is resolved through the same analyzer.  Intentional coercion
+    belongs upstream: cast in the source query or run it through
+    ``operators.align.align`` first.
     """
+    ci = (
+        str(
+            source.sparkSession.conf.get("spark.sql.caseSensitive", "false")
+        ).lower()
+        != "true"
+    )
+    fold = (lambda n: n.lower()) if ci else (lambda n: n)
     t_types = dict(target.dtypes)
-    s_by_ci: dict[str, list[tuple[str, str]]] = {}
+    s_by_name: dict[str, list[tuple[str, str]]] = {}
     for name, dt in source.dtypes:
-        s_by_ci.setdefault(name.lower(), []).append((name, dt))
-    missing, drifted = [], {}
-    for c in target.columns:
-        matches = s_by_ci.get(c.lower(), [])
-        if not matches:
-            missing.append(c)
-        elif len(matches) > 1:
+        s_by_name.setdefault(fold(name), []).append((name, dt))
+
+    def resolve(c: str) -> list[tuple[str, str]]:
+        matches = s_by_name.get(fold(c), [])
+        if len(matches) > 1:
             raise ValueError(
                 f"merge_upsert source has ambiguous case-variant columns "
-                f"{[n for n, _ in matches]} for target column {c!r}"
+                f"{[n for n, _ in matches]} for column {c!r}"
             )
+        return matches
+
+    if delete_col is not None and not resolve(delete_col):
+        raise ValueError(
+            f"merge_upsert delete_col {delete_col!r} is not a source "
+            "column; the delete flag must come from the source feed"
+        )
+    missing, drifted = [], {}
+    for c in target.columns:
+        matches = resolve(c)
+        if not matches:
+            missing.append(c)
         elif matches[0][1] != t_types[c]:
             drifted[c] = (matches[0][1], t_types[c])
     if missing:

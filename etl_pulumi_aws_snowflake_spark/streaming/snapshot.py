@@ -239,19 +239,32 @@ def snapshot_read(
     expire-snapshots rule)."""
     fs = fs or DEFAULT_FS
     if version is not None:
-        readable = snapshot_versions(root, fs)
-        if version not in readable:
+        # Targeted readability check — one listdir + (at most) the
+        # requested version's own manifest, NOT snapshot_versions'
+        # per-version manifest sweep: through a remote fs seam each
+        # manifest read is a round-trip.
+        cur = _current_version(root, fs)
+        on_disk = {d for d in fs.listdir(root) if d.startswith("v-")}
+        man = None
+        ok = cur is not None and version in on_disk and _vnum(version) <= _vnum(cur)
+        if ok:
+            man = _read_manifest(root, version, fs)
+            ok = man is None or all(
+                ver in on_disk for ver in man["entries"].values()
+            )
+        if not ok:
             raise ValueError(
                 f"snapshot version {version!r} is not in the readable "
-                f"time-travel horizon of {root} (readable: {readable}); "
-                "it was GC'd (fully or via a dropped reference), never "
-                "committed, or is an in-progress/orphaned dir — raise "
-                "`keep` on commits to widen the horizon"
+                f"time-travel horizon of {root} "
+                f"(readable: {snapshot_versions(root, fs)}); it was GC'd "
+                "(fully or via a dropped reference), never committed, or "
+                "is an in-progress/orphaned dir — raise `keep` on "
+                "commits to widen the horizon"
             )
         v = version
     else:
         v = _current_version(root, fs)
-    man = _read_manifest(root, v, fs) if v is not None else None
+        man = _read_manifest(root, v, fs) if v is not None else None
     if man is None:
         if partition_values is not None:
             which = (

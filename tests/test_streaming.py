@@ -966,25 +966,29 @@ def test_snapshot_versions_excludes_unreadable_and_orphaned(spark, tmp_path):
         mk([(1, "a", "x"), (2, "b", "y")]), root, "part", keep=2
     )  # v1: holds x and y
     snapshot_commit_partitioned(
-        mk([(2, "b2", "y")]), root, "part", changed_values=["y"], keep=2
-    )  # v2: holds y, references v1 for x
+        mk([(1, "a2", "x")]), root, "part", changed_values=["x"], keep=2
+    )  # v2: holds x, references v1 for y
     snapshot_commit_partitioned(
         mk([(2, "b3", "y")]), root, "part", changed_values=["y"], keep=2
-    )  # v3: holds y, references v1 for x
+    )  # v3: holds y, references v2 for x
     snapshot_commit_partitioned(
-        mk([(1, "a4", "x")]), root, "part", changed_values=["x"], keep=2
-    )  # v4: holds x, references v3 for y; GC drops v1 (nothing kept
-    #    needs it), keeps v3+v4 — v2 is gone, and if a chain had kept
-    #    v2 alive its x->v1 reference would now dangle.
+        mk([(2, "b4", "y")]), root, "part", changed_values=["y"], keep=2
+    )  # v4: holds y, references v2 for x.  GC keeps {v3, v4} plus v2
+    #    (kept manifests reference its x data) and drops v1 — so the
+    #    surviving v2's OWN manifest now dangles (y -> GC'd v1): the
+    #    exact data-holder-but-unreadable case the horizon must exclude.
     on_disk = sorted(d for d in os.listdir(root) if d.startswith("v-"))
+    assert on_disk == ["v-00002", "v-00003", "v-00004"]
     readable = snapshot_versions(root)
-    assert set(readable) <= set(on_disk)
+    assert readable == ["v-00003", "v-00004"]  # v2 excluded: dangling ref
     for v in readable:  # every listed version must actually read
         assert snapshot_read(spark, root, version=v).count() >= 1
+    with pytest.raises(ValueError, match="v-00002"):
+        snapshot_read(spark, root, version="v-00002")
     # live still correct after the chain of pruned merges
     assert {(r.k, r.v) for r in snapshot_read(spark, root).collect()} == {
-        (1, "a4"),
-        (2, "b3"),
+        (1, "a2"),
+        (2, "b4"),
     }
 
     # Crash-orphan simulation: a half-written next version above the

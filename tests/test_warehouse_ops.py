@@ -99,3 +99,13 @@ def test_merge_upsert_matches_source_columns_case_insensitively(spark):
     dup = source.select("*", source.Bal.alias("BAL"))
     with pytest.raises(ValueError, match="ambiguous case-variant"):
         W.merge_upsert(target, dup, key=["k"])
+
+
+def test_merge_upsert_requires_delete_col_in_source(spark):
+    """delete_col gets the same pre-join presence check as target
+    columns — a feed that dropped its delete flag fails loudly, not
+    with an unresolved-column error inside the filter."""
+    target = spark.createDataFrame([(1, "a")], "k bigint, name string")
+    source = spark.createDataFrame([(1, "a2")], "k bigint, name string")
+    with pytest.raises(ValueError, match="delete_col 'is_delete'"):
+        W.merge_upsert(target, source, key=["k"], delete_col="is_delete")
