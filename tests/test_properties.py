@@ -481,3 +481,92 @@ def test_pruned_merge_matches_full_merge_property(spark, case):
         assert got == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ------------------------------------- snapshot version/GC/time-travel model
+
+
+@st.composite
+def _snapshot_history_case(draw):
+    """A commit SEQUENCE against one snapshot root: a full partitioned
+    commit, then 2-4 pruned commits each rewriting a random partition
+    subset — the shape under which GC, manifest carry-forward, and the
+    readable time-travel horizon interact (the r05 review found two
+    real bugs exactly here)."""
+    parts = [0, 1, 2]
+    steps = [("full", {p: draw(st.integers(0, 99)) for p in parts})]
+    for _ in range(draw(st.integers(2, 4))):
+        changed = draw(
+            st.lists(st.sampled_from(parts), min_size=1, max_size=3, unique=True)
+        )
+        steps.append(
+            ("pruned", {p: draw(st.integers(0, 99)) for p in changed})
+        )
+    return steps
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(_snapshot_history_case())
+def test_snapshot_history_model_property(spark, case):
+    """Model-based protocol check: after every commit, (a) the live
+    read equals the logical model table; (b) EVERY version listed by
+    snapshot_versions reads back exactly the model state at its commit
+    (readable means readable — no PATH_NOT_FOUND mid-scan ever); (c)
+    every on-disk version NOT listed refuses time travel with
+    ValueError rather than returning something."""
+    import os
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_commit_partitioned,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    root = tempfile.mkdtemp(prefix="snap_model_prop_")
+    shutil.rmtree(root, ignore_errors=True)
+    schema = StructType(
+        [StructField("p", LongType()), StructField("v", LongType())]
+    )
+    try:
+        table: dict[int, int] = {}
+        model: dict[str, dict[int, int]] = {}
+        for kind, vals in case:
+            table = dict(table)
+            table.update(vals)
+            if kind == "full":
+                df = spark.createDataFrame(sorted(table.items()), schema)
+                ver = snapshot_commit_partitioned(df, root, "p", keep=2)
+            else:
+                df = spark.createDataFrame(sorted(vals.items()), schema)
+                ver = snapshot_commit_partitioned(
+                    df, root, "p", changed_values=list(vals), keep=2
+                )
+            model[ver] = dict(table)
+
+            live = {r.p: r.v for r in snapshot_read(spark, root).collect()}
+            assert live == table
+            on_disk = {
+                d for d in os.listdir(root) if d.startswith("v-")
+            }
+            readable = snapshot_versions(root)
+            assert set(readable) <= on_disk
+            assert ver in readable  # the just-committed version
+            for rv in readable:
+                got = {
+                    r.p: r.v
+                    for r in snapshot_read(spark, root, version=rv).collect()
+                }
+                assert got == model[rv], (rv, got, model[rv])
+            for dv in sorted(on_disk - set(readable)):
+                with pytest.raises(ValueError):
+                    snapshot_read(spark, root, version=dv)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
