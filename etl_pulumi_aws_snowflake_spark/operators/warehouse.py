@@ -196,10 +196,24 @@ def merge_upsert_pruned(
             for v in pvals:
                 _validate_partition_value(v, f"CDC batch {partition_col!r}")
 
-    target = snapshot_read(spark, snapshot_root, partition_values=pvals, fs=fs)
+    # Pin the read to the version observed above and hand the same
+    # version to the commit as its optimistic-concurrency token: the
+    # merge is guaranteed to have been computed against `live`, and a
+    # concurrent writer publishing in between surfaces as
+    # SnapshotConflictError at the pointer swap instead of a silent
+    # lost update (snapshot.py module docstring).
+    target = snapshot_read(
+        spark, snapshot_root, partition_values=pvals, fs=fs, version=live
+    )
     merged = merge_upsert(target, source, key=key, delete_col=delete_col)
     return snapshot_commit_partitioned(
-        merged, snapshot_root, partition_col, changed_values=pvals, keep=keep, fs=fs
+        merged,
+        snapshot_root,
+        partition_col,
+        changed_values=pvals,
+        keep=keep,
+        fs=fs,
+        expected_current=live,
     )
 
 

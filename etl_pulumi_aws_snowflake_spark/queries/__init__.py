@@ -35,27 +35,30 @@ from . import streaming_e2e  # noqa: E402,F401
 # The external correctness driver checks the FIRST 50 dict entries per
 # round (CORRECTNESS_r01-r04 each recorded exactly queries()[:50] in
 # order).  Round 5 is the evidence-freshness rotation VERDICT r04 #1
-# asked for, plus the four NEW entries that convert the last
-# pytest-only semantics: the window goes to (a) the 4 brand-new
-# entries (checkpoint replay idempotence, watermark late-data discard,
-# applyInPandasWithState arbitrary state, multi-assign SemDeDup — never
-# driver-checked), then (b) the 5 entries whose CODE r05 touches —
-# snapshot partition-value validation + filesystem seam
-# (cdc_merge_pruned_e2e, cdc_merge_stream_e2e), the stateful-dedup
-# fixture assert (stream_stateful_dedup_e2e), and the
-# tracked-localCheckpoint sweep + semantic_near_pairs multi-assign
-# refactor (dedup_survivors, dedup_embedding_survivors) — then (c) 41
-# of the 48 entries whose latest driver row is still CORRECTNESS_r01
-# (all mirror-green on current code; this converts that back into the
-# hard driver signal).  The 7 deferred r1-stale entries (join_cross,
-# join_right_outer, join_semi, scalar_array_explode, scalar_json_typed,
-# set_distinct_rows, agg_conditional — each family keeps sibling rows
-# in this window) plus the 11 r2-stale entries lead the r06 window next
-# (scripts/driver_staleness.py generates the rotation candidates).
+# asked for, plus the NEW entries that convert the last pytest-only
+# semantics: the window goes to (a) the 5 brand-new entries
+# (checkpoint replay idempotence, watermark late-data discard,
+# applyInPandasWithState arbitrary state, multi-assign SemDeDup,
+# snapshot compaction — never driver-checked), then (b) the 5 entries
+# whose CODE r05 touches — snapshot partition-value validation +
+# filesystem seam + concurrency token (cdc_merge_pruned_e2e,
+# cdc_merge_stream_e2e), the stateful-dedup fixture assert
+# (stream_stateful_dedup_e2e), and the tracked-localCheckpoint sweep +
+# semantic_near_pairs multi-assign refactor (dedup_survivors,
+# dedup_embedding_survivors) — then (c) 40 of the 48 entries whose
+# latest driver row is still CORRECTNESS_r01 (all mirror-green on
+# current code; this converts that back into the hard driver signal).
+# The 8 deferred r1-stale entries (join_cross, join_right_outer,
+# join_semi, scalar_array_explode, scalar_json_typed,
+# set_distinct_rows, agg_conditional, agg_median — each family keeps
+# sibling rows in this window) plus the 11 r2-stale entries lead the
+# r06 window next (scripts/driver_staleness.py generates the rotation
+# candidates).
 _DRIVER_FIRST = [
     # (a) new this round — first-ever driver evidence
     "stream_replay_idempotence_e2e", "stream_late_data_discard_e2e",
     "stream_arbitrary_state_e2e", "dedup_embedding_survivors_multi",
+    "cdc_merge_compact_e2e",
     # (b) r05 code-touched — fresh evidence on the new code
     "stream_stateful_dedup_e2e", "cdc_merge_pruned_e2e",
     "cdc_merge_stream_e2e", "dedup_survivors", "dedup_embedding_survivors",
@@ -66,7 +69,7 @@ _DRIVER_FIRST = [
     "join_inner", "join_broadcast", "join_left_outer", "join_full_outer",
     "join_anti", "join_theta", "join_range", "join_asof",
     "agg_groupby_basic", "agg_distinct", "agg_cube", "agg_rollup",
-    "agg_grouping_sets", "agg_median", "agg_stats", "agg_collect",
+    "agg_grouping_sets", "agg_stats", "agg_collect",
     "pivot_status_by_priority",
     "win_rank_dense", "win_lag_lead", "win_running_sum", "win_range_frame",
     "win_topk_per_group",

@@ -191,10 +191,10 @@ _CDC_ORACLE = """
 """
 
 
-def _write_cdc_changes(spark, cust, work):
-    """Deterministically derived change files (updates %10, deletes
-    %17, inserts %23 — disjoint key classes, so the merged result is
-    identical however ``AvailableNow`` batches the files)."""
+def _cdc_changes_df(cust):
+    """Deterministically derived change set (updates %10, deletes %17,
+    inserts %23 — disjoint key classes, so the merged result is
+    identical however the files are batched)."""
     k = F.col("c_custkey")
     upd = (
         cust.filter(k % 10 == 0)
@@ -212,8 +212,12 @@ def _write_cdc_changes(spark, cust, work):
         F.lit("NEW").alias("c_mktsegment"),
         F.lit(False).alias("is_delete"),
     )
+    return upd.unionByName(dele).unionByName(ins)
+
+
+def _write_cdc_changes(spark, cust, work):
     changes_dir = os.path.join(work, "changes")
-    upd.unionByName(dele).unionByName(ins).repartition(2).write.json(changes_dir)
+    _cdc_changes_df(cust).repartition(2).write.json(changes_dir)
     return changes_dir
 
 
@@ -258,6 +262,70 @@ def cdc_merge_pruned_e2e(spark, sf_dir):
         delete_col="is_delete",
         partition_col="c_nationkey",
     )
+    return snapshot_read(spark, snap)
+
+
+@query("cdc_merge_compact_e2e", oracle=_CDC_ORACLE)
+def cdc_merge_compact_e2e(spark, sf_dir):
+    """Compaction under the driver hash: the same pruned CDC MERGE
+    pipeline as ``cdc_merge_pruned_e2e``, followed by
+    ``snapshot_compact`` — the maintenance op that rewrites every
+    carried-forward partition into a fresh version so GC can reclaim
+    the dirs the manifest references pinned (Iceberg
+    ``rewrite_data_files`` / Delta ``OPTIMIZE`` parity).  The read
+    after compaction must hash-equal the same SQL MERGE expansion:
+    content is provably untouched by the rewrite.  Guards assert the
+    run actually compacted something (the entry cannot silently become
+    a no-op) and that the result references at most {new, old-live}.
+
+    Fragmentation is STAGED: the change set lands as three files
+    grouped by nation class (``c_nationkey % 3``) and
+    ``max_files_per_trigger=1`` forces one pruned MERGE per file, so
+    each batch rewrites a disjoint nation group and the live table ends
+    spread across three version dirs — the shape a per-batch-pruned
+    CDC stream produces at scale.  The key classes are disjoint, so the
+    final row set is identical under any file→batch order; and
+    whichever group lands last, the other two groups' nations are
+    carried references, so the pre-compaction fragmentation assert
+    holds under any order too."""
+    from ..streaming.cdc import stream_cdc_merge
+    from ..streaming.snapshot import (
+        snapshot_commit_partitioned,
+        snapshot_compact,
+        snapshot_fragmentation,
+        snapshot_read,
+    )
+
+    work = _workdir(sf_dir, "cdc_compact")
+    cust = t(spark, sf_dir, "customer")
+    snap = os.path.join(work, "snapshot")
+    snapshot_commit_partitioned(cust, snap, "c_nationkey")
+
+    changes = _cdc_changes_df(cust)
+    changes_dir = os.path.join(work, "changes")
+    for i in range(3):
+        changes.filter(F.col("c_nationkey") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).json(changes_dir)
+    stream_cdc_merge(
+        spark,
+        changes_dir,
+        _CDC_CHANGE_SCHEMA,
+        snap,
+        ["c_custkey"],
+        os.path.join(work, "ckpt"),
+        delete_col="is_delete",
+        partition_col="c_nationkey",
+        max_files_per_trigger=1,
+    )
+    pre = snapshot_fragmentation(snap)
+    assert pre["partitions_carried"] > 0, (
+        "compact e2e staged no fragmentation — the merge batches "
+        "touched every nation; the compaction path is not exercised"
+    )
+    assert snapshot_compact(spark, snap) is not None
+    post = snapshot_fragmentation(snap)
+    assert post["versions_referenced"] <= 2, post
     return snapshot_read(spark, snap)
 
 

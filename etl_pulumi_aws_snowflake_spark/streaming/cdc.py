@@ -25,7 +25,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
 from ..operators.warehouse import merge_upsert, merge_upsert_pruned
-from .snapshot import snapshot_commit, snapshot_read
+from .snapshot import DEFAULT_FS, _current_version, snapshot_commit, snapshot_read
 
 
 def stream_cdc_merge(
@@ -39,6 +39,7 @@ def stream_cdc_merge(
     partition_col: str | None = None,
     await_termination: bool = True,
     fs=None,
+    max_files_per_trigger: int | None = None,
 ):
     """Watch ``changes_dir`` for JSON change files; MERGE each batch
     into the Parquet snapshot at ``snapshot_path``.  Returns the
@@ -52,12 +53,19 @@ def stream_cdc_merge(
 
     ``fs`` is the snapshot protocol's filesystem seam
     (``streaming/snapshot.LocalFilesystem`` by default — pass a
-    Hadoop/S3-backed implementation on a cluster)."""
-    stream = (
-        spark.readStream.schema(change_schema)
-        .option("pathGlobFilter", "*.json")
-        .json(changes_dir)
+    Hadoop/S3-backed implementation on a cluster).
+
+    ``max_files_per_trigger`` caps how many change files feed one MERGE
+    batch (Spark's ``maxFilesPerTrigger``) — bound it when a backlog
+    replay would otherwise merge an unbounded file pile in one batch
+    (one giant rewrite, no incremental checkpoints); leave ``None`` for
+    the default process-what-landed batch."""
+    reader = spark.readStream.schema(change_schema).option(
+        "pathGlobFilter", "*.json"
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(changes_dir)
 
     def apply_batch(batch_df, _epoch_id: int) -> None:
         if not batch_df.take(1):
@@ -73,9 +81,13 @@ def stream_cdc_merge(
                 fs=fs,
             )
             return
-        target = snapshot_read(spark, snapshot_path, fs=fs)
+        # Read and commit against the same observed version so an
+        # accidental concurrent writer is a loud SnapshotConflictError,
+        # not a lost update (snapshot.py module docstring).
+        live = _current_version(snapshot_path, fs or DEFAULT_FS)
+        target = snapshot_read(spark, snapshot_path, fs=fs, version=live)
         merged = merge_upsert(target, batch_df, key=key, delete_col=delete_col)
-        snapshot_commit(merged, snapshot_path, fs=fs)
+        snapshot_commit(merged, snapshot_path, fs=fs, expected_current=live)
 
     query = (
         stream.writeStream.foreachBatch(apply_batch)

@@ -53,6 +53,45 @@ REJECTS such values (checked driver-side for ``changed_values``, and
 against the written dir keys for the data itself, with the unpublished
 version dir cleaned up) instead of committing corruption.
 
+**Compaction (bounding the reference spread).**  Pruned commits make
+fragmentation structural: a partition last rewritten in ``v-K`` keeps
+``v-K`` on disk for as long as any kept manifest references it, so a
+workload that touches a different partition each batch accretes one
+pinned version dir per batch — GC can never drop them, and the live
+table's data spreads across O(#batches) dirs.  :func:`snapshot_compact`
+is the maintenance counterpart (Iceberg ``rewrite_data_files`` / Delta
+``OPTIMIZE``): it rewrites every partition whose data lives OUTSIDE the
+live version into a fresh version (optionally coalescing each to one
+file), carrying already-live partitions forward by reference.  The
+post-compaction manifest references at most two dirs ({new, old-live}),
+so once pre-compaction versions rotate out of the ``keep`` window GC
+reclaims everything older — the reference spread is bounded by the
+compaction cadence instead of the batch count.
+:func:`snapshot_fragmentation` reports the spread so a maintenance job
+can decide when to run it.
+
+**Concurrent writers — detected, not locked.**  The protocol is
+single-writer by design (one CDC stream owns a snapshot root, exactly
+like a Delta/Iceberg table has one committer per stream).  An
+ACCIDENTAL second writer is a lost update: both read the same live
+version, both derive ``v-N+1``, the second pointer swap silently
+discards the first commit.  Commits therefore run optimistically
+against an ``expected_current`` token (the version the caller's merge
+actually READ; defaults to the live version at commit start), checked
+TWICE: once before any data is written — a writer that starts its
+publish after another already swapped fails cleanly with nothing
+written — and once again immediately before the pointer swap, so a
+swap that happened DURING the data write also surfaces.  Both raise
+:class:`SnapshotConflictError`; re-read and retry the merge.  What
+this cannot fix: two writers whose DATA WRITES overlap in wall-clock
+time target the same version dir and corrupt it before either check
+fires (a true claim/CAS needs the store's participation — exclusive
+create, DynamoDB conditional put, or a catalog commit, the
+Delta/Iceberg approach — and an exclusive claim here would deadlock
+the documented crash-replay path).  The contract is therefore still
+SINGLE WRITER per snapshot root; the checks exist to make accidental
+violations loud and bounded instead of silent.
+
 **Filesystem seam.**  All pointer/manifest path manipulation goes
 through a small injectable filesystem object (:class:`LocalFilesystem`
 by default) exposing exactly the five calls the protocol needs —
@@ -90,6 +129,16 @@ _HIVE_UNSAFE = frozenset('"#%\'*/:=?\\{[]^\x7f') | frozenset(
     chr(c) for c in range(0x20)
 )
 _HIVE_NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
+
+#: Sentinel: "capture the live version at commit start" (``None`` is a
+#: meaningful expected value — an empty root).
+_CAPTURE = object()
+
+
+class SnapshotConflictError(RuntimeError):
+    """Another writer published a version between this commit's read
+    point and its pointer swap; the commit was abandoned (live pointer
+    untouched, unpublished dir removed).  Re-read and retry."""
 
 
 class LocalFilesystem:
@@ -292,9 +341,45 @@ def snapshot_read(
     return spark.read.parquet(*paths).select(*columns)
 
 
-def _next_version(root: str, fs: LocalFilesystem = DEFAULT_FS) -> str:
-    v = _current_version(root, fs)
-    return f"v-{(_vnum(v) if v else 0) + 1:05d}"
+def _next_version_after(prev: str | None) -> str:
+    return f"v-{(_vnum(prev) if prev else 0) + 1:05d}"
+
+
+def _check_unchanged(
+    root: str,
+    expected: str | None,
+    fs: LocalFilesystem,
+    new: str | None = None,
+) -> None:
+    """Optimistic-concurrency check: the live version must still be the
+    one this commit derived from.  Called once BEFORE the data write
+    (``new=None`` — nothing to clean, the commit aborts with zero
+    footprint) and once before the pointer swap (``new`` set — the
+    loser's unpublished dir is removed, UNLESS the conflicting writer
+    published that very dir name, in which case deleting it would
+    destroy the live version; the error then reports the overlap as
+    corrupting, see module docstring)."""
+    cur = _current_version(root, fs)
+    if cur == expected:
+        return
+    overlapped = new is not None and cur == new
+    if new is not None and not overlapped:
+        fs.rmtree(os.path.join(root, new))
+    raise SnapshotConflictError(
+        f"snapshot root {root}: live version moved {expected!r} -> "
+        f"{cur!r} during this commit — another writer published first; "
+        "re-read the snapshot and retry the merge (the protocol is "
+        "optimistic single-writer: conflicts surface at publish time, "
+        "see module docstring)"
+        + (
+            f". WARNING: the concurrent writer published {cur!r} while "
+            "this commit was writing the same dir — the live version "
+            "dir may hold interleaved output from both writers and "
+            "must be recommitted from a trusted source"
+            if overlapped
+            else ""
+        )
+    )
 
 
 def _swap_pointer(root: str, new: str, fs: LocalFilesystem = DEFAULT_FS) -> None:
@@ -328,16 +413,34 @@ def _gc(root: str, keep: int, fs: LocalFilesystem = DEFAULT_FS) -> None:
 
 
 def snapshot_commit(
-    df: DataFrame, root: str, keep: int = 2, fs: LocalFilesystem | None = None
+    df: DataFrame,
+    root: str,
+    keep: int = 2,
+    fs: LocalFilesystem | None = None,
+    expected_current=_CAPTURE,
 ) -> str:
     """Publish ``df`` as the next snapshot version and atomically swap
     the pointer; returns the new version name.  Idempotent under
     foreachBatch replay: a crash between the version write and the
     pointer swap leaves ``_CURRENT`` on the old version, and the rerun
-    overwrites the orphaned dir before swapping."""
+    overwrites the orphaned dir before swapping.
+
+    ``expected_current`` is the optimistic-concurrency token: the
+    version this commit's input was derived from (pass the version your
+    merge READ; defaults to the live version at commit start).  The
+    live pointer is checked against it before the data write and again
+    before the swap; a mismatch raises :class:`SnapshotConflictError`
+    instead of silently overwriting another writer's publication
+    (module docstring)."""
     fs = fs or DEFAULT_FS
-    new = _next_version(root, fs)
+    expected = (
+        _current_version(root, fs) if expected_current is _CAPTURE
+        else expected_current
+    )
+    _check_unchanged(root, expected, fs)
+    new = _next_version_after(expected)
     df.write.mode("overwrite").parquet(os.path.join(root, new))
+    _check_unchanged(root, expected, fs, new=new)
     _swap_pointer(root, new, fs)
     _gc(root, keep, fs)
     return new
@@ -350,6 +453,7 @@ def snapshot_commit_partitioned(
     changed_values: list | None = None,
     keep: int = 2,
     fs: LocalFilesystem | None = None,
+    expected_current=_CAPTURE,
 ) -> str:
     """Publish ``df`` as a PARTITIONED snapshot version.
 
@@ -366,14 +470,25 @@ def snapshot_commit_partitioned(
     not assumed: unsafe ``changed_values`` raise before any write, and
     unsafe values in the DATA are detected from the written dir keys,
     the unpublished version dir is removed, and the commit raises with
-    the live pointer untouched (see module docstring)."""
+    the live pointer untouched (see module docstring).
+
+    ``expected_current`` — optimistic-concurrency token, as in
+    :func:`snapshot_commit`.  It is ALSO the version whose manifest
+    supplies the carry-forward entries, so the references and the
+    conflict check cannot disagree about which history this commit
+    extends."""
     fs = fs or DEFAULT_FS
     if _PDIR in df.columns:
         raise ValueError(f"column name {_PDIR!r} is reserved by the snapshot layout")
     if changed_values is not None:
         for val in changed_values:
             _validate_partition_value(val, "changed_values")
-    new = _next_version(root, fs)
+    expected = (
+        _current_version(root, fs) if expected_current is _CAPTURE
+        else expected_current
+    )
+    _check_unchanged(root, expected, fs)
+    new = _next_version_after(expected)
     ddir = os.path.join(root, new, "data")
     # Partition by a COPY of the column: the dir key gives the layout,
     # while the real column stays in the data files so reads never
@@ -397,9 +512,10 @@ def snapshot_commit_partitioned(
 
     entries: dict[str, str] = {}
     if changed_values is not None:
-        prev = _current_version(root, fs)
-        prev_man = _read_manifest(root, prev, fs) if prev else None
+        prev_man = _read_manifest(root, expected, fs) if expected else None
         if prev_man is None:
+            # Same cleanup as the unsafe-data path: nothing published.
+            fs.rmtree(os.path.join(root, new))
             raise ValueError(
                 "changed_values requires the previous version to be "
                 "partitioned (snapshot_commit_partitioned with full rewrite "
@@ -420,6 +536,108 @@ def snapshot_commit_partitioned(
     tmp = os.path.join(root, new, f".{_MANIFEST}.tmp")
     fs.write_text(tmp, json.dumps(manifest))
     fs.rename(tmp, os.path.join(root, new, _MANIFEST))
+    _check_unchanged(root, expected, fs, new=new)
     _swap_pointer(root, new, fs)
     _gc(root, keep, fs)
     return new
+
+
+def snapshot_fragmentation(
+    root: str, fs: LocalFilesystem | None = None
+) -> dict:
+    """Reference-spread report for the live version — the metric a
+    maintenance job watches to decide when :func:`snapshot_compact` is
+    due.  Keys: ``partitioned``; ``versions_referenced`` (distinct
+    version dirs the live manifest points into — 1 means fully
+    compacted); ``partitions_carried`` (live partitions whose data
+    lives outside the live version — what compaction would rewrite);
+    ``on_disk_dirs`` (total ``v-*`` dirs, incl. retained history)."""
+    fs = fs or DEFAULT_FS
+    cur = _current_version(root, fs)
+    try:
+        on_disk = sum(1 for d in fs.listdir(root) if d.startswith("v-"))
+    except FileNotFoundError:
+        on_disk = 0
+    man = _read_manifest(root, cur, fs) if cur else None
+    if man is None:
+        return {
+            "partitioned": False,
+            "versions_referenced": 1 if cur else 0,
+            "partitions_carried": 0,
+            "on_disk_dirs": on_disk,
+        }
+    entries: dict[str, str] = man["entries"]
+    return {
+        "partitioned": True,
+        "versions_referenced": len(set(entries.values())),
+        "partitions_carried": sum(1 for v in entries.values() if v != cur),
+        "on_disk_dirs": on_disk,
+    }
+
+
+def snapshot_compact(
+    spark: SparkSession,
+    root: str,
+    partition_values: list | None = None,
+    keep: int = 2,
+    fs: LocalFilesystem | None = None,
+    one_file_per_partition: bool = True,
+) -> str | None:
+    """Rewrite fragmented partitions of a PARTITIONED snapshot into a
+    fresh version (Iceberg ``rewrite_data_files`` / Delta ``OPTIMIZE``)
+    — the maintenance op that bounds the pruned-MERGE reference spread
+    (module docstring).
+
+    Default scope: every partition whose data lives OUTSIDE the live
+    version (``partition_values`` narrows it — e.g. compact only cold
+    partitions, or spread the rewrite over several maintenance
+    windows).  Partitions already resident in the live version carry
+    forward by reference, so the new manifest points into at most
+    {new, previous-live}; once pre-compaction versions rotate out of
+    ``keep``, GC reclaims every older dir.  Returns the new version
+    name, or ``None`` (and publishes NOTHING) when the scope holds no
+    fragmented partition — an idempotent no-op, safe on a schedule.
+
+    ``one_file_per_partition`` additionally hash-partitions the rewrite
+    by the partition column, so each rewritten partition lands as a
+    single file — the small-files consolidation half of OPTIMIZE.
+    Leave it False when compacting partitions too large for one task
+    (the write then inherits the plan's parallelism).
+
+    Content is untouched: a read after compaction returns exactly the
+    rows it returned before (the driver-hashed ``cdc_merge_compact_e2e``
+    entry and the tests pin this), and carried-forward partitions keep
+    their bytes.  At 100 TB the cost is Σ|fragmented partitions| — the
+    same unit of work as the pruned MERGE that created the
+    fragmentation, amortized over however many batches ran between
+    compactions."""
+    fs = fs or DEFAULT_FS
+    live = _current_version(root, fs)
+    if live is None:
+        raise ValueError(f"no snapshot committed at {root}")
+    man = _read_manifest(root, live, fs)
+    if man is None:
+        raise ValueError(
+            "snapshot_compact applies to partitioned snapshots; this root's "
+            "live version has no manifest (commit with "
+            "snapshot_commit_partitioned first)"
+        )
+    fragmented = [v for v, ver in man["entries"].items() if ver != live]
+    if partition_values is not None:
+        wanted = {str(x) for x in partition_values}
+        fragmented = [v for v in fragmented if v in wanted]
+    if not fragmented:
+        return None
+    pcol = man["partition_col"]
+    df = snapshot_read(spark, root, partition_values=fragmented, fs=fs)
+    if one_file_per_partition:
+        df = df.repartition(F.col(pcol))
+    return snapshot_commit_partitioned(
+        df,
+        root,
+        pcol,
+        changed_values=fragmented,
+        keep=keep,
+        fs=fs,
+        expected_current=live,
+    )

@@ -1,0 +1,229 @@
+"""Snapshot maintenance: compaction (reference-spread bounding /
+small-file consolidation) and optimistic concurrent-writer detection
+— `streaming/snapshot.py`'s `snapshot_compact`, `snapshot_fragmentation`,
+and `SnapshotConflictError`.
+
+The scale claim under test: pruned MERGE makes per-batch cost
+O(changed partitions) but lets the live table's data spread across one
+pinned version dir per batch; compaction rewrites the fragmented
+partitions so the manifest references at most {new, previous-live} and
+rotation can GC everything older.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from tests.test_streaming import _part_files, _seed_partitioned
+
+
+def _merge(spark, root, k, p, v="UPD"):
+    """One pruned merge updating key ``k`` in partition ``p``."""
+    from etl_pulumi_aws_snowflake_spark.operators.warehouse import merge_upsert_pruned
+
+    batch = spark.createDataFrame(
+        [(k, p, v, False)], "k bigint, p bigint, v string, is_delete boolean"
+    )
+    return merge_upsert_pruned(spark, root, batch, ["k"], "p", delete_col="is_delete")
+
+
+def _rows(spark, root, **kw):
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import snapshot_read
+
+    return {(r.k, r.p, r.v) for r in snapshot_read(spark, root, **kw).collect()}
+
+
+def _manifest(root, version):
+    with open(os.path.join(root, version, "_MANIFEST.json")) as f:
+        return json.load(f)
+
+
+def test_compaction_preserves_rows_and_bounds_references(spark, tmp_path):
+    """Two pruned merges touching different partitions spread the live
+    data over three version dirs; compaction rewrites the two
+    non-live-resident partitions into a fresh version whose manifest
+    references at most {new, old-live}, with the row set unchanged."""
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_compact,
+        snapshot_fragmentation,
+    )
+
+    root = str(tmp_path / "snap")
+    _seed_partitioned(spark, root)          # v1 holds p=0,1,2
+    _merge(spark, root, 4, 1)               # v2: p=1 moves, p=0/2 ref v1
+    _merge(spark, root, 5, 2)               # v3: p=2 moves, p=1 ref v2, p=0 ref v1
+    frag = snapshot_fragmentation(root)
+    assert frag["partitioned"] and frag["versions_referenced"] == 3
+    assert frag["partitions_carried"] == 2
+
+    before = _rows(spark, root)
+    v = snapshot_compact(spark, root)
+    assert v == "v-00004"
+    assert _rows(spark, root) == before
+
+    man = _manifest(root, v)
+    # p=2 stayed resident in the old live (v3) — carried by reference;
+    # p=0 (from v1) and p=1 (from v2) were rewritten into v4.
+    assert man["entries"] == {"0": "v-00004", "1": "v-00004", "2": "v-00003"}
+    frag = snapshot_fragmentation(root)
+    assert frag["versions_referenced"] == 2
+    assert frag["partitions_carried"] == 1
+
+
+def test_compaction_is_noop_when_unfragmented(spark, tmp_path):
+    """Right after a full partitioned commit nothing is fragmented:
+    compact publishes NOTHING (no new version, pointer unchanged) and
+    returns None — idempotent under a maintenance schedule."""
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        _current_version,
+        snapshot_compact,
+    )
+
+    root = str(tmp_path / "snap")
+    _seed_partitioned(spark, root)
+    assert snapshot_compact(spark, root) is None
+    assert _current_version(root) == "v-00001"
+    assert sorted(d for d in os.listdir(root) if d.startswith("v-")) == ["v-00001"]
+    # and a second call after a no-op is still a no-op
+    assert snapshot_compact(spark, root) is None
+
+
+def test_compaction_scope_narrows_to_named_partitions(spark, tmp_path):
+    """partition_values limits the rewrite (spread maintenance over
+    windows): only the named fragmented partition moves; the other
+    keeps its old reference AND its exact bytes."""
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import snapshot_compact
+
+    root = str(tmp_path / "snap")
+    _seed_partitioned(spark, root)
+    _merge(spark, root, 4, 1)               # v2; p=0,2 still in v1
+    before_p2 = _part_files(root, "v-00001", 2)
+
+    v = snapshot_compact(spark, root, partition_values=[0])
+    man = _manifest(root, v)
+    assert man["entries"]["0"] == v
+    assert man["entries"]["2"] == "v-00001"          # still carried
+    assert _part_files(root, "v-00001", 2) == before_p2
+    # scoping to an already-live partition is a no-op
+    assert snapshot_compact(spark, root, partition_values=[0]) is None
+
+
+def test_compaction_then_rotation_releases_old_dirs(spark, tmp_path):
+    """The GC payoff: after compaction, one more pruned merge rotates
+    the pre-compaction versions out of keep=2 and their dirs are
+    reclaimed — on-disk history stops growing with batch count."""
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import snapshot_compact
+
+    root = str(tmp_path / "snap")
+    _seed_partitioned(spark, root)          # v1
+    _merge(spark, root, 4, 1)               # v2
+    _merge(spark, root, 5, 2)               # v3
+    assert snapshot_compact(spark, root) == "v-00004"
+    # v4 refs {v3, v4}; kept manifests (v3, v4) still pin v1, v2
+    dirs = sorted(d for d in os.listdir(root) if d.startswith("v-"))
+    assert dirs == ["v-00001", "v-00002", "v-00003", "v-00004"]
+
+    before = _rows(spark, root)
+    _merge(spark, root, 6, 0, v="UPD2")     # v5: kept = {v4, v5}
+    dirs = sorted(d for d in os.listdir(root) if d.startswith("v-"))
+    # v1 and v2 released (nothing kept references them); v3 survives
+    # as the data holder of the carried partition p=2.
+    assert dirs == ["v-00003", "v-00004", "v-00005"]
+    want = {(6, 0, "UPD2") if k == 6 else (k, p, v) for (k, p, v) in before}
+    assert _rows(spark, root) == want
+
+
+def test_compaction_coalesces_to_one_file_per_partition(spark, tmp_path):
+    """one_file_per_partition=True (default) writes each rewritten
+    partition as a single parquet file — the small-file half of
+    OPTIMIZE; False inherits the plan's parallelism."""
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import snapshot_compact
+
+    root = str(tmp_path / "snap")
+    _seed_partitioned(spark, root)
+    _merge(spark, root, 4, 1)
+    v = snapshot_compact(spark, root)
+    for p in (0,):  # rewritten partitions live in v
+        files = _part_files(root, v, p)
+        assert len(files) == 1, f"_p={p}: expected 1 file, got {sorted(files)}"
+
+
+def test_concurrent_commit_raises_and_preserves_winner(spark, tmp_path):
+    """Optimistic concurrency: a commit whose expected_current token is
+    stale (another writer published in between) raises
+    SnapshotConflictError, leaves the winner's pointer live, and
+    removes its own unpublished dir."""
+    import pytest
+
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        SnapshotConflictError,
+        _current_version,
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "snap")
+    snapshot_commit(spark.range(5), root)                      # v1
+    stale = _current_version(root)                             # both writers read v1
+    snapshot_commit(spark.range(10), root, expected_current=stale)  # winner → v2
+    with pytest.raises(SnapshotConflictError, match="another writer"):
+        snapshot_commit(spark.range(99), root, expected_current=stale)
+    assert _current_version(root) == "v-00002"
+    assert snapshot_read(spark, root).count() == 10
+    assert sorted(d for d in os.listdir(root) if d.startswith("v-")) == [
+        "v-00001",
+        "v-00002",
+    ]
+
+
+def test_conflict_during_write_cleans_loser_but_never_live_dir(spark, tmp_path):
+    """The pre-swap check (a swap that happened DURING the data write):
+    the loser's unpublished dir is removed — unless the winner published
+    that very dir name, which must NOT be deleted (it is live) and the
+    error must flag the overlap as corrupting."""
+    import pytest
+
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        DEFAULT_FS,
+        SnapshotConflictError,
+        _check_unchanged,
+        snapshot_commit,
+    )
+
+    root = str(tmp_path / "snap")
+    snapshot_commit(spark.range(5), root)                      # v1
+    snapshot_commit(spark.range(10), root)                     # v2 (live)
+
+    # Loser had expected=v1 and wrote an orphan v-00003 before noticing.
+    orphan = os.path.join(root, "v-00003")
+    os.makedirs(orphan)
+    with pytest.raises(SnapshotConflictError, match="another writer"):
+        _check_unchanged(root, "v-00001", DEFAULT_FS, new="v-00003")
+    assert not os.path.exists(orphan), "loser's unpublished dir swept"
+
+    # Loser's target collides with the live dir: never delete it.
+    with pytest.raises(SnapshotConflictError, match="interleaved output"):
+        _check_unchanged(root, "v-00001", DEFAULT_FS, new="v-00002")
+    assert os.path.exists(os.path.join(root, "v-00002"))
+
+
+def test_concurrent_partitioned_commit_raises(spark, tmp_path):
+    """Same token check on the partitioned commit path — the stale
+    loser fails BEFORE writing anything (zero footprint)."""
+    import pytest
+
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        SnapshotConflictError,
+        _current_version,
+        snapshot_commit_partitioned,
+    )
+
+    root = str(tmp_path / "snap")
+    df = _seed_partitioned(spark, root)                        # v1
+    stale = _current_version(root)
+    snapshot_commit_partitioned(df, root, "p", expected_current=stale)  # v2
+    with pytest.raises(SnapshotConflictError):
+        snapshot_commit_partitioned(df, root, "p", expected_current=stale)
+    assert _current_version(root) == "v-00002"
+    assert not os.path.exists(os.path.join(root, "v-00003"))
