@@ -329,6 +329,49 @@ def cdc_merge_compact_e2e(spark, sf_dir):
     return snapshot_read(spark, snap)
 
 
+_SKIP_ORACLE = """
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    WHERE event_id BETWEEN
+          CAST(0.4 * ((SELECT MAX(event_id) FROM events) + 1) AS BIGINT)
+      AND CAST(0.5 * ((SELECT MAX(event_id) FROM events) + 1) AS BIGINT) - 1
+"""
+
+
+@query("snapshot_skipping_e2e", oracle=_SKIP_ORACLE)
+def snapshot_skipping_e2e(spark, sf_dir):
+    """Zone-map data skipping under the driver hash: events are
+    committed as a snapshot PARTITIONED by day-of-month, whose manifest
+    records each partition's footer-harvested event_id min/max; the
+    fixture's events are time-ordered, so an event_id range predicate
+    is exactly the clustered-column case zone maps exist for
+    (Iceberg/Delta file skipping).  `skip_by` must physically prune to
+    the handful of days whose id range intersects (asserted: strictly
+    fewer rows than the table BEFORE the real filter is applied — the
+    entry cannot silently degrade to scan-everything), and
+    skip-then-filter must hash-equal the plain SQL range scan:
+    skipping changes cost, never results."""
+    from ..streaming.snapshot import snapshot_commit_partitioned, snapshot_read
+
+    work = _workdir(sf_dir, "skipping")
+    ev = t(spark, sf_dir, "events").withColumn(
+        "event_day", F.dayofmonth("ts").cast("int")
+    )
+    snap = os.path.join(work, "snapshot")
+    snapshot_commit_partitioned(ev, snap, "event_day")
+
+    n = ev.agg(F.max("event_id")).first()[0] + 1
+    lo, hi = int(0.4 * n), int(0.5 * n) - 1
+    pruned = snapshot_read(spark, snap, skip_by={"event_id": (lo, hi)})
+    assert 0 < pruned.count() < n, (
+        "zone-map skip kept every partition — the fixture's id/time "
+        "clustering broke, or stats were not collected"
+    )
+    return pruned.filter(F.col("event_id").between(lo, hi)).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
 @query("cdc_merge_stream_e2e", oracle=_CDC_ORACLE)
 def cdc_merge_stream_e2e(spark, sf_dir):
     """Streaming CDC MERGE end-to-end under the driver hash: a seed

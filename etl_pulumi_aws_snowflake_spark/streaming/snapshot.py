@@ -53,6 +53,17 @@ REJECTS such values (checked driver-side for ``changed_values``, and
 against the written dir keys for the data itself, with the unpublished
 version dir cleaned up) instead of committing corruption.
 
+**Zone maps (data skipping).**  A partitioned commit harvests each
+written partition's per-column min/max from the parquet FOOTERS it
+just wrote (no data re-scan) into the manifest, carried forward with
+the entries.  ``snapshot_read(skip_by={col: (lo, hi)})`` then drops
+partitions that provably cannot hold matching rows — predicate-driven
+physical pruning on columns that are NOT the partition key, the
+Iceberg/Delta file-skipping idea at manifest granularity.  Stats are
+strictly optional metadata: wherever they are missing or unusable the
+read keeps the partition, so skipping can never change a query's
+result, only its cost.
+
 **Compaction (bounding the reference spread).**  Pruned commits make
 fragmentation structural: a partition last rewritten in ``v-K`` keeps
 ``v-K`` on disk for as long as any kept manifest references it, so a
@@ -218,6 +229,73 @@ def _partition_dir(root: str, version: str, value: str) -> str:
     return os.path.join(root, version, "data", f"{_PDIR}={value}")
 
 
+def _collect_partition_stats(ddir: str, written: set[str]) -> dict | None:
+    """Per-partition column min/max harvested from the just-written
+    parquet FOOTERS (row-group statistics) — zero data re-scan, the
+    Iceberg manifest-stats approach.  Returns
+    ``{partition_key: {col: [min, max]}}``; a column appears only if
+    every file and row group of the partition carries usable stats of
+    a JSON-stable scalar type (int/float/str — bools, timestamps,
+    decimals, binary and nested types are skipped, readers treat the
+    absence conservatively).  Returns ``None`` when the footers are not
+    locally readable (e.g. an object-store root reached only through a
+    remote filesystem seam): commits then publish without stats and
+    every read keeps every partition — skipping is an optimization,
+    never a correctness dependency.  A cluster port collects the same
+    numbers from the writer tasks or the store's footer API."""
+    try:
+        import pyarrow.parquet as pq
+
+        stats: dict[str, dict] = {}
+        for key in written:
+            pdir = os.path.join(ddir, f"{_PDIR}={key}")
+            part_cols: dict[str, list] | None = None
+            for f in sorted(os.listdir(pdir)):
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(pdir, f)).metadata
+                fcols: dict[str, list | None] = {}
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        name = c.path_in_schema
+                        st = c.statistics
+                        bound = None
+                        if st is not None and st.has_min_max:
+                            mn, mx = st.min, st.max
+                            if (
+                                type(mn) in (int, float, str)
+                                and type(mn) is type(mx)
+                            ):
+                                bound = [mn, mx]
+                        if name not in fcols:
+                            fcols[name] = bound
+                        elif bound is None:
+                            fcols[name] = None
+                        elif fcols[name] is not None:
+                            fcols[name] = [
+                                min(fcols[name][0], bound[0]),
+                                max(fcols[name][1], bound[1]),
+                            ]
+                good = {n: b for n, b in fcols.items() if b is not None}
+                if part_cols is None:
+                    part_cols = good
+                else:
+                    part_cols = {
+                        n: [
+                            min(part_cols[n][0], b[0]),
+                            max(part_cols[n][1], b[1]),
+                        ]
+                        for n, b in good.items()
+                        if n in part_cols
+                    }
+            stats[key] = part_cols or {}
+        return stats
+    except Exception:
+        return None
+
+
 def _vnum(d: str) -> int:
     return int(d.rsplit("-", 1)[1])
 
@@ -265,6 +343,7 @@ def snapshot_read(
     partition_values: list | None = None,
     fs: LocalFilesystem | None = None,
     version: str | None = None,
+    skip_by: dict | None = None,
 ) -> DataFrame:
     """Load the live snapshot version (or the bare root for a seed
     table written by a plain ``df.write.parquet(root)``).
@@ -276,6 +355,19 @@ def snapshot_read(
     snapshot (no manifest) passing ``partition_values`` raises
     ``ValueError`` — pruning needs the manifest's value→dir mapping;
     there is no silent post-scan-filter fallback.
+
+    ``skip_by`` is zone-map data skipping for NON-partition-column
+    predicates: ``{col: (lo, hi)}`` (either bound may be ``None`` for
+    open) drops every partition whose manifest min/max for ``col``
+    provably cannot intersect ``[lo, hi]`` — the Iceberg/Delta
+    file-skipping move at partition granularity, with zero data IO
+    spent deciding.  It is a PRUNING HINT, not a filter: kept
+    partitions are returned whole, so the caller still applies the
+    real predicate (exactly as an engine applies the query filter
+    after file skipping); the contract is only that no row matching
+    the bounds is dropped.  Conservative everywhere information is
+    missing: partitions without stats for ``col``, type-mismatched
+    bounds, and unpartitioned snapshots all pass through unpruned.
 
     ``version`` time-travels to a version in the readable horizon
     (:func:`snapshot_versions`; raises ``ValueError`` otherwise — GC'd,
@@ -331,6 +423,25 @@ def snapshot_read(
     if partition_values is not None:
         wanted = {str(x) for x in partition_values}
         entries = {k: ver for k, ver in entries.items() if k in wanted}
+    if skip_by:
+        stats: dict[str, dict] = man.get("stats") or {}
+
+        def _may_match(pval: str) -> bool:
+            bounds = stats.get(pval) or {}
+            for col, (lo, hi) in skip_by.items():
+                b = bounds.get(col)
+                if b is None:
+                    continue  # no evidence — keep
+                try:
+                    if (lo is not None and b[1] < lo) or (
+                        hi is not None and b[0] > hi
+                    ):
+                        return False
+                except TypeError:
+                    continue  # bound/stat type mismatch — keep
+            return True
+
+        entries = {k: ver for k, ver in entries.items() if _may_match(k)}
     paths = [_partition_dir(root, ver, val) for val, ver in entries.items()]
     if not paths:
         schema = T.StructType.fromJson(json.loads(man["schema"]))
@@ -511,6 +622,7 @@ def snapshot_commit_partitioned(
         raise
 
     entries: dict[str, str] = {}
+    stats: dict[str, dict] = {}
     if changed_values is not None:
         prev_man = _read_manifest(root, expected, fs) if expected else None
         if prev_man is None:
@@ -522,9 +634,14 @@ def snapshot_commit_partitioned(
                 "first)"
             )
         entries.update(prev_man["entries"])
+        stats.update(prev_man.get("stats") or {})
         for val in changed_values:
             entries.pop(str(val), None)
+            stats.pop(str(val), None)
     entries.update({val: new for val in written})
+    written_stats = _collect_partition_stats(ddir, written)
+    if written_stats is not None:
+        stats.update(written_stats)
 
     manifest = {
         "partition_col": partition_col,
@@ -532,6 +649,10 @@ def snapshot_commit_partitioned(
         "columns": df.columns,
         "schema": df.schema.json(),
         "entries": entries,
+        # Zone maps: {partition_key: {col: [min, max]}} — carried
+        # forward with the entries; absent/partial stats only widen
+        # reads, never narrow them (see _collect_partition_stats).
+        "stats": {k: v for k, v in stats.items() if k in entries},
     }
     tmp = os.path.join(root, new, f".{_MANIFEST}.tmp")
     fs.write_text(tmp, json.dumps(manifest))

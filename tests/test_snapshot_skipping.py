@@ -1,0 +1,120 @@
+"""Zone-map data skipping: footer-harvested per-partition min/max in
+the snapshot manifest (`_collect_partition_stats`) and the
+`snapshot_read(skip_by=...)` pruning path.
+
+The invariant under test everywhere: skipping changes COST, never
+RESULTS — a skip_by read followed by the real filter equals the full
+read with the same filter, under every stats condition (present,
+carried-forward, stripped, type-mismatched).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from tests.test_snapshot_maintenance import _merge
+from tests.test_streaming import _seed_partitioned
+
+
+def _read(spark, root, **kw):
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import snapshot_read
+
+    return snapshot_read(spark, root, **kw)
+
+
+def _manifest(root, version):
+    with open(os.path.join(root, version, "_MANIFEST.json")) as f:
+        return json.load(f)
+
+
+def test_commit_records_footer_stats(spark, tmp_path):
+    """A partitioned commit writes {partition: {col: [min, max]}} into
+    the manifest; `k` in partition p spans {p, p+3, ..., 27+p}."""
+    root = str(tmp_path / "snap")
+    _seed_partitioned(spark, root)
+    stats = _manifest(root, "v-00001")["stats"]
+    assert set(stats) == {"0", "1", "2"}
+    for p in range(3):
+        assert stats[str(p)]["k"] == [p, 27 + p]
+        assert stats[str(p)]["p"] == [p, p]
+        # strings get stats too (min/max part-row value)
+        lo, hi = stats[str(p)]["v"]
+        assert lo.startswith("r") and hi.startswith("r")
+
+
+def test_skip_by_prunes_partitions_without_changing_results(spark, tmp_path):
+    """k >= 28 can only live in partitions 1 (max 28) and 2 (max 29):
+    partition 0 (max 27) is provably skippable.  The skip read opens
+    two dirs, and filter-after-skip equals filter-after-full."""
+    root = str(tmp_path / "snap")
+    _seed_partitioned(spark, root)
+
+    full = _read(spark, root).filter("k >= 28")
+    skip = _read(spark, root, skip_by={"k": (28, None)})
+    assert skip.count() == 20, "kept partitions returned whole (hint, not filter)"
+    got = {tuple(r) for r in skip.filter("k >= 28").collect()}
+    assert got == {tuple(r) for r in full.collect()}
+    # and a range that nothing satisfies prunes everything
+    assert _read(spark, root, skip_by={"k": (1000, None)}).count() == 0
+
+
+def test_skip_by_stats_carry_forward_through_pruned_merge(spark, tmp_path):
+    """After a pruned merge rewrites partition 1, untouched partitions
+    keep their carried stats and partition 1's are refreshed: an
+    inserted k=100 must widen partition 1's range so skip_by(k>=100)
+    keeps exactly that partition."""
+    from etl_pulumi_aws_snowflake_spark.operators.warehouse import merge_upsert_pruned
+
+    root = str(tmp_path / "snap")
+    _seed_partitioned(spark, root)
+    batch = spark.createDataFrame(
+        [(100, 1, "NEW", False)], "k bigint, p bigint, v string, is_delete boolean"
+    )
+    v = merge_upsert_pruned(spark, root, batch, ["k"], "p", delete_col="is_delete")
+    stats = _manifest(root, v)["stats"]
+    assert stats["1"]["k"] == [1, 100]
+    assert stats["0"]["k"] == [0, 27] and stats["2"]["k"] == [2, 29]
+
+    skip = _read(spark, root, skip_by={"k": (100, None)})
+    assert {r.p for r in skip.collect()} == {1}
+    assert {tuple(r) for r in skip.filter("k >= 100").collect()} == {
+        (100, 1, "NEW")
+    }
+
+
+def test_skip_by_is_conservative_without_stats(spark, tmp_path):
+    """Stripped stats (a commit made where footers weren't readable)
+    must disable pruning, not break reads."""
+    root = str(tmp_path / "snap")
+    _seed_partitioned(spark, root)
+    mpath = os.path.join(root, "v-00001", "_MANIFEST.json")
+    man = json.load(open(mpath))
+    man["stats"] = {}
+    with open(mpath, "w") as f:
+        json.dump(man, f)
+    assert _read(spark, root, skip_by={"k": (1000, None)}).count() == 30
+
+
+def test_skip_by_ignores_type_mismatched_bounds(spark, tmp_path):
+    """A string bound against int stats cannot be decided — keep the
+    partition (and the unknown column name is likewise a no-op)."""
+    root = str(tmp_path / "snap")
+    _seed_partitioned(spark, root)
+    df = _read(
+        spark, root, skip_by={"k": ("zzz", None), "no_such_col": (0, 1)}
+    )
+    assert df.count() == 30
+
+
+def test_skip_by_composes_with_partition_values(spark, tmp_path):
+    """Explicit partition pruning and zone-map skipping intersect."""
+    root = str(tmp_path / "snap")
+    _seed_partitioned(spark, root)
+    df = _read(
+        spark,
+        root,
+        partition_values=[0, 1],
+        skip_by={"k": (28, None)},  # kills partition 0 (max 27)
+    )
+    assert {r.p for r in df.collect()} == {1}
