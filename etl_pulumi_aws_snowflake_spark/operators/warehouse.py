@@ -34,6 +34,7 @@ def merge_upsert(
     source: DataFrame,
     key: list[str],
     delete_col: str | None = None,
+    allow_new_columns: bool = False,
 ) -> DataFrame:
     """MERGE semantics over immutable storage: rows of ``target``
     matched by ``source`` (equi on ``key``) are replaced by the source
@@ -41,6 +42,17 @@ def merge_upsert(
     matched source rows with ``delete_col`` true are dropped (delete).
     Unmatched target rows pass through.  Returns the new snapshot with
     ``target``'s column set.
+
+    ``allow_new_columns=True`` is schema EVOLUTION (Delta
+    ``mergeSchema`` semantics): source columns with no target
+    counterpart are APPENDED to the result schema, in source order —
+    source-matched rows carry the source value, passthrough target
+    rows get a typed NULL.  The default (False) keeps evolution an
+    explicit decision: extra source columns (beyond ``delete_col``)
+    are simply not part of the target schema and are dropped, exactly
+    like warehouse ``MERGE ... UPDATE SET <target columns>``.  Widening
+    an EXISTING column's type is still a loud error either way — only
+    additive evolution is automatic, as in Delta.
 
     Source must carry every target column (plus optionally
     ``delete_col``); a source row's non-key values win wholesale —
@@ -110,6 +122,23 @@ def merge_upsert(
             "silently retype the snapshot — cast the source explicitly "
             "(operators.align.align for by-name typed coercion)"
         )
+    new_cols: list[tuple[str, str]] = []
+    if allow_new_columns:
+        folded_t = {fold(c) for c in target.columns}
+        dc = fold(delete_col) if delete_col is not None else None
+        seen: set[str] = set()
+        for name, dt in source.dtypes:
+            fn = fold(name)
+            if fn in folded_t or fn == dc:
+                continue
+            if fn in seen:
+                raise ValueError(
+                    f"merge_upsert source has case-variant NEW columns "
+                    f"folding to {fn!r}; evolution cannot pick one"
+                )
+            seen.add(fn)
+            new_cols.append((name, dt))
+
     t = target.withColumn("_t_exists", F.lit(True)).alias("t")
     s = source.withColumn("_s_exists", F.lit(True)).alias("s")
     joined = t.join(s, on=key, how="full_outer")
@@ -123,6 +152,11 @@ def merge_upsert(
         if c in key
         else F.when(matched_s, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
         for c in target.columns
+    ] + [
+        # evolution: passthrough target rows null-fill the new column,
+        # exactly how Delta mergeSchema treats pre-evolution files
+        F.when(matched_s, F.col(f"s.{c}")).otherwise(F.lit(None).cast(dt)).alias(c)
+        for c, dt in new_cols
     ]
     return joined.select(*cols)
 
@@ -143,6 +177,7 @@ def merge_upsert_pruned(
     keep: int = 2,
     max_pruned_partitions: int = MAX_PRUNED_PARTITIONS,
     fs=None,
+    allow_new_columns: bool = False,
 ) -> str:
     """Partition-pruned MERGE into a versioned snapshot: read ONLY the
     partitions named by the batch, merge, rewrite only those, carry the
@@ -166,6 +201,13 @@ def merge_upsert_pruned(
     ``fs`` is the snapshot protocol's filesystem seam
     (``streaming/snapshot.LocalFilesystem`` by default — pass a
     Hadoop/S3-backed implementation on a cluster).
+
+    ``allow_new_columns`` enables additive schema evolution
+    (:func:`merge_upsert`): the commit publishes the widened schema,
+    and partitions carried forward by reference keep their
+    pre-evolution files — ``snapshot_read`` pins the scan to the
+    manifest schema, so those null-fill the new column exactly like
+    Delta ``mergeSchema`` reads pre-evolution data files.
     """
     from ..streaming.snapshot import (
         DEFAULT_FS,
@@ -205,7 +247,13 @@ def merge_upsert_pruned(
     target = snapshot_read(
         spark, snapshot_root, partition_values=pvals, fs=fs, version=live
     )
-    merged = merge_upsert(target, source, key=key, delete_col=delete_col)
+    merged = merge_upsert(
+        target,
+        source,
+        key=key,
+        delete_col=delete_col,
+        allow_new_columns=allow_new_columns,
+    )
     return snapshot_commit_partitioned(
         merged,
         snapshot_root,

@@ -87,6 +87,76 @@ def merge_upsert_customers(spark, sf_dir):
 
 
 @query(
+    "merge_schema_evolution",
+    oracle=f"""
+    WITH src AS (
+        SELECT c_custkey,
+               'UPD-' || CAST(c_custkey AS VARCHAR) AS c_name,
+               c_nationkey,
+               0.0 AS c_acctbal,
+               c_mktsegment,
+               'feed-' || CAST(c_custkey % 3 AS VARCHAR) AS c_feed
+        FROM customer
+        WHERE {hash_gate_duck("c_custkey", 20)}
+        UNION ALL
+        SELECT c_custkey + 1000000,
+               'NEW-' || CAST(c_custkey AS VARCHAR),
+               c_nationkey,
+               100.0,
+               'BUILDING',
+               'feed-new'
+        FROM customer
+        WHERE {hash_gate_duck("c_custkey + 41", 10)}
+    )
+    SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name
+                ELSE t.c_name END AS c_name,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey
+                ELSE t.c_nationkey END AS c_nationkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                ELSE t.c_acctbal END AS c_acctbal,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+                ELSE t.c_mktsegment END AS c_mktsegment,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_feed
+                ELSE CAST(NULL AS VARCHAR) END AS c_feed
+    FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    """,
+)
+def merge_schema_evolution(spark, sf_dir):
+    """Additive schema evolution through MERGE (Delta ``mergeSchema``
+    semantics, ``merge_upsert(allow_new_columns=True)``): the CDC batch
+    carries a NEW ``c_feed`` column absent from the customer dimension.
+    Matched/inserted rows take the source value; passthrough rows
+    null-fill — the widened schema under the driver hash against the
+    explicit full-outer SQL expansion."""
+    cust = t(spark, sf_dir, "customer")
+    updates = cust.filter(F.expr(hash_gate_spark("c_custkey", 20))).select(
+        "c_custkey",
+        F.concat(F.lit("UPD-"), F.col("c_custkey").cast("string")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        "c_mktsegment",
+        F.concat(F.lit("feed-"), (F.col("c_custkey") % 3).cast("string")).alias(
+            "c_feed"
+        ),
+    )
+    inserts = cust.filter(F.expr(hash_gate_spark("c_custkey + 41", 10))).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW-"), F.col("c_custkey").cast("string")).alias("c_name"),
+        "c_nationkey",
+        F.lit(100.0).alias("c_acctbal"),
+        F.lit("BUILDING").alias("c_mktsegment"),
+        F.lit("feed-new").alias("c_feed"),
+    )
+    return W.merge_upsert(
+        cust,
+        updates.unionByName(inserts),
+        key=["c_custkey"],
+        allow_new_columns=True,
+    )
+
+
+@query(
     "scd2_user_state",
     oracle="""
     WITH ch AS (

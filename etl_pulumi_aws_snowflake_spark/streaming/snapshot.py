@@ -443,13 +443,18 @@ def snapshot_read(
 
         entries = {k: ver for k, ver in entries.items() if _may_match(k)}
     paths = [_partition_dir(root, ver, val) for val, ver in entries.items()]
+    schema = T.StructType.fromJson(json.loads(man["schema"]))
     if not paths:
-        schema = T.StructType.fromJson(json.loads(man["schema"]))
         return spark.createDataFrame([], schema).select(*columns)
     # One scan relation over the selected dirs (wherever their version
     # lives); the partition column is read from the data files, so no
-    # dir-name type inference and no per-partition plan nodes.
-    return spark.read.parquet(*paths).select(*columns)
+    # dir-name type inference and no per-partition plan nodes.  The
+    # scan is pinned to the MANIFEST schema: after additive schema
+    # evolution (merge_upsert allow_new_columns), carried-forward
+    # partitions' files predate the new column and null-fill it here —
+    # the Delta mergeSchema read behavior — instead of failing the
+    # select or inferring from whichever file is listed first.
+    return spark.read.schema(schema).parquet(*paths).select(*columns)
 
 
 def _next_version_after(prev: str | None) -> str:

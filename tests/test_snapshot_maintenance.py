@@ -227,3 +227,35 @@ def test_concurrent_partitioned_commit_raises(spark, tmp_path):
         snapshot_commit_partitioned(df, root, "p", expected_current=stale)
     assert _current_version(root) == "v-00002"
     assert not os.path.exists(os.path.join(root, "v-00003"))
+
+
+def test_pruned_merge_schema_evolution_null_fills_carried_partitions(spark, tmp_path):
+    """Additive evolution through the pruned path: a batch carrying a
+    NEW column rewrites only its partition with the widened schema; the
+    carried-forward partitions' pre-evolution files null-fill on read
+    (the manifest-schema-pinned scan), and time travel to the
+    pre-evolution version still shows the narrow schema."""
+    from etl_pulumi_aws_snowflake_spark.operators.warehouse import merge_upsert_pruned
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import snapshot_read
+
+    root = str(tmp_path / "snap")
+    _seed_partitioned(spark, root)                             # v1: k, p, v
+    batch = spark.createDataFrame(
+        [(4, 1, "UPD", False, "feed-x")],
+        "k bigint, p bigint, v string, is_delete boolean, feed string",
+    )
+    merge_upsert_pruned(
+        spark, root, batch, ["k"], "p",
+        delete_col="is_delete", allow_new_columns=True,
+    )
+    out = snapshot_read(spark, root)
+    assert out.columns == ["k", "p", "v", "feed"]
+    rows = {r.k: r.feed for r in out.collect()}
+    assert rows[4] == "feed-x"
+    # every row outside the rewritten partition came from v1 files
+    # that predate `feed` — null-filled, not failed
+    assert all(v is None for k, v in rows.items() if k != 4)
+    assert len(rows) == 30
+
+    old = snapshot_read(spark, root, version="v-00001")
+    assert old.columns == ["k", "p", "v"]

@@ -109,3 +109,48 @@ def test_merge_upsert_requires_delete_col_in_source(spark):
     source = spark.createDataFrame([(1, "a2")], "k bigint, name string")
     with pytest.raises(ValueError, match="delete_col 'is_delete'"):
         W.merge_upsert(target, source, key=["k"], delete_col="is_delete")
+
+
+def test_merge_schema_evolution_appends_new_columns(spark):
+    """allow_new_columns=True: source-only columns are appended in
+    source order — matched/inserted rows take the source value,
+    passthrough rows null-fill; the default drops them."""
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k bigint, name string"
+    )
+    source = spark.createDataFrame(
+        [(2, "b2", "feed-x", 9), (3, "c", "feed-y", 8)],
+        "k bigint, name string, feed string, score bigint",
+    )
+    out = W.merge_upsert(target, source, key=["k"], allow_new_columns=True)
+    assert out.columns == ["k", "name", "feed", "score"]
+    rows = {r.k: (r.name, r.feed, r.score) for r in out.collect()}
+    assert rows == {
+        1: ("a", None, None),        # passthrough null-fills
+        2: ("b2", "feed-x", 9),      # update carries the new columns
+        3: ("c", "feed-y", 8),       # insert carries the new columns
+    }
+    # default: extra source columns are not part of the target schema
+    assert W.merge_upsert(target, source, key=["k"]).columns == ["k", "name"]
+
+
+def test_merge_schema_evolution_rejects_case_variant_new_columns(spark):
+    """Two NEW source columns folding to one name cannot evolve."""
+    target = spark.createDataFrame([(1, "a")], "k bigint, name string")
+    source = spark.createDataFrame(
+        [(1, "a2", "x", "y")], "k bigint, name string, feed string, FEED string"
+    )
+    with pytest.raises(ValueError, match="case-variant NEW columns"):
+        W.merge_upsert(target, source, key=["k"], allow_new_columns=True)
+
+
+def test_merge_schema_evolution_excludes_delete_col(spark):
+    """The delete flag is merge metadata, never an evolved column."""
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, name string")
+    source = spark.createDataFrame(
+        [(2, "b2", False, "f")], "k bigint, name string, is_delete boolean, feed string"
+    )
+    out = W.merge_upsert(
+        target, source, key=["k"], delete_col="is_delete", allow_new_columns=True
+    )
+    assert out.columns == ["k", "name", "feed"]
