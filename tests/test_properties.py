@@ -496,6 +496,11 @@ def _snapshot_history_case(draw):
     parts = [0, 1, 2]
     steps = [("full", {p: draw(st.integers(0, 99)) for p in parts})]
     for _ in range(draw(st.integers(2, 4))):
+        if draw(st.integers(0, 3)) == 0:
+            # maintenance interleaves with ingestion — compaction must
+            # uphold every invariant commits do (possibly as a no-op)
+            steps.append(("compact", {}))
+            continue
         changed = draw(
             st.lists(st.sampled_from(parts), min_size=1, max_size=3, unique=True)
         )
@@ -512,20 +517,25 @@ def _snapshot_history_case(draw):
 )
 @given(_snapshot_history_case())
 def test_snapshot_history_model_property(spark, case):
-    """Model-based protocol check: after every commit, (a) the live
+    """Model-based protocol check: after every commit (and every
+    interleaved COMPACTION — content-neutral by contract), (a) the live
     read equals the logical model table; (b) EVERY version listed by
     snapshot_versions reads back exactly the model state at its commit
     (readable means readable — no PATH_NOT_FOUND mid-scan ever); (c)
     every on-disk version NOT listed refuses time travel with
-    ValueError rather than returning something."""
+    ValueError rather than returning something; (d) a zone-map skip_by
+    read plus the real filter equals the model filter — skipping never
+    changes results, whatever commit/compact history built the stats."""
     import os
     import shutil
     import tempfile
 
     import pytest
+    from pyspark.sql import functions as F
 
     from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
         snapshot_commit_partitioned,
+        snapshot_compact,
         snapshot_read,
         snapshot_versions,
     )
@@ -539,26 +549,39 @@ def test_snapshot_history_model_property(spark, case):
         table: dict[int, int] = {}
         model: dict[str, dict[int, int]] = {}
         for kind, vals in case:
-            table = dict(table)
-            table.update(vals)
-            if kind == "full":
-                df = spark.createDataFrame(sorted(table.items()), schema)
-                ver = snapshot_commit_partitioned(df, root, "p", keep=2)
+            if kind == "compact":
+                ver = snapshot_compact(spark, root, keep=2)
+                if ver is not None:
+                    model[ver] = dict(table)  # content-neutral
             else:
-                df = spark.createDataFrame(sorted(vals.items()), schema)
-                ver = snapshot_commit_partitioned(
-                    df, root, "p", changed_values=list(vals), keep=2
-                )
-            model[ver] = dict(table)
+                table = dict(table)
+                table.update(vals)
+                if kind == "full":
+                    df = spark.createDataFrame(sorted(table.items()), schema)
+                    ver = snapshot_commit_partitioned(df, root, "p", keep=2)
+                else:
+                    df = spark.createDataFrame(sorted(vals.items()), schema)
+                    ver = snapshot_commit_partitioned(
+                        df, root, "p", changed_values=list(vals), keep=2
+                    )
+                model[ver] = dict(table)
 
             live = {r.p: r.v for r in snapshot_read(spark, root).collect()}
             assert live == table
+            skim = {
+                r.p: r.v
+                for r in snapshot_read(spark, root, skip_by={"v": (30, 60)})
+                .filter(F.col("v").between(30, 60))
+                .collect()
+            }
+            assert skim == {p: v for p, v in table.items() if 30 <= v <= 60}
             on_disk = {
                 d for d in os.listdir(root) if d.startswith("v-")
             }
             readable = snapshot_versions(root)
             assert set(readable) <= on_disk
-            assert ver in readable  # the just-committed version
+            # the just-committed/compacted version (None = no-op compact)
+            assert ver is None or ver in readable
             for rv in readable:
                 got = {
                     r.p: r.v
