@@ -40,6 +40,7 @@ def stream_cdc_merge(
     await_termination: bool = True,
     fs=None,
     max_files_per_trigger: int | None = None,
+    allow_new_columns: bool = False,
 ):
     """Watch ``changes_dir`` for JSON change files; MERGE each batch
     into the Parquet snapshot at ``snapshot_path``.  Returns the
@@ -59,7 +60,14 @@ def stream_cdc_merge(
     batch (Spark's ``maxFilesPerTrigger``) — bound it when a backlog
     replay would otherwise merge an unbounded file pile in one batch
     (one giant rewrite, no incremental checkpoints); leave ``None`` for
-    the default process-what-landed batch."""
+    the default process-what-landed batch.
+
+    ``allow_new_columns`` forwards additive schema evolution to the
+    per-batch MERGE (``merge_upsert``): a feed that grows a column
+    widens the snapshot schema; pre-evolution data null-fills on read.
+    Note the STREAM's ``change_schema`` is fixed at start — evolution
+    applies when the declared change schema is wider than the current
+    snapshot, not to files wider than ``change_schema``."""
     reader = spark.readStream.schema(change_schema).option(
         "pathGlobFilter", "*.json"
     )
@@ -79,6 +87,7 @@ def stream_cdc_merge(
                 partition_col=partition_col,
                 delete_col=delete_col,
                 fs=fs,
+                allow_new_columns=allow_new_columns,
             )
             return
         # Read and commit against the same observed version so an
@@ -86,7 +95,13 @@ def stream_cdc_merge(
         # not a lost update (snapshot.py module docstring).
         live = _current_version(snapshot_path, fs or DEFAULT_FS)
         target = snapshot_read(spark, snapshot_path, fs=fs, version=live)
-        merged = merge_upsert(target, batch_df, key=key, delete_col=delete_col)
+        merged = merge_upsert(
+            target,
+            batch_df,
+            key=key,
+            delete_col=delete_col,
+            allow_new_columns=allow_new_columns,
+        )
         snapshot_commit(merged, snapshot_path, fs=fs, expected_current=live)
 
     query = (

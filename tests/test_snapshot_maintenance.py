@@ -259,3 +259,46 @@ def test_pruned_merge_schema_evolution_null_fills_carried_partitions(spark, tmp_
 
     old = snapshot_read(spark, root, version="v-00001")
     assert old.columns == ["k", "p", "v"]
+
+
+def test_stream_cdc_merge_forwards_schema_evolution(spark, tmp_path):
+    """The streaming CDC loop forwards allow_new_columns to the
+    per-batch MERGE: a change feed carrying a new column widens the
+    snapshot, untouched rows null-fill."""
+    from pyspark.sql import types as T
+
+    from etl_pulumi_aws_snowflake_spark.streaming.cdc import stream_cdc_merge
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import snapshot_read
+
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k bigint, name string"
+    ).write.parquet(snap)
+    changes = str(tmp_path / "changes")
+    os.makedirs(changes)
+    with open(os.path.join(changes, "c1.json"), "w") as f:
+        f.write('{"k": 2, "name": "b2", "feed": "x"}\n')
+        f.write('{"k": 3, "name": "c", "feed": "y"}\n')
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("feed", T.StringType()),
+        ]
+    )
+    stream_cdc_merge(
+        spark,
+        changes,
+        schema,
+        snap,
+        ["k"],
+        str(tmp_path / "ckpt"),
+        allow_new_columns=True,
+    )
+    out = snapshot_read(spark, snap)
+    assert out.columns == ["k", "name", "feed"]
+    assert {(r.k, r.name, r.feed) for r in out.collect()} == {
+        (1, "a", None),
+        (2, "b2", "x"),
+        (3, "c", "y"),
+    }
