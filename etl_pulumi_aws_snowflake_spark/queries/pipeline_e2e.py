@@ -329,12 +329,15 @@ def cdc_merge_compact_e2e(spark, sf_dir):
     return snapshot_read(spark, snap)
 
 
+# Bounds via INTEGER floor division on both sides: DuckDB CAST rounds
+# while Python int() truncates, so float arithmetic would diverge at
+# any fixture size not divisible by 10 (`n * 4 // 10` is exact in both).
 _SKIP_ORACLE = """
     SELECT event_id, ts, user_id, event_type, value, props
     FROM events
     WHERE event_id BETWEEN
-          CAST(0.4 * ((SELECT MAX(event_id) FROM events) + 1) AS BIGINT)
-      AND CAST(0.5 * ((SELECT MAX(event_id) FROM events) + 1) AS BIGINT) - 1
+          ((SELECT MAX(event_id) FROM events) + 1) * 4 // 10
+      AND ((SELECT MAX(event_id) FROM events) + 1) * 5 // 10 - 1
 """
 
 
@@ -361,7 +364,7 @@ def snapshot_skipping_e2e(spark, sf_dir):
     snapshot_commit_partitioned(ev, snap, "event_day")
 
     n = ev.agg(F.max("event_id")).first()[0] + 1
-    lo, hi = int(0.4 * n), int(0.5 * n) - 1
+    lo, hi = n * 4 // 10, n * 5 // 10 - 1
     pruned = snapshot_read(spark, snap, skip_by={"event_id": (lo, hi)})
     assert 0 < pruned.count() < n, (
         "zone-map skip kept every partition — the fixture's id/time "

@@ -267,6 +267,19 @@ def _collect_partition_stats(ddir: str, written: set[str]) -> dict | None:
                             if (
                                 type(mn) in (int, float, str)
                                 and type(mn) is type(mx)
+                                # NaN poisons the bound: parquet writes
+                                # e.g. (1.0, NaN) for a NaN-bearing
+                                # group, Python min/max would silently
+                                # drop the NaN depending on file order,
+                                # and Spark's filter treats NaN as
+                                # larger than every number — a pruned
+                                # partition could hold matching rows
+                                # (Iceberg's nan_value_counts problem).
+                                # No stats → conservatively kept.
+                                and not (
+                                    type(mn) is float
+                                    and (mn != mn or mx != mx)
+                                )
                             ):
                                 bound = [mn, mx]
                         if name not in fcols:
@@ -478,7 +491,14 @@ def _check_unchanged(
     cur = _current_version(root, fs)
     if cur == expected:
         return
-    overlapped = new is not None and cur == new
+    # Only ever sweep a dir strictly ABOVE the live pointer: a dir at
+    # or below it is published — the winner may have claimed our very
+    # version number (cur == new), or advanced past it (cur > new, in
+    # which case `new` may even be the data holder kept manifests
+    # reference).  Deleting either destroys committed data.
+    overlapped = (
+        new is not None and cur is not None and _vnum(new) <= _vnum(cur)
+    )
     if new is not None and not overlapped:
         fs.rmtree(os.path.join(root, new))
     raise SnapshotConflictError(
@@ -488,10 +508,12 @@ def _check_unchanged(
         "optimistic single-writer: conflicts surface at publish time, "
         "see module docstring)"
         + (
-            f". WARNING: the concurrent writer published {cur!r} while "
-            "this commit was writing the same dir — the live version "
-            "dir may hold interleaved output from both writers and "
-            "must be recommitted from a trusted source"
+            f". WARNING: the concurrent writer published {cur!r} at or "
+            f"past this commit's target dir {new!r}, which was left in "
+            "place (it is at or below the live pointer — deleting it "
+            "could destroy committed data); if both writers wrote "
+            f"{new!r} it may hold interleaved output and must be "
+            "recommitted from a trusted source"
             if overlapped
             else ""
         )
@@ -755,7 +777,12 @@ def snapshot_compact(
     if not fragmented:
         return None
     pcol = man["partition_col"]
-    df = snapshot_read(spark, root, partition_values=fragmented, fs=fs)
+    # Pin the read to the manifest `fragmented` was derived from (same
+    # discipline as merge_upsert_pruned): read, changed_values, and the
+    # commit's expected_current token all describe one version.
+    df = snapshot_read(
+        spark, root, partition_values=fragmented, fs=fs, version=live
+    )
     if one_file_per_partition:
         df = df.repartition(F.col(pcol))
     return snapshot_commit_partitioned(

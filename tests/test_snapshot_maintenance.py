@@ -144,7 +144,7 @@ def test_compaction_coalesces_to_one_file_per_partition(spark, tmp_path):
     _seed_partitioned(spark, root)
     _merge(spark, root, 4, 1)
     v = snapshot_compact(spark, root)
-    for p in (0,):  # rewritten partitions live in v
+    for p in (0, 2):  # both rewritten partitions live in v
         files = _part_files(root, v, p)
         assert len(files) == 1, f"_p={p}: expected 1 file, got {sorted(files)}"
 
@@ -203,7 +203,16 @@ def test_conflict_during_write_cleans_loser_but_never_live_dir(spark, tmp_path):
     assert not os.path.exists(orphan), "loser's unpublished dir swept"
 
     # Loser's target collides with the live dir: never delete it.
-    with pytest.raises(SnapshotConflictError, match="interleaved output"):
+    with pytest.raises(SnapshotConflictError, match="recommitted"):
+        _check_unchanged(root, "v-00001", DEFAULT_FS, new="v-00002")
+    assert os.path.exists(os.path.join(root, "v-00002"))
+
+    # Winner advanced PAST the loser's target (published v2 then v3):
+    # the loser's target dir is at/below the live pointer — it is
+    # published data (possibly a referenced data holder) and must
+    # survive the sweep too.
+    snapshot_commit(spark.range(7), root)                      # v3 live
+    with pytest.raises(SnapshotConflictError, match="left in\\s+place"):
         _check_unchanged(root, "v-00001", DEFAULT_FS, new="v-00002")
     assert os.path.exists(os.path.join(root, "v-00002"))
 

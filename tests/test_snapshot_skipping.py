@@ -13,7 +13,7 @@ from __future__ import annotations
 import json
 import os
 
-from tests.test_snapshot_maintenance import _merge
+from tests.test_snapshot_maintenance import _manifest, _merge
 from tests.test_streaming import _seed_partitioned
 
 
@@ -21,11 +21,6 @@ def _read(spark, root, **kw):
     from etl_pulumi_aws_snowflake_spark.streaming.snapshot import snapshot_read
 
     return snapshot_read(spark, root, **kw)
-
-
-def _manifest(root, version):
-    with open(os.path.join(root, version, "_MANIFEST.json")) as f:
-        return json.load(f)
 
 
 def test_commit_records_footer_stats(spark, tmp_path):
@@ -118,3 +113,33 @@ def test_skip_by_composes_with_partition_values(spark, tmp_path):
         skip_by={"k": (28, None)},  # kills partition 0 (max 27)
     )
     assert {r.p for r in df.collect()} == {1}
+
+
+def test_nan_bearing_float_column_gets_no_stats(spark, tmp_path):
+    """Parquet writes e.g. (1.0, NaN) bounds for a NaN-bearing double
+    column, Python min/max over row groups would silently drop the NaN,
+    and Spark's filter treats NaN as larger than every number — so a
+    pruned partition could hold rows the real filter matches.  The
+    collector therefore refuses stats for such columns (Iceberg's
+    nan_value_counts problem) and skip_by keeps the partition."""
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_commit_partitioned,
+    )
+
+    root = str(tmp_path / "snap")
+    df = spark.createDataFrame(
+        [(0, 0, 1.0), (1, 0, float("nan")), (2, 1, 3.0)],
+        "k bigint, p bigint, x double",
+    )
+    snapshot_commit_partitioned(df, root, "p")
+    stats = _manifest(root, "v-00001")["stats"]
+    assert "x" not in stats["0"], "NaN-bearing column must carry no bound"
+    assert stats["1"]["x"] == [3.0, 3.0], "clean partition keeps stats"
+
+    # Partition 0's x-range without the NaN is [1,1], so a naive bound
+    # would prune it for x >= 5 — but Spark's filter matches the NaN
+    # row (NaN > every number), and the conservative read keeps it.
+    out = _read(spark, root, skip_by={"x": (5, None)})
+    assert {r.k for r in out.collect()} >= {0, 1}
+    matched = out.filter("x >= 5").collect()
+    assert [r.k for r in matched] == [1], "the NaN row survives skipping"
