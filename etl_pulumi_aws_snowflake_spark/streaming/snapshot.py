@@ -730,6 +730,7 @@ def snapshot_compact(
     keep: int = 2,
     fs: LocalFilesystem | None = None,
     one_file_per_partition: bool = True,
+    max_versions_referenced: int = 2,
 ) -> str | None:
     """Rewrite fragmented partitions of a PARTITIONED snapshot into a
     fresh version (Iceberg ``rewrite_data_files`` / Delta ``OPTIMIZE``)
@@ -743,8 +744,22 @@ def snapshot_compact(
     forward by reference, so the new manifest points into at most
     {new, previous-live}; once pre-compaction versions rotate out of
     ``keep``, GC reclaims every older dir.  Returns the new version
-    name, or ``None`` (and publishes NOTHING) when the scope holds no
-    fragmented partition — an idempotent no-op, safe on a schedule.
+    name, or ``None`` (and publishes NOTHING) when there is nothing
+    worth doing — an idempotent no-op, safe on a schedule.
+
+    "Worth doing" (default scope) means the live manifest references
+    MORE than ``max_versions_referenced`` version dirs.  Post-compaction
+    state always references ≤ 2 ({new, previous-live}), so with the
+    default threshold a scheduled compactor converges: it runs when
+    merges have spread the table past the bound and then no-ops until
+    they do again.  Without the threshold every run would re-rewrite
+    the previously-carried half of a QUIET table forever (each compact
+    makes the old live version's residents the next run's "fragmented"
+    set — an alternating full-table rewrite disguised as maintenance).
+    An explicit ``partition_values`` scope bypasses the threshold: the
+    caller asked for those partitions specifically (e.g. to consolidate
+    one partition's small files), and the no-op condition is just
+    "none of them is carried".
 
     ``one_file_per_partition`` additionally hash-partitions the rewrite
     by the partition column, so each rewritten partition lands as a
@@ -774,6 +789,8 @@ def snapshot_compact(
     if partition_values is not None:
         wanted = {str(x) for x in partition_values}
         fragmented = [v for v in fragmented if v in wanted]
+    elif len(set(man["entries"].values())) <= max_versions_referenced:
+        return None  # within bound — see "worth doing" above
     if not fragmented:
         return None
     pcol = man["partition_col"]

@@ -257,3 +257,31 @@ def test_ivf_assign_topn_literal_tier_is_zero_exchange(spark):
     assert "MapInPandas" in plan
     assert "Exchange" not in plan, plan
     assert "windowspecdefinition" not in plan
+
+
+def test_skip_by_read_prunes_paths_in_plan(spark, tmp_path):
+    """Zone-map skipping happens BEFORE the scan relation is built: the
+    plan's single file index lists only surviving partition dirs, and
+    the scan stays one relation (no per-partition nodes, no Union)."""
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_commit_partitioned,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "snap")
+    df = spark.createDataFrame(
+        [(i, i // 10, f"r{i}") for i in range(50)], "k bigint, p bigint, v string"
+    )
+    snapshot_commit_partitioned(df, root, "p")  # p holds k-deciles
+
+    out = snapshot_read(spark, root, skip_by={"k": (35, None)})
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert plan.count("InMemoryFileIndex") == 1, plan
+    assert "Union" not in plan, plan
+    # deciles 0-2 (k<=29) are provably outside [35, inf) and must not
+    # appear among the scanned paths; 3 and 4 must
+    assert "_p=0" not in plan and "_p=2" not in plan, plan
+    assert "_p=3" in plan or "_p=4" in plan, plan
+    assert out.count() == 20

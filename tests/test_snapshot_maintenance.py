@@ -88,6 +88,15 @@ def test_compaction_is_noop_when_unfragmented(spark, tmp_path):
     # and a second call after a no-op is still a no-op
     assert snapshot_compact(spark, root) is None
 
+    # A QUIET table inside the reference bound ({v1, v2} = 2) also
+    # no-ops: without the max_versions_referenced threshold a scheduled
+    # compactor would re-rewrite the previously-carried half forever
+    # (each compact makes the old live version's residents the next
+    # run's "fragmented" set).
+    _merge(spark, root, 4, 1)
+    assert snapshot_compact(spark, root) is None
+    assert _current_version(root) == "v-00002"
+
 
 def test_compaction_scope_narrows_to_named_partitions(spark, tmp_path):
     """partition_values limits the rewrite (spread maintenance over
@@ -143,8 +152,9 @@ def test_compaction_coalesces_to_one_file_per_partition(spark, tmp_path):
     root = str(tmp_path / "snap")
     _seed_partitioned(spark, root)
     _merge(spark, root, 4, 1)
+    _merge(spark, root, 5, 2)               # refs {v1,v2,v3} > bound
     v = snapshot_compact(spark, root)
-    for p in (0, 2):  # both rewritten partitions live in v
+    for p in (0, 1):  # the carried partitions (v1's p=0, v2's p=1)
         files = _part_files(root, v, p)
         assert len(files) == 1, f"_p={p}: expected 1 file, got {sorted(files)}"
 

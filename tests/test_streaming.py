@@ -797,6 +797,18 @@ def test_snapshot_protocol_through_hadoop_fs(spark, tmp_path):
     # the hadoop seam wrote (pointer text, manifest, version dirs).
     assert snapshot_read(spark, root).count() == 3
 
+    # Maintenance runs through the same seam: a SCOPED compaction
+    # rewrites the carried partition (x, still in the first partitioned
+    # version) with the content untouched; the default-scope run is
+    # within the reference bound ({v2, v3} = 2) and no-ops.
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import snapshot_compact
+
+    assert snapshot_compact(spark, root, fs=fs) is None  # within bound
+    assert snapshot_compact(spark, root, partition_values=["x"], fs=fs) is not None
+    assert got == {(r.k, r.v) for r in snapshot_read(spark, root, fs=fs).collect()}
+    # x is now live-resident: the same scoped run converges to a no-op
+    assert snapshot_compact(spark, root, partition_values=["x"], fs=fs) is None
+
     # The protocol's absence contract holds across implementations.
     with pytest.raises(FileNotFoundError):
         fs.read_text(str(tmp_path / "missing.txt"))
