@@ -593,3 +593,101 @@ def test_snapshot_history_model_property(spark, case):
                     snapshot_read(spark, root, version=dv)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ----------------------------------------- zone-map skipping invariance
+
+
+@st.composite
+def _zone_map_case(draw):
+    """Adversarial rows for the footer-stats collector: negative and
+    huge values, NaN, NULLs, duplicate values, strings that sort
+    unlike their bytes would suggest, partitions of 1 row, and bounds
+    that straddle/miss/degenerate."""
+    n = draw(st.integers(2, 18))
+    rows = []
+    for k in range(n):
+        p = draw(st.integers(0, 2))
+        x = draw(
+            st.one_of(
+                st.none(),
+                st.just(float("nan")),
+                st.floats(-1e6, 1e6, allow_nan=False),
+                st.integers(-5, 5).map(float),
+            )
+        )
+        s = draw(st.sampled_from(["", "a", "Z", "aa", "z9", "0x"]))
+        rows.append((k, p, x, s))
+    lo = draw(st.one_of(st.none(), st.floats(-10, 10, allow_nan=False)))
+    hi = draw(st.one_of(st.none(), st.floats(-10, 10, allow_nan=False)))
+    return rows, lo, hi
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(_zone_map_case())
+def test_zone_map_skipping_never_changes_results_property(spark, case):
+    """skip_by ∘ filter == filter, for every generated data/bounds
+    combination — including NaN rows (Spark: NaN > every number, so a
+    `x >= lo` filter MATCHES them; pruning their partition would lose
+    rows), NULLs (match nothing), and degenerate lo > hi ranges."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import StringType
+
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_commit_partitioned,
+        snapshot_read,
+    )
+
+    rows, lo, hi = case
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("p", LongType()),
+            StructField("x", DoubleType(), True),
+            StructField("s", StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="zone_prop_")
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        df = spark.createDataFrame(rows, schema)
+        snapshot_commit_partitioned(df, root, "p")
+
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("x") >= lo)
+        if hi is not None:
+            cond = cond & (F.col("x") <= hi)
+        want = {
+            r.k for r in snapshot_read(spark, root).filter(cond).collect()
+        }
+        got = {
+            r.k
+            for r in snapshot_read(spark, root, skip_by={"x": (lo, hi)})
+            .filter(cond)
+            .collect()
+        }
+        assert got == want, (sorted(got), sorted(want), lo, hi)
+
+        # string bounds against the string column, same invariant
+        want_s = {
+            r.k
+            for r in snapshot_read(spark, root)
+            .filter(F.col("s") >= "a")
+            .collect()
+        }
+        got_s = {
+            r.k
+            for r in snapshot_read(spark, root, skip_by={"s": ("a", None)})
+            .filter(F.col("s") >= "a")
+            .collect()
+        }
+        assert got_s == want_s
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
