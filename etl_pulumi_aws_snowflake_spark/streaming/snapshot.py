@@ -229,6 +229,16 @@ def _partition_dir(root: str, version: str, value: str) -> str:
     return os.path.join(root, version, "data", f"{_PDIR}={value}")
 
 
+#: Footer-stats collection is driver-side metadata work (one footer
+#: read per written file).  A pruned MERGE writes a handful of
+#: partitions and stays far under this; a full rewrite of a 10^4+
+#: partition table would serialize 10^4+ footer opens on the driver,
+#: so above the cap the commit publishes WITHOUT stats (reads stay
+#: conservative — skipping is an optimization, never a dependency).
+#: A cluster port lifts this by collecting stats in the writer tasks.
+STATS_MAX_FILES = 4096
+
+
 def _collect_partition_stats(ddir: str, written: set[str]) -> dict | None:
     """Per-partition column min/max harvested from the just-written
     parquet FOOTERS (row-group statistics) — zero data re-scan, the
@@ -247,8 +257,14 @@ def _collect_partition_stats(ddir: str, written: set[str]) -> dict | None:
         import pyarrow.parquet as pq
 
         stats: dict[str, dict] = {}
+        budget = STATS_MAX_FILES
         for key in written:
             pdir = os.path.join(ddir, f"{_PDIR}={key}")
+            budget -= sum(
+                1 for f in os.listdir(pdir) if f.endswith(".parquet")
+            )
+            if budget < 0:
+                return None  # over the driver-side metadata cap
             part_cols: dict[str, list] | None = None
             for f in sorted(os.listdir(pdir)):
                 if not f.endswith(".parquet"):

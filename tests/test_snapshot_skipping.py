@@ -143,3 +143,18 @@ def test_nan_bearing_float_column_gets_no_stats(spark, tmp_path):
     assert {r.k for r in out.collect()} >= {0, 1}
     matched = out.filter("x >= 5").collect()
     assert [r.k for r in matched] == [1], "the NaN row survives skipping"
+
+
+def test_stats_collection_respects_driver_metadata_cap(spark, tmp_path, monkeypatch):
+    """Above STATS_MAX_FILES written files, the commit publishes
+    without stats (a full rewrite of a 10^4-partition table must not
+    serialize 10^4 footer opens on the driver); reads stay
+    conservative."""
+    import etl_pulumi_aws_snowflake_spark.streaming.snapshot as S
+
+    monkeypatch.setattr(S, "STATS_MAX_FILES", 1)
+    root = str(tmp_path / "snap")
+    _seed_partitioned(spark, root)  # 3 partitions > 1-file budget
+    stats = _manifest(root, "v-00001")["stats"]
+    assert stats == {}
+    assert _read(spark, root, skip_by={"k": (1000, None)}).count() == 30
