@@ -98,10 +98,17 @@ def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
     sweep frees exactly these blocks and nothing the host application
     cached itself."""
     spark = df.sparkSession
+    # The eager checkpoint job runs OUTSIDE the lock — holding it for a
+    # multi-second materialization would stall every concurrent
+    # bookkeeping call.  If another thread checkpoints between the two
+    # snapshots its ids land in this diff too; both threads feed the
+    # same module pool and unpersist is idempotent, so over-attribution
+    # is harmless.
+    before = _persistent_rdd_ids(spark)
+    out = df.localCheckpoint()
+    after = _persistent_rdd_ids(spark)
     with _LOCK:
-        before = _persistent_rdd_ids(spark)
-        out = df.localCheckpoint()
-        _TRACKED_RDD_IDS.update(_persistent_rdd_ids(spark) - before)
+        _TRACKED_RDD_IDS.update(after - before)
     return out
 
 
@@ -114,12 +121,19 @@ def release_deferred(spark=None) -> int:
     Only call the sweeping form at a QUERY BOUNDARY, where every prior
     result has been materialized: a swept localCheckpoint cannot
     recompute (its lineage is truncated by design), so a stale handle
-    collected after the sweep fails instead of silently recomputing."""
+    collected after the sweep fails instead of silently recomputing.
+    Without ``spark`` the tracked localCheckpoint ids stay REGISTERED
+    (nothing can free them sparklessly — raw-RDD storage is outside
+    the CacheManager), so a later sweeping call still reclaims them
+    instead of the ids being dropped with the blocks left behind."""
     with _LOCK:
         pending = _PENDING[:]
         _PENDING.clear()
-        tracked = set(_TRACKED_RDD_IDS)
-        _TRACKED_RDD_IDS.clear()
+        if spark is not None:
+            tracked = set(_TRACKED_RDD_IDS)
+            _TRACKED_RDD_IDS.clear()
+        else:
+            tracked = set()
     n = 0
     for df in pending:
         try:

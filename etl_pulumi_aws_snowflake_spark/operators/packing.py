@@ -43,16 +43,19 @@ def global_offsets(
 
     ``order_col`` must be a unique key (ties would make the prefix sum
     order-ambiguous).  The result stays persisted — it is the input of
-    at least one more stage in every caller; release with
-    ``spark.catalog.clearCache()`` when done.
+    at least one more stage in every caller — registered in the
+    deferred pool (``cache.deferred_persist``), so the query-registry
+    boundary releases it automatically; long-lived sessions call
+    ``cache.release_deferred`` (or ``spark.catalog.clearCache()``).
     """
+    from ..cache import deferred_persist
+
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    part = (
+    part = deferred_persist(
         df.repartitionByRange(n, F.col(order_col))
         .sortWithinPartitions(order_col)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
     # Pass 1: per-partition totals.  K = #partitions rows — the
     # driver-side cumulation is over scalars, not data.  This action

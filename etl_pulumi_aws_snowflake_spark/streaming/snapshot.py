@@ -329,6 +329,28 @@ def _vnum(d: str) -> int:
     return int(d.rsplit("-", 1)[1])
 
 
+def _version_readable(
+    root: str,
+    version: str,
+    cur: str | None,
+    on_disk: set[str],
+    fs: LocalFilesystem,
+) -> tuple[bool, dict | None]:
+    """The ONE readability predicate behind both the horizon listing
+    (:func:`snapshot_versions`) and :func:`snapshot_read`'s targeted
+    time-travel check — they promise each other's answers, so the rule
+    must have a single source of truth.  Readable = committed (at or
+    below the live pointer, dir present) AND, for a partitioned
+    version, every referenced data-holder dir still on disk.  Returns
+    ``(ok, manifest)`` so the targeted caller pays no second manifest
+    read."""
+    if cur is None or version not in on_disk or _vnum(version) > _vnum(cur):
+        return False, None
+    man = _read_manifest(root, version, fs)
+    ok = man is None or all(ver in on_disk for ver in man["entries"].values())
+    return ok, man
+
+
 def snapshot_versions(
     root: str, fs: LocalFilesystem | None = None
 ) -> list[str]:
@@ -353,17 +375,11 @@ def snapshot_versions(
     if cur is None:
         return []
     on_disk = {d for d in fs.listdir(root) if d.startswith("v-")}
-    out = []
-    for d in sorted(on_disk, key=_vnum):
-        if _vnum(d) > _vnum(cur):
-            continue
-        man = _read_manifest(root, d, fs)
-        if man is not None and not all(
-            ver in on_disk for ver in man["entries"].values()
-        ):
-            continue
-        out.append(d)
-    return out
+    return [
+        d
+        for d in sorted(on_disk, key=_vnum)
+        if _version_readable(root, d, cur, on_disk, fs)[0]
+    ]
 
 
 def snapshot_read(
@@ -412,16 +428,11 @@ def snapshot_read(
         # Targeted readability check — one listdir + (at most) the
         # requested version's own manifest, NOT snapshot_versions'
         # per-version manifest sweep: through a remote fs seam each
-        # manifest read is a round-trip.
+        # manifest read is a round-trip.  Same predicate object as the
+        # horizon listing, so the two can never drift.
         cur = _current_version(root, fs)
         on_disk = {d for d in fs.listdir(root) if d.startswith("v-")}
-        man = None
-        ok = cur is not None and version in on_disk and _vnum(version) <= _vnum(cur)
-        if ok:
-            man = _read_manifest(root, version, fs)
-            ok = man is None or all(
-                ver in on_disk for ver in man["entries"].values()
-            )
+        ok, man = _version_readable(root, version, cur, on_disk, fs)
         if not ok:
             raise ValueError(
                 f"snapshot version {version!r} is not in the readable "
@@ -682,6 +693,13 @@ def snapshot_commit_partitioned(
             entries.pop(str(val), None)
             stats.pop(str(val), None)
     entries.update({val: new for val in written})
+    # A rewritten partition must NEVER keep carried-forward bounds: the
+    # entries code above tolerates written keys outside changed_values,
+    # and if footer collection below declines (cap / remote root) the
+    # carried stats would describe the OLD data — a later skip_by could
+    # prune rows the rewrite just added.  No stats beats stale stats.
+    for k in written:
+        stats.pop(k, None)
     written_stats = _collect_partition_stats(ddir, written)
     if written_stats is not None:
         stats.update(written_stats)

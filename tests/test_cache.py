@@ -106,3 +106,25 @@ def test_pool_bookkeeping_is_thread_safe(spark):
     cache.query_boundary(spark, "final-sweep")
     cache.release_deferred(spark)
     assert not cache._PENDING and not cache._TRACKED_RDD_IDS
+
+
+def test_sparkless_release_keeps_tracked_ids_for_a_later_sweep(spark):
+    """release_deferred() without spark cannot free raw-RDD
+    localCheckpoint storage (it lives outside the CacheManager), so it
+    must LEAVE those ids registered — dropping them would strand the
+    blocks until session death.  A later sweeping call reclaims them."""
+    from etl_pulumi_aws_snowflake_spark import cache
+
+    df = cache.tracked_local_checkpoint(spark.range(100).toDF("n"))
+    df.count()
+    with cache._LOCK:
+        tracked_before = set(cache._TRACKED_RDD_IDS)
+    assert tracked_before, "checkpoint ids were registered"
+
+    cache.release_deferred()  # sparkless: releases only plain persists
+    with cache._LOCK:
+        assert set(cache._TRACKED_RDD_IDS) == tracked_before
+
+    assert cache.release_deferred(spark) >= len(tracked_before)
+    with cache._LOCK:
+        assert not cache._TRACKED_RDD_IDS
