@@ -48,9 +48,10 @@ from . import streaming_e2e  # noqa: E402,F401
 # dedup_embedding_survivors) — then (c) 40 of the 48 entries whose
 # latest driver row is still CORRECTNESS_r01 (all mirror-green on
 # current code; this converts that back into the hard driver signal).
-# The r06 window should lead with the 2 entries r05 added OUTSIDE
-# this window (snapshot_skipping_e2e, merge_schema_evolution — never
-# driver-checked; mirror-green), then the 8 deferred r1-stale entries
+# The r06 window should lead with the 3 entries r05 added OUTSIDE
+# this window (snapshot_skipping_e2e, merge_schema_evolution,
+# udf_table_function — never driver-checked; mirror-green), then the
+# 8 deferred r1-stale entries
 # (join_cross, join_right_outer, join_semi, scalar_array_explode,
 # scalar_json_typed, set_distinct_rows, agg_conditional, agg_median —
 # each family keeps sibling rows in this window) plus the 11 r2-stale

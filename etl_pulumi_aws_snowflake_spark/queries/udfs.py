@@ -133,3 +133,51 @@ def udf_row_scalar(spark, sf_dir):
     return cust.select(
         "c_custkey", seg_label("c_mktsegment", "c_name").alias("seg_label")
     )
+
+
+@query(
+    "udf_table_function",
+    oracle="""
+    SELECT u.doc_id, u.pos, u.word
+    FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        FROM documents WHERE doc_id % 10 = 0
+    ) u(doc_id, word, pos)
+    """,
+)
+def udf_table_function(spark, sf_dir):
+    """True Python UDTF (SURVEY.md §2.11, ``pyspark.sql.functions.udtf``
+    — the 1-row→N-rows mechanism; completes the inventory next to the
+    UDTF-shaped ``applyInPandas`` form in ``udf_grouped_map``): a
+    lateral word tokenizer emitting (pos, word) per document, matched
+    against DuckDB's zip-unnest with subscripts.
+
+    Determinism: ``str.split(' ')`` and DuckDB ``string_split(_, ' ')``
+    implement the same single-delimiter split (both keep empties on
+    consecutive separators), and ``pos`` pins intra-document order so
+    the hash cannot depend on row order.
+
+    100 TB: a Python UDTF streams Arrow batches through one worker per
+    partition like a pandas UDF but can expand rows; the built-in
+    equivalent (``posexplode(split(...))``, used by
+    ``scalar_array_explode``) stays fully codegen'd and is the
+    production spelling — this entry exists to test the MECHANISM."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, word: string")
+    class WordsWithPos:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split(" ")):
+                yield (i, w)
+
+    spark.udtf.register("words_with_pos", WordsWithPos)
+    docs = t(spark, sf_dir, "documents").filter("doc_id % 10 = 0")
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, w.pos, w.word
+        FROM _udtf_docs d, LATERAL words_with_pos(d.text) w
+        """
+    )
