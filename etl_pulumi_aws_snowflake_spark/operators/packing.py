@@ -42,26 +42,31 @@ def global_offsets(
     offset is the sum of all sizes strictly before it.
 
     ``order_col`` must be a unique key (ties would make the prefix sum
-    order-ambiguous).  The result stays persisted — it is the input of
-    at least one more stage in every caller — registered in the
-    deferred pool (``cache.deferred_persist``), so the query-registry
-    boundary releases it automatically; long-lived sessions call
-    ``cache.release_deferred`` (or ``spark.catalog.clearCache()``).
+    order-ambiguous).  The range-partitioned intermediate goes through
+    ``cache.tracked_local_checkpoint`` — NOT a plain persist: the
+    per-partition bases collected in pass 1 are only correct for the
+    exact physical partitioning pass 2 reads, and a persist that was
+    released (the query-registry boundary sweeps the pool) would
+    silently RECOMPUTE with a re-run range sampler, renumbering
+    partitions against the stale bases — wrong offsets, no error.  A
+    checkpoint's truncated lineage cannot recompute: a post-release
+    re-materialization of the returned plan fails loudly instead
+    (cache.py's release contract); compute offsets before running
+    other registry queries, or re-call this function.
     """
-    from ..cache import deferred_persist
+    from ..cache import tracked_local_checkpoint
 
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    part = deferred_persist(
+    part = tracked_local_checkpoint(
         df.repartitionByRange(n, F.col(order_col))
         .sortWithinPartitions(order_col)
         .withColumn("_pid", F.spark_partition_id())
     )
     # Pass 1: per-partition totals.  K = #partitions rows — the
-    # driver-side cumulation is over scalars, not data.  This action
-    # also materializes the persisted partitioning, pinning _pid for
-    # pass 2 (an unpersisted plan could re-run the range sampler and
-    # renumber partitions between passes).
+    # driver-side cumulation is over scalars, not data.  The eager
+    # checkpoint above has already materialized and PINNED the
+    # partitioning (and _pid) that pass 2 joins against.
     totals = {
         r["_pid"]: r["tot"]
         for r in part.groupBy("_pid").agg(F.sum(size_col).alias("tot")).collect()

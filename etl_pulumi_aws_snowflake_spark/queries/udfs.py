@@ -156,8 +156,10 @@ def udf_table_function(spark, sf_dir):
 
     Determinism: ``str.split(' ')`` and DuckDB ``string_split(_, ' ')``
     implement the same single-delimiter split (both keep empties on
-    consecutive separators), and ``pos`` pins intra-document order so
-    the hash cannot depend on row order.
+    consecutive separators), NULL text yields zero rows on BOTH sides
+    (``unnest`` of NULL emits nothing — the nullable-schema edge that
+    ``scalar_array_explode`` also honors), and ``pos`` pins
+    intra-document order so the hash cannot depend on row order.
 
     100 TB: a Python UDTF streams Arrow batches through one worker per
     partition like a pandas UDF but can expand rows; the built-in
@@ -169,7 +171,9 @@ def udf_table_function(spark, sf_dir):
     @udtf(returnType="pos: int, word: string")
     class WordsWithPos:
         def eval(self, text: str):
-            for i, w in enumerate((text or "").split(" ")):
+            if text is None:
+                return  # match SQL: splitting NULL emits no rows
+            for i, w in enumerate(text.split(" ")):
                 yield (i, w)
 
     spark.udtf.register("words_with_pos", WordsWithPos)

@@ -260,15 +260,14 @@ def _collect_partition_stats(ddir: str, written: set[str]) -> dict | None:
         budget = STATS_MAX_FILES
         for key in written:
             pdir = os.path.join(ddir, f"{_PDIR}={key}")
-            budget -= sum(
-                1 for f in os.listdir(pdir) if f.endswith(".parquet")
+            files = sorted(
+                f for f in os.listdir(pdir) if f.endswith(".parquet")
             )
+            budget -= len(files)
             if budget < 0:
                 return None  # over the driver-side metadata cap
             part_cols: dict[str, list] | None = None
-            for f in sorted(os.listdir(pdir)):
-                if not f.endswith(".parquet"):
-                    continue
+            for f in files:
                 md = pq.ParquetFile(os.path.join(pdir, f)).metadata
                 fcols: dict[str, list | None] = {}
                 for rg in range(md.num_row_groups):
