@@ -101,9 +101,21 @@ def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
     # The eager checkpoint job runs OUTSIDE the lock — holding it for a
     # multi-second materialization would stall every concurrent
     # bookkeeping call.  If another thread checkpoints between the two
-    # snapshots its ids land in this diff too; both threads feed the
-    # same module pool and unpersist is idempotent, so over-attribution
-    # is harmless.
+    # snapshots its ids land in this diff too; for MODULE-INTERNAL
+    # threads that over-attribution is harmless (both feed the same
+    # pool, unpersist is idempotent).  HOST-application threads are a
+    # different story: a host persist()/localCheckpoint() materializing
+    # inside this window gets attributed here and swept at the next
+    # query boundary — and a swept localCheckpoint cannot recompute, so
+    # the host's later access FAILS rather than silently re-running.
+    # The module's documented contract already forbids that overlap
+    # (release_deferred's sweeping form is a QUERY-BOUNDARY call, i.e.
+    # no concurrent host Spark work); this note exists because the
+    # failure mode when violated is an opaque block-not-found error on
+    # the host's handle, not an error here.  A port that must coexist
+    # with concurrent host checkpoints should capture ids via a
+    # SparkListener scoped to a named job group instead of this global
+    # persistent-RDD diff.
     before = _persistent_rdd_ids(spark)
     out = df.localCheckpoint()
     after = _persistent_rdd_ids(spark)

@@ -353,12 +353,20 @@ def snapshot_skipping_e2e(spark, sf_dir):
     fewer rows than the table BEFORE the real filter is applied — the
     entry cannot silently degrade to scan-everything), and
     skip-then-filter must hash-equal the plain SQL range scan:
-    skipping changes cost, never results."""
+    skipping changes cost, never results.
+
+    The partition key is the MONTH-QUALIFIED date (``yyyy-MM-dd``, a
+    Hive-dir-safe string), not bare day-of-month: a fixture spanning
+    several months would fold disjoint id clusters of different months
+    into one day-of-month partition, widening every zone map and
+    tripping the pruning assert — qualifying by month makes the
+    id/time-clustering assumption structural rather than
+    fixture-shaped."""
     from ..streaming.snapshot import snapshot_commit_partitioned, snapshot_read
 
     work = _workdir(sf_dir, "skipping")
     ev = t(spark, sf_dir, "events").withColumn(
-        "event_day", F.dayofmonth("ts").cast("int")
+        "event_day", F.date_format("ts", "yyyy-MM-dd")
     )
     snap = os.path.join(work, "snapshot")
     snapshot_commit_partitioned(ev, snap, "event_day")

@@ -247,7 +247,21 @@ def _collect_partition_stats(ddir: str, written: set[str]) -> dict | None:
     every file and row group of the partition carries usable stats of
     a JSON-stable scalar type (int/float/str — bools, timestamps,
     decimals, binary and nested types are skipped, readers treat the
-    absence conservatively).  Returns ``None`` when the footers are not
+    absence conservatively).
+
+    **Float-stats NaN contract (writer assumption, load-bearing).**
+    The in-loop NaN check below only works because these files are
+    written by Spark (parquet-mr), which POISONS a NaN-bearing row
+    group's min/max with NaN — detectable, so the bound is dropped.  A
+    stats source that instead silently OMITS NaN from finite bounds
+    (parquet-cpp/pyarrow writers, or a cluster port collecting stats in
+    the writer tasks) would report e.g. ``[1.0, 5.0]`` for a partition
+    that also holds NaN rows, and since Spark's filters order NaN above
+    every number, ``skip_by={col: (6.0, None)}`` would prune rows the
+    real filter matches — Iceberg's ``nan_value_counts`` problem.  Any
+    replacement stats source MUST either supply a per-partition NaN row
+    count (bound unusable when > 0) or drop float-column stats
+    entirely.  Returns ``None`` when the footers are not
     locally readable (e.g. an object-store root reached only through a
     remote filesystem seam): commits then publish without stats and
     every read keeps every partition — skipping is an optimization,
