@@ -14,12 +14,15 @@ or ``s3a://...`` is configuration::
 ``rename`` uses ``FileContext.rename(src, dst, Options.Rename.OVERWRITE)``
 — the atomic-replace primitive the protocol's pointer swap requires.
 That atomicity holds on HDFS (and on ``file://`` for local testing);
-**S3A renames are copy+delete and NOT atomic** — on S3, either front
-the pointer with a consistent store (the Delta/Iceberg approach: a
-DynamoDB- or catalog-backed commit) or accept that a reader racing the
-swap can see a missing-pointer window and retry.  The data files
-themselves are immutable version dirs either way, so no reader ever
-sees partial DATA — the race is confined to the tiny pointer object.
+**S3A renames are copy+delete and NOT atomic** — on S3, wrap this fs in
+:class:`..snapshot.CommitLogPointer`, which replaces the pointer swap
+with a ``create_exclusive`` commit-log entry (honestly conditional via
+S3 conditional PUT, ``fs.s3a.create.conditional.enabled``, Hadoop
+3.4.1+ — the Delta ``_delta_log`` approach) so the missing-pointer
+window never exists.  The data files themselves are immutable version
+dirs either way, so no reader ever sees partial DATA — the rename race
+is confined to the tiny pointer object, and the commit-log store
+removes even that.
 
 Driver-side METADATA only crosses this seam (pointer text, manifest
 JSON, dir listings — bytes to kilobytes per commit); the bulk data path
@@ -95,4 +98,26 @@ class HadoopFilesystem:
         return [st.getPath().getName() for st in self._fs.listStatus(p)]
 
     def rmtree(self, path: str) -> None:
+        """Removes a dir tree or a single file; missing is OK
+        (``FileSystem.delete`` returns false rather than raising)."""
         self._fs.delete(self._p(path), True)
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._p(path))
+
+    def create_exclusive(self, path: str, text: str) -> None:
+        """Create-if-absent: ``FileSystem.create(path, overwrite=false)``
+        — an atomic claim on HDFS; on S3A it is honestly conditional
+        only with ``fs.s3a.create.conditional.enabled`` (Hadoop 3.4.1+,
+        If-None-Match PUT), which :class:`..snapshot.CommitLogPointer`
+        requires there."""
+        try:
+            out = self._fs.create(self._p(path), False)
+        except Exception as exc:  # py4j wraps the Java exception
+            if "AlreadyExists" in str(exc) or "already exists" in str(exc):
+                raise FileExistsError(path) from None
+            raise
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()

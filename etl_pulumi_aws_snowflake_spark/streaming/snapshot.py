@@ -105,14 +105,25 @@ violations loud and bounded instead of silent.
 
 **Filesystem seam.**  All pointer/manifest path manipulation goes
 through a small injectable filesystem object (:class:`LocalFilesystem`
-by default) exposing exactly the five calls the protocol needs —
-``read_text`` / ``write_text`` / ``rename`` (atomic) / ``listdir`` /
-``rmtree``.  A cluster deployment passes an implementation backed by
-the Hadoop FileSystem API (``open``/``create``/``rename``/
-``listStatus``/``delete(recursive=True)``) or an object store's
-single-key PUT for ``rename`` — configuration, not surgery.  Spark's
-own Parquet IO already speaks Hadoop filesystems natively and needs no
-seam.
+by default) whose core is five calls — ``read_text`` / ``write_text``
+/ ``rename`` (atomic) / ``listdir`` / ``rmtree``.  A cluster
+deployment passes an implementation backed by the Hadoop FileSystem
+API (``open``/``create``/``rename``/``listStatus``/
+``delete(recursive=True)``) or an object store's single-key PUT for
+``rename`` — configuration, not surgery.  Spark's own Parquet IO
+already speaks Hadoop filesystems natively and needs no seam.
+
+**Pointer-store sub-seam.**  HOW the ``_CURRENT`` decision is stored
+is itself injectable: an fs exposing ``pointer_read`` /
+``pointer_publish`` / ``pointer_forget`` owns the pointer format; a
+bare five-call fs gets the default single-key rename protocol.  Two
+stores ship: :class:`RenamePointerMixin` (the default — one key,
+atomic-rename swap) and :class:`CommitLogPointer` (an append-only
+``_commits/`` log committed via ``create_exclusive`` — the store for
+S3-like filesystems whose rename is copy+delete, closing both the
+missing-pointer window and the check-to-swap CAS race; see its
+docstring).  The store is part of a root's on-disk format: pick one
+per root.
 """
 
 from __future__ import annotations
@@ -152,15 +163,83 @@ class SnapshotConflictError(RuntimeError):
     untouched, unpublished dir removed).  Re-read and retry."""
 
 
-class LocalFilesystem:
+def _rename_pointer_read(root: str, fs) -> str | None:
+    try:
+        v = fs.read_text(os.path.join(root, _POINTER)).strip()
+        return v or None
+    except FileNotFoundError:
+        return None
+
+
+def _rename_pointer_publish(root: str, version: str, fs) -> None:
+    tmp = os.path.join(root, f".{_POINTER}.{version}.tmp")
+    fs.write_text(tmp, version)
+    fs.rename(tmp, os.path.join(root, _POINTER))
+
+
+def _pointer_read(root: str, fs) -> str | None:
+    """Pointer-store dispatch: an fs exposing ``pointer_read`` owns the
+    pointer format (:class:`CommitLogPointer`); a bare five-primitive
+    fs gets the default rename protocol expressed in those primitives —
+    existing seam implementations keep working unchanged."""
+    if hasattr(fs, "pointer_read"):
+        return fs.pointer_read(root)
+    return _rename_pointer_read(root, fs)
+
+
+def _pointer_publish(root: str, version: str, fs) -> None:
+    if hasattr(fs, "pointer_publish"):
+        fs.pointer_publish(root, version)
+    else:
+        _rename_pointer_publish(root, version, fs)
+
+
+def _pointer_forget(root: str, version: str, fs) -> None:
+    if hasattr(fs, "pointer_forget"):
+        fs.pointer_forget(root, version)
+    # rename protocol: single shared key, nothing per-version to drop
+
+
+class RenamePointerMixin:
+    """Default pointer store: the live version is the text of one
+    ``_CURRENT`` key, committed by ``write tmp + atomic rename``.
+
+    Correct wherever ``rename`` is atomic-replace (POSIX, HDFS, or an
+    object store where the "rename" is a single-key PUT).  On a store
+    whose rename is COPY+DELETE (S3A), the swap has a missing-pointer
+    window — use :class:`CommitLogPointer` there instead; the pointer
+    store is part of the root's on-disk FORMAT, so pick one per root
+    and keep it (readers and writers must agree where the pointer
+    lives)."""
+
+    def pointer_read(self, root: str) -> str | None:
+        """Live version name, or ``None`` for an empty root."""
+        return _rename_pointer_read(root, self)
+
+    def pointer_publish(self, root: str, version: str) -> None:
+        """Atomically make ``version`` the live pointer."""
+        return _rename_pointer_publish(root, version, self)
+
+    def pointer_forget(self, root: str, version: str) -> None:
+        """GC hook — a single-key store has nothing per-version to
+        drop."""
+
+
+class LocalFilesystem(RenamePointerMixin):
     """Default (local-disk) implementation of the snapshot protocol's
-    filesystem seam.  ``rename`` MUST be atomic-replace — it is the
-    protocol's only commit primitive (pointer swap, manifest publish).
+    filesystem seam: seven storage primitives plus the pointer-store
+    sub-protocol (``pointer_read`` / ``pointer_publish`` /
+    ``pointer_forget`` — rename-based here, see
+    :class:`RenamePointerMixin`; wrap with :class:`CommitLogPointer`
+    for stores without atomic rename).
 
     Hadoop/S3 port: ``read_text``→``FileSystem.open``, ``write_text``→
     ``create``, ``rename``→``FileSystem.rename`` (HDFS) or a single-key
     PUT (object stores — last-writer-wins on one key is atomic),
-    ``listdir``→``listStatus``, ``rmtree``→``delete(path, recursive)``.
+    ``listdir``→``listStatus``, ``rmtree``→``delete(path, recursive)``,
+    ``mkdirs``→``mkdirs``, ``create_exclusive``→``create(path,
+    overwrite=false)`` (atomic claim on HDFS; conditional If-None-Match
+    PUT on S3 via ``fs.s3a.create.conditional.enabled``).
     """
 
     def read_text(self, path: str) -> str:
@@ -181,7 +260,109 @@ class LocalFilesystem:
         return os.listdir(path)
 
     def rmtree(self, path: str) -> None:
-        shutil.rmtree(path, ignore_errors=True)
+        """Remove a directory tree OR a single file; missing is OK."""
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def create_exclusive(self, path: str, text: str) -> None:
+        """Create-if-absent, atomically: exactly one of N concurrent
+        callers succeeds; the rest raise ``FileExistsError``.  The CAS
+        primitive :class:`CommitLogPointer` builds on."""
+        with open(path, "x") as f:
+            f.write(text)
+
+
+#: Commit-log dir name for :class:`CommitLogPointer` roots.
+_COMMITS = "_commits"
+
+
+class CommitLogPointer:
+    """Pointer store for filesystems WITHOUT atomic rename (S3-like):
+    wraps any seam filesystem, delegates the storage primitives, and
+    replaces the ``_CURRENT`` swap with an append-only commit log —
+    committing version N = ``create_exclusive`` of ``_commits/v-NNNNN``,
+    and the live version = the highest log entry.
+
+    This is the Delta ``_delta_log`` / Iceberg catalog-commit idea in
+    its minimal form, and it fixes BOTH rename problems at once:
+
+    - **atomicity** — a log entry either exists or does not; there is
+      no copy+delete window where a reader finds no pointer at all
+      (the documented S3A ``RenamePointerMixin`` race);
+    - **true CAS** — two writers racing to commit the same next
+      version hit ``create_exclusive`` on the same key and exactly one
+      wins; the loser gets :class:`SnapshotConflictError` even if both
+      passed the optimistic pre-checks (the residual check-to-swap
+      window of the rename store is closed).  What it still cannot fix:
+      both writers already wrote the same DATA dir before either
+      published — the module-docstring single-writer contract stands.
+
+    Requires ``create_exclusive`` to be honestly conditional on the
+    backing store (HDFS ``create(overwrite=false)``; S3 conditional PUT
+    via ``fs.s3a.create.conditional.enabled``, Hadoop 3.4.1+; GCS
+    ``x-goog-if-generation-match: 0``).  The store choice is part of
+    the root's FORMAT — a root written through this class has no
+    ``_CURRENT`` key and must always be read through it.  The log stays
+    bounded: GC forgets entries for version dirs it removes, so live
+    entries track retained versions, not total commit count."""
+
+    def __init__(self, fs=None) -> None:
+        self._fs = fs or LocalFilesystem()
+
+    # storage primitives — straight delegation
+    def read_text(self, path: str) -> str:
+        return self._fs.read_text(path)
+
+    def write_text(self, path: str, text: str) -> None:
+        self._fs.write_text(path, text)
+
+    def rename(self, src: str, dst: str) -> None:
+        self._fs.rename(src, dst)
+
+    def listdir(self, path: str) -> list[str]:
+        return self._fs.listdir(path)
+
+    def rmtree(self, path: str) -> None:
+        self._fs.rmtree(path)
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(path)
+
+    def create_exclusive(self, path: str, text: str) -> None:
+        self._fs.create_exclusive(path, text)
+
+    # pointer store — the commit log
+    def pointer_read(self, root: str) -> str | None:
+        try:
+            names = self._fs.listdir(os.path.join(root, _COMMITS))
+        except FileNotFoundError:
+            return None
+        versions = [n for n in names if n.startswith("v-")]
+        return max(versions, key=_vnum) if versions else None
+
+    def pointer_publish(self, root: str, version: str) -> None:
+        self._fs.mkdirs(os.path.join(root, _COMMITS))
+        try:
+            self._fs.create_exclusive(
+                os.path.join(root, _COMMITS, version), version
+            )
+        except FileExistsError:
+            raise SnapshotConflictError(
+                f"snapshot root {root}: version {version} was already "
+                "committed by another writer (commit-log CAS) — re-read "
+                "the snapshot and retry the merge"
+            ) from None
+
+    def pointer_forget(self, root: str, version: str) -> None:
+        self._fs.rmtree(os.path.join(root, _COMMITS, version))
 
 
 DEFAULT_FS = LocalFilesystem()
@@ -209,11 +390,7 @@ def _validate_partition_value(val, what: str) -> str:
 
 
 def _current_version(root: str, fs: LocalFilesystem = DEFAULT_FS) -> str | None:
-    try:
-        v = fs.read_text(os.path.join(root, _POINTER)).strip()
-        return v or None
-    except FileNotFoundError:
-        return None
+    return _pointer_read(root, fs)
 
 
 def _read_manifest(
@@ -561,9 +738,7 @@ def _check_unchanged(
 
 
 def _swap_pointer(root: str, new: str, fs: LocalFilesystem = DEFAULT_FS) -> None:
-    tmp = os.path.join(root, f".{_POINTER}.{new}.tmp")
-    fs.write_text(tmp, new)
-    fs.rename(tmp, os.path.join(root, _POINTER))
+    _pointer_publish(root, new, fs)
 
 
 def _gc(root: str, keep: int, fs: LocalFilesystem = DEFAULT_FS) -> None:
@@ -588,6 +763,10 @@ def _gc(root: str, keep: int, fs: LocalFilesystem = DEFAULT_FS) -> None:
     for old in versions[:-keep]:
         if old not in referenced:
             fs.rmtree(os.path.join(root, old))
+            # Keep the pointer store's per-version state (commit-log
+            # entry) in step with the dirs: live log size tracks
+            # RETAINED versions, not total commit count.
+            _pointer_forget(root, old, fs)
 
 
 def snapshot_commit(
