@@ -33,53 +33,45 @@ from . import streaming_e2e  # noqa: E402,F401
 
 
 # The external correctness driver checks the FIRST 50 dict entries per
-# round (CORRECTNESS_r01-r04 each recorded exactly queries()[:50] in
-# order).  Round 5 is the evidence-freshness rotation VERDICT r04 #1
-# asked for, plus the NEW entries that convert the last pytest-only
-# semantics: the window goes to (a) the 5 brand-new entries
-# (checkpoint replay idempotence, watermark late-data discard,
-# applyInPandasWithState arbitrary state, multi-assign SemDeDup,
-# snapshot compaction — never driver-checked), then (b) the 5 entries
-# whose CODE r05 touches — snapshot partition-value validation +
-# filesystem seam + concurrency token (cdc_merge_pruned_e2e,
-# cdc_merge_stream_e2e), the stateful-dedup fixture assert
-# (stream_stateful_dedup_e2e), and the tracked-localCheckpoint sweep +
-# semantic_near_pairs multi-assign refactor (dedup_survivors,
-# dedup_embedding_survivors) — then (c) 40 of the 48 entries whose
-# latest driver row is still CORRECTNESS_r01 (all mirror-green on
-# current code; this converts that back into the hard driver signal).
-# The r06 window should lead with the 3 entries r05 added OUTSIDE
-# this window (snapshot_skipping_e2e, merge_schema_evolution,
-# udf_table_function — never driver-checked; mirror-green), then the
-# 8 deferred r1-stale entries
-# (join_cross, join_right_outer, join_semi, scalar_array_explode,
-# scalar_json_typed, set_distinct_rows, agg_conditional, agg_median —
-# each family keeps sibling rows in this window) plus the 11 r2-stale
-# entries (scripts/driver_staleness.py generates the rotation
-# candidates).
+# round (CORRECTNESS_r01-r05 each recorded exactly queries()[:50] in
+# order).  Round 6 executes VERDICT r05 #1's rotation verbatim, in
+# scripts/driver_staleness.py's stalest-first order: (a) the 2 entries
+# NEW this round (snapshot time travel, conflict detection — the r05
+# pass-local → driver conversions), then (b) the 3 r05 additions that
+# landed after the r05 window was spent and were never driver-checked,
+# then (c) the 8 r01-stale + 11 r02-stale + 6 r03-stale entries, then
+# (d) the 3 snapshot-backed CDC entries whose commit path r06's
+# pointer-store seam touches, and (e) 17 of the 45 r04-stale entries
+# as fill (the remaining 28 lead the r07 window).
+# tests/test_docs.py::test_never_driver_checked_entries_lead_the_window
+# now FAILS if a registry entry without any CORRECTNESS row sits
+# outside the first 50 — the r05 process miss cannot recur silently.
 _DRIVER_FIRST = [
     # (a) new this round — first-ever driver evidence
-    "stream_replay_idempotence_e2e", "stream_late_data_discard_e2e",
-    "stream_arbitrary_state_e2e", "dedup_embedding_survivors_multi",
-    "cdc_merge_compact_e2e",
-    # (b) r05 code-touched — fresh evidence on the new code
-    "stream_stateful_dedup_e2e", "cdc_merge_pruned_e2e",
-    "cdc_merge_stream_e2e", "dedup_survivors", "dedup_embedding_survivors",
-    # (c) stalest certifications: last driver-checked in round 1
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q10_returned_items", "q17_small_qty_revenue", "q18_large_volume_customer",
-    "align_by_name_ci",
-    "join_inner", "join_broadcast", "join_left_outer", "join_full_outer",
-    "join_anti", "join_theta", "join_range", "join_asof",
-    "agg_groupby_basic", "agg_distinct", "agg_cube", "agg_rollup",
-    "agg_grouping_sets", "agg_stats", "agg_collect",
-    "pivot_status_by_priority",
-    "win_rank_dense", "win_lag_lead", "win_running_sum", "win_range_frame",
-    "win_topk_per_group",
-    "sort_limit_topn", "sort_multi_key",
-    "set_union_all", "set_union_by_name", "set_intersect", "set_except",
-    "scalar_string", "scalar_datetime", "scalar_math", "scalar_conditional",
-    "scalar_array", "scalar_json",
+    "snapshot_time_travel_e2e", "snapshot_conflict_e2e",
+    # (b) landed after the r05 window was spent; never driver-checked
+    "udf_table_function", "merge_schema_evolution", "snapshot_skipping_e2e",
+    # (c) stalest certifications: r01
+    "agg_conditional", "agg_median", "join_cross", "join_right_outer",
+    "join_semi", "scalar_array_explode", "scalar_json_typed",
+    "set_distinct_rows",
+    # (c) r02
+    "agg_approx_distinct", "corpus_quality_filter", "mm_binary_features",
+    "mm_frame_sample", "sample_hash_bernoulli", "sample_stratified_by_lang",
+    "scalar_map", "sql_api_q5", "text_langid", "text_quality",
+    "text_token_stats",
+    # (c) r03
+    "dedup_exact", "dedup_fingerprint_groups", "dedup_simhash",
+    "sim_cosine_topk", "udf_grouped_map", "udf_row_scalar",
+    # (d) r06 code-touched: snapshot pointer-store seam on the commit path
+    "cdc_merge_pruned_e2e", "cdc_merge_stream_e2e", "cdc_merge_compact_e2e",
+    # (e) r04-stale fill, staleness-report order
+    "agg_approx_quantile", "agg_salted_groupby", "corpus_split",
+    "decontaminate", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dq_audit", "join_salted", "merge_upsert_customers", "mm_resize",
+    "pack_sequences", "pipeline_batch_e2e", "pipeline_stream_e2e",
+    "q11_important_parts", "q12_late_shipment_priority",
+    "q13_customer_distribution", "q14_promo_revenue",
 ]
 
 def _driver_order(d: dict) -> dict:

@@ -383,6 +383,128 @@ def snapshot_skipping_e2e(spark, sf_dir):
     )
 
 
+_TT_ORACLE = """
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_nationkey < 8 THEN c_acctbal + 100.0
+                ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer
+"""
+
+
+@query("snapshot_time_travel_e2e", oracle=_TT_ORACLE)
+def snapshot_time_travel_e2e(spark, sf_dir):
+    """Snapshot time travel under the driver hash (the VERDICT r05 #4
+    conversion — pytest-only → hard driver evidence, same
+    multiple-commits-in-one-callable pattern as the replay entry).
+    Three partitioned commits build real history: v1 seeds customer by
+    nation, v2 rewrites ONLY nations <8 (+100 acctbal; nations >=8
+    carried forward by manifest reference into v1), v3 rewrites
+    nations >=8 (+200).  Reading ``version=v2`` must reproduce exactly
+    what a live reader saw when v2 was current — the updated low
+    nations AND the carried-forward originals, pulled from TWO distinct
+    version dirs (asserted via ``inputFiles``); the live table has
+    moved on (asserted).  Iceberg/Delta ``VERSION AS OF`` semantics on
+    the manifest protocol."""
+    from ..streaming.snapshot import (
+        snapshot_commit_partitioned,
+        snapshot_read,
+    )
+
+    work = _workdir(sf_dir, "time_travel")
+    cust = t(spark, sf_dir, "customer")
+    snap = os.path.join(work, "snapshot")
+    k = F.col("c_nationkey")
+    v1 = snapshot_commit_partitioned(cust, snap, "c_nationkey")
+    v2 = snapshot_commit_partitioned(
+        cust.filter(k < 8).withColumn(
+            "c_acctbal", F.col("c_acctbal") + F.lit(100.0)
+        ),
+        snap,
+        "c_nationkey",
+        changed_values=list(range(8)),
+        expected_current=v1,
+    )
+    snapshot_commit_partitioned(
+        snapshot_read(spark, snap)
+        .filter(k >= 8)
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(200.0)),
+        snap,
+        "c_nationkey",
+        changed_values=list(range(8, 25)),
+        expected_current=v2,
+    )
+    old = snapshot_read(spark, snap, version=v2)
+    files = old.inputFiles()
+    assert any(f"/{v1}/" in f for f in files) and any(
+        f"/{v2}/" in f for f in files
+    ), "time-travel read did not span carried-forward + rewritten dirs"
+    live_sum = (
+        snapshot_read(spark, snap).agg(F.sum("c_acctbal")).first()[0]
+    )
+    old_sum = old.agg(F.sum("c_acctbal")).first()[0]
+    assert old_sum != live_sum, (
+        "time-travel read equals the live table — v3 did not move it"
+    )
+    return old
+
+
+_CONFLICT_ORACLE = """
+    SELECT c_custkey, c_name, c_nationkey,
+           c_acctbal + 50.0 AS c_acctbal, c_mktsegment
+    FROM customer
+"""
+
+
+@query("snapshot_conflict_e2e", oracle=_CONFLICT_ORACLE)
+def snapshot_conflict_e2e(spark, sf_dir):
+    """Concurrent-writer detection under the driver hash (the VERDICT
+    r05 #6 expressibility probe — it IS driver-expressible: the loser
+    is deterministic, so the surviving state hashes stably).  Two
+    writers derive from the same seed version; writer B publishes
+    first (+50 acctbal), then writer A — still holding the stale
+    ``expected_current`` token its merge actually read — attempts to
+    publish a conflicting derivation (+999).  The optimistic pre-write
+    check must raise :class:`SnapshotConflictError` with ZERO footprint
+    (no data written, B's version untouched, history exactly
+    [v1, v2] — asserted), and the final snapshot must hash-equal B's
+    commit alone: the lost update the check exists to prevent never
+    happens.  The check-DURING-write path and the commit-log CAS
+    variant are pytest-covered (multi-writer interleavings the
+    single-callable driver shape cannot stage)."""
+    from ..streaming.snapshot import (
+        SnapshotConflictError,
+        snapshot_commit,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    work = _workdir(sf_dir, "conflict")
+    cust = t(spark, sf_dir, "customer")
+    snap = os.path.join(work, "snapshot")
+    v1 = snapshot_commit(cust, snap)
+    # writer B: wins the race
+    snapshot_commit(
+        cust.withColumn("c_acctbal", F.col("c_acctbal") + F.lit(50.0)),
+        snap,
+        expected_current=v1,
+    )
+    # writer A: stale token — must fail loudly, changing nothing
+    try:
+        snapshot_commit(
+            cust.withColumn("c_acctbal", F.col("c_acctbal") + F.lit(999.0)),
+            snap,
+            expected_current=v1,
+        )
+        raise AssertionError("conflicting commit was silently accepted")
+    except SnapshotConflictError:
+        pass
+    assert snapshot_versions(snap) == ["v-00001", "v-00002"], (
+        "conflict left a footprint beyond the winner's history"
+    )
+    return snapshot_read(spark, snap)
+
+
 @query("cdc_merge_stream_e2e", oracle=_CDC_ORACLE)
 def cdc_merge_stream_e2e(spark, sf_dir):
     """Streaming CDC MERGE end-to-end under the driver hash: a seed
