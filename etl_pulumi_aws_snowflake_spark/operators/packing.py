@@ -53,6 +53,16 @@ def global_offsets(
     re-materialization of the returned plan fails loudly instead
     (cache.py's release contract); compute offsets before running
     other registry queries, or re-call this function.
+
+    **If you hit** ``SparkException: [CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND]
+    Checkpoint block rdd_N_M not found!`` acting on this function's
+    result, that IS the violated contract above — the boundary sweep
+    released the pinned intermediate after your call but before your
+    action (pinned by tests/test_packing.py, so the signature in this
+    docstring cannot drift).  It cannot be re-raised with a nicer
+    message here: the failure surfaces lazily at YOUR action, outside
+    this module's stack.  Fix: act on (or persist) the result before
+    the next registry-query boundary, or re-call ``global_offsets``.
     """
     from ..cache import tracked_local_checkpoint
 

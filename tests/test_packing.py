@@ -51,6 +51,23 @@ def test_global_offsets_no_global_window(spark):
             assert "_pid" in line, f"window without partition spec:\n{line}"
 
 
+def test_violated_checkpoint_contract_fails_with_documented_signature(spark):
+    """global_offsets' docstring names the exact error a caller sees
+    when acting on the result AFTER a boundary sweep released the
+    pinned intermediate (the loud-fail contract, SCALE.md).  Pin that
+    signature so the docstring's troubleshooting pointer cannot drift
+    across Spark upgrades — if the error class changes, update BOTH."""
+    import pytest
+
+    from etl_pulumi_aws_snowflake_spark.cache import release_deferred
+
+    off = P.global_offsets(_docs(spark), "doc_id", "sz", num_partitions=5)
+    assert off.count() > 0  # contract honored: act before the boundary
+    release_deferred(spark)  # the query-boundary sweep
+    with pytest.raises(Exception, match="CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND"):
+        off.count()  # contract violated: loud failure, not wrong offsets
+
+
 def test_pack_chunks_tiles_exactly(spark):
     budget = 256
     docs = _docs(spark)
