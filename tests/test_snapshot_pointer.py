@@ -119,6 +119,73 @@ def test_gc_forgets_log_entries_with_dropped_dirs(spark, tmp_path):
     assert snapshot_read(spark, root, fs=fs).count() == 5
 
 
+def test_stream_cdc_merge_through_commit_log_store(spark, tmp_path):
+    """The streaming CDC MERGE loop composes with the commit-log store
+    end-to-end: change batches publish log entries instead of pointer
+    renames, a checkpoint replay applies nothing twice, and a new file
+    after the restart lands as the next log entry — the full S3-safe
+    deployment shape (foreachBatch + CommitLogPointer)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from etl_pulumi_aws_snowflake_spark.streaming.cdc import stream_cdc_merge
+
+    fs = CommitLogPointer(LocalFilesystem())
+    snap = str(tmp_path / "snapshot")
+    changes = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(changes)
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k bigint, name string, bal double",
+    ).write.parquet(snap)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("bal", T.DoubleType()),
+            T.StructField("is_delete", T.BooleanType()),
+        ]
+    )
+    with open(f"{changes}/c1.json", "w") as f:
+        f.write(_json.dumps(
+            {"k": 2, "name": "b2", "bal": 99.0, "is_delete": False}
+        ) + "\n")
+
+    def run():
+        stream_cdc_merge(
+            spark, changes, schema, snap, ["k"], ckpt,
+            delete_col="is_delete", fs=fs,
+        )
+
+    run()
+    want = {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0)}
+    got = {
+        r["k"]: (r["name"], r["bal"])
+        for r in snapshot_read(spark, snap, fs=fs).collect()
+    }
+    assert got == want
+    assert fs.pointer_read(snap) == "v-00001"
+
+    run()  # replay: processed files skipped, no spurious log entry
+    assert fs.pointer_read(snap) == "v-00001"
+
+    with open(f"{changes}/c2.json", "w") as f:
+        f.write(_json.dumps(
+            {"k": 3, "name": "c", "bal": 0.0, "is_delete": True}
+        ) + "\n")
+    run()
+    want = {1: ("a", 10.0), 2: ("b2", 99.0)}
+    got = {
+        r["k"]: (r["name"], r["bal"])
+        for r in snapshot_read(spark, snap, fs=fs).collect()
+    }
+    assert got == want
+    assert fs.pointer_read(snap) == "v-00002"
+    assert not os.path.exists(os.path.join(snap, _POINTER))
+
+
 def test_commit_log_full_partitioned_cycle_and_gc_bounds_log(spark, tmp_path):
     """Partitioned commits + pruned carry-forward + time travel + GC
     through the commit-log store behave exactly as on the default
