@@ -159,6 +159,40 @@ def test_compaction_coalesces_to_one_file_per_partition(spark, tmp_path):
         assert len(files) == 1, f"_p={p}: expected 1 file, got {sorted(files)}"
 
 
+def test_compaction_clusters_rewritten_partitions(spark, tmp_path):
+    """`cluster_by` (linear OPTIMIZE-ZORDER) must leave content
+    untouched while making every rewritten partition's file MONOTONE in
+    the cluster column — the property parquet row-group min/max pruning
+    needs to skip most of a file on a range predicate."""
+    import pyarrow.parquet as pq
+
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_compact,
+    )
+
+    root = str(tmp_path / "snap")
+    _seed = _seed_partitioned(spark, root)  # k = 0..29, p = k % 3
+    _merge(spark, root, 4, 1)
+    _merge(spark, root, 5, 2)
+    before = _rows(spark, root)
+    v = snapshot_compact(spark, root, cluster_by=["k"])
+    assert v is not None
+    assert _rows(spark, root) == before  # clustering never changes rows
+
+    man = _manifest(root, v)
+    rewritten = [p for p, ver in man["entries"].items() if ver == v]
+    assert rewritten  # the clustering claim must actually be exercised
+    for p in rewritten:
+        d = os.path.join(root, v, "data", f"_p={p}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1  # one_file_per_partition default held
+        ks = pq.read_table(os.path.join(d, files[0]), columns=["k"])[
+            "k"
+        ].to_pylist()
+        assert ks == sorted(ks), f"partition {p} not cluster-sorted: {ks}"
+        assert len(ks) >= 5  # monotonicity over a non-trivial run
+
+
 def test_concurrent_commit_raises_and_preserves_winner(spark, tmp_path):
     """Optimistic concurrency: a commit whose expected_current token is
     stale (another writer published in between) raises
