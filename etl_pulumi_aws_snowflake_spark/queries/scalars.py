@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions import zorder
 from ._util import t
 from .registry import query
 
@@ -278,4 +279,36 @@ def scalar_json_typed(spark, sf_dir):
         (F.schema_of_json(F.lit('{"k": 87}')) == F.lit("STRUCT<k: BIGINT>")).alias(
             "shape_ok"
         ),
+    )
+
+
+# Z-order key generated ONCE from the dual-dialect template, so the
+# Spark plan and the DuckDB oracle interleave identically by
+# construction (functions/zorder.py).  Bounds are deliberately fixed
+# literals wider than every fixture SF (user_id scales ~15/sf-0.001;
+# 2000 covers sf<=0.1 unclamped, larger values clamp to the edge cell
+# by contract) — caller-supplied statistics, never in-expression
+# normalization, so the key is stable across commits.
+_ZKEY = zorder.zorder_key(
+    [zorder.bucket("user_id", 0, 2000, 8), zorder.bucket("day(ts)", 1, 31, 8)],
+    bits=8,
+)
+
+
+@query(
+    "scalar_zorder_key",
+    oracle=f"""
+    SELECT event_id, {_ZKEY.duck} AS zkey
+    FROM events
+    """,
+)
+def scalar_zorder_key(spark, sf_dir):
+    """Morton (Z-order) layout key over two dimensions (user, day) —
+    the multi-column clustering key for ``snapshot_compact(cluster_by=
+    [F.expr(key.spark)])``, Delta OPTIMIZE ZORDER's interleave as a
+    pure codegen expression (shifts/masks/adds, no UDF, no shuffle).
+    The driver hash pins the bit-interleave bit-for-bit against the
+    same template rendered to DuckDB SQL."""
+    return t(spark, sf_dir, "events").select(
+        "event_id", F.expr(_ZKEY.spark).alias("zkey")
     )
