@@ -1,0 +1,127 @@
+"""Exact-quota deterministic stratified sampling (SURVEY.md §2.10
+family): take EXACTLY ``min(k, |stratum|)`` rows per stratum — "1000
+documents per language", the fixed-budget curation op — with the same
+engine/partitioning-stable determinism as the hash-gate samplers in
+``queries/llm_sampling.py``.
+
+The selection RULE is pure: a stratum's sample is its ``k`` smallest
+rows by ``(md5-hash(key), key)``.  The naive spelling —
+``row_number() OVER (PARTITION BY stratum ORDER BY hash)`` — sorts
+every stratum end-to-end: one task per stratum value, each sorting
+|stratum| rows, which at 100 TB is a handful of tasks sorting billions
+of rows each (the known per-stratum skew killer, exactly what this
+package's salted operators exist to avoid).  This instead exploits the
+hash's uniformity the way top-k-by-random-key engines do:
+
+1. one column-pruned count per stratum (map-side-combined agg; the
+   per-stratum totals are ``|strata|`` scalars to the driver, the same
+   bounded-collect budget as ``packing.global_offsets``);
+2. a per-stratum hash THRESHOLD ``t = H * min(1, oversample*k/n)``:
+   because selection ranks by the hash value itself, ``h < t`` is a
+   PREFIX of the sort order, so the gated rows are a superset of the
+   true sample whenever the gate catches >= k rows — a narrow scan
+   filter that drops ~(1 - oversample*k/n) of every big stratum
+   before anything shuffles;
+3. the exact window runs on the survivors only (~oversample*k rows per
+   stratum), where the per-stratum sort is trivial.
+
+Correctness is never probabilistic: survivor counts are CHECKED
+against each quota and the call fails loudly if any stratum's gate
+under-caught (Chernoff: probability < exp(-k(oversample-1)^2/
+(2*oversample)) per stratum at the default oversample=2 — ~1e-9 at
+k=75 — but "almost surely" is not a data contract, hence the check).
+The survivor set is pinned via ``cache.tracked_local_checkpoint`` so
+the check and the returned rows see the same materialization — the
+same boundary-sweep contract (and loud CHECKPOINT_RDD_BLOCK_ID_NOT_
+FOUND failure mode) as ``packing.global_offsets``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: 15 md5 hex chars = 60 bits — matches queries/llm_sampling.py's
+#: hash-gate integer, so every sampler ranks rows identically.
+HASH_BITS = 60
+_H_MAX = 1 << HASH_BITS
+
+
+def hash60_spark(key_expr: str) -> str:
+    """The shared 60-bit md5-prefix integer (Spark SQL dialect)."""
+    return (
+        f"cast(conv(substring(md5(cast({key_expr} as string)), 1, 15), "
+        "16, 10) as bigint)"
+    )
+
+
+def exact_quota_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    k: int,
+    oversample: float = 2.0,
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum — the rows with
+    the ``k`` smallest ``(hash60(key), key)`` pairs, so the sample is a
+    pure function of the keys (stable across engines, reruns, and
+    repartitions; ties impossible since ``key`` breaks them).
+
+    Raises ``ValueError`` if any stratum's oversampled gate caught
+    fewer rows than its quota (astronomically unlikely at the default
+    ``oversample=2``; raise ``oversample`` rather than retrying — the
+    hash is deterministic, a rerun cannot differ).  Returns ``df``'s
+    columns unchanged."""
+    from ..cache import tracked_local_checkpoint
+
+    spark = df.sparkSession
+    if k < 1:
+        raise ValueError(f"quota k must be >= 1, got {k}")
+    counts = (
+        df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n")).collect()
+    )
+    rows = []
+    for r in counts:
+        n = r["_n"]
+        frac = (oversample * k) / n
+        t = _H_MAX if frac >= 1.0 else int(_H_MAX * frac) + 1
+        rows.append((r[stratum_col], t, min(k, n)))
+    th = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                df.schema[stratum_col],
+                T.StructField("_t", T.LongType()),
+                T.StructField("_quota", T.LongType()),
+            ]
+        ),
+    )
+    survivors = tracked_local_checkpoint(
+        df.withColumn("_h", F.expr(hash60_spark(key_col)))
+        .join(F.broadcast(th), stratum_col)
+        .filter(F.col("_h") < F.col("_t"))
+    )
+    short = (
+        survivors.groupBy(stratum_col, "_quota")
+        .agg(F.count(F.lit(1)).alias("_caught"))
+        .filter(F.col("_caught") < F.col("_quota"))
+        .collect()
+    )
+    if short:
+        detail = ", ".join(
+            f"{r[stratum_col]}: caught {r['_caught']} < quota {r['_quota']}"
+            for r in short
+        )
+        raise ValueError(
+            f"exact_quota_sample gate under-caught ({detail}); the "
+            f"oversample factor {oversample} left a stratum short — "
+            "raise it (a rerun cannot differ: the hash is deterministic)"
+        )
+    w = Window.partitionBy(stratum_col).orderBy("_h", key_col)
+    return (
+        survivors.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_h", "_t", "_quota", "_rn")
+        .select(*df.columns)
+    )

@@ -116,3 +116,38 @@ def corpus_quality_filter(spark, sf_dir):
             F.count_if(F.col("keep")).alias("n_keep"),
         )
     )
+
+
+@query(
+    "sample_exact_quota",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS
+                       VARCHAR)), 1, 15)) AS BIGINT), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 75
+    """,
+)
+def sample_exact_quota(spark, sf_dir):
+    """Exact-quota stratified sampling: EXACTLY min(75, |lang|)
+    documents per language, selected as the smallest (md5-hash, key)
+    pairs — a pure function of the keys.  The operator
+    (``operators/sampling.py``) refuses the naive per-stratum global
+    sort: a count pass derives per-stratum hash THRESHOLDS (prefix of
+    the rank order, by uniformity), a narrow gate filter drops
+    ~(1 - 2k/n) of each big stratum at the scan, and the exact window
+    runs over ~2k survivors per stratum — with a loud under-catch
+    check, never a probabilistic result.  The oracle is the naive
+    full-sort spelling: both must select the identical rows (the
+    fixture's strata straddle the quota — en > 75 > fr — so the
+    hash-threshold path AND the take-whole-stratum path are both under
+    the driver hash)."""
+    from ..operators.sampling import exact_quota_sample
+
+    return exact_quota_sample(
+        t(spark, sf_dir, "documents"), "lang", "doc_id", 75
+    ).select("doc_id", "lang")
