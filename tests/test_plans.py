@@ -92,6 +92,28 @@ def test_narrow_ops_have_zero_shuffle(spark, name):
     assert "Exchange" not in plan, name
 
 
+def test_zorder_key_is_pure_codegen_projection(spark):
+    """The Morton key must stay a narrow JVM projection: zero
+    exchanges, zero Python evaluation — shifts/masks/adds inside
+    codegen, or the 'pure expression' claim in functions/zorder.py is
+    broken."""
+    plan = _plan(spark, "scalar_zorder_key")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan  # Batch/ArrowEvalPython = a UDF crept in
+
+
+def test_exact_quota_window_runs_over_pinned_survivors_only(spark):
+    """exact_quota_sample's returned plan must window over the
+    CHECKPOINTED survivor set (Scan ExistingRDD), with exactly one
+    exchange — the per-stratum hash partition of ~2k rows — never a
+    sort of the full corpus; the threshold-gate scan happened at
+    checkpoint materialization and cannot reappear here."""
+    plan = _plan(spark, "sample_exact_quota")
+    assert "ExistingRDD" in plan
+    assert plan.count("(1) Scan") == 1 and "parquet" not in plan.lower()
+    assert "SortMergeJoin" not in plan
+
+
 def test_partitioned_write_prunes_partitions(spark, tmp_path):
     """partitionBy(date) layout + date filter => the scan lists only
     matching partitions (PartitionFilters, not a full-scan + filter) —
