@@ -147,3 +147,77 @@ def test_compaction_clusters_by_zorder_key(spark, tmp_path):
         ]
         assert zs == sorted(zs)
         assert len(zs) >= 50
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ZPROP = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@_ZPROP
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(-50, 400), st.integers(-50, 400)),
+        min_size=1,
+        max_size=15,
+    ),
+    bits=st.integers(min_value=2, max_value=8),
+)
+def test_zorder_fuzz_both_dialects_match_reference(spark, pts, bits):
+    """Randomized parity: arbitrary (possibly out-of-bounds) points and
+    bit widths — Spark, DuckDB, and the Python reference must agree on
+    every key.  Out-of-range inputs exercise the clamp AND the
+    div-semantics edge (both SQL engines truncate, Python floors; after
+    clamping to [0, 2^bits) the three provably coincide — this fuzz
+    pins that argument)."""
+    lo, hi = 0, 300
+    n = (1 << bits) - 1
+    key = Z.zorder_key([Z.bucket("x", lo, hi, bits), Z.bucket("y", lo, hi, bits)], bits=bits)
+    df = spark.createDataFrame(pts, "x int, y int")
+    got_s = [
+        r.z
+        for r in df.select(F.expr(key.spark).alias("z")).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({x},{y})" for x, y in pts)
+        + ") v(x, y)"
+    )
+    got_d = [r[0] for r in con.execute(f"SELECT {key.duck} FROM t").fetchall()]
+
+    def bkt(v):
+        return min(max(((v - lo) * n) // (hi - lo), 0), n)
+
+    want = [_ref_key([bkt(x), bkt(y)], bits) for x, y in pts]
+    # Spark collect preserves the tiny single-partition input order;
+    # compare as multisets anyway so the test never depends on it
+    assert sorted(got_s) == sorted(want)
+    assert sorted(got_d) == sorted(want)
+
+
+@_ZPROP
+@given(
+    m=st.integers(min_value=1, max_value=3),
+    qx=st.integers(min_value=0, max_value=7),
+    qy=st.integers(min_value=0, max_value=7),
+)
+def test_aligned_boxes_are_contiguous_key_ranges(m, qx, qy):
+    """The Z-curve guarantee clustering relies on, fuzzed in pure
+    Python: every ALIGNED 2^m x 2^m box maps to one contiguous key
+    range, so rows of such a box land in O(1) row-group runs after a
+    z-clustered rewrite."""
+    bits = 4
+    side = 1 << m
+    x0, y0 = (qx % (16 // side)) * side, (qy % (16 // side)) * side
+    keys = sorted(
+        _ref_key([x, y], bits)
+        for x in range(x0, x0 + side)
+        for y in range(y0, y0 + side)
+    )
+    assert keys == list(range(keys[0], keys[0] + side * side))
