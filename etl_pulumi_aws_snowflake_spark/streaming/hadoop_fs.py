@@ -1,8 +1,9 @@
 """Hadoop-FileSystem implementation of the snapshot protocol's seam.
 
-:mod:`.snapshot` reaches storage only through five calls
-(``read_text`` / ``write_text`` / ``rename`` / ``listdir`` /
-``rmtree`` — :class:`.snapshot.LocalFilesystem`).  This module provides
+:mod:`.snapshot` reaches storage only through a small seam — five core
+calls (``read_text`` / ``write_text`` / ``rename`` / ``listdir`` /
+``rmtree``) plus ``mkdirs``/``create_exclusive`` for the commit-log
+pointer store (:class:`.snapshot.LocalFilesystem`).  This module provides
 the cluster-side implementation over the Hadoop FileSystem API (the
 same JVM classes Spark's own Parquet IO uses, reached through the
 session's py4j gateway), so pointing a snapshot root at ``hdfs://...``
@@ -42,7 +43,7 @@ class HadoopFilesystem:
     """Snapshot-protocol filesystem over ``org.apache.hadoop.fs``.
 
     ``base_uri`` selects the filesystem (``file:///``, ``hdfs://nn/``,
-    ``s3a://bucket/``); paths passed to the five calls must be
+    ``s3a://bucket/``); paths passed to the seam calls must be
     resolvable by that filesystem (plain paths or full URIs on the
     same scheme).
     """
