@@ -59,3 +59,48 @@ def test_under_caught_gate_fails_loudly(spark):
 def test_rejects_nonpositive_quota(spark):
     with pytest.raises(ValueError, match="k must be >= 1"):
         exact_quota_sample(_docs(spark), "lang", "doc_id", 0)
+
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_QPROP = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _py_hash60(key) -> int:
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+
+
+@_QPROP
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)),
+        min_size=1,
+        max_size=25,
+    ),
+    k=st.integers(min_value=1, max_value=6),
+)
+def test_exact_quota_fuzz_matches_pure_python_selection(spark, rows, k):
+    """Randomized semantics: tiny adversarial strata (duplicates, empty
+    strata, quotas straddling stratum sizes) — the two-phase selection
+    must equal the rule computed in pure Python: per stratum, the k
+    smallest (md5-60bit(key), key) pairs."""
+    df = spark.createDataFrame(rows, "lang int, doc_id int")
+    got = sorted(
+        (r.lang, r.doc_id)
+        for r in exact_quota_sample(df, "lang", "doc_id", k).collect()
+    )
+    want = []
+    by_stratum: dict[int, list[int]] = {}
+    for lang, doc in rows:
+        by_stratum.setdefault(lang, []).append(doc)
+    for lang, docs in by_stratum.items():
+        docs.sort(key=lambda d: (_py_hash60(d), d))
+        want.extend((lang, d) for d in docs[:k])
+    assert got == sorted(want)
