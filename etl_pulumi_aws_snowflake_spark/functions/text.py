@@ -213,3 +213,18 @@ def lang_id(text: str = "text") -> X:
         for i, lang in enumerate(langs)
     )
     return X(f"case {spark_cases} end", f"CASE {duck_cases} END")
+
+
+def char_trigrams(text: str = "text") -> X:
+    """Array of all character trigrams, in position order.  The Spark
+    side guards ``length < 3`` explicitly: ``sequence(1, 0)`` counts
+    DOWN in Spark (step defaults to -1 when start > stop), which would
+    fabricate positions for short strings; DuckDB's half-open
+    ``range`` is naturally empty there."""
+    return X(
+        f"if(length({text}) < 3, array(), "
+        f"transform(sequence(1, length({text}) - 2), "
+        f"i -> substring({text}, i, 3)))",
+        f"list_transform(range(1, length({text}) - 1), "
+        f"i -> substring({text}, i, 3))",
+    )

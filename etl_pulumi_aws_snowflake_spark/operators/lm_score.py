@@ -1,0 +1,94 @@
+"""Corpus-LM quality scoring (SURVEY.md §2.10 family): score every
+document by how "natural" its character trigrams are under a model
+fitted on the corpus itself — the CCNet/Gopher-style LM-filter shape
+(fit a cheap LM on the corpus or a reference corpus, drop the
+lowest-likelihood tail) as a two-pass DataFrame program.
+
+Deliberately INTEGER-EXACT instead of log-probability: the score is
+``Σ model_count(trigram)`` over the document's trigrams (plus the
+trigram total, so callers can normalize).  Per-trigram it is monotone
+in probability, so tail-filtering ranks documents the same way a
+unigram-over-trigrams log model would up to the aggregation, while
+every intermediate stays a bigint — bit-identical across engines,
+partitionings, and the DuckDB oracle.  A deployment wanting true
+perplexity (KenLM etc.) swaps the scoring expression for a Pandas-UDF
+scorer; the two-pass structure (bounded model → broadcast lookup)
+is the part that matters at scale.
+
+Scale shape:
+
+- pass 1 (model): explode trigrams → count → take the top-K by
+  ``(count DESC, trigram)``.  The shuffle key domain is |distinct
+  trigrams| (bounded by the alphabet, not the corpus), map-side
+  combined; ``TakeOrdered`` returns exactly K rows to the driver —
+  the same bounded-literal budget as the IVF centroid tier
+  (``operators/similarity.py``).
+- pass 2 (score): the K-entry model becomes a LITERAL map constant
+  folded into the plan, and each document folds its trigram array
+  through ``aggregate(...)`` with a map lookup — a pure zero-shuffle
+  projection over the corpus; out-of-model trigrams contribute 0
+  (they are exactly the "unnatural" mass the filter exists to catch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import char_trigrams
+
+#: Driver-side model cap: K (count, trigram) pairs are collected and
+#: re-emitted as one folded literal — 2 MB-ish at the max, far below
+#: broadcast budgets but enforced so a caller cannot turn the model
+#: pass into a driver-side data collect.
+MAX_MODEL_TERMS = 65536
+
+
+def trigram_frequency_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 256,
+) -> DataFrame:
+    """Per-document corpus-naturalness score: ``(id_col, score_raw,
+    n_tri)`` where ``score_raw = Σ top-K-model count`` over the doc's
+    trigrams and ``n_tri`` its trigram total (documents shorter than
+    one trigram are dropped — they carry no evidence either way).
+    Ranking ``score_raw / n_tri`` ascending surfaces the gibberish
+    tail.  Deterministic by construction: the model's top-K is totally
+    ordered by ``(count DESC, trigram)``."""
+    if not 1 <= top_k <= MAX_MODEL_TERMS:
+        raise ValueError(
+            f"top_k must be in [1, {MAX_MODEL_TERMS}], got {top_k} — the "
+            "model is a driver-side literal, not a distributed table"
+        )
+    tri = F.expr(char_trigrams(text_col).spark)
+    top = (
+        docs.select(F.explode(tri).alias("tg"))
+        .groupBy("tg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tg")
+        .limit(top_k)
+        .collect()
+    )
+    if not top:
+        raise ValueError(
+            f"no trigrams in {text_col!r} — every document is shorter "
+            "than 3 characters; nothing to model"
+        )
+    model = F.create_map(
+        *[x for r in top for x in (F.lit(r["tg"]), F.lit(int(r["c"])))]
+    )
+    score = F.aggregate(
+        tri,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.coalesce(model[t], F.lit(0)).cast("long"),
+    )
+    return (
+        docs.select(
+            id_col,
+            score.alias("score_raw"),
+            F.size(tri).cast("long").alias("n_tri"),
+        )
+        .filter(F.col("n_tri") > 0)
+    )

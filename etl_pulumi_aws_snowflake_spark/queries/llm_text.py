@@ -145,3 +145,38 @@ def text_pii_redact(spark, sf_dir):
         F.expr(T.pii_count(_PII_AUG, T.PII_PHONE).spark).alias("n_phones"),
         F.expr(T.pii_redact(_PII_AUG).spark).alias("redacted"),
     )
+
+
+@query(
+    "text_lm_score",
+    oracle="""
+    WITH tri AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, length(text) - 1),
+                      i -> substring(text, i, 3))) AS tg
+        FROM documents
+    ), model AS (
+        SELECT tg, COUNT(*) AS c FROM tri GROUP BY tg
+        ORDER BY c DESC, tg LIMIT 256
+    )
+    SELECT t.doc_id,
+           CAST(SUM(COALESCE(m.c, 0)) AS BIGINT) AS score_raw,
+           CAST(COUNT(*) AS BIGINT) AS n_tri
+    FROM tri t LEFT JOIN model m USING (tg)
+    GROUP BY t.doc_id
+    """,
+)
+def text_lm_score(spark, sf_dir):
+    """Corpus-LM quality scoring (the CCNet/Gopher LM-filter shape):
+    fit a top-256 character-trigram frequency model on the corpus,
+    score every document by its trigram mass under it — integer-exact
+    end to end, so the driver hash pins BOTH passes (the bounded model
+    fit with its (count DESC, trigram) tie-break AND the folded-literal
+    map-lookup scoring) against the SQL join spelling.  The Spark plan
+    scores with zero shuffle (model constant-folded into a projection);
+    the oracle's LEFT JOIN is the same arithmetic in relational form."""
+    from ..operators.lm_score import trigram_frequency_score
+
+    return trigram_frequency_score(
+        t(spark, sf_dir, "documents"), "text", "doc_id", top_k=256
+    )

@@ -84,7 +84,10 @@ def test_aqe_enabled_on_plans(spark, name):
     assert "AdaptiveSparkPlan" in plan
 
 
-@pytest.mark.parametrize("name", ["text_quality", "mm_binary_features", "dedup_simhash"])
+@pytest.mark.parametrize(
+    "name",
+    ["text_quality", "mm_binary_features", "dedup_simhash", "text_lm_score"],
+)
 def test_narrow_ops_have_zero_shuffle(spark, name):
     # per-row operators must stay embarrassingly parallel (no AQE
     # wrapper because there is nothing adaptive to do — no exchange)
