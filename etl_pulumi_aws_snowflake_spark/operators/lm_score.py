@@ -23,11 +23,21 @@ Scale shape:
   combined; ``TakeOrdered`` returns exactly K rows to the driver —
   the same bounded-literal budget as the IVF centroid tier
   (``operators/similarity.py``).
-- pass 2 (score): the K-entry model becomes a LITERAL map constant
-  folded into the plan, and each document folds its trigram array
-  through ``aggregate(...)`` with a map lookup — a pure zero-shuffle
-  projection over the corpus; out-of-model trigrams contribute 0
-  (they are exactly the "unnatural" mass the filter exists to catch).
+- pass 2 (score): trigram positions explode against the BROADCAST
+  K-row model (codegen hash join — the build side is K rows, the
+  corpus never shuffles for the join) and partial+final aggregate
+  back to one row per document, so the only exchange carries
+  |documents| pre-aggregated rows, not trigram positions.
+  Out-of-model trigrams contribute 0 via the left join — exactly the
+  "unnatural" mass the filter exists to catch.
+
+  A zero-shuffle spelling exists — fold the trigram array through
+  ``aggregate(...)`` with a literal-map lookup — and was MEASURED
+  2.8× slower at sf0.1 (SCALE.md "LM scoring"): Spark evaluates
+  higher-order-function lambdas interpreted, re-evaluating the map
+  construction per element, while the join path stays inside
+  whole-stage codegen end-to-end.  Saving one |documents|-row
+  exchange never pays for leaving codegen on every trigram.
 """
 
 from __future__ import annotations
@@ -76,19 +86,17 @@ def trigram_frequency_score(
             f"no trigrams in {text_col!r} — every document is shorter "
             "than 3 characters; nothing to model"
         )
-    model = F.create_map(
-        *[x for r in top for x in (F.lit(r["tg"]), F.lit(int(r["c"])))]
-    )
-    score = F.aggregate(
-        tri,
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + F.coalesce(model[t], F.lit(0)).cast("long"),
+    model = docs.sparkSession.createDataFrame(
+        [(r["tg"], int(r["c"])) for r in top], "tg string, c long"
     )
     return (
-        docs.select(
-            id_col,
-            score.alias("score_raw"),
-            F.size(tri).cast("long").alias("n_tri"),
+        docs.select(id_col, F.explode(tri).alias("tg"))
+        .join(F.broadcast(model), "tg", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("c"), F.lit(0)))
+            .cast("long")
+            .alias("score_raw"),
+            F.count(F.lit(1)).cast("long").alias("n_tri"),
         )
-        .filter(F.col("n_tri") > 0)
     )

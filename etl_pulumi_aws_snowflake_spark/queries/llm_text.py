@@ -171,10 +171,12 @@ def text_lm_score(spark, sf_dir):
     fit a top-256 character-trigram frequency model on the corpus,
     score every document by its trigram mass under it — integer-exact
     end to end, so the driver hash pins BOTH passes (the bounded model
-    fit with its (count DESC, trigram) tie-break AND the folded-literal
-    map-lookup scoring) against the SQL join spelling.  The Spark plan
-    scores with zero shuffle (model constant-folded into a projection);
-    the oracle's LEFT JOIN is the same arithmetic in relational form."""
+    fit with its (count DESC, trigram) tie-break AND the broadcast-join
+    scoring) against the SQL spelling.  The Spark plan joins trigram
+    positions against the broadcast 256-row model inside codegen and
+    exchanges only per-document partial aggregates (the interpreted
+    map-lookup fold was measured 2.8× slower — SCALE.md "LM scoring");
+    the oracle's LEFT JOIN is the same arithmetic in DuckDB."""
     from ..operators.lm_score import trigram_frequency_score
 
     return trigram_frequency_score(

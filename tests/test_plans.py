@@ -84,10 +84,17 @@ def test_aqe_enabled_on_plans(spark, name):
     assert "AdaptiveSparkPlan" in plan
 
 
-@pytest.mark.parametrize(
-    "name",
-    ["text_quality", "mm_binary_features", "dedup_simhash", "text_lm_score"],
-)
+def test_lm_score_broadcasts_model_and_aggregates_partially(spark):
+    """LM scoring must join trigram positions against the BROADCAST
+    model (never shuffle the corpus for the join) and exchange only
+    per-document partial aggregates."""
+    plan = _plan(spark, "text_lm_score")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+@pytest.mark.parametrize("name", ["text_quality", "mm_binary_features", "dedup_simhash"])
 def test_narrow_ops_have_zero_shuffle(spark, name):
     # per-row operators must stay embarrassingly parallel (no AQE
     # wrapper because there is nothing adaptive to do — no exchange)
