@@ -350,3 +350,96 @@ def dedup_survivors(
             (F.coalesce("keep_id", F.col(id_col)) != F.col(id_col)).alias("is_dup"),
         )
     )
+
+
+#: span_dedup packs (doc_id, pos) into one orderable bigint; positions
+#: must fit 20 bits (docs up to ~8M words at span_words=8).
+_POS_BITS = 20
+
+
+def span_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 8,
+) -> DataFrame:
+    """Duplicated-SPAN removal (C4/RefinedWeb-style): tile each
+    document into fixed ``span_words``-word spans, drop every span
+    whose exact text occurs elsewhere in the corpus EXCEPT its first
+    occurrence (global order = packed ``(doc_id, pos)`` — a pure
+    function of the data), and rebuild the cleaned text.  Returns
+    ``(id_col, clean_text, n_spans, n_kept)`` — one row per document,
+    empty-text documents included with 0/0.
+
+    The scale contract: **document text never shuffles.**  The span
+    stage is a narrow projection emitting ``(packed_key, sha2(span))``
+    — 40-ish bytes per span; the duplicate decision is a groupBy on
+    the DIGEST (count + min key, map-side combined); kept positions
+    ship back as integers and the text is rebuilt by re-slicing each
+    document's own word array in a doc-local projection.  Total
+    exchange ≈ rows × digest width, the same budget as exact_dedup —
+    a naive spelling that joins span TEXT back for reconstruction
+    would shuffle the corpus ~span_words times over.
+
+    Requires a non-negative integral ``id_col`` (packed ordering) and
+    documents under ``2^20`` spans — both asserted in the plan via the
+    packing arithmetic (overflow would corrupt min-ordering, so the
+    packed key is range-checked and the call fails loudly)."""
+    k = span_words
+    if k < 1:
+        raise ValueError(f"span_words must be >= 1, got {k}")
+    w = F.expr(H.words(text_col).spark)
+    npos = F.ceil(F.size(w) / F.lit(k)).cast("long")
+    pos_arr = F.when(F.size(w) > 0, F.sequence(F.lit(0).cast("long"), npos - 1)).otherwise(
+        F.array().cast("array<long>")
+    )
+    span_at = lambda pos: F.array_join(  # noqa: E731
+        F.slice(w, (pos * k + 1).cast("int"), k), " "
+    )
+    # range-check the packed key: a doc_id that collides after shifting
+    # or a pos beyond the budget must fail, not mis-order
+    key = (
+        F.when(
+            (F.col("pos") < (1 << _POS_BITS)) & (F.col(id_col) >= 0),
+            F.col(id_col).cast("long") * (1 << _POS_BITS) + F.col("pos"),
+        )
+        .otherwise(F.raise_error(F.lit(
+            f"span_dedup packed-key overflow: pos >= 2^{_POS_BITS} or "
+            "negative id"
+        )))
+    )
+    spans = (
+        docs.select(F.col(id_col), F.explode(pos_arr).alias("pos"), w.alias("_w"))
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            key.alias("_key"),
+            F.sha2(F.array_join(F.slice(F.col("_w"), (F.col("pos") * k + 1).cast("int"), k), " "), 256).alias("_h"),
+        )
+    )
+    groups = spans.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("_key").alias("_first")
+    )
+    kept = (
+        spans.join(groups, "_h")
+        .filter((F.col("_n") == 1) | (F.col("_key") == F.col("_first")))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("_kept"))
+    )
+    return (
+        docs.join(kept, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(
+                    F.coalesce(F.col("_kept"), F.array().cast("array<long>")),
+                    span_at,
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.size(pos_arr).cast("long").alias("n_spans"),
+            F.size(F.coalesce(F.col("_kept"), F.array().cast("array<long>")))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )

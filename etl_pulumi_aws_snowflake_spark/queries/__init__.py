@@ -35,16 +35,16 @@ from . import streaming_e2e  # noqa: E402,F401
 # The external correctness driver checks the FIRST 50 dict entries per
 # round (CORRECTNESS_r01-r05 each recorded exactly queries()[:50] in
 # order).  Round 6 executes VERDICT r05 #1's rotation verbatim, in
-# scripts/driver_staleness.py's stalest-first order: (a) the 5 entries
+# scripts/driver_staleness.py's stalest-first order: (a) the 6 entries
 # NEW this round (snapshot time travel, conflict detection — the r05
 # pass-local → driver conversions — the Z-order layout key, the
-# exact-quota stratified sampler, and the corpus-LM quality score),
-# then (b) the 3 r05 additions that
+# exact-quota stratified sampler, the corpus-LM quality score, and
+# span-level dedup), then (b) the 3 r05 additions that
 # landed after the r05 window was spent and were never driver-checked,
 # then (c) the 8 r01-stale + 11 r02-stale + 6 r03-stale entries, then
 # (d) the 3 snapshot-backed CDC entries whose commit path r06's
-# pointer-store seam touches, and (e) 14 of the 45 r04-stale entries
-# as fill (the remaining 31 lead the r07 window).
+# pointer-store seam touches, and (e) 13 of the 45 r04-stale entries
+# as fill (the remaining 32 lead the r07 window).
 # tests/test_docs.py::test_never_driver_checked_entries_lead_the_window
 # now FAILS if a registry entry without any CORRECTNESS row sits
 # outside the first 50 — the r05 process miss cannot recur silently.
@@ -52,6 +52,7 @@ _DRIVER_FIRST = [
     # (a) new this round — first-ever driver evidence
     "snapshot_time_travel_e2e", "snapshot_conflict_e2e",
     "scalar_zorder_key", "sample_exact_quota", "text_lm_score",
+    "dedup_spans",
     # (b) landed after the r05 window was spent; never driver-checked
     "udf_table_function", "merge_schema_evolution", "snapshot_skipping_e2e",
     # (c) stalest certifications: r01
@@ -73,7 +74,6 @@ _DRIVER_FIRST = [
     "decontaminate", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dq_audit", "join_salted", "merge_upsert_customers", "mm_resize",
     "pack_sequences", "pipeline_batch_e2e", "pipeline_stream_e2e",
-    "q11_important_parts",
 ]
 
 def _driver_order(d: dict) -> dict:

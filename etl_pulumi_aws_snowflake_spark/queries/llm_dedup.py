@@ -198,3 +198,66 @@ def dedup_survivors(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=8, threshold=0.8)
     return D.dedup_survivors(docs, pairs)
+
+
+@query(
+    "dedup_spans",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x != '') AS ws
+        FROM documents
+    ), sp AS (
+        SELECT doc_id,
+               unnest(range(0, CAST(ceil(len(ws) / 4.0) AS BIGINT))) AS pos,
+               ws
+        FROM w
+    ), sp2 AS (
+        SELECT doc_id, pos,
+               doc_id * 1048576 + pos AS key,
+               array_to_string(ws[pos*4+1 : pos*4+4], ' ') AS span
+        FROM sp
+    ), g AS (
+        SELECT span, COUNT(*) AS n, MIN(key) AS first_key
+        FROM sp2 GROUP BY span
+    ), kept AS (
+        SELECT s.doc_id, s.pos, s.span
+        FROM sp2 s JOIN g USING (span)
+        WHERE g.n = 1 OR s.key = g.first_key
+    ), rebuilt AS (
+        SELECT doc_id,
+               array_to_string(list(span ORDER BY pos), ' ') AS clean_text,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           CAST(ceil(len(w.ws) / 4.0) AS BIGINT) AS n_spans,
+           COALESCE(r.n_kept, 0) AS n_kept
+    FROM w LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def dedup_spans(spark, sf_dir):
+    """Duplicated-span removal (C4/RefinedWeb style): 4-word spans,
+    every repeated span dropped except its globally-first occurrence
+    (packed (doc_id, pos) order), cleaned text rebuilt — the
+    sub-document dedup pass that kills boilerplate exact dedup can't
+    see.  Span width 4 because the fixture's tiny vocabulary needs it
+    to produce real duplicates (~11% of spans at sf0.01 — asserted, so
+    the removal path cannot silently stop firing); production uses 8+.
+    Document text never shuffles: the duplicate decision moves
+    (digest, packed key) pairs and kept POSITIONS, and text is rebuilt
+    by re-slicing each doc's own word array (operators/dedup.py
+    ``span_dedup``).  The oracle is the relational spelling over span
+    TEXT (Spark groups the sha256 digest — identical partition of
+    spans)."""
+    out = D.span_dedup(t(spark, sf_dir, "documents"), "text", "doc_id", 4)
+    agg = out.agg(
+        F.sum("n_spans").alias("s"), F.sum("n_kept").alias("k")
+    ).first()
+    assert 0 < agg["k"] < agg["s"], (
+        "span_dedup degenerated: every span kept (no duplicates in "
+        "fixture) or every span dropped — the entry stopped testing "
+        "both paths"
+    )
+    return out

@@ -1,0 +1,62 @@
+"""Span-level dedup (`operators/dedup.py::span_dedup`): known-corpus
+semantics (first occurrence survives, later repeats vanish, clean text
+rebuilds in order), the short/empty-document edges, and the packed-key
+guard."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_pulumi_aws_snowflake_spark.operators.dedup import span_dedup
+
+
+def test_known_corpus_first_occurrence_survives(spark):
+    docs = spark.createDataFrame(
+        [
+            # doc 1: two spans; span "a b" also opens doc 2 and sits
+            # mid-doc 3 — only THIS one (smallest packed key) survives
+            (1, "a b c d"),
+            (2, "a b x y"),
+            (3, "p q a b"),
+            (4, "u v"),  # unique span — untouched
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_spans, r.n_kept)
+        for r in span_dedup(docs, "text", "doc_id", span_words=2).collect()
+    }
+    assert got == {
+        1: ("a b c d", 2, 2),   # first occurrence of "a b" kept
+        2: ("x y", 2, 1),       # later repeat dropped
+        3: ("p q", 2, 1),       # repeat dropped mid-document too
+        4: ("u v", 1, 1),
+    }
+
+
+def test_short_and_empty_documents(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "solo"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_spans, r.n_kept)
+        for r in span_dedup(docs, "text", "doc_id", span_words=4).collect()
+    }
+    # empty doc: zero spans, present with empty text; the ragged final
+    # span ("solo", shorter than span_words) still dedups exactly
+    assert got == {1: ("", 0, 0), 2: ("solo", 1, 1), 3: ("", 1, 0)}
+
+
+def test_negative_id_fails_loudly(spark):
+    docs = spark.createDataFrame(
+        [(-1, "a b c d")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="packed-key overflow"):
+        span_dedup(docs, "text", "doc_id", span_words=2).collect()
+
+
+def test_rejects_bad_span_width(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="span_words"):
+        span_dedup(docs, "text", "doc_id", span_words=0)
