@@ -16,20 +16,34 @@ hash's uniformity the way top-k-by-random-key engines do:
 1. one column-pruned count per stratum (map-side-combined agg; the
    per-stratum totals are ``|strata|`` scalars to the driver, the same
    bounded-collect budget as ``packing.global_offsets``);
-2. a per-stratum hash THRESHOLD ``t = H * min(1, oversample*k/n)``:
-   because selection ranks by the hash value itself, ``h < t`` is a
-   PREFIX of the sort order, so the gated rows are a superset of the
-   true sample whenever the gate catches >= k rows — a narrow scan
-   filter that drops ~(1 - oversample*k/n) of every big stratum
-   before anything shuffles;
-3. the exact window runs on the survivors only (~oversample*k rows per
+2. a per-stratum hash THRESHOLD ``t = H * min(1, target/d)`` where
+   ``d = countDistinct(key)`` (NOT the row count: duplicate keys share
+   one md5 value, so the gate's Bernoulli trials are the DISTINCT
+   keys — counting rows would silently shrink the effective
+   oversample on duplicate-heavy data) and ``target =
+   max(oversample*k, k + 4*sqrt(k) + 12)``: because selection ranks
+   by the hash value itself, ``h < t`` is a PREFIX of the sort order,
+   so the gated rows are a superset of the true sample whenever the
+   gate catches >= quota rows — a narrow scan filter that drops
+   ~(1 - target/d) of every big stratum before anything shuffles;
+3. the exact window runs on the survivors only (~target rows per
    stratum), where the per-stratum sort is trivial.
 
-Correctness is never probabilistic: survivor counts are CHECKED
-against each quota and the call fails loudly if any stratum's gate
-under-caught (Chernoff: probability < exp(-k(oversample-1)^2/
-(2*oversample)) per stratum at the default oversample=2 — ~1e-9 at
-k=75 — but "almost surely" is not a data contract, hence the check).
+Correctness is never probabilistic: the quota table is left-joined to
+the survivor counts and the call fails loudly if ANY stratum's gate
+under-caught — including a stratum the gate caught ZERO rows of,
+which produces no survivor group at all and is exactly why the check
+must be driven from the quota side, never by grouping survivors.
+The ``k + 4*sqrt(k) + 12`` floor on the gate target exists because
+the plain Chernoff bound ``exp(-k(oversample-1)^2/(2*oversample))``
+is only "astronomical" for large k (at ``k=1, oversample=2`` the
+under-catch probability is ~0.14 per large stratum); with the floor
+the per-stratum miss probability is < ~4e-8 uniformly in k (Poisson
+tail at mean >= k + 4*sqrt(k) + 12).  An explicit ``oversample < 1``
+is honored verbatim as a deliberate under-gate (it cannot satisfy
+the quota in expectation; tests use it to exercise the loud-failure
+path).  NULL stratum values are rejected loudly up front — the gate
+join is an equi-join and would otherwise silently drop them.
 The survivor set is pinned via ``cache.tracked_local_checkpoint`` so
 the check and the returned rows see the same materialization — the
 same boundary-sweep contract (and loud CHECKPOINT_RDD_BLOCK_ID_NOT_
@@ -69,24 +83,45 @@ def exact_quota_sample(
     repartitions; ties impossible since ``key`` breaks them).
 
     Raises ``ValueError`` if any stratum's oversampled gate caught
-    fewer rows than its quota (astronomically unlikely at the default
-    ``oversample=2``; raise ``oversample`` rather than retrying — the
-    hash is deterministic, a rerun cannot differ).  Returns ``df``'s
-    columns unchanged."""
+    fewer rows than its quota (< ~4e-8 per stratum at any ``k`` with
+    the default ``oversample=2``, thanks to the ``k + 4*sqrt(k) + 12``
+    gate floor; raise ``oversample`` rather than retrying — the hash
+    is deterministic, a rerun cannot differ), or if any stratum value
+    is NULL (the gate join is an equi-join; NULLs would silently
+    vanish instead of sampling).  Returns ``df``'s columns
+    unchanged."""
     from ..cache import tracked_local_checkpoint
 
     spark = df.sparkSession
     if k < 1:
         raise ValueError(f"quota k must be >= 1, got {k}")
     counts = (
-        df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n")).collect()
+        df.groupBy(stratum_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.countDistinct(key_col).alias("_d"),
+        )
+        .collect()
     )
+    # A sub-1 oversample is an explicit, deliberate under-gate (it
+    # cannot satisfy the quota in expectation) — honored verbatim so
+    # the loud-failure path stays testable.  At >= 1, floor the gate
+    # target so the small-k Poisson tail is uniformly negligible.
+    target = oversample * k
+    if oversample >= 1.0:
+        target = max(target, k + 4.0 * k**0.5 + 12.0)
     rows = []
     for r in counts:
-        n = r["_n"]
-        frac = (oversample * k) / n
+        if r[stratum_col] is None:
+            raise ValueError(
+                f"exact_quota_sample: stratum column {stratum_col!r} "
+                "contains NULL; the gate join is an equi-join and "
+                "would silently drop those rows — filter or fill "
+                "NULL strata first"
+            )
+        frac = target / r["_d"]
         t = _H_MAX if frac >= 1.0 else int(_H_MAX * frac) + 1
-        rows.append((r[stratum_col], t, min(k, n)))
+        rows.append((r[stratum_col], t, min(k, r["_n"])))
     th = spark.createDataFrame(
         rows,
         T.StructType(
@@ -102,9 +137,19 @@ def exact_quota_sample(
         .join(F.broadcast(th), stratum_col)
         .filter(F.col("_h") < F.col("_t"))
     )
+    # Drive the under-catch check from the QUOTA side: a stratum whose
+    # gate caught zero rows yields no survivor group at all, so
+    # grouping survivors alone can never see it (the round-6 bug,
+    # caught by tests/test_exact_quota.py's hypothesis fuzz).
     short = (
-        survivors.groupBy(stratum_col, "_quota")
-        .agg(F.count(F.lit(1)).alias("_caught"))
+        th.join(
+            survivors.groupBy(stratum_col).agg(
+                F.count(F.lit(1)).alias("_caught")
+            ),
+            stratum_col,
+            "left",
+        )
+        .withColumn("_caught", F.coalesce(F.col("_caught"), F.lit(0)))
         .filter(F.col("_caught") < F.col("_quota"))
         .collect()
     )

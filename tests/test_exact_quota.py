@@ -61,6 +61,40 @@ def test_rejects_nonpositive_quota(spark):
         exact_quota_sample(_docs(spark), "lang", "doc_id", 0)
 
 
+def test_rejects_null_stratum(spark):
+    """NULL strata would silently vanish through the equi-join gate —
+    the operator must refuse them loudly instead."""
+    df = spark.createDataFrame(
+        [(None, 1), ("en", 2), ("en", 3)], "lang string, doc_id int"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        exact_quota_sample(df, "lang", "doc_id", 1)
+
+
+def test_zero_caught_stratum_fails_loudly_not_empty(spark):
+    """The round-6 bug: duplicate keys share one md5 value, so a
+    3-duplicate stratum whose single hash sits above the gate caught
+    ZERO rows and silently returned an empty stratum.  With the
+    distinct-key gate floor all rows now survive (frac >= 1); force
+    the under-gate with oversample<1 and a key whose hash is high to
+    prove the zero-caught case raises instead of vanishing."""
+    import hashlib
+
+    # find a key whose 60-bit md5 is in the top half -> a 0.1 gate
+    # with d=1 distinct key catches nothing
+    key = next(
+        i
+        for i in range(100)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        > (1 << 59)
+    )
+    df = spark.createDataFrame(
+        [(0, key)] * 3, "lang int, doc_id int"
+    )
+    with pytest.raises(ValueError, match="caught 0 < quota"):
+        exact_quota_sample(df, "lang", "doc_id", 1, oversample=0.1)
+
+
 import hashlib
 
 from hypothesis import HealthCheck, given, settings
