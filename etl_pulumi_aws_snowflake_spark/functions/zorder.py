@@ -53,17 +53,28 @@ def bucket(col: str, lo: int, hi: int, bits: int) -> X:
     """Quantize integer expression ``col`` into ``[0, 2^bits)`` by
     equal-width cells over ``[lo, hi]``, clamping outliers to the edge
     cells.  Exact integer arithmetic, identical in both dialects
-    (multiply before integer-divide; ``hi > lo`` required)."""
+    (``hi > lo`` required).
+
+    The clamp happens on the RAW value, before the multiply: clamping
+    only the quotient would let an outlier beyond ~2^(63-bits) of the
+    bounds overflow ``(col - lo) * (2^bits - 1)`` first — silently
+    wrapping into a wrong cell in non-ANSI Spark while DuckDB raises,
+    breaking both the edge-cell contract and dialect parity."""
     if hi <= lo:
         raise ValueError(f"bucket bounds must satisfy lo < hi, got [{lo}, {hi}]")
     if not 1 <= bits <= MAX_KEY_BITS:
         raise ValueError(f"bits must be in [1, {MAX_KEY_BITS}], got {bits}")
     n = (1 << bits) - 1
+    if (hi - lo) * n >= (1 << 63):
+        raise ValueError(
+            f"bucket bounds span {hi - lo} x {n} cells overflows BIGINT; "
+            "narrow [lo, hi] or lower bits"
+        )
+    clamped_s = f"least(greatest(cast({col} as bigint), {lo}L), {hi}L)"
+    clamped_d = f"least(greatest(CAST({col} AS BIGINT), {lo}), {hi})"
     return X(
-        f"least(greatest((cast({col} as bigint) - {lo}) * {n} div "
-        f"{hi - lo}, 0L), {n}L)",
-        f"least(greatest((CAST({col} AS BIGINT) - {lo}) * {n} // "
-        f"{hi - lo}, 0), {n})",
+        f"({clamped_s} - {lo}) * {n} div {hi - lo}",
+        f"(({clamped_d} - {lo}) * {n}) // {hi - lo}",
     )
 
 

@@ -397,15 +397,20 @@ def span_dedup(
         F.slice(w, (pos * k + 1).cast("int"), k), " "
     )
     # range-check the packed key: a doc_id that collides after shifting
-    # or a pos beyond the budget must fail, not mis-order
+    # or a pos beyond the budget must fail, not mis-order.  The id-side
+    # bound matters too: id * 2^_POS_BITS wraps BIGINT silently in
+    # non-ANSI Spark for id >= 2^(63-_POS_BITS), which would corrupt
+    # the min-key first-occurrence ordering instead of erroring.
     key = (
         F.when(
-            (F.col("pos") < (1 << _POS_BITS)) & (F.col(id_col) >= 0),
+            (F.col("pos") < (1 << _POS_BITS))
+            & (F.col(id_col) >= 0)
+            & (F.col(id_col) < (1 << (63 - _POS_BITS))),
             F.col(id_col).cast("long") * (1 << _POS_BITS) + F.col("pos"),
         )
         .otherwise(F.raise_error(F.lit(
-            f"span_dedup packed-key overflow: pos >= 2^{_POS_BITS} or "
-            "negative id"
+            f"span_dedup packed-key overflow: pos >= 2^{_POS_BITS}, "
+            f"id >= 2^{63 - _POS_BITS}, or negative id"
         )))
     )
     spans = (

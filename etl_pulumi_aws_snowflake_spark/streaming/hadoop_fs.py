@@ -106,6 +106,34 @@ class HadoopFilesystem:
     def mkdirs(self, path: str) -> None:
         self._fs.mkdirs(self._p(path))
 
+    #: Java exception classes that mean "another writer already holds
+    #: this path" — the CAS-loss signal create_exclusive must map to
+    #: FileExistsError.  Matched by class name (walking the cause
+    #: chain), not by message substring: HDFS raises
+    #: o.a.h.fs.FileAlreadyExistsException, but an S3A conditional PUT
+    #: (If-None-Match, HADOOP-19256) loses with an HTTP 412 surfaced as
+    #: RemoteFileChangedException, whose message says nothing about
+    #: "exists" — substring matching would re-raise it raw and a losing
+    #: writer would get an opaque error instead of SnapshotConflictError.
+    _CAS_LOSS_CLASSES = (
+        "org.apache.hadoop.fs.FileAlreadyExistsException",
+        "java.nio.file.FileAlreadyExistsException",
+        "org.apache.hadoop.fs.s3a.RemoteFileChangedException",
+    )
+
+    def _is_cas_loss(self, exc: Exception) -> bool:
+        java_exc = getattr(exc, "java_exception", None)
+        while java_exc is not None:
+            try:
+                name = java_exc.getClass().getName()
+            except Exception:
+                break
+            if name in self._CAS_LOSS_CLASSES:
+                return True
+            java_exc = java_exc.getCause()
+        # fallback for non-py4j wrappers (e.g. the pytest fakes)
+        return "AlreadyExists" in str(exc) or "already exists" in str(exc)
+
     def create_exclusive(self, path: str, text: str) -> None:
         """Create-if-absent: ``FileSystem.create(path, overwrite=false)``
         — an atomic claim on HDFS; on S3A it is honestly conditional
@@ -115,7 +143,7 @@ class HadoopFilesystem:
         try:
             out = self._fs.create(self._p(path), False)
         except Exception as exc:  # py4j wraps the Java exception
-            if "AlreadyExists" in str(exc) or "already exists" in str(exc):
+            if self._is_cas_loss(exc):
                 raise FileExistsError(path) from None
             raise
         try:

@@ -56,6 +56,23 @@ def test_negative_id_fails_loudly(spark):
         span_dedup(docs, "text", "doc_id", span_words=2).collect()
 
 
+def test_oversized_id_fails_loudly(spark):
+    """id * 2^20 wraps BIGINT silently for id >= 2^43 in non-ANSI
+    Spark, corrupting the min-key first-occurrence order — the packed
+    key must range-check the id side too, not just pos (ADVICE r06)."""
+    docs = spark.createDataFrame(
+        [(1 << 43, "a b c d")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="packed-key overflow"):
+        span_dedup(docs, "text", "doc_id", span_words=2).collect()
+    # one below the bound still packs fine
+    ok = spark.createDataFrame(
+        [((1 << 43) - 1, "a b c d")], "doc_id long, text string"
+    )
+    rows = span_dedup(ok, "text", "doc_id", span_words=2).collect()
+    assert len(rows) == 1 and rows[0]["n_kept"] == 2
+
+
 def test_rejects_bad_span_width(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="span_words"):

@@ -1010,3 +1010,63 @@ def test_snapshot_versions_excludes_unreadable_and_orphaned(spark, tmp_path):
     with pytest.raises(ValueError, match="v-00099"):
         snapshot_read(spark, root, version="v-00099")
 
+
+
+def test_hadoop_fs_create_exclusive_cas_loss_by_exception_class(spark, tmp_path):
+    """create_exclusive maps CAS loss to FileExistsError by JAVA
+    EXCEPTION CLASS (walking the cause chain), not message substring:
+    an S3A conditional-PUT loser surfaces as RemoteFileChangedException
+    whose message never says 'exists' (ADVICE r06).  file:// exercises
+    the real py4j path; fakes cover the S3A class names."""
+    from etl_pulumi_aws_snowflake_spark.streaming.hadoop_fs import (
+        HadoopFilesystem,
+    )
+
+    fs = HadoopFilesystem(spark, "file:///")
+    p = str(tmp_path / "claim")
+    fs.create_exclusive(p, "winner")
+    with pytest.raises(FileExistsError):  # real JVM exception end-to-end
+        fs.create_exclusive(p, "loser")
+    assert fs.read_text(p) == "winner"
+
+    class _FakeJException:
+        def __init__(self, name, cause=None):
+            self._name, self._cause = name, cause
+
+        def getClass(self):
+            outer = self
+
+            class _C:
+                def getName(self):
+                    return outer._name
+
+            return _C()
+
+        def getCause(self):
+            return self._cause
+
+    class _FakePy4JError(Exception):
+        def __init__(self, java_exception):
+            super().__init__("An error occurred while calling o1.create")
+            self.java_exception = java_exception
+
+    # S3A conditional PUT loss: 412 -> RemoteFileChangedException,
+    # possibly nested as a cause — both must classify as CAS loss
+    s3a = "org.apache.hadoop.fs.s3a.RemoteFileChangedException"
+    assert fs._is_cas_loss(_FakePy4JError(_FakeJException(s3a)))
+    assert fs._is_cas_loss(
+        _FakePy4JError(
+            _FakeJException("java.io.IOException", _FakeJException(s3a))
+        )
+    )
+    assert fs._is_cas_loss(
+        _FakePy4JError(
+            _FakeJException("org.apache.hadoop.fs.FileAlreadyExistsException")
+        )
+    )
+    # an unrelated failure must re-raise raw, not masquerade as a loss
+    assert not fs._is_cas_loss(
+        _FakePy4JError(
+            _FakeJException("org.apache.hadoop.fs.s3a.AWSBadRequestException")
+        )
+    )

@@ -89,6 +89,42 @@ def test_input_validation():
         Z.zorder_key([Z.bucket("x", 0, 10, 8)])
     with pytest.raises(ValueError, match="key bits"):
         Z.zorder_key([Z.bucket("x", 0, 10, 32)] * 3, bits=32)
+    # bounds so wide that (hi-lo)*(2^bits-1) wraps BIGINT even for
+    # in-range values must be rejected at construction, not at runtime
+    with pytest.raises(ValueError, match="overflows BIGINT"):
+        Z.bucket("x", 0, 1 << 56, 8)
+
+
+def test_extreme_outliers_clamp_identically_in_both_dialects(spark):
+    """The clamp runs on the RAW value before the multiply: an outlier
+    beyond ~2^55 used to overflow (col-lo)*(2^bits-1) BEFORE the
+    quotient clamp — Spark wrapped silently into a wrong cell while
+    DuckDB raised, breaking both the edge-cell contract and dialect
+    parity (ADVICE r06)."""
+    key = Z.zorder_key(
+        [Z.bucket("x", 0, 255, 8), Z.bucket("y", 0, 255, 8)], bits=8
+    )
+    big = (1 << 62) - 7
+    pts = [(big, 0), (-big, 255), (big, big), (-big, -big), (128, big)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got_spark = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", F.expr(key.spark).alias("z")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({x}::BIGINT,{y}::BIGINT)" for x, y in pts)
+        + ") v(x, y)"
+    )
+    got_duck = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(f"SELECT x, y, {key.duck} FROM t").fetchall()
+    }
+    for x, y in pts:
+        want = _ref_key([min(max(x, 0), 255), min(max(y, 0), 255)], 8)
+        assert got_spark[(x, y)] == want, (x, y)
+        assert got_duck[(x, y)] == want, (x, y)
 
 
 def test_compaction_clusters_by_zorder_key(spark, tmp_path):
