@@ -415,6 +415,36 @@ def _partition_dir(root: str, version: str, value: str) -> str:
 #: A cluster port lifts this by collecting stats in the writer tasks.
 STATS_MAX_FILES = 4096
 
+#: Manifest marker naming the NaN discipline the FLOAT bounds in
+#: ``stats`` obey.  :func:`_collect_partition_stats` only emits a float
+#: bound when parquet-mr's NaN-poisoning let it PROVE the partition is
+#: NaN-free for that column; this string records that proof in the
+#: manifest.  ``snapshot_read``'s ``skip_by`` trusts float bounds ONLY
+#: under this exact contract — bounds from any other source (a foreign
+#: writer, a cluster port collecting stats its own way, a hand-edited
+#: manifest) are ignored for floats, because a source that silently
+#: omits NaN from finite bounds (parquet-cpp/pyarrow behavior) would
+#: let skip_by prune NaN rows that Spark's NaN-greatest filter
+#: semantics actually match (Iceberg's nan_value_counts problem).
+#: Integer and string bounds carry no NaN hazard and are trusted
+#: regardless.  Bump the suffix if the discipline ever changes — old
+#: manifests then conservatively stop float-pruning instead of lying.
+STATS_CONTRACT = "parquet-mr-nan-poisoned-v1"
+
+
+def _strip_float_bounds(stats: dict) -> dict:
+    """Drop float-typed bounds from a carried-forward stats dict whose
+    source contract is unknown — absence widens reads, never narrows
+    them (see :data:`STATS_CONTRACT`)."""
+    return {
+        key: {
+            col: b
+            for col, b in cols.items()
+            if not (isinstance(b[0], float) or isinstance(b[1], float))
+        }
+        for key, cols in stats.items()
+    }
+
 
 def _collect_partition_stats(ddir: str, written: set[str]) -> dict | None:
     """Per-partition column min/max harvested from the just-written
@@ -438,7 +468,11 @@ def _collect_partition_stats(ddir: str, written: set[str]) -> dict | None:
     real filter matches — Iceberg's ``nan_value_counts`` problem.  Any
     replacement stats source MUST either supply a per-partition NaN row
     count (bound unusable when > 0) or drop float-column stats
-    entirely.  Returns ``None`` when the footers are not
+    entirely — and it must NOT stamp :data:`STATS_CONTRACT` into the
+    manifest unless it reproduces this poisoning proof: ``skip_by``
+    refuses to float-prune under any other ``stats_contract`` value
+    (enforced read-side, tested in ``test_snapshot_skipping.py``).
+    Returns ``None`` when the footers are not
     locally readable (e.g. an object-store root reached only through a
     remote filesystem seam): commits then publish without stats and
     every read keeps every partition — skipping is an optimization,
@@ -655,6 +689,11 @@ def snapshot_read(
         entries = {k: ver for k, ver in entries.items() if k in wanted}
     if skip_by:
         stats: dict[str, dict] = man.get("stats") or {}
+        # Float bounds are only usable under the NaN-poisoning proof
+        # (STATS_CONTRACT): a stats source that omits NaN from finite
+        # bounds would let us prune rows Spark's NaN-greatest filter
+        # semantics match.  int/str bounds carry no NaN hazard.
+        floats_ok = man.get("stats_contract") == STATS_CONTRACT
 
         def _may_match(pval: str) -> bool:
             bounds = stats.get(pval) or {}
@@ -662,6 +701,10 @@ def snapshot_read(
                 b = bounds.get(col)
                 if b is None:
                     continue  # no evidence — keep
+                if not floats_ok and (
+                    isinstance(b[0], float) or isinstance(b[1], float)
+                ):
+                    continue  # unproven NaN discipline — keep
                 try:
                     if (lo is not None and b[1] < lo) or (
                         hi is not None and b[0] > hi
@@ -880,7 +923,13 @@ def snapshot_commit_partitioned(
                 "first)"
             )
         entries.update(prev_man["entries"])
-        stats.update(prev_man.get("stats") or {})
+        carried = prev_man.get("stats") or {}
+        if prev_man.get("stats_contract") != STATS_CONTRACT:
+            # Carried bounds from a manifest that can't vouch for the
+            # NaN discipline: keep the NaN-immune int/str bounds, drop
+            # the float ones (see STATS_CONTRACT).
+            carried = _strip_float_bounds(carried)
+        stats.update(carried)
         for val in changed_values:
             entries.pop(str(val), None)
             stats.pop(str(val), None)
@@ -906,6 +955,10 @@ def snapshot_commit_partitioned(
         # forward with the entries; absent/partial stats only widen
         # reads, never narrow them (see _collect_partition_stats).
         "stats": {k: v for k, v in stats.items() if k in entries},
+        # Every float bound above is footer-harvested under parquet-mr
+        # NaN poisoning (foreign-contract carries were stripped) — the
+        # proof skip_by needs before float-pruning (STATS_CONTRACT).
+        "stats_contract": STATS_CONTRACT,
     }
     tmp = os.path.join(root, new, f".{_MANIFEST}.tmp")
     fs.write_text(tmp, json.dumps(manifest))

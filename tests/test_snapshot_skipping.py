@@ -158,3 +158,120 @@ def test_stats_collection_respects_driver_metadata_cap(spark, tmp_path, monkeypa
     stats = _manifest(root, "v-00001")["stats"]
     assert stats == {}
     assert _read(spark, root, skip_by={"k": (1000, None)}).count() == 30
+
+
+def test_foreign_float_bounds_without_contract_are_not_trusted(spark, tmp_path):
+    """A stats source that silently OMITS NaN from finite bounds
+    (parquet-cpp/pyarrow writers, a cluster port) would report e.g.
+    [1.0, 1.0] for a partition that also holds a NaN row — and since
+    Spark's filters order NaN above every number, skip_by(x >= 5)
+    would prune a row the real filter matches.  The manifest therefore
+    carries a stats_contract naming the NaN-poisoning proof; FLOAT
+    bounds under any other (or missing) contract are ignored, while
+    int/str bounds (NaN-immune) keep pruning."""
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_commit_partitioned,
+    )
+
+    root = str(tmp_path / "snap")
+    df = spark.createDataFrame(
+        [(0, 0, 1.0), (1, 0, float("nan")), (2, 1, 3.0)],
+        "k bigint, p bigint, x double",
+    )
+    snapshot_commit_partitioned(df, root, "p")
+
+    # Simulate the foreign source: finite float bounds that LIE about
+    # partition 0 (its NaN row vanished from the stats), no contract.
+    mpath = os.path.join(root, "v-00001", "_MANIFEST.json")
+    man = json.load(open(mpath))
+    assert man["stats_contract"], "commits must stamp the contract"
+    man["stats"]["0"]["x"] = [1.0, 1.0]
+    del man["stats_contract"]
+    with open(mpath, "w") as f:
+        json.dump(man, f)
+
+    out = _read(spark, root, skip_by={"x": (5, None)})
+    assert {r.k for r in out.collect()} >= {0, 1}, (
+        "float bound without the NaN-poisoning contract must not prune"
+    )
+    assert [r.k for r in out.filter("x >= 5").collect()] == [1], (
+        "the NaN row the lying bound would have dropped survives"
+    )
+    # int bounds carry no NaN hazard: k-pruning still works contract-less
+    assert _read(spark, root, skip_by={"k": (1000, None)}).count() == 0
+
+
+def test_carried_float_bounds_from_foreign_manifest_are_stripped(
+    spark, tmp_path
+):
+    """carry-forward laundering: a pruned merge copies the previous
+    manifest's stats for untouched partitions — if that previous
+    manifest had foreign float bounds, stamping OUR contract on the new
+    manifest must not bless them.  The commit strips float bounds from
+    a carried set whose source contract differs; int/str carries stay."""
+    from etl_pulumi_aws_snowflake_spark.operators.warehouse import (
+        merge_upsert_pruned,
+    )
+
+    root = str(tmp_path / "snap")
+    _seed_partitioned(spark, root)
+    # add a float column's worth of foreign bounds + wipe the contract
+    mpath = os.path.join(root, "v-00001", "_MANIFEST.json")
+    man = json.load(open(mpath))
+    man["stats"]["0"]["fake_x"] = [1.0, 1.0]
+    del man["stats_contract"]
+    with open(mpath, "w") as f:
+        json.dump(man, f)
+
+    batch = spark.createDataFrame(
+        [(100, 1, "NEW", False)],
+        "k bigint, p bigint, v string, is_delete boolean",
+    )
+    v = merge_upsert_pruned(
+        spark, root, batch, ["k"], "p", delete_col="is_delete"
+    )
+    stats = _manifest(root, v)["stats"]
+    assert "fake_x" not in stats["0"], "foreign float carry must be stripped"
+    assert stats["0"]["k"] == [0, 27], "int carry survives the strip"
+    assert stats["0"]["v"], "str carry survives the strip"
+
+
+def test_skipping_e2e_entry_survives_multi_month_fixture(spark, tmp_path):
+    """The driver entry's pruning assert must be STRUCTURAL, not
+    fixture-shaped (VERDICT r06 #5): partitioning by bare day-of-month
+    would fold disjoint id clusters of different months into one
+    partition and widen every zone map.  Feed the entry a synthetic
+    THREE-month events table (ids ascending with time, like the
+    generator's) and require it to still prune and return the exact
+    range — proving the month-qualified partition key carries the
+    clustering assumption across month boundaries."""
+    import pyspark.sql.functions as F
+
+    from etl_pulumi_aws_snowflake_spark.queries.pipeline_e2e import (
+        snapshot_skipping_e2e,
+    )
+
+    sf_dir = str(tmp_path / "sf_multi")
+    os.makedirs(sf_dir)
+    n = 3000
+    ev = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("event_id"),
+            F.expr(
+                "timestampadd(HOUR, cast(id * 2160.0 / 3000 as int), "
+                "timestamp'2024-01-01 00:00:00')"
+            ).alias("ts"),  # 90 days ~ 3 months, ids ascend with time
+            (F.col("id") % 97).alias("user_id"),
+            F.expr("element_at(array('click','view','buy'), "
+                   "cast(id % 3 as int) + 1)").alias("event_type"),
+            (F.col("id") * 1.5).alias("value"),
+            F.to_json(F.struct(F.col("id").alias("i"))).alias("props"),
+        )
+    )
+    ev.write.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    out = snapshot_skipping_e2e(spark, sf_dir)  # asserts pruning inside
+    ids = sorted(r.event_id for r in out.collect())
+    lo, hi = n * 4 // 10, n * 5 // 10 - 1
+    assert ids == list(range(lo, hi + 1))
