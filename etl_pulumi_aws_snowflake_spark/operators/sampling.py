@@ -100,6 +100,10 @@ def exact_quota_sample(
         .agg(
             F.count(F.lit(1)).alias("_n"),
             F.countDistinct(key_col).alias("_d"),
+            # NULL keys hash to NULL and would silently fall out of the
+            # gate while still counting toward _n — detected in this
+            # same pass (no extra scan) and rejected loudly below.
+            F.sum(F.col(key_col).isNull().cast("long")).alias("_nulls"),
         )
         .collect()
     )
@@ -118,6 +122,15 @@ def exact_quota_sample(
                 "contains NULL; the gate join is an equi-join and "
                 "would silently drop those rows — filter or fill "
                 "NULL strata first"
+            )
+        if r["_nulls"]:
+            raise ValueError(
+                f"exact_quota_sample: key column {key_col!r} is NULL "
+                f"for {r['_nulls']} row(s) of stratum "
+                f"{r[stratum_col]!r}; a NULL key has no hash order — "
+                "the selection rule is undefined for it, and the gate "
+                "would silently drop it while the quota still counts "
+                "it.  Filter or fill NULL keys first"
             )
         frac = target / r["_d"]
         t = _H_MAX if frac >= 1.0 else int(_H_MAX * frac) + 1

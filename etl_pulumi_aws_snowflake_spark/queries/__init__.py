@@ -33,47 +33,42 @@ from . import streaming_e2e  # noqa: E402,F401
 
 
 # The external correctness driver checks the FIRST 50 dict entries per
-# round (CORRECTNESS_r01-r05 each recorded exactly queries()[:50] in
-# order).  Round 6 executes VERDICT r05 #1's rotation verbatim, in
-# scripts/driver_staleness.py's stalest-first order: (a) the 6 entries
-# NEW this round (snapshot time travel, conflict detection — the r05
-# pass-local → driver conversions — the Z-order layout key, the
-# exact-quota stratified sampler, the corpus-LM quality score, and
-# span-level dedup), then (b) the 3 r05 additions that
-# landed after the r05 window was spent and were never driver-checked,
-# then (c) the 8 r01-stale + 11 r02-stale + 6 r03-stale entries, then
-# (d) the 3 snapshot-backed CDC entries whose commit path r06's
-# pointer-store seam touches, and (e) 13 of the 45 r04-stale entries
-# as fill (the remaining 32 lead the r07 window).
+# round (CORRECTNESS_r01-r06 each recorded exactly queries()[:50] in
+# order).  Round 7 executes VERDICT r06 #2's rotation: (a) all 32
+# r04-stale entries lead (the planned remainder of the r06 rotation,
+# staleness-report order — after this round no entry's latest evidence
+# is older than r05), then (b) the 9 entries whose CODE round 7
+# touched and which therefore need re-certification (the exact-quota
+# under-catch fix; the zorder raw-value clamp; the span-dedup id-side
+# range check; and every snapshot-manifest-backed entry, since commits
+# now stamp + enforce the float-stats NaN contract), then (c) 9
+# r05-stale entries as fill, staleness-report order.
 # tests/test_docs.py::test_never_driver_checked_entries_lead_the_window
-# now FAILS if a registry entry without any CORRECTNESS row sits
-# outside the first 50 — the r05 process miss cannot recur silently.
+# FAILS if a registry entry without any CORRECTNESS row sits outside
+# the first 50 — the r05 process miss cannot recur silently.
 _DRIVER_FIRST = [
-    # (a) new this round — first-ever driver evidence
-    "snapshot_time_travel_e2e", "snapshot_conflict_e2e",
-    "scalar_zorder_key", "sample_exact_quota", "text_lm_score",
-    "dedup_spans",
-    # (b) landed after the r05 window was spent; never driver-checked
-    "udf_table_function", "merge_schema_evolution", "snapshot_skipping_e2e",
-    # (c) stalest certifications: r01
-    "agg_conditional", "agg_median", "join_cross", "join_right_outer",
-    "join_semi", "scalar_array_explode", "scalar_json_typed",
-    "set_distinct_rows",
-    # (c) r02
-    "agg_approx_distinct", "corpus_quality_filter", "mm_binary_features",
-    "mm_frame_sample", "sample_hash_bernoulli", "sample_stratified_by_lang",
-    "scalar_map", "sql_api_q5", "text_langid", "text_quality",
-    "text_token_stats",
-    # (c) r03
-    "dedup_exact", "dedup_fingerprint_groups", "dedup_simhash",
-    "sim_cosine_topk", "udf_grouped_map", "udf_row_scalar",
-    # (d) r06 code-touched: snapshot pointer-store seam on the commit path
-    "cdc_merge_pruned_e2e", "cdc_merge_stream_e2e", "cdc_merge_compact_e2e",
-    # (e) r04-stale fill, staleness-report order
-    "agg_approx_quantile", "agg_salted_groupby", "corpus_split",
-    "decontaminate", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dq_audit", "join_salted", "merge_upsert_customers", "mm_resize",
-    "pack_sequences", "pipeline_batch_e2e", "pipeline_stream_e2e",
+    # (a) r04-stale, staleness-report order
+    "q11_important_parts", "q12_late_shipment_priority",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_count", "q19_disjunctive_revenue",
+    "q20_excess_shippers", "q21_waiting_suppliers",
+    "q22_global_sales_opportunity", "q2_min_cost_supplier",
+    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "scd2_user_state",
+    "sim_cosine_near_pairs", "sim_cosine_topk_blas", "sim_ivf_recall",
+    "sim_ivf_topk", "sql_api_q3", "sql_api_window",
+    "stream_interval_join_e2e", "text_fingerprint", "text_pii_redact",
+    "text_repetition", "udf_grouped_agg", "udf_pandas_scalar",
+    "win_session", "win_sliding", "win_tumbling",
+    # (b) round-7 code-touched: re-certify under the driver hash
+    "sample_exact_quota", "scalar_zorder_key", "dedup_spans",
+    "snapshot_skipping_e2e", "snapshot_time_travel_e2e",
+    "snapshot_conflict_e2e", "cdc_merge_pruned_e2e", "cdc_merge_stream_e2e",
+    "cdc_merge_compact_e2e",
+    # (c) r05-stale fill, staleness-report order
+    "agg_collect", "agg_cube", "agg_distinct", "agg_groupby_basic",
+    "agg_grouping_sets", "agg_rollup", "agg_stats", "align_by_name_ci",
+    "dedup_embedding_survivors",
 ]
 
 def _driver_order(d: dict) -> dict:

@@ -71,6 +71,17 @@ def test_rejects_null_stratum(spark):
         exact_quota_sample(df, "lang", "doc_id", 1)
 
 
+def test_rejects_null_key(spark):
+    """A NULL key hashes to NULL and would silently fall out of the
+    gate while still counting toward the stratum size — the quota
+    arithmetic is undefined for it, so the call must refuse."""
+    df = spark.createDataFrame(
+        [("en", None), ("en", 2), ("en", 3)], "lang string, doc_id int"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        exact_quota_sample(df, "lang", "doc_id", 2)
+
+
 def test_zero_caught_stratum_fails_loudly_not_empty(spark):
     """The round-6 bug: duplicate keys share one md5 value, so a
     3-duplicate stratum whose single hash sits above the gate caught
