@@ -77,3 +77,67 @@ def test_rejects_bad_span_width(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="span_words"):
         span_dedup(docs, "text", "doc_id", span_words=0)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SPROP = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+
+
+def _py_span_dedup(rows, k):
+    """Pure-Python reference of the documented rule: split on single
+    spaces dropping empties, tile into k-word spans, keep each span
+    text's first occurrence by (doc_id, pos), rebuild in order."""
+    spans = []  # (doc_id, pos, span_text)
+    per_doc = {}
+    for doc_id, text in rows:
+        words = [w for w in text.split(" ") if w]
+        doc_spans = [
+            " ".join(words[p * k:(p + 1) * k])
+            for p in range((len(words) + k - 1) // k)
+        ]
+        per_doc[doc_id] = doc_spans
+        spans.extend((doc_id, p, s) for p, s in enumerate(doc_spans))
+    first = {}
+    for doc_id, p, s in sorted(spans):
+        first.setdefault(s, (doc_id, p))
+    out = {}
+    for doc_id, doc_spans in per_doc.items():
+        kept = [
+            s for p, s in enumerate(doc_spans) if first[s] == (doc_id, p)
+        ]
+        out[doc_id] = (" ".join(kept), len(doc_spans), len(kept))
+    return out
+
+
+@_SPROP
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("a b c d e".split()), min_size=0, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=10,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_span_dedup_fuzz_matches_pure_python(spark, texts, k):
+    """Randomized semantics over a tiny alphabet (forcing heavy span
+    collisions, ragged tails, empty docs): the distributed
+    digest-groupBy/min-key plan must equal the rule computed naively in
+    Python — the same assurance class that caught the exact-quota bug."""
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_spans, r.n_kept)
+        for r in span_dedup(df, "text", "doc_id", span_words=k).collect()
+    }
+    assert got == _py_span_dedup(rows, k)
