@@ -43,10 +43,14 @@ from . import streaming_e2e  # noqa: E402,F401
 # range check; and every snapshot-manifest-backed entry, since commits
 # now stamp + enforce the float-stats NaN contract), then (c) 9
 # r05-stale entries as fill, staleness-report order.
+# A new r07 entry (the Hilbert layout key) takes the final slot in
+# place of one r05-stale fill, per the never-checked-entries-lead rule.
 # tests/test_docs.py::test_never_driver_checked_entries_lead_the_window
 # FAILS if a registry entry without any CORRECTNESS row sits outside
 # the first 50 — the r05 process miss cannot recur silently.
 _DRIVER_FIRST = [
+    # NEW this round — first-ever driver evidence
+    "scalar_hilbert_key",
     # (a) r04-stale, staleness-report order
     "q11_important_parts", "q12_late_shipment_priority",
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
@@ -68,7 +72,6 @@ _DRIVER_FIRST = [
     # (c) r05-stale fill, staleness-report order
     "agg_collect", "agg_cube", "agg_distinct", "agg_groupby_basic",
     "agg_grouping_sets", "agg_rollup", "agg_stats", "align_by_name_ci",
-    "dedup_embedding_survivors",
 ]
 
 def _driver_order(d: dict) -> dict:

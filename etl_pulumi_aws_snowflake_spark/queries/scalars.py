@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions import zorder
+from ..functions import hilbert, zorder
 from ._util import t
 from .registry import query
 
@@ -311,4 +311,36 @@ def scalar_zorder_key(spark, sf_dir):
     same template rendered to DuckDB SQL."""
     return t(spark, sf_dir, "events").select(
         "event_id", F.expr(_ZKEY.spark).alias("zkey")
+    )
+
+
+# Hilbert key from the same dual-dialect discipline and the same
+# quantization (zorder.bucket) — the continuous clustering curve for
+# layout maintenance (functions/hilbert.py; consecutive keys are
+# edge-adjacent cells, unlike the Z curve's diagonal jumps).
+_HKEY = hilbert.hilbert_key(
+    zorder.bucket("user_id", 0, 2000, 8),
+    zorder.bucket("day(ts)", 1, 31, 8),
+    bits=8,
+)
+
+
+@query(
+    "scalar_hilbert_key",
+    oracle=f"""
+    SELECT event_id, {_HKEY.duck} AS hkey
+    FROM events
+    """,
+)
+def scalar_hilbert_key(spark, sf_dir):
+    """Hilbert layout key over the same (user, day) dimensions as
+    ``scalar_zorder_key`` — the continuous space-filling curve
+    (consecutive keys are Manhattan-adjacent cells, pinned in
+    tests/test_hilbert.py), used where scan locality justifies the
+    heavier encode: ``snapshot_compact(cluster_by=[F.expr(key.spark)])``
+    maintenance passes.  The driver hash pins the unrolled
+    rotate-and-accumulate walk bit-for-bit against the same template
+    rendered to DuckDB SQL."""
+    return t(spark, sf_dir, "events").select(
+        "event_id", F.expr(_HKEY.spark).alias("hkey")
     )

@@ -1,0 +1,236 @@
+"""Hilbert keys (`functions/hilbert.py`): the unrolled
+rotate-and-accumulate walk must match a from-scratch Python ``xy2d``
+in BOTH dialects, the curve must be CONTINUOUS (the property Z-order
+lacks and the reason to pay for the heavier encode), and the key must
+compose with `zorder.bucket` quantization including its outlier
+clamp."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pulumi_aws_snowflake_spark.functions import zorder as Z
+from etl_pulumi_aws_snowflake_spark.functions.hashing import X
+from etl_pulumi_aws_snowflake_spark.functions.hilbert import hilbert_key
+
+
+def _ref_xy2d(m: int, x: int, y: int) -> int:
+    """Wikipedia's classic xy2d, verbatim."""
+    d, n, s = 0, 1 << m, (1 << m) >> 1
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def test_walk_matches_reference_in_both_dialects(spark):
+    m = 4
+    key = hilbert_key(X("x", "x"), X("y", "y"), bits=m)
+    pts = [(x, y) for x in range(1 << m) for y in range(1 << m)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    got_spark = {
+        (r.x, r.y): r.d
+        for r in df.select("x", "y", F.expr(key.spark).alias("d")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({x},{y})" for x, y in pts)
+        + ") v(x, y)"
+    )
+    got_duck = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(f"SELECT x, y, {key.duck} FROM t").fetchall()
+    }
+    for x, y in pts:
+        want = _ref_xy2d(m, x, y)
+        assert got_spark[(x, y)] == want, (x, y)
+        assert got_duck[(x, y)] == want, (x, y)
+
+
+def test_curve_is_continuous(spark):
+    """THE Hilbert property: sorting the full grid by the key walks
+    edge-adjacent cells (every consecutive pair at Manhattan distance
+    exactly 1) — a Z-order walk violates this at every quadrant
+    boundary (the diagonal jumps), which is precisely the locality a
+    clustered range scan buys by paying for this encode."""
+    m = 4
+    key = hilbert_key(X("x", "x"), X("y", "y"), bits=m)
+    df = spark.createDataFrame(
+        [(x, y) for x in range(1 << m) for y in range(1 << m)], "x int, y int"
+    )
+    walk = [
+        (r.x, r.y)
+        for r in df.select("x", "y", F.expr(key.spark).alias("d"))
+        .orderBy("d")
+        .collect()
+    ]
+    assert len(walk) == 1 << (2 * m)
+    for (x0, y0), (x1, y1) in zip(walk, walk[1:]):
+        assert abs(x0 - x1) + abs(y0 - y1) == 1, ((x0, y0), (x1, y1))
+    # contrast pinned: the Z walk of the same grid is NOT continuous
+    zkey = Z.zorder_key(
+        [Z.bucket("x", 0, (1 << m) - 1, m), Z.bucket("y", 0, (1 << m) - 1, m)],
+        bits=m,
+    )
+    zwalk = [
+        (r.x, r.y)
+        for r in df.select("x", "y", F.expr(zkey.spark).alias("z"))
+        .orderBy("z")
+        .collect()
+    ]
+    jumps = sum(
+        abs(x0 - x1) + abs(y0 - y1) != 1
+        for (x0, y0), (x1, y1) in zip(zwalk, zwalk[1:])
+    )
+    assert jumps > 0, "Z-order became continuous?! the contrast is void"
+
+
+def test_quadrant_locality(spark):
+    """Aligned quadrants are contiguous key ranges (shared with
+    Z-order — Hilbert keeps the box property AND adds continuity)."""
+    m = 2
+    key = hilbert_key(X("x", "x"), X("y", "y"), bits=m)
+    df = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "x int, y int"
+    )
+    walk = [
+        (r.x, r.y)
+        for r in df.select("x", "y", F.expr(key.spark).alias("d"))
+        .orderBy("d")
+        .collect()
+    ]
+    for qx in (0, 2):
+        for qy in (0, 2):
+            idx = [
+                i
+                for i, (x, y) in enumerate(walk)
+                if x in (qx, qx + 1) and y in (qy, qy + 1)
+            ]
+            assert idx == list(range(idx[0], idx[0] + 4)), (qx, qy)
+
+
+def test_composes_with_bucket_clamp(spark):
+    """Through zorder.bucket quantization, outliers clamp to edge cells
+    and the key equals the reference of the clamped cell — the same
+    contract the Z path guarantees, so the two curves are drop-in
+    interchangeable in snapshot_compact(cluster_by=...)."""
+    m = 4
+    key = hilbert_key(
+        Z.bucket("x", 0, 15, m), Z.bucket("y", 0, 15, m), bits=m
+    )
+    pts = [(-5, 3), (99, 0), (7, 200), (-(1 << 62), (1 << 62) - 7)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.x, r.y): r.d
+        for r in df.select("x", "y", F.expr(key.spark).alias("d")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({x}::BIGINT,{y}::BIGINT)" for x, y in pts)
+        + ") v(x, y)"
+    )
+    duckd = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(f"SELECT x, y, {key.duck} FROM t").fetchall()
+    }
+    for x, y in pts:
+        want = _ref_xy2d(m, min(max(x, 0), 15), min(max(y, 0), 15))
+        assert got[(x, y)] == want, (x, y)
+        assert duckd[(x, y)] == want, (x, y)
+
+
+def test_input_validation():
+    with pytest.raises(ValueError, match="bits"):
+        hilbert_key(X("x", "x"), X("y", "y"), bits=0)
+    with pytest.raises(ValueError, match="bits"):
+        hilbert_key(X("x", "x"), X("y", "y"), bits=32)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_HPROP = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+
+
+@_HPROP
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=24,
+    ),
+    bits=st.integers(min_value=1, max_value=8),
+)
+def test_hilbert_fuzz_both_dialects_match_reference(spark, pts, bits):
+    """Random points at random grid sizes: both dialects must equal the
+    Python reference on the masked (low ``bits``) coordinates."""
+    mask = (1 << bits) - 1
+    key = hilbert_key(X("x", "x"), X("y", "y"), bits=bits)
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = [
+        (r.x, r.y, r.d)
+        for r in df.select("x", "y", F.expr(key.spark).alias("d")).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({x},{y})" for x, y in pts)
+        + ") v(x, y)"
+    )
+    duckd = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(f"SELECT x, y, {key.duck} FROM t").fetchall()
+    }
+    for x, y, d in got:
+        want = _ref_xy2d(bits, x & mask, y & mask)
+        assert d == want, (x, y, bits)
+        assert duckd[(x, y)] == want, (x, y, bits)
+
+
+def test_pandas_form_equals_expression_form(spark):
+    """The numpy-vectorized scale path must equal the dual-dialect
+    expression row-for-row on the full grid AND on negative/oversized
+    inputs (both mask to the low bits)."""
+    from etl_pulumi_aws_snowflake_spark.functions.hilbert import (
+        hilbert_key_pandas,
+    )
+
+    m = 5
+    pts = [(x, y) for x in range(1 << m) for y in range(1 << m)]
+    pts += [(-3, 7), (1 << 40, 2), (5, -(1 << 33))]
+    df = spark.createDataFrame(pts, "x long, y long")
+    key = hilbert_key(X("x", "x"), X("y", "y"), bits=m)
+    both = df.select(
+        "x",
+        "y",
+        F.expr(key.spark).alias("d_expr"),
+        hilbert_key_pandas("x", "y", bits=m).alias("d_np"),
+    ).collect()
+    for r in both:
+        assert r.d_expr == r.d_np, (r.x, r.y)
+
+
+def test_pandas_form_validates_bits():
+    from etl_pulumi_aws_snowflake_spark.functions.hilbert import (
+        hilbert_key_pandas,
+    )
+
+    with pytest.raises(ValueError, match="bits"):
+        hilbert_key_pandas("x", "y", bits=0)
