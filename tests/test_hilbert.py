@@ -234,3 +234,58 @@ def test_pandas_form_validates_bits():
 
     with pytest.raises(ValueError, match="bits"):
         hilbert_key_pandas("x", "y", bits=0)
+
+
+def test_compaction_clusters_by_hilbert_key(spark, tmp_path):
+    """Drop-in interchangeability with the Z path: a compaction pass
+    re-lays fragmented partitions along the Hilbert curve — content
+    unchanged, every rewritten file monotone in the key."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from etl_pulumi_aws_snowflake_spark.operators.warehouse import (
+        merge_upsert_pruned,
+    )
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_commit_partitioned,
+        snapshot_compact,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "snap")
+    df = spark.createDataFrame(
+        [(i, i % 3, (i * 7) % 64, (i * 13) % 64) for i in range(300)],
+        "k bigint, p bigint, x bigint, y bigint",
+    )
+    snapshot_commit_partitioned(df, root, "p")
+    for key_p in ((0, 0), (1, 1)):
+        batch = spark.createDataFrame(
+            [(key_p[0], key_p[1], 1, 1, False)],
+            "k bigint, p bigint, x bigint, y bigint, is_delete boolean",
+        )
+        merge_upsert_pruned(
+            spark, root, batch, ["k"], "p", delete_col="is_delete"
+        )
+    before = {tuple(r) for r in snapshot_read(spark, root).collect()}
+
+    key = hilbert_key(Z.bucket("x", 0, 63, 6), Z.bucket("y", 0, 63, 6), bits=6)
+    v = snapshot_compact(spark, root, cluster_by=[F.expr(key.spark)])
+    assert v is not None
+    assert {tuple(r) for r in snapshot_read(spark, root).collect()} == before
+
+    man = json.load(open(os.path.join(root, v, "_MANIFEST.json")))
+    rewritten = [p for p, ver in man["entries"].items() if ver == v]
+    assert rewritten
+    for p in rewritten:
+        d = os.path.join(root, v, "data", f"_p={p}")
+        files = [fn for fn in os.listdir(d) if fn.endswith(".parquet")]
+        assert len(files) == 1
+        tbl = pq.read_table(os.path.join(d, files[0]), columns=["x", "y"])
+        hs = [
+            _ref_xy2d(6, x, y)
+            for x, y in zip(tbl["x"].to_pylist(), tbl["y"].to_pylist())
+        ]
+        assert hs == sorted(hs)
+        assert len(hs) >= 50
