@@ -275,3 +275,129 @@ def test_skipping_e2e_entry_survives_multi_month_fixture(spark, tmp_path):
     ids = sorted(r.event_id for r in out.collect())
     lo, hi = n * 4 // 10, n * 5 // 10 - 1
     assert ids == list(range(lo, hi + 1))
+
+
+# --- model-based skipping property -----------------------------------
+import math
+import shutil
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SKPROP = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+
+_NAN = float("nan")
+
+
+@st.composite
+def _skip_history(draw):
+    """Random snapshot history over 3 partitions with a float column
+    that may carry NaN, followed by random skip_by probes.  Steps:
+    full commit, then 0-3 of {pruned rewrite, compact}."""
+    parts = [0, 1, 2]
+
+    def rows(changed, base):
+        out = []
+        for p in changed:
+            for j in range(draw(st.integers(1, 3))):
+                x = draw(
+                    st.one_of(
+                        st.just(_NAN),
+                        st.integers(-50, 50).map(float),
+                    )
+                )
+                out.append((base + p * 100 + j, p, x))
+        return out
+
+    steps = [("full", rows(parts, 0))]
+    for i in range(draw(st.integers(0, 3))):
+        kind = draw(st.sampled_from(["merge", "compact"]))
+        if kind == "merge":
+            changed = draw(
+                st.lists(
+                    st.sampled_from(parts), min_size=1, max_size=2, unique=True
+                )
+            )
+            steps.append(("merge", rows(changed, (i + 1) * 1000)))
+        else:
+            steps.append(("compact", None))
+    probes = draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["k", "x"]),
+                st.integers(-60, 1200),
+                st.one_of(st.none(), st.integers(-60, 4000)),
+            ),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    return steps, probes
+
+
+@_SKPROP
+@given(_skip_history())
+def test_skip_by_equals_full_scan_under_random_histories(spark, hist):
+    """THE skipping invariant, model-based: for ANY commit/merge/compact
+    history (NaN-bearing floats included, exercising the stats-contract
+    machinery end-to-end) and ANY bounds probe, skip-read + real filter
+    must equal full-read + real filter row-for-row.  Skipping changes
+    cost, never results."""
+    from pyspark.sql import functions as F
+
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_commit_partitioned,
+        snapshot_compact,
+        snapshot_read,
+    )
+
+    steps, probes = hist
+    root = tempfile.mkdtemp(prefix="skipmodel")
+    try:
+        sroot = os.path.join(root, "snap")
+        for kind, data in steps:
+            if kind == "full":
+                df = spark.createDataFrame(
+                    data, "k bigint, p bigint, x double"
+                )
+                snapshot_commit_partitioned(df, sroot, "p")
+            elif kind == "merge":
+                df = spark.createDataFrame(
+                    data, "k bigint, p bigint, x double"
+                )
+                # pruned rewrite: the touched partitions are REPLACED
+                changed = sorted({r[1] for r in data})
+                snapshot_commit_partitioned(
+                    df, sroot, "p", changed_values=changed
+                )
+            else:
+                snapshot_compact(spark, sroot, max_versions_referenced=1)
+
+        full = snapshot_read(spark, sroot)
+        for col, lo, hi in probes:
+            pred = F.col(col) >= lo
+            if hi is not None:
+                pred = pred & (F.col(col) <= hi)
+            want = sorted(
+                (r.k, r.p, "nan" if isinstance(r.x, float) and math.isnan(r.x) else r.x)
+                for r in full.filter(pred).collect()
+            )
+            got = sorted(
+                (r.k, r.p, "nan" if isinstance(r.x, float) and math.isnan(r.x) else r.x)
+                for r in snapshot_read(
+                    spark, sroot, skip_by={col: (lo, hi)}
+                )
+                .filter(pred)
+                .collect()
+            )
+            assert got == want, (col, lo, hi)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
