@@ -401,3 +401,71 @@ def test_skip_by_equals_full_scan_under_random_histories(spark, hist):
             assert got == want, (col, lo, hi)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@_SKPROP
+@given(_skip_history())
+def test_time_travel_reproduces_every_readable_version(spark, hist):
+    """Model-based time travel: for ANY history, track each published
+    version's expected content (partition -> rows, replaced on pruned
+    rewrite, untouched by compaction); afterwards every version the
+    horizon lists must read back EXACTLY its recorded content, the
+    horizon must list only recorded versions (GC shrinks it, never
+    corrupts it), and the live table equals the last recording."""
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_commit_partitioned,
+        snapshot_compact,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    steps, _ = hist
+    root = tempfile.mkdtemp(prefix="ttmodel")
+
+    def canon(x):
+        return "nan" if isinstance(x, float) and math.isnan(x) else x
+
+    try:
+        sroot = os.path.join(root, "snap")
+        state: dict[int, list] = {}
+        recorded: dict[str, set] = {}
+        for kind, data in steps:
+            if kind == "full":
+                df = spark.createDataFrame(data, "k bigint, p bigint, x double")
+                v = snapshot_commit_partitioned(df, sroot, "p")
+                state = {}
+                for r in data:
+                    state.setdefault(r[1], []).append(r)
+            elif kind == "merge":
+                df = spark.createDataFrame(data, "k bigint, p bigint, x double")
+                changed = sorted({r[1] for r in data})
+                v = snapshot_commit_partitioned(
+                    df, sroot, "p", changed_values=changed
+                )
+                for p in changed:
+                    state[p] = [r for r in data if r[1] == p]
+            else:
+                v = snapshot_compact(spark, sroot, max_versions_referenced=1)
+                if v is None:
+                    continue
+            recorded[v] = {
+                (k, p, canon(x)) for rows in state.values() for k, p, x in rows
+            }
+
+        horizon = snapshot_versions(sroot)
+        assert set(horizon) <= set(recorded), (horizon, sorted(recorded))
+        last = max(recorded, key=lambda d: int(d.rsplit("-", 1)[1]))
+        assert horizon and horizon[-1] == last
+        for v in horizon:
+            got = {
+                (r.k, r.p, canon(r.x))
+                for r in snapshot_read(spark, sroot, version=v).collect()
+            }
+            assert got == recorded[v], v
+        live = {
+            (r.k, r.p, canon(r.x))
+            for r in snapshot_read(spark, sroot).collect()
+        }
+        assert live == recorded[last]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
