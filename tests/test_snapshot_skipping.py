@@ -347,10 +347,13 @@ def _skip_history(draw):
 @given(_skip_history())
 def test_skip_by_equals_full_scan_under_random_histories(spark, hist):
     """THE skipping invariant, model-based: for ANY commit/merge/compact
-    history (NaN-bearing floats included, exercising the stats-contract
-    machinery end-to-end) and ANY bounds probe, skip-read + real filter
-    must equal full-read + real filter row-for-row.  Skipping changes
-    cost, never results."""
+    history and ANY bounds probe, skip-read + real filter must equal
+    full-read + real filter row-for-row.  Complements
+    test_properties.py's single-commit zone-map case and int-valued
+    history model with what neither covers: NaN-bearing FLOAT stats
+    flowing through pruned-merge carry-forward, contract stripping,
+    and compaction refresh before the probe.  Skipping changes cost,
+    never results."""
     from pyspark.sql import functions as F
 
     from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
@@ -411,7 +414,10 @@ def test_time_travel_reproduces_every_readable_version(spark, hist):
     rewrite, untouched by compaction); afterwards every version the
     horizon lists must read back EXACTLY its recorded content, the
     horizon must list only recorded versions (GC shrinks it, never
-    corrupts it), and the live table equals the last recording."""
+    corrupts it), and the live table equals the last recording.
+    Complements test_properties.py's history model (one int per
+    partition) with MULTI-ROW partitions and a NaN-bearing float
+    column riding through every version."""
     from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
         snapshot_commit_partitioned,
         snapshot_compact,
