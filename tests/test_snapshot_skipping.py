@@ -13,7 +13,7 @@ from __future__ import annotations
 import json
 import os
 
-from tests.test_snapshot_maintenance import _manifest, _merge
+from tests.test_snapshot_maintenance import _manifest
 from tests.test_streaming import _seed_partitioned
 
 
