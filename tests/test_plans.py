@@ -112,6 +112,19 @@ def test_zorder_key_is_pure_codegen_projection(spark):
     assert "EvalPython" not in plan  # Batch/ArrowEvalPython = a UDF crept in
 
 
+def test_hilbert_key_is_a_narrow_jvm_projection(spark):
+    """The Hilbert key is heavier than the Z key (nested interpreted
+    `transform` bindings, measured in SCALE.md) but must remain a
+    NARROW projection: zero exchanges, zero Python evaluation — the
+    expression form's whole claim is that only the per-row evaluator
+    differs from the Z path, never the plan shape.  (The numpy scale
+    path, hilbert_key_pandas, IS an ArrowEvalPython node by design and
+    is not a driver entry.)"""
+    plan = _plan(spark, "scalar_hilbert_key")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_exact_quota_window_runs_over_pinned_survivors_only(spark):
     """exact_quota_sample's returned plan must window over the
     CHECKPOINTED survivor set (Scan ExistingRDD), with exactly one
