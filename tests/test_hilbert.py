@@ -289,3 +289,62 @@ def test_compaction_clusters_by_hilbert_key(spark, tmp_path):
         ]
         assert hs == sorted(hs)
         assert len(hs) >= 50
+
+
+def test_pandas_form_composes_with_cluster_by(spark, tmp_path):
+    """The stated scale path: snapshot_compact(cluster_by=[the numpy
+    pandas-UDF Column]) must produce the same monotone layout as the
+    expression form — the Arrow evaluation happens inside the rewrite
+    task's sort, no plan surgery needed."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from etl_pulumi_aws_snowflake_spark.functions.hilbert import (
+        hilbert_key_pandas,
+    )
+    from etl_pulumi_aws_snowflake_spark.operators.warehouse import (
+        merge_upsert_pruned,
+    )
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_commit_partitioned,
+        snapshot_compact,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "snap")
+    df = spark.createDataFrame(
+        [(i, i % 2, (i * 7) % 64, (i * 13) % 64) for i in range(200)],
+        "k bigint, p bigint, x bigint, y bigint",
+    )
+    snapshot_commit_partitioned(df, root, "p")
+    batch = spark.createDataFrame(
+        [(0, 0, 1, 1, False)],
+        "k bigint, p bigint, x bigint, y bigint, is_delete boolean",
+    )
+    merge_upsert_pruned(spark, root, batch, ["k"], "p", delete_col="is_delete")
+    before = {tuple(r) for r in snapshot_read(spark, root).collect()}
+
+    v = snapshot_compact(
+        spark,
+        root,
+        cluster_by=[hilbert_key_pandas("x", "y", bits=6)],
+        max_versions_referenced=1,
+    )
+    assert v is not None
+    assert {tuple(r) for r in snapshot_read(spark, root).collect()} == before
+
+    man = json.load(open(os.path.join(root, v, "_MANIFEST.json")))
+    rewritten = [p for p, ver in man["entries"].items() if ver == v]
+    assert rewritten
+    for p in rewritten:
+        d = os.path.join(root, v, "data", f"_p={p}")
+        files = [fn for fn in os.listdir(d) if fn.endswith(".parquet")]
+        assert len(files) == 1
+        tbl = pq.read_table(os.path.join(d, files[0]), columns=["x", "y"])
+        hs = [
+            _ref_xy2d(6, x, y)
+            for x, y in zip(tbl["x"].to_pylist(), tbl["y"].to_pylist())
+        ]
+        assert hs == sorted(hs)
