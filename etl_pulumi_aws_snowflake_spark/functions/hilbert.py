@@ -106,8 +106,12 @@ def hilbert_key_pandas(x_col: str, y_col: str, bits: int = 8):
     hot path: a pandas UDF Column computing the identical walk with
     numpy bit ops over whole batches (no per-row interpreted lambda
     evaluation).  Inputs are integer columns; values are masked to the
-    low ``bits`` exactly like the expression form, so the two are
-    interchangeable (equality fuzzed in tests/test_hilbert.py).  Not
+    low ``bits`` exactly like the expression form, and NULL in either
+    input yields NULL out exactly like the expression form (whose
+    integer arithmetic propagates NULL) — so the two are
+    interchangeable INCLUDING on NULL-dimension rows, and a compaction
+    switching forms cannot reorder them (equality fuzzed, with NULLs,
+    in tests/test_hilbert.py).  Not
     oracle-expressible by construction (Python body) — the driver entry
     stays on the expression form; this exists for throughput."""
     if not 1 <= bits <= MAX_BITS:
@@ -122,6 +126,9 @@ def hilbert_key_pandas(x_col: str, y_col: str, bits: int = 8):
 
         n = 1 << bits
         mask = n - 1
+        # NULL propagates like the expression form's integer
+        # arithmetic: compute on 0-filled values, re-insert NA after.
+        na = xs.isna().to_numpy() | ys.isna().to_numpy()
         x = xs.to_numpy(dtype=np.int64, na_value=0) & mask
         y = ys.to_numpy(dtype=np.int64, na_value=0) & mask
         d = np.zeros_like(x)
@@ -137,7 +144,11 @@ def hilbert_key_pandas(x_col: str, y_col: str, bits: int = 8):
             x = np.where(swap, yf, xf)
             y = np.where(swap, xf, yf)
             s >>= 1
-        return pd.Series(d)
+        if not na.any():
+            return pd.Series(d)
+        out = pd.Series(d, dtype="Int64")
+        out[na] = pd.NA
+        return out
 
     return _encode(F.col(x_col).cast("bigint"), F.col(y_col).cast("bigint"))
 

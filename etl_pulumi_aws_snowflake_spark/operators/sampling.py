@@ -80,7 +80,20 @@ def exact_quota_sample(
     """Exactly ``min(k, |stratum|)`` rows per stratum — the rows with
     the ``k`` smallest ``(hash60(key), key)`` pairs, so the sample is a
     pure function of the keys (stable across engines, reruns, and
-    repartitions; ties impossible since ``key`` breaks them).
+    repartitions).  Unique keys never tie (``key`` breaks the hash).
+    DUPLICATE keys tie completely on ``(hash60, key)``, so the window
+    adds a final tiebreaker — ``xxhash64`` over every (hashable)
+    column of the row — making the boundary pick a pure function of
+    row CONTENT too: across repartitions the same rows win, up to
+    (a) fully identical duplicate rows, which are interchangeable (the
+    value-level result is the same multiset either way), and (b) a
+    64-bit tiebreaker collision between distinct same-key rows exactly
+    at the quota boundary (~2^-64 per boundary pair).  The selected
+    KEY multiset is exactly deterministic regardless — ties only ever
+    form between rows sharing a key.  Map-typed columns are excluded
+    from the tiebreaker (Spark's hash functions reject MapType);
+    same-key rows differing only in a map column fall back to an
+    arbitrary-but-value-hashable boundary pick.
 
     Raises ``ValueError`` if any stratum's oversampled gate caught
     fewer rows than its quota (< ~4e-8 per stratum at any ``k`` with
@@ -176,10 +189,29 @@ def exact_quota_sample(
             f"oversample factor {oversample} left a stratum short — "
             "raise it (a rerun cannot differ: the hash is deterministic)"
         )
-    w = Window.partitionBy(stratum_col).orderBy("_h", key_col)
+    # Content tiebreaker for duplicate keys (docstring): computed on
+    # survivors only (~target rows per stratum), so the full-row hash
+    # never touches the unsampled bulk.
+    tb_cols = [
+        f.name for f in df.schema.fields if not _contains_map(f.dataType)
+    ]
+    w = Window.partitionBy(stratum_col).orderBy("_h", key_col, "_tb")
     return (
-        survivors.withColumn("_rn", F.row_number().over(w))
+        survivors.withColumn("_tb", F.xxhash64(*tb_cols))
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= F.col("_quota"))
-        .drop("_h", "_t", "_quota", "_rn")
+        .drop("_h", "_t", "_quota", "_rn", "_tb")
         .select(*df.columns)
     )
+
+
+def _contains_map(dtype) -> bool:
+    """True if ``dtype`` nests a MapType anywhere — Spark's hash
+    expressions (xxhash64 included) reject maps at analysis time."""
+    if isinstance(dtype, T.MapType):
+        return True
+    if isinstance(dtype, T.ArrayType):
+        return _contains_map(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return any(_contains_map(f.dataType) for f in dtype.fields)
+    return False

@@ -149,3 +149,32 @@ def test_exact_quota_fuzz_matches_pure_python_selection(spark, rows, k):
         docs.sort(key=lambda d: (_py_hash60(d), d))
         want.extend((lang, d) for d in docs[:k])
     assert got == sorted(want)
+
+
+def test_duplicate_key_boundary_pick_is_content_deterministic(spark):
+    """ADVICE r07: rows sharing a key tie completely on (hash, key);
+    the full-row xxhash64 tiebreaker must make the boundary pick a
+    pure function of row CONTENT — identical selected (key, payload)
+    multisets across physically different layouts."""
+    rows = [
+        ("en", kid, f"payload-{kid}-{j}")
+        for kid in range(4)
+        for j in range(5)  # 5 distinct-payload rows per duplicate key
+    ]
+    df = spark.createDataFrame(rows, "lang string, kid int, payload string")
+    picks = []
+    for layout in (
+        df.repartition(1),
+        df.repartition(7, "payload"),
+        df.orderBy(F.desc("payload")).coalesce(2),
+    ):
+        got = exact_quota_sample(layout, "lang", "kid", 7)
+        picks.append(sorted((r.kid, r.payload) for r in got.collect()))
+    assert picks[0] == picks[1] == picks[2]
+    assert len(picks[0]) == 7
+    # key multiset is the first 7 in (hash, key) order with multiplicity
+    order = sorted(range(4), key=lambda kid: (_py_hash60(kid), kid))
+    want_keys = []
+    for kid in order:
+        want_keys.extend([kid] * 5)
+    assert sorted(k for k, _ in picks[0]) == sorted(want_keys[:7])

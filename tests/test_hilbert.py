@@ -215,6 +215,10 @@ def test_pandas_form_equals_expression_form(spark):
     m = 5
     pts = [(x, y) for x in range(1 << m) for y in range(1 << m)]
     pts += [(-3, 7), (1 << 40, 2), (5, -(1 << 33))]
+    # NULL in either dimension: the expression form's arithmetic
+    # propagates NULL; the pandas form must match (ADVICE r07 — a
+    # compaction switching forms must not reorder NULL-dimension rows).
+    pts += [(None, 4), (9, None), (None, None)]
     df = spark.createDataFrame(pts, "x long, y long")
     key = hilbert_key(X("x", "x"), X("y", "y"), bits=m)
     both = df.select(
