@@ -33,45 +33,42 @@ from . import streaming_e2e  # noqa: E402,F401
 
 
 # The external correctness driver checks the FIRST 50 dict entries per
-# round (CORRECTNESS_r01-r06 each recorded exactly queries()[:50] in
-# order).  Round 7 executes VERDICT r06 #2's rotation: (a) all 32
-# r04-stale entries lead (the planned remainder of the r06 rotation,
+# round (CORRECTNESS_r01-r07 each recorded exactly queries()[:50] in
+# order).  Round 8 executes VERDICT r07 #2's rotation: (a) the two NEW
+# entries lead (never-checked-entries-lead rule — the adversarial
+# duplicate-key exact-quota fixture and the loud-failure contract,
+# VERDICT r07 #3/#4), then (b) ALL 39 r05-stale entries,
 # staleness-report order — after this round no entry's latest evidence
-# is older than r05), then (b) the 9 entries whose CODE round 7
-# touched and which therefore need re-certification (the exact-quota
-# under-catch fix; the zorder raw-value clamp; the span-dedup id-side
-# range check; and every snapshot-manifest-backed entry, since commits
-# now stamp + enforce the float-stats NaN contract), then (c) 9
-# r05-stale entries as fill, staleness-report order.
-# A new r07 entry (the Hilbert layout key) takes the final slot in
-# place of one r05-stale fill, per the never-checked-entries-lead rule.
+# is older than r06 — then (c) the 3 entries whose CODE round 8
+# touched (the duplicate-key content tiebreaker in exact_quota_sample;
+# the pandas-Hilbert NULL-propagation fix, re-certifying both the
+# Hilbert key entry and the cluster_by-composing compaction e2e), then
+# (d) 6 r06-stale entries as fill, staleness-report order.
 # tests/test_docs.py::test_never_driver_checked_entries_lead_the_window
 # FAILS if a registry entry without any CORRECTNESS row sits outside
 # the first 50 — the r05 process miss cannot recur silently.
 _DRIVER_FIRST = [
-    # NEW this round — first-ever driver evidence
-    "scalar_hilbert_key",
-    # (a) r04-stale, staleness-report order
-    "q11_important_parts", "q12_late_shipment_priority",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_part_count", "q19_disjunctive_revenue",
-    "q20_excess_shippers", "q21_waiting_suppliers",
-    "q22_global_sales_opportunity", "q2_min_cost_supplier",
-    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "scd2_user_state",
-    "sim_cosine_near_pairs", "sim_cosine_topk_blas", "sim_ivf_recall",
-    "sim_ivf_topk", "sql_api_q3", "sql_api_window",
-    "stream_interval_join_e2e", "text_fingerprint", "text_pii_redact",
-    "text_repetition", "udf_grouped_agg", "udf_pandas_scalar",
-    "win_session", "win_sliding", "win_tumbling",
-    # (b) round-7 code-touched: re-certify under the driver hash
-    "sample_exact_quota", "scalar_zorder_key", "dedup_spans",
-    "snapshot_skipping_e2e", "snapshot_time_travel_e2e",
-    "snapshot_conflict_e2e", "cdc_merge_pruned_e2e", "cdc_merge_stream_e2e",
-    "cdc_merge_compact_e2e",
-    # (c) r05-stale fill, staleness-report order
-    "agg_collect", "agg_cube", "agg_distinct", "agg_groupby_basic",
-    "agg_grouping_sets", "agg_rollup", "agg_stats", "align_by_name_ci",
+    # (a) NEW this round — first-ever driver evidence
+    "sample_exact_quota_dupkeys", "sample_exact_quota_fail_loud",
+    # (b) r05-stale, staleness-report order
+    "dedup_embedding_survivors", "dedup_embedding_survivors_multi",
+    "dedup_survivors", "join_anti", "join_asof", "join_broadcast",
+    "join_full_outer", "join_inner", "join_left_outer", "join_range",
+    "join_theta", "pivot_status_by_priority", "q10_returned_items",
+    "q17_small_qty_revenue", "q18_large_volume_customer",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "scalar_array", "scalar_conditional",
+    "scalar_datetime", "scalar_json", "scalar_math", "scalar_string",
+    "set_except", "set_intersect", "set_union_all", "set_union_by_name",
+    "sort_limit_topn", "sort_multi_key", "stream_arbitrary_state_e2e",
+    "stream_late_data_discard_e2e", "stream_replay_idempotence_e2e",
+    "stream_stateful_dedup_e2e", "win_lag_lead", "win_range_frame",
+    "win_rank_dense", "win_running_sum", "win_topk_per_group",
+    # (c) round-8 code-touched: re-certify under the driver hash
+    "sample_exact_quota", "scalar_hilbert_key", "cdc_merge_compact_e2e",
+    # (d) r06-stale fill, staleness-report order
+    "agg_approx_distinct", "agg_approx_quantile", "agg_conditional",
+    "agg_median", "agg_salted_groupby", "corpus_quality_filter",
 ]
 
 def _driver_order(d: dict) -> dict:

@@ -151,3 +151,152 @@ def sample_exact_quota(spark, sf_dir):
     return exact_quota_sample(
         t(spark, sf_dir, "documents"), "lang", "doc_id", 75
     ).select("doc_id", "lang")
+
+
+@query(
+    "sample_exact_quota_dupkeys",
+    oracle="""
+    WITH base AS (
+        SELECT CASE WHEN doc_id < 3 THEN 'tiny'
+                    WHEN doc_id < 33 THEN 'dup'
+                    ELSE lang END AS stratum,
+               CASE WHEN doc_id >= 3 AND doc_id < 33 THEN 'dupkey-5'
+                    ELSE CAST(doc_id % 97 AS VARCHAR) END AS skey
+        FROM documents
+    )
+    SELECT stratum, skey FROM (
+        SELECT stratum, skey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY stratum
+                   ORDER BY CAST(('0x' || substring(md5(skey), 1, 15))
+                                 AS BIGINT), skey
+               ) AS rn
+        FROM base
+    ) WHERE rn <= 5
+    """,
+)
+def sample_exact_quota_dupkeys(spark, sf_dir):
+    """Exact-quota sampling under the ADVERSARIAL fixture shape that
+    hid the round-6 under-catch bug from the driver for two rounds
+    (VERDICT r07 #3): duplicate keys AND a stratum whose single shared
+    key hashes into the top of the range.
+
+    The derived fixture (pure function of ``documents``, both
+    dialects): stratum 'tiny' = doc_id 0-2 (3 rows < quota 5 — the
+    take-whole-stratum path); stratum 'dup' = doc_id 3-32, ALL 30 rows
+    sharing the literal key 'dupkey-5', chosen because
+    hash60('dupkey-5')/2^60 = 0.993 — on the r06 code (gate fraction
+    from the ROW count, no small-k floor: t = 2k/30 = 0.33 of the
+    range) the gate catches ZERO of these rows, the survivor-side
+    check never sees the stratum, and the result silently misses all 5
+    quota rows: a driver hash MISMATCH.  On the fixed code
+    (``countDistinct`` gate: d=1 so frac >= 1) the whole stratum
+    survives and the quota-side left-join check proves it.  The lang
+    strata keep ~2 rows per key (doc_id % 97) so the distinct-vs-row
+    gate distinction stays live; every stratum's catch is
+    deterministic (fixed md5 values — verified >= quota at sf0.001 and
+    sf0.01).  Output is (stratum, skey) WITH multiplicity: the
+    selected key multiset is exactly deterministic under duplicate
+    keys (ties only form between rows sharing a key), so the oracle's
+    arbitrary ROW_NUMBER tie pick hashes identically."""
+    from ..operators.sampling import exact_quota_sample
+
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.when(F.col("doc_id") < 3, F.lit("tiny"))
+        .when(F.col("doc_id") < 33, F.lit("dup"))
+        .otherwise(F.col("lang"))
+        .alias("stratum"),
+        F.when(
+            (F.col("doc_id") >= 3) & (F.col("doc_id") < 33),
+            F.lit("dupkey-5"),
+        )
+        .otherwise((F.col("doc_id") % 97).cast("string"))
+        .alias("skey"),
+    )
+    return exact_quota_sample(base, "stratum", "skey", 5)
+
+
+@query(
+    "sample_exact_quota_fail_loud",
+    oracle="""
+    SELECT 'under_catch' AS contract, true AS raised
+    UNION ALL SELECT 'null_stratum', true
+    UNION ALL SELECT 'null_key', true
+    UNION ALL SELECT 'bad_quota', true
+    """,
+)
+def sample_exact_quota_fail_loud(spark, sf_dir):
+    """The exact-quota LOUD-FAILURE contract, driver-visible (VERDICT
+    r07 #4: the ValueError paths were pytest-only).  Each row asserts
+    one failure mode actually raised with its documented message: an
+    explicit sub-1 oversample under-gates every stratum (deterministic
+    here: oversample=1e-6 puts the threshold below every fixed md5
+    value in the fixture); a NULL stratum value is rejected before the
+    equi-join would silently drop it; a NULL key is rejected before
+    the gate would silently drop it while the quota counts it; k < 1
+    is rejected.  A row hashes green ONLY if the matching ValueError
+    fired — on a regression that stops raising (or raises the wrong
+    error) the value flips to false and the driver row goes red."""
+    from ..operators.sampling import exact_quota_sample
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+
+    def _raises(needle, fn):
+        try:
+            fn()
+        except ValueError as e:
+            return needle in str(e)
+        except Exception:
+            return False
+        return False
+
+    outcomes = [
+        (
+            "under_catch",
+            _raises(
+                "under-caught",
+                lambda: exact_quota_sample(
+                    docs, "lang", "doc_id", 5, oversample=1e-6
+                ),
+            ),
+        ),
+        (
+            "null_stratum",
+            _raises(
+                "contains NULL",
+                lambda: exact_quota_sample(
+                    docs.withColumn(
+                        "lang",
+                        F.when(F.col("doc_id") != 0, F.col("lang")),
+                    ),
+                    "lang",
+                    "doc_id",
+                    5,
+                ),
+            ),
+        ),
+        (
+            "null_key",
+            _raises(
+                "is NULL",
+                lambda: exact_quota_sample(
+                    docs.withColumn(
+                        "doc_id",
+                        F.when(F.col("doc_id") != 0, F.col("doc_id")),
+                    ),
+                    "lang",
+                    "doc_id",
+                    5,
+                ),
+            ),
+        ),
+        (
+            "bad_quota",
+            _raises(
+                "quota k must be",
+                lambda: exact_quota_sample(docs, "lang", "doc_id", 0),
+            ),
+        ),
+    ]
+    return spark.createDataFrame(outcomes, "contract string, raised boolean")

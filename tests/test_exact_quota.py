@@ -178,3 +178,22 @@ def test_duplicate_key_boundary_pick_is_content_deterministic(spark):
     for kid in order:
         want_keys.extend([kid] * 5)
     assert sorted(k for k, _ in picks[0]) == sorted(want_keys[:7])
+
+
+def test_dupkeys_driver_fixture_stays_adversarial(spark, sf_smoke):
+    """The sample_exact_quota_dupkeys driver entry is only a regression
+    proof while its fixture keeps the r06-killing shape: the shared
+    'dup' key must hash into the top of the range (so a rows-based
+    gate fraction of 2k/30 catches ZERO of it), the dup stratum must
+    be 30 rows of ONE key, and 'tiny' must sit under the quota."""
+    assert _py_hash60("dupkey-5") / (1 << 60) > 0.99
+    from etl_pulumi_aws_snowflake_spark.queries import all_queries
+
+    got = all_queries()["sample_exact_quota_dupkeys"](spark, sf_smoke)
+    rows = got.collect()
+    by_stratum: dict[str, list[str]] = {}
+    for r in rows:
+        by_stratum.setdefault(r.stratum, []).append(r.skey)
+    assert by_stratum["dup"] == ["dupkey-5"] * 5
+    assert len(by_stratum["tiny"]) == 3  # whole stratum, under quota
+    assert all(len(v) == 5 for s, v in by_stratum.items() if s != "tiny")
