@@ -101,7 +101,7 @@ def hilbert_key(xb: X, yb: X, bits: int = 8) -> X:
     return let(seed, "hseed", body)
 
 
-def hilbert_key_pandas(x_col: str, y_col: str, bits: int = 8):
+def hilbert_key_pandas(x_col, y_col, bits: int = 8):
     """Arrow-vectorized form of :func:`hilbert_key` for the compaction
     hot path: a pandas UDF Column computing the identical walk with
     numpy bit ops over whole batches (no per-row interpreted lambda
@@ -111,7 +111,10 @@ def hilbert_key_pandas(x_col: str, y_col: str, bits: int = 8):
     integer arithmetic propagates NULL) — so the two are
     interchangeable INCLUDING on NULL-dimension rows, and a compaction
     switching forms cannot reorder them (equality fuzzed, with NULLs,
-    in tests/test_hilbert.py).  Not
+    in tests/test_hilbert.py).  ``x_col``/``y_col`` are column names or
+    already-quantized integer ``Column`` expressions — pass
+    ``F.expr(bucket(...).spark)`` to compose grid bucketing with the
+    Arrow encode (scripts/hilbert_vs_morton.py does exactly this).  Not
     oracle-expressible by construction (Python body) — the driver entry
     stays on the expression form; this exists for throughput."""
     if not 1 <= bits <= MAX_BITS:
@@ -150,7 +153,11 @@ def hilbert_key_pandas(x_col: str, y_col: str, bits: int = 8):
         out[na] = pd.NA
         return out
 
-    return _encode(F.col(x_col).cast("bigint"), F.col(y_col).cast("bigint"))
+    from pyspark.sql import Column
+
+    xc = x_col if isinstance(x_col, Column) else F.col(x_col)
+    yc = y_col if isinstance(y_col, Column) else F.col(y_col)
+    return _encode(xc.cast("bigint"), yc.cast("bigint"))
 
 
 def _wrap_level(inner: X, i: int, out_var: str, in_var: str, n1: int) -> X:

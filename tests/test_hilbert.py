@@ -352,3 +352,61 @@ def test_pandas_form_composes_with_cluster_by(spark, tmp_path):
             for x, y in zip(tbl["x"].to_pylist(), tbl["y"].to_pylist())
         ]
         assert hs == sorted(hs)
+
+
+def test_hilbert_prunes_fewer_row_groups_than_morton_on_boxes():
+    """The reason Hilbert exists in this package, as a measurement
+    instead of a citation (VERDICT r07 #1): sort the full grid by each
+    curve, chunk into fixed-size 'row groups', and count groups whose
+    per-dimension min/max intersect a probe box — exactly the parquet
+    footer-stats decision.  Hilbert must touch <= Morton's groups on
+    every SQUARE probe (strictly fewer on at least one); 1-D bands are
+    where Morton can win by a hair (its dimension-0-major layout makes
+    a narrow x band nearly contiguous) — pinned as <= +10% so the
+    honest trade stays documented.  The end-to-end engine-path numbers
+    (snapshot_compact + skip_by + real footers) live in SCALE.md via
+    scripts/hilbert_vs_morton.py."""
+    m = 6
+    n = 1 << m
+    pts = [(x, y) for x in range(n) for y in range(n)]
+
+    def _morton(x: int, y: int) -> int:
+        d = 0
+        for b in range(m):
+            d += ((x >> b) & 1) << (2 * b + 1) | ((y >> b) & 1) << (2 * b)
+        return d
+
+    # Group size deliberately NOT a power of 4: at 64 rows per group
+    # every group is an ALIGNED subquadrant under BOTH curves (identical
+    # bounding boxes — all ties); real parquet row groups are byte-,
+    # not quadrant-, aligned, which is where Hilbert's continuity pays.
+    def _touched(keyfn, box, group_rows=100) -> int:
+        order = sorted(pts, key=lambda p: keyfn(*p))
+        (xlo, xhi), (ylo, yhi) = box
+        hits = 0
+        for i in range(0, len(order), group_rows):
+            g = order[i : i + group_rows]
+            gx = [p[0] for p in g]
+            gy = [p[1] for p in g]
+            if max(gx) < xlo or min(gx) > xhi or max(gy) < ylo or min(gy) > yhi:
+                continue
+            hits += 1
+        return hits
+
+    squares = [
+        ((8, 15), (8, 15)),
+        ((20, 35), (40, 55)),
+        ((0, 31), (0, 31)),
+        ((40, 60), (10, 30)),
+    ]
+    strict = 0
+    for box in squares:
+        h = _touched(lambda x, y: _ref_xy2d(m, x, y), box)
+        z = _touched(_morton, box)
+        assert h <= z, (box, h, z)
+        strict += h < z
+    assert strict >= 1, "Hilbert never strictly beat Morton on squares"
+    for band in [((12, 14), (0, n - 1)), ((0, n - 1), (12, 14))]:
+        h = _touched(lambda x, y: _ref_xy2d(m, x, y), band)
+        z = _touched(_morton, band)
+        assert h <= z * 1.1 + 1, (band, h, z)
