@@ -53,6 +53,30 @@ HEADLINE: tuple[str, ...] = (
 )
 
 
+def _calibration(spark) -> list[float]:
+    """Fixed-work pure-CPU codegen loop (VERDICT r07 #6): 4B
+    xxhash64-and-sum over ``spark.range`` — no IO, no shuffle beyond
+    the final 32-partial reduce, no data dependence — so cross-round
+    bench drift separates into host speed (calibration moved too) vs
+    plan changes (calibration flat, query moved)."""
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        start = time.perf_counter()
+        (
+            spark.range(0, 4_000_000_000, 1, 32)
+            .select(F.xxhash64("id").alias("h"))
+            .agg(F.expr("bit_xor(h)").alias("s"))  # overflow-free reduce
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - start
+
+    once()  # warm, excluded
+    return [once() for _ in range(5)]
+
+
 def main() -> None:
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]
@@ -84,6 +108,7 @@ def main() -> None:
             # don't accumulate cached data or re-persist warnings.
             spark.catalog.clearCache()
 
+        cal = _calibration(spark)
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
         print(
             json.dumps(
@@ -93,6 +118,10 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "queries_median": medians,
+                    # NOT in the total: measures the HOST, not the
+                    # engine — compare across rounds to attribute drift.
+                    "calibration": round(min(cal), 4),
+                    "calibration_median": round(sorted(cal)[len(cal) // 2], 4),
                     "sf": float(sf),
                 }
             )
