@@ -496,10 +496,31 @@ def _snapshot_history_case(draw):
     parts = [0, 1, 2]
     steps = [("full", {p: draw(st.integers(0, 99)) for p in parts})]
     for _ in range(draw(st.integers(2, 4))):
-        if draw(st.integers(0, 3)) == 0:
+        kind = draw(st.integers(0, 7))
+        if kind == 0:
             # maintenance interleaves with ingestion — compaction must
             # uphold every invariant commits do (possibly as a no-op)
             steps.append(("compact", {}))
+            continue
+        if kind in (1, 2):
+            # two writers derive from the SAME live version; the one
+            # committing second holds a stale expected_current token
+            # and must lose deterministically (VERDICT r07 #7)
+            winner = draw(
+                st.lists(st.sampled_from(parts), min_size=1, max_size=3, unique=True)
+            )
+            loser = draw(
+                st.lists(st.sampled_from(parts), min_size=1, max_size=3, unique=True)
+            )
+            steps.append(
+                (
+                    "race",
+                    (
+                        {p: draw(st.integers(0, 99)) for p in winner},
+                        {p: draw(st.integers(100, 199)) for p in loser},
+                    ),
+                )
+            )
             continue
         changed = draw(
             st.lists(st.sampled_from(parts), min_size=1, max_size=3, unique=True)
@@ -525,7 +546,13 @@ def test_snapshot_history_model_property(spark, case):
     every on-disk version NOT listed refuses time travel with
     ValueError rather than returning something; (d) a zone-map skip_by
     read plus the real filter equals the model filter — skipping never
-    changes results, whatever commit/compact history built the stats."""
+    changes results, whatever commit/compact history built the stats;
+    (e) interleaved RACING writers (VERDICT r07 #7): when two commits
+    derive from the same live version, the second holds a stale
+    ``expected_current`` and must raise SnapshotConflictError with
+    ZERO footprint (no new dir, loser data never readable at ANY
+    version — no torn read exists in the model), whatever random
+    history preceded the race."""
     import os
     import shutil
     import tempfile
@@ -534,6 +561,7 @@ def test_snapshot_history_model_property(spark, case):
     from pyspark.sql import functions as F
 
     from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        SnapshotConflictError,
         snapshot_commit_partitioned,
         snapshot_compact,
         snapshot_read,
@@ -548,11 +576,46 @@ def test_snapshot_history_model_property(spark, case):
     try:
         table: dict[int, int] = {}
         model: dict[str, dict[int, int]] = {}
+        live_ver: str | None = None
         for kind, vals in case:
             if kind == "compact":
                 ver = snapshot_compact(spark, root, keep=2)
                 if ver is not None:
                     model[ver] = dict(table)  # content-neutral
+                    live_ver = ver
+            elif kind == "race":
+                winner_vals, loser_vals = vals
+                stale = live_ver  # BOTH writers read this live version
+                table = dict(table)
+                table.update(winner_vals)
+                ver = snapshot_commit_partitioned(
+                    spark.createDataFrame(sorted(winner_vals.items()), schema),
+                    root,
+                    "p",
+                    changed_values=list(winner_vals),
+                    keep=2,
+                    expected_current=stale,
+                )
+                model[ver] = dict(table)
+                live_ver = ver
+                before = {
+                    d for d in os.listdir(root) if d.startswith("v-")
+                }
+                with pytest.raises(SnapshotConflictError):
+                    snapshot_commit_partitioned(
+                        spark.createDataFrame(
+                            sorted(loser_vals.items()), schema
+                        ),
+                        root,
+                        "p",
+                        changed_values=list(loser_vals),
+                        keep=2,
+                        expected_current=stale,
+                    )
+                # zero footprint: the pre-write check aborts before any
+                # data lands, so the loser leaves no dir at all
+                after = {d for d in os.listdir(root) if d.startswith("v-")}
+                assert after == before
             else:
                 table = dict(table)
                 table.update(vals)
@@ -565,6 +628,7 @@ def test_snapshot_history_model_property(spark, case):
                         df, root, "p", changed_values=list(vals), keep=2
                     )
                 model[ver] = dict(table)
+                live_ver = ver
 
             live = {r.p: r.v for r in snapshot_read(spark, root).collect()}
             assert live == table
