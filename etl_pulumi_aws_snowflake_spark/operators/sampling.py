@@ -103,11 +103,80 @@ def exact_quota_sample(
     is NULL (the gate join is an equi-join; NULLs would silently
     vanish instead of sampling).  Returns ``df``'s columns
     unchanged."""
-    from ..cache import tracked_local_checkpoint
-
-    spark = df.sparkSession
     if k < 1:
         raise ValueError(f"quota k must be >= 1, got {k}")
+    counts = _stratum_counts(df, stratum_col, key_col, "exact_quota_sample")
+    quota_by = {r[stratum_col]: min(k, r["_n"]) for r in counts}
+    return _take_exact(
+        df, stratum_col, key_col, counts, quota_by, oversample,
+        "exact_quota_sample",
+    )
+
+
+def sample_temperature_mixture(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    budget: int,
+    alpha: float = 0.5,
+    oversample: float = 2.0,
+) -> DataFrame:
+    """Temperature-reweighted corpus mixing — the multilingual-LM
+    alpha-sampling rule (sample stratum ``s`` proportionally to
+    ``n_s^alpha``; ``alpha < 1`` flattens the head and upweights
+    low-resource strata, ``alpha = 1`` is natural proportions) applied
+    EXACTLY: per-stratum quotas
+
+        ``q_s = min(n_s, floor(budget * n_s^alpha / sum_t n_t^alpha + 0.5))``
+
+    each taken as the ``q_s`` smallest ``(hash60(key), key)`` rows —
+    the same deterministic selection rule, threshold-gate scale path,
+    loud under-catch check, and duplicate-key tiebreaker as
+    :func:`exact_quota_sample` (this IS that operator with weighted
+    quotas).  Downsampling-only by construction: a quota never exceeds
+    the stratum (no replication — the sampling-without-replacement
+    variant; strata smaller than their share contribute whole, so the
+    realized total can undershoot ``budget``).  A stratum whose share
+    rounds to zero is excluded entirely (its gate threshold is 0 — no
+    scan survivors, no shuffle).  The weight sum runs over strata in
+    SORTED order so the float result is reproducible across engines
+    (an oracle recomputing it must not depend on aggregation order);
+    ``floor(x + 0.5)`` is the rounding spelling because SQL ``ROUND``
+    halves-away while Python ``round`` banker's-rounds.
+
+    At 100 TB this costs exactly what exact-quota costs: one
+    column-pruned count pass, |strata| driver scalars, a narrow
+    hash-gate scan filter, and a windowed trim over ~oversample*q_s
+    survivors per stratum — never a per-stratum global sort."""
+    import math
+
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    counts = _stratum_counts(
+        df, stratum_col, key_col, "sample_temperature_mixture"
+    )
+    ordered = sorted(counts, key=lambda r: str(r[stratum_col]))
+    tot = sum(float(r["_n"]) ** alpha for r in ordered)
+    quota_by = {
+        r[stratum_col]: min(
+            r["_n"],
+            int(math.floor(budget * float(r["_n"]) ** alpha / tot + 0.5)),
+        )
+        for r in ordered
+    }
+    return _take_exact(
+        df, stratum_col, key_col, counts, quota_by, oversample,
+        "sample_temperature_mixture",
+    )
+
+
+def _stratum_counts(df, stratum_col: str, key_col: str, opname: str):
+    """One column-pruned count pass: per-stratum row count, distinct
+    keys, and NULL-key count (all in the same map-side-combined agg);
+    NULL strata/keys rejected loudly — the gate join is an equi-join
+    and would silently drop them."""
     counts = (
         df.groupBy(stratum_col)
         .agg(
@@ -120,34 +189,55 @@ def exact_quota_sample(
         )
         .collect()
     )
-    # A sub-1 oversample is an explicit, deliberate under-gate (it
-    # cannot satisfy the quota in expectation) — honored verbatim so
-    # the loud-failure path stays testable.  At >= 1, floor the gate
-    # target so the small-k Poisson tail is uniformly negligible.
-    target = oversample * k
-    if oversample >= 1.0:
-        target = max(target, k + 4.0 * k**0.5 + 12.0)
-    rows = []
     for r in counts:
         if r[stratum_col] is None:
             raise ValueError(
-                f"exact_quota_sample: stratum column {stratum_col!r} "
+                f"{opname}: stratum column {stratum_col!r} "
                 "contains NULL; the gate join is an equi-join and "
                 "would silently drop those rows — filter or fill "
                 "NULL strata first"
             )
         if r["_nulls"]:
             raise ValueError(
-                f"exact_quota_sample: key column {key_col!r} is NULL "
+                f"{opname}: key column {key_col!r} is NULL "
                 f"for {r['_nulls']} row(s) of stratum "
                 f"{r[stratum_col]!r}; a NULL key has no hash order — "
                 "the selection rule is undefined for it, and the gate "
                 "would silently drop it while the quota still counts "
                 "it.  Filter or fill NULL keys first"
             )
+    return counts
+
+
+def _take_exact(
+    df, stratum_col, key_col, counts, quota_by, oversample, opname
+) -> DataFrame:
+    """Shared exact-selection core (see :func:`exact_quota_sample`'s
+    docstring for the full contract): per-stratum hash-threshold
+    prefix gate sized from ``countDistinct``, quota-side under-catch
+    check, windowed trim with the duplicate-key content tiebreaker."""
+    from ..cache import tracked_local_checkpoint
+
+    spark = df.sparkSession
+    rows = []
+    for r in counts:
+        q = quota_by[r[stratum_col]]
+        if q == 0:
+            # excluded stratum: nothing survives the scan gate, and
+            # the under-catch check trivially passes (0 >= 0)
+            rows.append((r[stratum_col], 0, 0))
+            continue
+        # A sub-1 oversample is an explicit, deliberate under-gate (it
+        # cannot satisfy the quota in expectation) — honored verbatim
+        # so the loud-failure path stays testable.  At >= 1, floor the
+        # gate target so the small-q Poisson tail is uniformly
+        # negligible.
+        target = oversample * q
+        if oversample >= 1.0:
+            target = max(target, q + 4.0 * q**0.5 + 12.0)
         frac = target / r["_d"]
         t = _H_MAX if frac >= 1.0 else int(_H_MAX * frac) + 1
-        rows.append((r[stratum_col], t, min(k, r["_n"])))
+        rows.append((r[stratum_col], t, q))
     th = spark.createDataFrame(
         rows,
         T.StructType(
@@ -185,7 +275,7 @@ def exact_quota_sample(
             for r in short
         )
         raise ValueError(
-            f"exact_quota_sample gate under-caught ({detail}); the "
+            f"{opname} gate under-caught ({detail}); the "
             f"oversample factor {oversample} left a stratum short — "
             "raise it (a rerun cannot differ: the hash is deterministic)"
         )

@@ -34,22 +34,24 @@ from . import streaming_e2e  # noqa: E402,F401
 
 # The external correctness driver checks the FIRST 50 dict entries per
 # round (CORRECTNESS_r01-r07 each recorded exactly queries()[:50] in
-# order).  Round 8 executes VERDICT r07 #2's rotation: (a) the two NEW
-# entries lead (never-checked-entries-lead rule — the adversarial
+# order).  Round 8 executes VERDICT r07 #2's rotation: (a) the three
+# NEW entries lead (never-checked-entries-lead rule — the adversarial
 # duplicate-key exact-quota fixture and the loud-failure contract,
-# VERDICT r07 #3/#4), then (b) ALL 39 r05-stale entries,
+# VERDICT r07 #3/#4, plus the temperature-mixture sampler this round
+# added), then (b) ALL 39 r05-stale entries,
 # staleness-report order — after this round no entry's latest evidence
 # is older than r06 — then (c) the 3 entries whose CODE round 8
 # touched (the duplicate-key content tiebreaker in exact_quota_sample;
 # the pandas-Hilbert NULL-propagation fix, re-certifying both the
 # Hilbert key entry and the cluster_by-composing compaction e2e), then
-# (d) 6 r06-stale entries as fill, staleness-report order.
+# (d) 5 r06-stale entries as fill, staleness-report order.
 # tests/test_docs.py::test_never_driver_checked_entries_lead_the_window
 # FAILS if a registry entry without any CORRECTNESS row sits outside
 # the first 50 — the r05 process miss cannot recur silently.
 _DRIVER_FIRST = [
     # (a) NEW this round — first-ever driver evidence
     "sample_exact_quota_dupkeys", "sample_exact_quota_fail_loud",
+    "sample_temperature_mixture",
     # (b) r05-stale, staleness-report order
     "dedup_embedding_survivors", "dedup_embedding_survivors_multi",
     "dedup_survivors", "join_anti", "join_asof", "join_broadcast",
@@ -68,7 +70,7 @@ _DRIVER_FIRST = [
     "sample_exact_quota", "scalar_hilbert_key", "cdc_merge_compact_e2e",
     # (d) r06-stale fill, staleness-report order
     "agg_approx_distinct", "agg_approx_quantile", "agg_conditional",
-    "agg_median", "agg_salted_groupby", "corpus_quality_filter",
+    "agg_median", "agg_salted_groupby",
 ]
 
 def _driver_order(d: dict) -> dict:

@@ -300,3 +300,50 @@ def sample_exact_quota_fail_loud(spark, sf_dir):
         ),
     ]
     return spark.createDataFrame(outcomes, "contract string, raised boolean")
+
+
+@query(
+    "sample_temperature_mixture",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n
+        FROM documents GROUP BY lang
+    ),
+    q AS (
+        SELECT lang,
+               CAST(FLOOR(150 * sqrt(n) /
+                    (SELECT SUM(sqrt(n)) FROM counts) + 0.5) AS BIGINT)
+                   AS quota
+        FROM counts
+    ),
+    ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS
+                       VARCHAR)), 1, 15)) AS BIGINT), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang FROM ranked JOIN q USING (lang) WHERE rn <= quota
+    """,
+)
+def sample_temperature_mixture(spark, sf_dir):
+    """Temperature-reweighted corpus mixing (alpha=0.5, budget=150):
+    the multilingual-LM alpha-sampling rule applied EXACTLY —
+    per-language quotas ``floor(budget * sqrt(n_lang) / sum sqrt(n) +
+    0.5)``, each taken as the quota smallest (md5-hash, key) rows via
+    the exact-quota machinery (count pass -> hash-threshold scan gate
+    -> windowed trim; never a per-stratum global sort).  sqrt(218)
+    ~ 2.4x sqrt's flattening: 'en' holds 44% of the corpus but only
+    ~30% of the sample, the low-resource languages each gain — the
+    exact effect alpha-mixing exists for.  The oracle recomputes the
+    quotas in SQL (sqrt + FLOOR(x+0.5), the dialect-stable spellings;
+    the operator sums weights in sorted-stratum order so the float
+    total is reproducible) and spells the selection as the naive
+    full-sort — both must pick identical rows."""
+    from ..operators.sampling import sample_temperature_mixture as _mix
+
+    return _mix(
+        t(spark, sf_dir, "documents"), "lang", "doc_id", 150, alpha=0.5
+    ).select("doc_id", "lang")

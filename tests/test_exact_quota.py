@@ -197,3 +197,126 @@ def test_dupkeys_driver_fixture_stays_adversarial(spark, sf_smoke):
     assert by_stratum["dup"] == ["dupkey-5"] * 5
     assert len(by_stratum["tiny"]) == 3  # whole stratum, under quota
     assert all(len(v) == 5 for s, v in by_stratum.items() if s != "tiny")
+
+
+# ----------------------------------------- temperature mixture
+
+
+def test_temperature_mixture_quotas_and_flattening(spark, sf_smoke):
+    """alpha=0.5 must produce exactly the floor(budget*sqrt(n)/sum+0.5)
+    per-stratum quotas AND actually flatten: the head stratum's sample
+    share must sit strictly below its corpus share, every tail stratum
+    at-or-above (the effect alpha-mixing exists for)."""
+    import math
+
+    from etl_pulumi_aws_snowflake_spark.operators.sampling import (
+        sample_temperature_mixture,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    n_by = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = sample_temperature_mixture(docs, "lang", "doc_id", 150, alpha=0.5)
+    got_by = {r.lang: r.n for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    tot = sum(float(n) ** 0.5 for _, n in sorted(n_by.items()))
+    want = {
+        lang: min(n, int(math.floor(150 * float(n) ** 0.5 / tot + 0.5)))
+        for lang, n in n_by.items()
+    }
+    assert got_by == {k: v for k, v in want.items() if v > 0}
+    corpus_total, sample_total = sum(n_by.values()), sum(got_by.values())
+    head = max(n_by, key=n_by.get)
+    for lang in n_by:
+        corpus_share = n_by[lang] / corpus_total
+        sample_share = got_by.get(lang, 0) / sample_total
+        if lang == head:
+            assert sample_share < corpus_share
+        else:
+            assert sample_share >= corpus_share * 0.95  # tail not squeezed
+
+
+def test_temperature_mixture_alpha_one_is_proportional(spark):
+    """alpha=1 degenerates to natural proportions: quotas are
+    floor(budget*n/N+0.5), no flattening."""
+    import math
+
+    from etl_pulumi_aws_snowflake_spark.operators.sampling import (
+        sample_temperature_mixture,
+    )
+
+    rows = [("a", i) for i in range(80)] + [("b", 1000 + i) for i in range(20)]
+    df = spark.createDataFrame(rows, "lang string, doc_id int")
+    got = sample_temperature_mixture(df, "lang", "doc_id", 50, alpha=1.0)
+    by = {r.lang: r.n for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by == {"a": math.floor(50 * 0.8 + 0.5), "b": math.floor(50 * 0.2 + 0.5)}
+
+
+def test_temperature_mixture_clamps_and_excludes(spark):
+    """A stratum smaller than its share contributes whole (no
+    replication); a stratum whose share rounds to 0 is excluded."""
+    rows = (
+        [("big", i) for i in range(400)]
+        + [("small", 1000 + i) for i in range(3)]
+        + [("dust", 2000)]
+    )
+    df = spark.createDataFrame(rows, "lang string, doc_id int")
+    got = sample_temperature_mixture_import()(df, "lang", "doc_id", 12, alpha=0.5)
+    by = {r.lang: r.n for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # sqrt weights: 20, 1.732, 1 (sum 22.73); shares of 12: 10.6, 0.91, 0.53
+    assert by["big"] == 11
+    assert by["small"] == 1
+    assert by["dust"] == 1
+    # validations
+    with pytest.raises(ValueError, match="budget"):
+        sample_temperature_mixture_import()(df, "lang", "doc_id", 0)
+    with pytest.raises(ValueError, match="alpha"):
+        sample_temperature_mixture_import()(df, "lang", "doc_id", 5, alpha=0.0)
+
+
+def sample_temperature_mixture_import():
+    from etl_pulumi_aws_snowflake_spark.operators.sampling import (
+        sample_temperature_mixture,
+    )
+
+    return sample_temperature_mixture
+
+
+@_QPROP
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)),
+        min_size=1,
+        max_size=25,
+    ),
+    budget=st.integers(min_value=1, max_value=12),
+)
+def test_temperature_mixture_fuzz_matches_pure_python_selection(
+    spark, rows, budget
+):
+    """Randomized semantics vs the rule computed in pure Python: per
+    stratum, the floor(budget*sqrt(n)/sum+0.5) smallest
+    (md5-60bit(key), key) pairs (duplicates included — the key
+    multiset is deterministic)."""
+    import math
+
+    df = spark.createDataFrame(rows, "lang int, doc_id int")
+    got = sorted(
+        (r.lang, r.doc_id)
+        for r in sample_temperature_mixture_import()(
+            df, "lang", "doc_id", budget, alpha=0.5
+        ).collect()
+    )
+    by_stratum: dict[int, list[int]] = {}
+    for lang, doc in rows:
+        by_stratum.setdefault(lang, []).append(doc)
+    tot = sum(
+        float(len(v)) ** 0.5 for _, v in sorted(by_stratum.items())
+    )
+    want = []
+    for lang, docs in by_stratum.items():
+        q = min(
+            len(docs),
+            int(math.floor(budget * float(len(docs)) ** 0.5 / tot + 0.5)),
+        )
+        docs.sort(key=lambda d: (_py_hash60(d), d))
+        want.extend((lang, d) for d in docs[:q])
+    assert got == sorted(want)
