@@ -330,3 +330,14 @@ def test_skip_by_read_prunes_paths_in_plan(spark, tmp_path):
     assert "_p=0" not in plan and "_p=2" not in plan, plan
     assert "_p=3" in plan or "_p=4" in plan, plan
     assert out.count() == 20
+
+
+def test_temperature_mixture_shares_the_exact_quota_plan_shape(spark):
+    """sample_temperature_mixture rides the same _take_exact core, so
+    its plan must show the same scale shape: window over the
+    checkpointed survivor set only (one exchange of ~2q rows per
+    stratum), no parquet rescan, no full-corpus sort."""
+    plan = _plan(spark, "sample_temperature_mixture")
+    assert "ExistingRDD" in plan
+    assert plan.count("(1) Scan") == 1 and "parquet" not in plan.lower()
+    assert "SortMergeJoin" not in plan
