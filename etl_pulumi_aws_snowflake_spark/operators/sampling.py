@@ -139,8 +139,14 @@ def sample_temperature_mixture(
     realized total can undershoot ``budget``).  A stratum whose share
     rounds to zero is excluded entirely (its gate threshold is 0 — no
     scan survivors, no shuffle).  The weight sum runs over strata in
-    SORTED order so the float result is reproducible across engines
-    (an oracle recomputing it must not depend on aggregation order);
+    SORTED order so THIS function is bit-deterministic across reruns
+    and partitionings; an external recomputation (e.g. a SQL oracle)
+    aggregates in its own engine-chosen order and its ``sqrt`` need
+    not be bit-identical to ``** 0.5``, so cross-engine quota equality
+    additionally requires every ``budget * w_s`` to sit away from a
+    ``.5`` rounding boundary (a 1-ulp float divergence can only flip
+    ``floor(x + 0.5)`` exactly at the boundary — the registry entry's
+    fixture margin is guard-tested in tests/test_exact_quota.py).
     ``floor(x + 0.5)`` is the rounding spelling because SQL ``ROUND``
     halves-away while Python ``round`` banker's-rounds.
 
@@ -218,6 +224,14 @@ def _take_exact(
     check, windowed trim with the duplicate-key content tiebreaker."""
     from ..cache import tracked_local_checkpoint
 
+    reserved = {"_h", "_t", "_quota", "_rn", "_tb"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"{opname}: input columns {sorted(reserved)} collide with "
+            "this operator's internal working columns — rename them "
+            "first (withColumn would silently overwrite, then the "
+            "final drop would lose the user column)"
+        )
     spark = df.sparkSession
     rows = []
     for r in counts:

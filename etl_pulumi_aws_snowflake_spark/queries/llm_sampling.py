@@ -338,10 +338,14 @@ def sample_temperature_mixture(spark, sf_dir):
     ~ 2.4x sqrt's flattening: 'en' holds 44% of the corpus but only
     ~30% of the sample, the low-resource languages each gain — the
     exact effect alpha-mixing exists for.  The oracle recomputes the
-    quotas in SQL (sqrt + FLOOR(x+0.5), the dialect-stable spellings;
-    the operator sums weights in sorted-stratum order so the float
-    total is reproducible) and spells the selection as the naive
-    full-sort — both must pick identical rows."""
+    quotas in SQL (sqrt + FLOOR(x+0.5) — DuckDB's own SUM order and
+    sqrt may diverge from Python's sorted-order ``** 0.5`` sum by an
+    ulp, which can only flip a quota whose rounding input sits exactly
+    on a .5 boundary; this fixture's inputs sit >= 0.01 from every
+    boundary at both driver SFs, guard-tested in
+    tests/test_exact_quota.py so data regen cannot silently create a
+    flaky boundary) and spells the selection as the naive full-sort —
+    both must pick identical rows."""
     from ..operators.sampling import sample_temperature_mixture as _mix
 
     return _mix(

@@ -73,11 +73,11 @@ def _cluster_keys(bits: int):
     return {"morton": morton, "hilbert": hil}
 
 
-def _build(spark, root: str, key) -> list[str]:
+def _build(spark, root: str, key, sf_dir: str) -> list[str]:
     """Commit -> fragment -> compact with ``cluster_by=[key]``; return
     the partition values the compaction rewrote (the measured set)."""
     events = spark.read.parquet(
-        str(Path(_build.sf_dir) / "events.parquet")
+        str(Path(sf_dir) / "events.parquet")
     ).select("event_id", "ts", "user_id", "event_type", "value")
     snapshot_commit_partitioned(events, root, "event_type")
     # Re-commit the smallest partition so every OTHER partition is
@@ -131,7 +131,6 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     bits = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     block = int(sys.argv[3]) if len(sys.argv) > 3 else 64 * 1024
-    _build.sf_dir = sf_dir
     spark = get_spark(app_name="hilbert_vs_morton")
     # Small row groups at write time so each ~20k-row partition file
     # carries enough groups for the footer-stats comparison to resolve.
@@ -142,7 +141,7 @@ def main() -> None:
     try:
         for curve, key in _cluster_keys(bits).items():
             root = str(Path(tmp) / curve)
-            parts = _build(spark, root, key)
+            parts = _build(spark, root, key, sf_dir)
             out["curves"][curve] = {
                 name: _probe(spark, root, parts, box)
                 for name, box in PROBES.items()

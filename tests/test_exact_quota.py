@@ -197,6 +197,14 @@ def test_dupkeys_driver_fixture_stays_adversarial(spark, sf_smoke):
     assert by_stratum["dup"] == ["dupkey-5"] * 5
     assert len(by_stratum["tiny"]) == 3  # whole stratum, under quota
     assert all(len(v) == 5 for s, v in by_stratum.items() if s != "tiny")
+    # the dupkeys fixture derivation AND the fail_loud NULL injections
+    # assume doc_ids 0..32 exist contiguously — pin that so regenerated
+    # test data cannot silently defang either driver entry
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    present = {
+        r.doc_id for r in docs.filter(F.col("doc_id") < 33).collect()
+    }
+    assert present == set(range(33)), sorted(present)
 
 
 # ----------------------------------------- temperature mixture
@@ -265,11 +273,22 @@ def test_temperature_mixture_clamps_and_excludes(spark):
     assert by["big"] == 11
     assert by["small"] == 1
     assert by["dust"] == 1
+    # budget 11 drops dust's share to 11/22.73 = 0.484 -> quota 0: the
+    # q==0 exclusion branch (zero gate threshold, 0>=0 under-catch
+    # pass) deterministically exercised — the stratum must vanish
+    got = sample_temperature_mixture_import()(df, "lang", "doc_id", 11, alpha=0.5)
+    by = {r.lang: r.n for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "dust" not in by
+    assert by == {"big": 10, "small": 1}
     # validations
     with pytest.raises(ValueError, match="budget"):
         sample_temperature_mixture_import()(df, "lang", "doc_id", 0)
     with pytest.raises(ValueError, match="alpha"):
         sample_temperature_mixture_import()(df, "lang", "doc_id", 5, alpha=0.0)
+    with pytest.raises(ValueError, match="internal working columns"):
+        sample_temperature_mixture_import()(
+            df.withColumn("_tb", F.lit(1)), "lang", "doc_id", 5
+        )
 
 
 def sample_temperature_mixture_import():
@@ -320,3 +339,50 @@ def test_temperature_mixture_fuzz_matches_pure_python_selection(
         docs.sort(key=lambda d: (_py_hash60(d), d))
         want.extend((lang, d) for d in docs[:q])
     assert got == sorted(want)
+
+
+def test_temperature_mixture_oracle_quota_parity_and_boundary_margin(
+    sf_smoke,
+):
+    """The driver entry's quotas must come out IDENTICAL when computed
+    by DuckDB's own SQL (its SUM order, its sqrt) and by the
+    operator's Python math (sorted-order sum, ** 0.5) — AND every
+    rounding input must sit >= 0.01 from a floor(x+0.5) boundary, the
+    margin that makes a 1-ulp cross-engine float divergence unable to
+    flip a quota.  Fails loudly if regenerated test data ever lands a
+    language share on a boundary (which would make the driver row
+    flaky instead of red/green)."""
+    import math
+
+    import duckdb
+
+    for sf_dir in (sf_smoke, "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        duck = dict(
+            con.execute(
+                f"""
+            WITH counts AS (
+                SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n
+                FROM read_parquet('{sf_dir}/documents.parquet') GROUP BY lang
+            )
+            SELECT lang, CAST(FLOOR(150 * sqrt(n) /
+                (SELECT SUM(sqrt(n)) FROM counts) + 0.5) AS BIGINT)
+            FROM counts
+            """
+            ).fetchall()
+        )
+        ns = dict(
+            con.execute(
+                f"SELECT lang, COUNT(*) FROM read_parquet("
+                f"'{sf_dir}/documents.parquet') GROUP BY lang"
+            ).fetchall()
+        )
+        tot = sum(float(n) ** 0.5 for _, n in sorted(ns.items()))
+        for lang, n in ns.items():
+            x = 150 * float(n) ** 0.5 / tot
+            assert int(math.floor(x + 0.5)) == duck[lang], (sf_dir, lang)
+            frac = (x + 0.5) % 1.0
+            assert min(frac, 1.0 - frac) >= 0.01, (
+                f"{sf_dir} {lang}: rounding input {x} is within 0.01 of a "
+                "floor(x+0.5) boundary — the oracle comparison is ulp-flaky"
+            )
