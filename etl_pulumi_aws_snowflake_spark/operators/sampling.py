@@ -136,7 +136,13 @@ def sample_temperature_mixture(
     quotas).  Downsampling-only by construction: a quota never exceeds
     the stratum (no replication — the sampling-without-replacement
     variant; strata smaller than their share contribute whole, so the
-    realized total can undershoot ``budget``).  A stratum whose share
+    realized total can undershoot ``budget``).  The total can also
+    OVERSHOOT ``budget``: per-stratum ``floor(x + 0.5)`` rounding is
+    independent, so the quota sum can exceed the budget by up to
+    ~``|strata| / 2`` rows (e.g. ``budget=12`` over shares
+    ``10.57 + 0.71 + 0.71`` yields ``11 + 1 + 1 = 13``) — ``budget``
+    is a rounding target, not a hard cap; callers needing a hard cap
+    should trim the result themselves.  A stratum whose share
     rounds to zero is excluded entirely (its gate threshold is 0 — no
     scan survivors, no shuffle).  The weight sum runs over strata in
     SORTED order so THIS function is bit-deterministic across reruns
@@ -164,11 +170,27 @@ def sample_temperature_mixture(
         df, stratum_col, key_col, "sample_temperature_mixture"
     )
     ordered = sorted(counts, key=lambda r: str(r[stratum_col]))
-    tot = sum(float(r["_n"]) ** alpha for r in ordered)
+    weights = {}
+    for r in ordered:
+        try:
+            w = float(r["_n"]) ** alpha
+        except OverflowError:
+            w = math.inf
+        if not math.isfinite(w):
+            raise ValueError(
+                f"sample_temperature_mixture: n^alpha overflows for "
+                f"stratum {r[stratum_col]!r} (n={r['_n']}, "
+                f"alpha={alpha}) — the weight is not a finite float, "
+                "so quotas would be NaN.  Lower alpha (the mixing "
+                "rule is scale-free in alpha only while n^alpha stays "
+                "within float range)"
+            )
+        weights[r[stratum_col]] = w
+    tot = sum(weights[r[stratum_col]] for r in ordered)
     quota_by = {
         r[stratum_col]: min(
             r["_n"],
-            int(math.floor(budget * float(r["_n"]) ** alpha / tot + 0.5)),
+            int(math.floor(budget * weights[r[stratum_col]] / tot + 0.5)),
         )
         for r in ordered
     }
@@ -231,6 +253,19 @@ def _take_exact(
             "this operator's internal working columns — rename them "
             "first (withColumn would silently overwrite, then the "
             "final drop would lose the user column)"
+        )
+    if all(_contains_map(f.dataType) for f in df.schema.fields):
+        # Unreachable through the public entry points today (groupBy /
+        # countDistinct already reject map-typed stratum/key columns),
+        # but the invariant the tiebreaker relies on — "at least one
+        # hashable column exists" — should fail in this operator's own
+        # loud style BEFORE any job runs, not as an opaque
+        # AnalysisException from a zero-arg xxhash64() deep in the plan.
+        raise ValueError(
+            f"{opname}: every input column nests a MapType, so no "
+            "column is hashable for the duplicate-key content "
+            "tiebreaker (Spark's hash expressions reject maps) — "
+            "add or derive at least one map-free column"
         )
     spark = df.sparkSession
     rows = []

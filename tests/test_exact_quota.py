@@ -386,3 +386,84 @@ def test_temperature_mixture_oracle_quota_parity_and_boundary_margin(
                 f"{sf_dir} {lang}: rounding input {x} is within 0.01 of a "
                 "floor(x+0.5) boundary — the oracle comparison is ulp-flaky"
             )
+
+
+def test_fail_loud_driver_needles_match_actual_messages(spark):
+    """VERDICT r08 #6: the driver entry sample_exact_quota_fail_loud
+    keys its boolean rows on error-message SUBSTRINGS.  Pin each needle
+    to the actually-raised message here, so a future message reword
+    flips this pytest (loudly, in CI) instead of silently flipping the
+    driver row to red."""
+    docs = _docs(spark)
+    needles = {
+        "under_catch": (
+            "under-caught",
+            lambda: exact_quota_sample(
+                docs, "lang", "doc_id", 5, oversample=1e-6
+            ),
+        ),
+        "null_stratum": (
+            "contains NULL",
+            lambda: exact_quota_sample(
+                docs.withColumn(
+                    "lang", F.when(F.col("doc_id") != 0, F.col("lang"))
+                ),
+                "lang",
+                "doc_id",
+                5,
+            ),
+        ),
+        "null_key": (
+            "is NULL",
+            lambda: exact_quota_sample(
+                docs.withColumn(
+                    "doc_id",
+                    F.when(F.col("doc_id") != 0, F.col("doc_id")),
+                ),
+                "lang",
+                "doc_id",
+                5,
+            ),
+        ),
+        "bad_quota": (
+            "quota k must be",
+            lambda: exact_quota_sample(docs, "lang", "doc_id", 0),
+        ),
+    }
+    for contract, (needle, fn) in needles.items():
+        with pytest.raises(ValueError, match=".*") as exc:
+            fn()
+        assert needle in str(exc.value), (
+            f"{contract}: driver needle {needle!r} no longer appears in "
+            f"the raised message {str(exc.value)!r} — update "
+            "queries/llm_sampling.py's fail_loud entry to match"
+        )
+
+
+def test_temperature_mixture_huge_alpha_fails_loudly(spark):
+    """ADVICE r08: alpha=400 with n in the thousands overflows
+    n**alpha to inf; the operator must raise its own descriptive
+    ValueError, not 'cannot convert float NaN to integer'."""
+    from etl_pulumi_aws_snowflake_spark.operators.sampling import (
+        sample_temperature_mixture,
+    )
+
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="overflows"):
+        sample_temperature_mixture(docs, "lang", "doc_id", 100, alpha=400.0)
+
+
+def test_all_map_columns_rejected_loudly(spark):
+    """ADVICE r08: if every input column nests a MapType the content
+    tiebreaker has nothing hashable; the shared core must raise its
+    loud ValueError before any job runs, not a zero-arg xxhash64
+    AnalysisException deep in the plan."""
+    from etl_pulumi_aws_snowflake_spark.operators.sampling import (
+        _take_exact,
+    )
+
+    df = spark.createDataFrame(
+        [({"a": 1},)], "m map<string,int>"
+    )
+    with pytest.raises(ValueError, match="MapType"):
+        _take_exact(df, "m", "m", [], {}, 2.0, "test_op")
