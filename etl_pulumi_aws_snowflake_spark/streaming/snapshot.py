@@ -1059,9 +1059,15 @@ def snapshot_compact(
     have no row-order contract, and the driver hash canonicalizes), so
     clustering is free to apply on any maintenance pass; rows move at
     most within their partition's rewrite task.  For genuinely
-    multi-column locality, interleave the dimensions yourself (Z/Hilbert
-    encode into one column) and cluster by that — deliberately out of
-    scope here, as the encoding choice is data-dependent.
+    multi-column locality, interleave the dimensions into one column
+    via ``functions.layout.cluster_key`` — it encodes the measured
+    which-curve decision rule (SCALE.md: Hilbert for box probes,
+    Morton for leading-dimension bands or read-time-cheap keys)::
+
+        from etl_pulumi_aws_snowflake_spark.functions.layout import cluster_key
+        snapshot_compact(spark, root, cluster_by=[
+            cluster_key([("user_id", 0, 10_000), ("event_id", 0, 1_000_000)])
+        ])
 
     Content is untouched: a read after compaction returns exactly the
     rows it returned before (the driver-hashed ``cdc_merge_compact_e2e``
