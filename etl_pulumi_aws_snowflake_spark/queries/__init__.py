@@ -33,44 +33,43 @@ from . import streaming_e2e  # noqa: E402,F401
 
 
 # The external correctness driver checks the FIRST 50 dict entries per
-# round (CORRECTNESS_r01-r07 each recorded exactly queries()[:50] in
-# order).  Round 8 executes VERDICT r07 #2's rotation: (a) the three
-# NEW entries lead (never-checked-entries-lead rule — the adversarial
-# duplicate-key exact-quota fixture and the loud-failure contract,
-# VERDICT r07 #3/#4, plus the temperature-mixture sampler this round
-# added), then (b) ALL 39 r05-stale entries,
-# staleness-report order — after this round no entry's latest evidence
-# is older than r06 — then (c) the 3 entries whose CODE round 8
-# touched (the duplicate-key content tiebreaker in exact_quota_sample;
-# the pandas-Hilbert NULL-propagation fix, re-certifying both the
-# Hilbert key entry and the cluster_by-composing compaction e2e), then
-# (d) 5 r06-stale entries as fill, staleness-report order.
+# round (CORRECTNESS_r01-r08 each recorded exactly queries()[:50] in
+# order).  Round 9 executes VERDICT r08 #1's rotation: (a) the one NEW
+# entry leads (never-checked-entries-lead rule — layout_cluster_key,
+# the measured curve-choice dispatch made driver-visible, VERDICT r08
+# #3), then (b) ALL 36 r06-stale entries, staleness-report order —
+# after this round no entry's latest evidence is older than r07 —
+# then (c) the 4 entries whose CODE round 9 touched (the
+# temperature-mixture overflow/overshoot/all-map hardening lives in
+# the shared operators/sampling.py core every sample_exact_quota*
+# entry exercises), then (d) 9 r07-stale entries as fill,
+# staleness-report order.
 # tests/test_docs.py::test_never_driver_checked_entries_lead_the_window
 # FAILS if a registry entry without any CORRECTNESS row sits outside
 # the first 50 — the r05 process miss cannot recur silently.
 _DRIVER_FIRST = [
     # (a) NEW this round — first-ever driver evidence
+    "layout_cluster_key",
+    # (b) r06-stale, staleness-report order
+    "corpus_quality_filter", "corpus_split", "decontaminate",
+    "dedup_exact", "dedup_fingerprint_groups", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash", "dq_audit", "join_cross",
+    "join_right_outer", "join_salted", "join_semi",
+    "merge_schema_evolution", "merge_upsert_customers",
+    "mm_binary_features", "mm_frame_sample", "mm_resize",
+    "pack_sequences", "pipeline_batch_e2e", "pipeline_stream_e2e",
+    "sample_hash_bernoulli", "sample_stratified_by_lang",
+    "scalar_array_explode", "scalar_json_typed", "scalar_map",
+    "set_distinct_rows", "sim_cosine_topk", "sql_api_q5",
+    "text_langid", "text_lm_score", "text_quality", "text_token_stats",
+    "udf_grouped_map", "udf_row_scalar", "udf_table_function",
+    # (c) round-9 code-touched: re-certify under the driver hash
+    "sample_temperature_mixture", "sample_exact_quota",
     "sample_exact_quota_dupkeys", "sample_exact_quota_fail_loud",
-    "sample_temperature_mixture",
-    # (b) r05-stale, staleness-report order
-    "dedup_embedding_survivors", "dedup_embedding_survivors_multi",
-    "dedup_survivors", "join_anti", "join_asof", "join_broadcast",
-    "join_full_outer", "join_inner", "join_left_outer", "join_range",
-    "join_theta", "pivot_status_by_priority", "q10_returned_items",
-    "q17_small_qty_revenue", "q18_large_volume_customer",
-    "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "scalar_array", "scalar_conditional",
-    "scalar_datetime", "scalar_json", "scalar_math", "scalar_string",
-    "set_except", "set_intersect", "set_union_all", "set_union_by_name",
-    "sort_limit_topn", "sort_multi_key", "stream_arbitrary_state_e2e",
-    "stream_late_data_discard_e2e", "stream_replay_idempotence_e2e",
-    "stream_stateful_dedup_e2e", "win_lag_lead", "win_range_frame",
-    "win_rank_dense", "win_running_sum", "win_topk_per_group",
-    # (c) round-8 code-touched: re-certify under the driver hash
-    "sample_exact_quota", "scalar_hilbert_key", "cdc_merge_compact_e2e",
-    # (d) r06-stale fill, staleness-report order
-    "agg_approx_distinct", "agg_approx_quantile", "agg_conditional",
-    "agg_median", "agg_salted_groupby",
+    # (d) r07-stale fill, staleness-report order
+    "agg_collect", "agg_cube", "agg_distinct", "agg_groupby_basic",
+    "agg_grouping_sets", "agg_rollup", "agg_stats", "align_by_name_ci",
+    "cdc_merge_pruned_e2e",
 ]
 
 def _driver_order(d: dict) -> dict:

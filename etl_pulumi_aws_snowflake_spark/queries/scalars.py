@@ -344,3 +344,36 @@ def scalar_hilbert_key(spark, sf_dir):
     return t(spark, sf_dir, "events").select(
         "event_id", F.expr(_HKEY.spark).alias("hkey")
     )
+
+
+@query(
+    "layout_cluster_key",
+    oracle=f"""
+    SELECT event_id, {_ZKEY.duck} AS morton_key, true AS hilbert_dispatch_ok
+    FROM events
+    """,
+)
+def layout_cluster_key(spark, sf_dir):
+    """``functions.layout.cluster_key`` — the measured curve-choice
+    decision rule as API (VERDICT r08 #3) — made driver-visible on both
+    dispatch arms.  ``morton_key`` is the ``cheap_encode`` arm (Morton,
+    pure codegen SQL) value-hashed against the DuckDB zorder template;
+    ``hilbert_dispatch_ok`` pins the default ``box`` arm: the
+    Arrow-vectorized Hilbert key it returns must equal the
+    dual-dialect ``hilbert_key`` EXPRESSION (itself driver-certified
+    as ``scalar_hilbert_key``) on every row — a regression in the
+    dispatch or the pandas encode flips the boolean and the row goes
+    red.  Same (user, day) dimensions, bounds, and bits as the
+    ``scalar_zorder_key`` / ``scalar_hilbert_key`` entries."""
+    from ..functions.layout import cluster_key
+
+    dims = [("user_id", 0, 2000), ("day(ts)", 1, 31)]
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        cluster_key(dims, bits=8, probe_shape="cheap_encode").alias(
+            "morton_key"
+        ),
+        cluster_key(dims, bits=8, probe_shape="box")
+        .eqNullSafe(F.expr(_HKEY.spark))
+        .alias("hilbert_dispatch_ok"),
+    )
