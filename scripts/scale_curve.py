@@ -83,19 +83,34 @@ def build_scaled(mult: int) -> str:
     return str(out)
 
 
-def blas_fixed_probes(spark, sf_dir):
+def _fixed_probes(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
     from etl_pulumi_aws_snowflake_spark.sources import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.filter(
-        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 1_000_000)
+    return (
+        emb.filter(
+            (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 1_000_000)
+        ),
+        emb,
     )
+
+
+def blas_fixed_probes(spark, sf_dir):
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+
+    probes, emb = _fixed_probes(spark, sf_dir)
     return S.cosine_topk_blas(probes, emb, k=5).select(
         "probe_id", "rank", "vec_id"
     )
+
+
+def ivf_fixed_probes(spark, sf_dir):
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+
+    probes, emb = _fixed_probes(spark, sf_dir)
+    return S.ivf_topk(probes, emb, k=3, nprobe=2, seed_stride=50)
 
 
 def ops():
@@ -105,9 +120,11 @@ def ops():
     return {
         "dedup_survivors": q["dedup_survivors"],
         "dedup_ngram_jaccard": q["dedup_ngram_jaccard"],
+        "dedup_minhash_lsh": q["dedup_minhash_lsh"],
         "pack_sequences": q["pack_sequences"],
         "sample_temperature_mixture": q["sample_temperature_mixture"],
         "sim_cosine_topk_blas_fixed_probes": blas_fixed_probes,
+        "sim_ivf_topk_fixed_probes": ivf_fixed_probes,
     }
 
 
