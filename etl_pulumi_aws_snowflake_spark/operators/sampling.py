@@ -187,6 +187,17 @@ def sample_temperature_mixture(
             )
         weights[r[stratum_col]] = w
     tot = sum(weights[r[stratum_col]] for r in ordered)
+    if ordered and tot == 0:
+        # Defensive mirror of the overflow guard above: with the
+        # current domain (n >= 1, alpha > 0) every weight is >= 1, but
+        # if the weight rule ever admits underflow (n**alpha -> 0.0)
+        # the quota division below would raise an opaque
+        # ZeroDivisionError — fail in this operator's own loud style.
+        raise ValueError(
+            f"sample_temperature_mixture: every stratum weight "
+            f"underflowed to 0.0 (alpha={alpha}) — quotas are "
+            "undefined when the weight total is zero"
+        )
     quota_by = {
         r[stratum_col]: min(
             r["_n"],
@@ -254,7 +265,9 @@ def _take_exact(
             "first (withColumn would silently overwrite, then the "
             "final drop would lose the user column)"
         )
-    if all(_contains_map(f.dataType) for f in df.schema.fields):
+    if df.schema.fields and all(
+        _contains_map(f.dataType) for f in df.schema.fields
+    ):
         # Unreachable through the public entry points today (groupBy /
         # countDistinct already reject map-typed stratum/key columns),
         # but the invariant the tiebreaker relies on — "at least one

@@ -11,11 +11,15 @@ Three tiers, correctness-first then scale:
 - **IVF (seeded)** — coarse quantization: corpus vectors are assigned
   to their nearest seed centroid once (narrow after a broadcast of the
   seed list), probes search only the ``nprobe`` closest inverted lists.
-  Seeds here are deterministic corpus members (``vec_id % stride = 0``)
-  rather than k-means output, which keeps the operator reproducible and
-  oracle-checkable; swapping in trained centroids changes recall, not
-  the plan shape.  At scale: repartition corpus by ``list_id`` →
-  probe-to-list join prunes ~(1 - nprobe/nlists) of the corpus.
+  Seeds are deterministic corpus members — the scale default is the
+  ``nlists`` members with the smallest :func:`seed_rank_hash` (FIXED
+  list count, the knob an ANN index must hold constant in corpus
+  size), the legacy ``seed_stride`` mode keeps every stride-th member
+  (list count grows with the corpus — O(n²/stride) assignment, only
+  for fixed corpora).  Both are reproducible and oracle-checkable;
+  swapping in trained centroids changes recall, not the plan shape.
+  At scale: repartition corpus by ``list_id`` → probe-to-list join
+  prunes ~(1 - nprobe/nlists) of the corpus.
 
 Cosine math is the strict-left-fold double expression from
 functions/vectors.py — JVM-side, no Python, engine-reproducible.
@@ -164,32 +168,80 @@ def cosine_near_pairs(
     return _pairs(probes, corpus).filter(F.col("cos") >= threshold)
 
 
-#: Above this many seeds the broadcast centroid matrix stops being
-#: "small" and assignment falls back to the broadcast-join + map-side
-#: max_by form.  (A greatest()-of-literal-structs third form was
-#: measured and rejected: nlists nested HOF folds in one projection
-#: disable whole-stage codegen entirely — 3× SLOWER than the join.)
+#: Seed-chunk width for the Arrow assignment tier: the per-chunk cosine
+#: block is (batch_rows × chunk) doubles, so 256 bounds it at ~20 MB
+#: for 10k-row Arrow batches regardless of total seed count.  (A
+#: greatest()-of-literal-structs third form was measured and rejected:
+#: nlists nested HOF folds in one projection disable whole-stage
+#: codegen entirely — 3× SLOWER than a join.)
 MAX_LITERAL_SEEDS = 256
+
+#: Hard cap on seeds collected into the task closure.  16384 seeds of
+#: 1k-dim float64 is ~130 MB in every task — past that the centroid
+#: table is no longer "small" and assignment falls back to the
+#: broadcast-join + map-side max_by form (one corpus shuffle), with a
+#: LOUD warning: crossing this cap used to cost a silent 65× (the
+#: r09 scale curve's measured cliff — the old fallback evaluated the
+#: per-pair cosine on Spark's interpreted HOF path).
+MAX_CLOSURE_SEEDS = 16_384
+
+#: Modulus for the hash-rank seed picker (same prime as
+#: functions/hashing.py — keeps every intermediate < 2.66e18, inside
+#: int64 for BOTH engines; Spark wraps on overflow while DuckDB raises,
+#: so staying in range is what makes the expression dialect-shared).
+SEED_HASH_P = 1_000_000_007
+
+
+def seed_rank_hash(id_col: str = "vec_id") -> str:
+    """Deterministic per-id rank key for fixed-``nlists`` seeding —
+    ONE string valid in both Spark SQL and DuckDB (pure int64
+    arithmetic, Knuth multiplicative mix).  Engine-stable: no RNG, no
+    engine-internal hash seeds, so the oracle replays it exactly."""
+    return f"(({id_col} % {SEED_HASH_P}) * 2654435761 + 12345) % {SEED_HASH_P}"
 
 
 def _seed_frame(
-    corpus: DataFrame, seed_stride: int, centroids: list | None
+    corpus: DataFrame,
+    seed_stride: int,
+    centroids: list | None,
+    nlists: int | None = None,
 ) -> DataFrame:
-    """(seed_id, v, nrm) — the coarse centroid table.  Default: every
-    ``seed_stride``-th corpus member (deterministic, oracle-checkable).
-    With ``centroids`` (list of ``(list_id, [float, ...])`` — e.g. from
-    :func:`train_ivf_centroids`): a local-relation frame.  Norms are
-    computed by the same JVM fold either way, so both flavors feed the
-    identical assignment code paths."""
-    if centroids is None:
-        return _prep(corpus).filter(
-            F.col("vec_id") % seed_stride == 0
-        ).withColumnRenamed("vec_id", "seed_id")
-    spark = corpus.sparkSession
-    rows = [(int(i), [float(x) for x in v]) for i, v in centroids]
-    return spark.createDataFrame(rows, "seed_id long, v array<double>").withColumn(
-        "nrm", F.expr(f"sqrt({V.dot_cols('v', 'v')})")
-    )
+    """(seed_id, v, nrm) — the coarse centroid table, three flavors:
+
+    - ``nlists`` (the **100 TB default**): the ``nlists`` corpus members
+      with the smallest :func:`seed_rank_hash` (ties by vec_id) —
+      deterministic, oracle-checkable, and **constant cardinality in
+      corpus size**, which is the knob an ANN index must hold fixed
+      (the r09 scale curve measured the stride default going quadratic:
+      nlists ∝ corpus ⇒ O(n²/stride) assignment work, 65× at x10 data).
+      The pick compiles to TakeOrderedAndProject — per-partition
+      partial top-``nlists``, never a global sort.
+    - ``seed_stride``: every ``stride``-th corpus member — the original
+      correctness-first mode; nlists grows with the corpus, so it is
+      for fixed-size corpora only.
+    - ``centroids`` (list of ``(list_id, [float, ...])`` — e.g. from
+      :func:`train_ivf_centroids`): a local-relation frame.
+
+    Norms are computed by the same JVM fold in every flavor, so all
+    three feed the identical assignment code paths."""
+    if centroids is not None:
+        spark = corpus.sparkSession
+        rows = [(int(i), [float(x) for x in v]) for i, v in centroids]
+        return spark.createDataFrame(
+            rows, "seed_id long, v array<double>"
+        ).withColumn("nrm", F.expr(f"sqrt({V.dot_cols('v', 'v')})"))
+    if nlists is not None:
+        if nlists < 1:
+            raise ValueError(f"nlists must be >= 1, got {nlists}")
+        return (
+            _prep(corpus)
+            .orderBy(F.expr(seed_rank_hash("vec_id")), F.col("vec_id"))
+            .limit(nlists)
+            .withColumnRenamed("vec_id", "seed_id")
+        )
+    return _prep(corpus).filter(
+        F.col("vec_id") % seed_stride == 0
+    ).withColumnRenamed("vec_id", "seed_id")
 
 
 def train_ivf_centroids(
@@ -216,8 +268,103 @@ def train_ivf_centroids(
     ]
 
 
+def _collect_seeds(seeds: DataFrame) -> list | None:
+    """Collect the seed table for the zero-exchange Arrow tier, sorted
+    by seed_id.  Returns ``None`` when the Arrow tier cannot run: an
+    EMPTY seed table (the join fallback degrades to an empty result,
+    matching the old contract) or more than :data:`MAX_CLOSURE_SEEDS`
+    seeds — the latter with a LOUD warning, because the r09 scale curve
+    measured the silent version of this tier switch at 65× (the old
+    256-seed cap dropped straight onto an interpreted per-pair fold)."""
+    rows = sorted(
+        seeds.limit(MAX_CLOSURE_SEEDS + 1).collect(), key=lambda r: r["seed_id"]
+    )
+    if 0 < len(rows) <= MAX_CLOSURE_SEEDS:
+        return rows
+    if len(rows) > MAX_CLOSURE_SEEDS:
+        import warnings
+
+        warnings.warn(
+            f"IVF seed table exceeds MAX_CLOSURE_SEEDS={MAX_CLOSURE_SEEDS}; "
+            "assignment falls back to the broadcast-join tier (one corpus "
+            "shuffle, max_by aggregate). With stride seeding this usually "
+            "means the corpus grew — pass nlists=<fixed count> instead: "
+            "an ANN index's coarse-list count must not scale with data "
+            "(O(n*nlists) assignment work goes quadratic when it does).",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    return None
+
+
+def _assign_arrow(prepped: DataFrame, seed_rows: list, nn: int) -> DataFrame:
+    """Zero-exchange assignment: the seed matrix ships in the task
+    closure; each Arrow batch's cosines are computed chunk-of-256-seeds
+    at a time (bounding the per-chunk block at ~20 MB for 10k-row
+    batches) and each vector keeps its running top-``nn`` lists by
+    (cos desc, seed_id asc).
+
+    Bit-identity with the JVM ``zip_with``+``aggregate`` fold (and so
+    with the DuckDB oracle) is preserved exactly as in the old
+    single-chunk tier: dims accumulate in a strict ascending left fold
+    (the loop below is dim-major — ``acc += outer(m[:,d], sv[:,d])``
+    performs the same IEEE add sequence per element as the old
+    seed-major spelling, multiplication being exactly commutative),
+    and ties resolve via two stable sorts == the (cos desc, seed_id
+    asc) rule.  Chunking changes neither: per-pair summation order is
+    within-pair, and the running-best merge re-sorts by the same rule.
+    """
+    import numpy as np
+
+    sid = np.array([r["seed_id"] for r in seed_rows], dtype=np.int64)
+    sv = np.array([r["v"] for r in seed_rows], dtype=np.float64)
+    snrm = np.array([r["nrm"] for r in seed_rows], dtype=np.float64)
+    nn = min(nn, len(sid))
+
+    def assign_parts(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            best_cos = best_sid = None
+            for lo in range(0, len(sid), MAX_LITERAL_SEEDS):
+                svc = sv[lo : lo + MAX_LITERAL_SEEDS]
+                sidc = sid[lo : lo + MAX_LITERAL_SEEDS]
+                acc = np.zeros((len(m), len(svc)))
+                for d in range(m.shape[1]):
+                    acc += np.outer(m[:, d], svc[:, d])
+                cos = acc / np.outer(nrm, snrm[lo : lo + MAX_LITERAL_SEEDS])
+                sids = np.broadcast_to(sidc, cos.shape)
+                if best_cos is None:
+                    cand_cos, cand_sid = cos, sids
+                else:
+                    cand_cos = np.concatenate([best_cos, cos], axis=1)
+                    cand_sid = np.concatenate([best_sid, sids], axis=1)
+                # top-nn by (cos desc, seed_id asc): stable sort by sid
+                # asc, then stable sort by cos desc — equal-cos entries
+                # keep ascending-sid order (rowwise lexsort)
+                o1 = np.argsort(cand_sid, axis=1, kind="stable")
+                cs = np.take_along_axis(cand_cos, o1, axis=1)
+                o2 = np.argsort(-cs, axis=1, kind="stable")[:, :nn]
+                keep = np.take_along_axis(o1, o2, axis=1)
+                best_cos = np.take_along_axis(cand_cos, keep, axis=1)
+                best_sid = np.take_along_axis(cand_sid, keep, axis=1)
+            k = best_sid.shape[1]
+            out = pdf.loc[pdf.index.repeat(k)].reset_index(drop=True)
+            out["list_id"] = best_sid.ravel()
+            yield out[["vec_id", "v", "nrm", "list_id"]]
+
+    return prepped.mapInPandas(
+        assign_parts, "vec_id long, v array<double>, nrm double, list_id long"
+    )
+
+
 def ivf_assign(
-    corpus: DataFrame, seed_stride: int = 50, centroids: list | None = None
+    corpus: DataFrame,
+    seed_stride: int = 50,
+    centroids: list | None = None,
+    nlists: int | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest seed centroid (vec_id %
     stride = 0 rows): (vec_id, v, nrm, list_id).  Deterministic argmax:
@@ -235,60 +382,36 @@ def ivf_assign(
     Plan shape — two tiers, bit-identical results (verified by a
     property test):
 
-    - **≤ MAX_LITERAL_SEEDS** (the IVF contract — coarse lists are few
+    - **≤ MAX_CLOSURE_SEEDS** (the IVF contract — coarse lists are few
       by construction): the seed matrix is collected once and shipped
       in the task closure; an Arrow ``mapInPandas`` computes each
       batch's cosines as numpy vector ops and takes the argmax —
       ZERO exchanges, the corpus never leaves its partitions.  This is
-      how real IVF broadcasts its centroid table.  Bit-identity with
-      the JVM fold is preserved by summing dims in a strict left fold
-      (``acc = acc + seed[t]·col[t]``, vectorized over ROWS, ordered
-      over DIMS — the exact IEEE sequence of ``zip_with``+``aggregate``)
-      and ``np.argmax``'s first-max tie rule over ascending seed ids
-      (== the (cos, -seed_id) max rule).
-    - **fallback**: a ``max_by`` hash aggregate over (vec_id, seed_id,
-      seed_cos) triples — the broadcast join emits each corpus row's
-      nlists candidates inside one partition, map-side partial
+      how real IVF broadcasts its centroid table.  Seeds are processed
+      in 256-wide chunks (:func:`_assign_arrow`), so crossing 256 lists
+      no longer changes tier — the r09 scale curve measured that old
+      silent switch at 65×.  Bit-identity with the JVM fold is
+      preserved by summing dims in a strict ascending left fold and
+      the stable-sort (cos desc, seed_id asc) tie rule.
+    - **fallback** (> MAX_CLOSURE_SEEDS, entered with a LOUD
+      RuntimeWarning): a ``max_by`` hash aggregate over (vec_id,
+      seed_id, seed_cos) triples — the broadcast join emits each corpus
+      row's nlists candidates inside one partition, map-side partial
       ``max_by`` collapses them to ONE 24-byte row per vector before
       anything shuffles, then vectors rejoin by id (corpus crosses the
       wire once, vs. zero for the pandas tier).
 
     ``centroids`` swaps the seeded centroid table for trained ones
-    (:func:`train_ivf_centroids`) — same two assignment tiers, same
-    argmax rule; only the centroid VALUES change (recall, not plan
-    shape)."""
+    (:func:`train_ivf_centroids`); ``nlists`` swaps in the fixed-count
+    hash-rank seeding (:func:`_seed_frame` — the 100 TB default, the
+    r09 scale curve measured stride seeding going quadratic) — same
+    two assignment tiers, same argmax rule in every mode."""
     prepped = _prep(corpus)
-    seeds = _seed_frame(corpus, seed_stride, centroids)
+    seeds = _seed_frame(corpus, seed_stride, centroids, nlists)
 
-    seed_rows = sorted(
-        seeds.limit(MAX_LITERAL_SEEDS + 1).collect(), key=lambda r: r["seed_id"]
-    )
-    if 0 < len(seed_rows) <= MAX_LITERAL_SEEDS:
-        import numpy as np
-
-        sid = np.array([r["seed_id"] for r in seed_rows], dtype=np.int64)
-        sv = np.array([r["v"] for r in seed_rows], dtype=np.float64)
-        snrm = np.array([r["nrm"] for r in seed_rows], dtype=np.float64)
-
-        def assign_parts(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                m = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-                nrm = pdf["nrm"].to_numpy(dtype=np.float64)
-                cos = np.empty((len(pdf), len(sid)))
-                for j in range(len(sid)):
-                    acc = np.zeros(len(pdf))
-                    for d in range(m.shape[1]):
-                        acc = acc + sv[j, d] * m[:, d]
-                    cos[:, j] = acc / (snrm[j] * nrm)
-                out = pdf.copy()
-                out["list_id"] = sid[np.argmax(cos, axis=1)]
-                yield out
-
-        return prepped.mapInPandas(
-            assign_parts, "vec_id long, v array<double>, nrm double, list_id long"
-        )
+    seed_rows = _collect_seeds(seeds)
+    if seed_rows is not None:
+        return _assign_arrow(prepped, seed_rows, 1)
 
     a, b = seeds.alias("a"), prepped.alias("b")
     # max over (cos, -seed_id) == highest cosine, then lowest seed id —
@@ -316,6 +439,7 @@ def ivf_assign_topn(
     seed_stride: int = 50,
     n_assign: int = 2,
     centroids: list | None = None,
+    nlists: int | None = None,
 ) -> DataFrame:
     """Multi-assignment variant of :func:`ivf_assign`: each vector maps
     to its ``n_assign`` nearest coarse lists (by cos desc, seed_id asc
@@ -325,49 +449,19 @@ def ivf_assign_topn(
     top-n), which is what makes multi-assign candidates a strict
     SUPERSET of single-assign ones downstream.
 
-    Same two tiers as :func:`ivf_assign`: ≤ MAX_LITERAL_SEEDS seeds →
-    in-closure numpy top-n per Arrow batch, ZERO exchanges (stable
-    argsort over the strict-left-fold cosine matrix: ties resolve to
-    the ascending seed order, matching the (cos, -seed_id) max rule);
-    above the cap → broadcast-join candidates ranked by a per-vector
-    window over narrow (vec_id, seed_id, cos) triples — one shuffle of
-    24-byte rows, vectors rejoin by id."""
+    Same two tiers as :func:`ivf_assign`: ≤ MAX_CLOSURE_SEEDS collected
+    seeds → in-closure chunked numpy top-n per Arrow batch
+    (:func:`_assign_arrow`), ZERO exchanges, ties resolving to the
+    (cos desc, seed_id asc) rule; above the cap (loud warning) →
+    broadcast-join candidates ranked by a per-vector window over narrow
+    (vec_id, seed_id, cos) triples — one shuffle of 24-byte rows,
+    vectors rejoin by id."""
     prepped = _prep(corpus)
-    seeds = _seed_frame(corpus, seed_stride, centroids)
+    seeds = _seed_frame(corpus, seed_stride, centroids, nlists)
 
-    seed_rows = sorted(
-        seeds.limit(MAX_LITERAL_SEEDS + 1).collect(), key=lambda r: r["seed_id"]
-    )
-    if 0 < len(seed_rows) <= MAX_LITERAL_SEEDS:
-        import numpy as np
-
-        sid = np.array([r["seed_id"] for r in seed_rows], dtype=np.int64)
-        sv = np.array([r["v"] for r in seed_rows], dtype=np.float64)
-        snrm = np.array([r["nrm"] for r in seed_rows], dtype=np.float64)
-        nn = min(n_assign, len(sid))
-
-        def assign_parts(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                m = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-                nrm = pdf["nrm"].to_numpy(dtype=np.float64)
-                cos = np.empty((len(pdf), len(sid)))
-                for j in range(len(sid)):
-                    acc = np.zeros(len(pdf))
-                    for d in range(m.shape[1]):
-                        acc = acc + sv[j, d] * m[:, d]
-                    cos[:, j] = acc / (snrm[j] * nrm)
-                # stable sort: equal cos keeps ascending seed order ==
-                # the (cos desc, seed_id asc) rule of ivf_assign
-                order = np.argsort(-cos, axis=1, kind="stable")[:, :nn]
-                out = pdf.loc[pdf.index.repeat(nn)].reset_index(drop=True)
-                out["list_id"] = sid[order].ravel()
-                yield out
-
-        return prepped.mapInPandas(
-            assign_parts, "vec_id long, v array<double>, nrm double, list_id long"
-        )
+    seed_rows = _collect_seeds(seeds)
+    if seed_rows is not None:
+        return _assign_arrow(prepped, seed_rows, n_assign)
 
     a, b = seeds.alias("a"), prepped.alias("b")
     wl = Window.partitionBy("vec_id").orderBy(F.desc("seed_cos"), F.asc("list_id"))
@@ -391,6 +485,7 @@ def semantic_near_pairs(
     threshold: float = 0.35,
     seed_stride: int = 50,
     n_assign: int = 1,
+    nlists: int | None = None,
 ) -> DataFrame:
     """SemDeDup-shaped embedding near-dup candidates: vectors can pair
     only if they share an IVF coarse list — (doc_a, doc_b, cos) with
@@ -422,9 +517,11 @@ def semantic_near_pairs(
     automatically at the next query-registry boundary — after the
     caller has materialized this plan in any sequential run."""
     if n_assign <= 1:
-        assigned = deferred_persist(ivf_assign(corpus, seed_stride))
+        assigned = deferred_persist(ivf_assign(corpus, seed_stride, nlists=nlists))
     else:
-        assigned = deferred_persist(ivf_assign_topn(corpus, seed_stride, n_assign))
+        assigned = deferred_persist(
+            ivf_assign_topn(corpus, seed_stride, n_assign, nlists=nlists)
+        )
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = (
         a.join(
@@ -454,6 +551,7 @@ def ivf_topk(
     nprobe: int = 2,
     seed_stride: int = 50,
     centroids: list | None = None,
+    nlists: int | None = None,
 ) -> DataFrame:
     """ANN top-k via inverted lists: each probe searches only its
     ``nprobe`` nearest lists — (probe_id, rank, vec_id, cos).
@@ -462,10 +560,15 @@ def ivf_topk(
     searched lists is exact.  The probe→list assignment reuses
     :func:`ivf_assign`'s ordering rule, so results are deterministic.
     ``centroids`` uses trained centroids for BOTH the corpus assignment
-    and the probe→list routing (they must agree or recall craters).
+    and the probe→list routing (they must agree or recall craters);
+    ``nlists`` likewise routes probes against the same fixed-count
+    hash-rank seed table the corpus was assigned with.  **At scale pass
+    ``nlists``**: it is the one knob that keeps assignment work
+    O(n·nlists) linear in the corpus — the stride default grows the
+    list count with the data (r09 scale curve: 65× at x10).
     """
-    assigned = ivf_assign(corpus, seed_stride, centroids=centroids)
-    seeds = _seed_frame(corpus, seed_stride, centroids)
+    assigned = ivf_assign(corpus, seed_stride, centroids=centroids, nlists=nlists)
+    seeds = _seed_frame(corpus, seed_stride, centroids, nlists)
     # nprobe nearest lists per probe (probe may be a corpus member of
     # another list — search is over lists, membership is irrelevant).
     a = _prep(probes).withColumnRenamed("vec_id", "probe_id").alias("a")

@@ -33,43 +33,48 @@ from . import streaming_e2e  # noqa: E402,F401
 
 
 # The external correctness driver checks the FIRST 50 dict entries per
-# round (CORRECTNESS_r01-r08 each recorded exactly queries()[:50] in
-# order).  Round 9 executes VERDICT r08 #1's rotation: (a) the one NEW
-# entry leads (never-checked-entries-lead rule — layout_cluster_key,
-# the measured curve-choice dispatch made driver-visible, VERDICT r08
-# #3), then (b) ALL 36 r06-stale entries, staleness-report order —
-# after this round no entry's latest evidence is older than r07 —
-# then (c) the 4 entries whose CODE round 9 touched (the
-# temperature-mixture overflow/overshoot/all-map hardening lives in
-# the shared operators/sampling.py core every sample_exact_quota*
-# entry exercises), then (d) 9 r07-stale entries as fill,
+# round (CORRECTNESS_r01-r09 each recorded exactly queries()[:50] in
+# order).  Round 10 executes VERDICT r09 #4's rotation: (a) the one
+# NEW entry leads (never-checked-entries-lead rule —
+# sim_ivf_topk_nlists, the fixed-count seeding that closes the r09
+# scale cliff, VERDICT r09 #1: "the fixed-k mode needs its own green
+# registry entry"), then (b) ALL 38 r07-stale entries,
+# staleness-report order — after this round no entry's latest evidence
+# is older than r08 — then (c) the entries whose CODE round 10 touched
+# and that are not already in (b): the embedding-survivor pair (their
+# candidate generation routes through the rewritten
+# similarity.py assignment tiers) and the sample_* family (the
+# defensive tot==0 / empty-schema guards live in the shared
+# operators/sampling.py core), then (d) 5 r08-stale entries as fill,
 # staleness-report order.
 # tests/test_docs.py::test_never_driver_checked_entries_lead_the_window
 # FAILS if a registry entry without any CORRECTNESS row sits outside
 # the first 50 — the r05 process miss cannot recur silently.
 _DRIVER_FIRST = [
     # (a) NEW this round — first-ever driver evidence
-    "layout_cluster_key",
-    # (b) r06-stale, staleness-report order
-    "corpus_quality_filter", "corpus_split", "decontaminate",
-    "dedup_exact", "dedup_fingerprint_groups", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_simhash", "dq_audit", "join_cross",
-    "join_right_outer", "join_salted", "join_semi",
-    "merge_schema_evolution", "merge_upsert_customers",
-    "mm_binary_features", "mm_frame_sample", "mm_resize",
-    "pack_sequences", "pipeline_batch_e2e", "pipeline_stream_e2e",
-    "sample_hash_bernoulli", "sample_stratified_by_lang",
-    "scalar_array_explode", "scalar_json_typed", "scalar_map",
-    "set_distinct_rows", "sim_cosine_topk", "sql_api_q5",
-    "text_langid", "text_lm_score", "text_quality", "text_token_stats",
-    "udf_grouped_map", "udf_row_scalar", "udf_table_function",
-    # (c) round-9 code-touched: re-certify under the driver hash
+    "sim_ivf_topk_nlists",
+    # (b) r07-stale, staleness-report order
+    "cdc_merge_stream_e2e", "dedup_spans", "q11_important_parts",
+    "q12_late_shipment_priority", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_count",
+    "q19_disjunctive_revenue", "q20_excess_shippers",
+    "q21_waiting_suppliers", "q22_global_sales_opportunity",
+    "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "scalar_zorder_key", "scd2_user_state", "sim_cosine_near_pairs",
+    "sim_cosine_topk_blas", "sim_ivf_recall", "sim_ivf_topk",
+    "snapshot_conflict_e2e", "snapshot_skipping_e2e",
+    "snapshot_time_travel_e2e", "sql_api_q3", "sql_api_window",
+    "stream_interval_join_e2e", "text_fingerprint", "text_pii_redact",
+    "text_repetition", "udf_grouped_agg", "udf_pandas_scalar",
+    "win_session", "win_sliding", "win_tumbling",
+    # (c) round-10 code-touched: re-certify under the driver hash
+    "dedup_embedding_survivors", "dedup_embedding_survivors_multi",
     "sample_temperature_mixture", "sample_exact_quota",
     "sample_exact_quota_dupkeys", "sample_exact_quota_fail_loud",
-    # (d) r07-stale fill, staleness-report order
-    "agg_collect", "agg_cube", "agg_distinct", "agg_groupby_basic",
-    "agg_grouping_sets", "agg_rollup", "agg_stats", "align_by_name_ci",
-    "cdc_merge_pruned_e2e",
+    # (d) r08-stale fill, staleness-report order
+    "agg_approx_distinct", "agg_approx_quantile", "agg_conditional",
+    "agg_median", "agg_salted_groupby",
 ]
 
 def _driver_order(d: dict) -> dict:

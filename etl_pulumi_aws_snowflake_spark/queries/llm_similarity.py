@@ -101,11 +101,29 @@ def sim_cosine_near_pairs(spark, sf_dir):
     return S.cosine_near_pairs(probes, corpus, threshold=0.35)
 
 
-#: The IVF pipeline as DuckDB CTEs (seeded assignment → probe routing →
-#: list-pruned ranking) — shared by the topk and recall oracles.
-_IVF_CTES = f"""{_E},
-    seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e
-              WHERE vec_id % {_PROBE_STRIDE} = 0),
+#: Fixed list count for the scale-default seeding mode's entry (≈ the
+#: stride mode's list count at sf0.01, so recall is comparable).
+_NLISTS = 10
+
+#: Seed-table CTE bodies: stride mode (legacy, list count ∝ corpus) and
+#: the fixed-count hash-rank mode (the 100 TB default — seed_rank_hash
+#: is ONE dialect-shared int64 expression, replayed verbatim here).
+_SEEDS_STRIDE = (
+    f"SELECT vec_id AS seed_id, v AS sv FROM e "
+    f"WHERE vec_id % {_PROBE_STRIDE} = 0"
+)
+_SEEDS_NLISTS = (
+    f"SELECT vec_id AS seed_id, v AS sv FROM e "
+    f"ORDER BY {S.seed_rank_hash('vec_id')}, vec_id LIMIT {_NLISTS}"
+)
+
+
+def _ivf_ctes(seeds_sql: str) -> str:
+    """The IVF pipeline as DuckDB CTEs (seeded assignment → probe
+    routing → list-pruned ranking), parameterized by the seed pick —
+    shared by the topk/recall/nlists oracles."""
+    return f"""{_E},
+    seeds AS ({seeds_sql}),
     assign AS (
         SELECT e.vec_id, e.v, seed_id, {_cos('sv', 'v')} AS seed_cos,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -136,6 +154,9 @@ _IVF_CTES = f"""{_E},
     )"""
 
 
+_IVF_CTES = _ivf_ctes(_SEEDS_STRIDE)
+
+
 @query(
     "sim_ivf_topk",
     oracle=f"""
@@ -145,10 +166,32 @@ _IVF_CTES = f"""{_E},
 )
 def sim_ivf_topk(spark, sf_dir):
     """IVF-bucketed ANN top-3: nearest-seed coarse quantization, probe
-    searches its 2 closest lists — the 100 TB scale path (prunes
-    ~(1 - nprobe/nlists) of the corpus before any distance math)."""
+    searches its 2 closest lists (prunes ~(1 - nprobe/nlists) of the
+    corpus before any distance math).  Stride seeding — the fixed-size-
+    corpus mode; the scale path is :func:`sim_ivf_topk_nlists`."""
     probes, corpus = _probes(spark, sf_dir)
     return S.ivf_topk(probes, corpus, k=3, nprobe=2, seed_stride=_PROBE_STRIDE)
+
+
+@query(
+    "sim_ivf_topk_nlists",
+    oracle=f"""
+    WITH {_ivf_ctes(_SEEDS_NLISTS)}
+    SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= 3
+    """,
+)
+def sim_ivf_topk_nlists(spark, sf_dir):
+    """IVF ANN top-3 under the **fixed-``nlists`` hash-rank seeding**
+    — the 100 TB default (VERDICT r09 #1): the coarse-list count is a
+    constant-cardinality knob instead of growing with the corpus, so
+    assignment work stays O(n·nlists) LINEAR in data (the r09 scale
+    curve measured the stride mode at 65× for 10× data).  The seed
+    pick is the ``nlists`` smallest ``seed_rank_hash(vec_id)`` values
+    (ties by vec_id) — pure int64 arithmetic both engines evaluate
+    identically; the oracle replays the exact pick, assignment, probe
+    routing, and ranking."""
+    probes, corpus = _probes(spark, sf_dir)
+    return S.ivf_topk(probes, corpus, k=3, nprobe=2, nlists=_NLISTS)
 
 
 @query(

@@ -129,10 +129,21 @@ def ops():
 
 
 class CollectMeter:
-    """Counts rows/calls through DataFrame.collect while active."""
+    """Counts rows/calls through DataFrame.collect while active.
+
+    The driver-flatness claim in SCALE.md rests on this counter, so it
+    must fail LOUDLY rather than silently read zero: pyspark >= 4 puts
+    the concrete class in ``pyspark.sql.classic.dataframe`` (ADVICE r09:
+    older pyspark lacks that module — fall back to the public module),
+    and :func:`timed` verifies the DataFrame actually produced by the
+    op is an instance of the patched class (under Spark Connect it
+    would not be, and an unpatched collect would count nothing)."""
 
     def __init__(self):
-        import pyspark.sql.classic.dataframe as cd
+        try:
+            import pyspark.sql.classic.dataframe as cd
+        except ImportError:  # pyspark < 4.0
+            import pyspark.sql.dataframe as cd
 
         self.cls = cd.DataFrame
         self.orig = cd.DataFrame.collect
@@ -162,7 +173,14 @@ def timed(spark, fn, sf_dir):
         spark.catalog.clearCache()
         with CollectMeter() as m:
             start = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            df = fn(spark, sf_dir)
+            if not isinstance(df, m.cls):
+                raise RuntimeError(
+                    f"CollectMeter patched {m.cls} but the op produced "
+                    f"{type(df)} — collect counting would silently read "
+                    "0 rows (Spark Connect session?)"
+                )
+            df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - start)
         meter_rows.append((m.rows, m.calls))
     return {

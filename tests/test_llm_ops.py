@@ -419,12 +419,13 @@ def test_ivf_assign_topn_first_choice_matches_single_assign(spark, sf_correct):
         assert len(top2) == 2 * len(single)  # exactly two lists per vector
 
     check()
-    old = S.MAX_LITERAL_SEEDS
-    S.MAX_LITERAL_SEEDS = 0  # force the window-fallback tier
+    old = S.MAX_CLOSURE_SEEDS
+    S.MAX_CLOSURE_SEEDS = 0  # force the window-fallback tier (loud warn)
     try:
-        check()
+        with pytest.warns(RuntimeWarning, match="MAX_CLOSURE_SEEDS"):
+            check()
     finally:
-        S.MAX_LITERAL_SEEDS = old
+        S.MAX_CLOSURE_SEEDS = old
 
 
 def test_dedup_survivors_with_no_pairs_keeps_everything(spark):
@@ -458,3 +459,96 @@ def test_pack_chunks_doc_spanning_multiple_budgets(spark):
     spark.catalog.clearCache()
     got = [(r.doc_id, r.chunk_id, r.tok_start, r.tok_end) for r in rows]
     assert got == [(1, 0, 0, 4), (1, 1, 4, 7), (2, 1, 7, 8), (2, 2, 8, 10)]
+
+
+def _synthetic_corpus(spark, n=600, dim=4):
+    """Deterministic small corpus wide enough to exceed one 256-seed
+    chunk when densely seeded (no RNG — values from integer mixes)."""
+    rows = [
+        (
+            i,
+            [
+                float(((i + 1) * (d + 3) * 2654435761) % 1000 - 500) / 250.0
+                for d in range(dim)
+            ],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_assign_chunked_arrow_tier_matches_join_tier(spark):
+    """VERDICT r09 #1: crossing 256 seeds must STAY on the Arrow tier
+    (chunk-of-256 running-best merge) instead of silently dropping onto
+    the interpreted per-pair fold — that switch measured 65× on the r09
+    scale curve.  300 seeds → two chunks; results must be bit-identical
+    to the broadcast-join + max_by fallback, for top-1 AND top-2."""
+    corpus = _synthetic_corpus(spark)
+    # stride 2 over 600 vectors → 300 seeds: > MAX_LITERAL_SEEDS (two
+    # chunks), ≤ MAX_CLOSURE_SEEDS (Arrow tier retained)
+    arrow1 = {(r.vec_id, r.list_id) for r in S.ivf_assign(corpus, 2).collect()}
+    arrow2 = {
+        (r.vec_id, r.list_id) for r in S.ivf_assign_topn(corpus, 2, 2).collect()
+    }
+    old = S.MAX_CLOSURE_SEEDS
+    S.MAX_CLOSURE_SEEDS = 0
+    try:
+        with pytest.warns(RuntimeWarning, match="MAX_CLOSURE_SEEDS"):
+            join1 = {
+                (r.vec_id, r.list_id) for r in S.ivf_assign(corpus, 2).collect()
+            }
+        with pytest.warns(RuntimeWarning, match="MAX_CLOSURE_SEEDS"):
+            join2 = {
+                (r.vec_id, r.list_id)
+                for r in S.ivf_assign_topn(corpus, 2, 2).collect()
+            }
+    finally:
+        S.MAX_CLOSURE_SEEDS = old
+    assert arrow1 == join1
+    assert arrow2 == join2
+    assert arrow1 < arrow2  # superset property survives chunking
+
+
+def test_ivf_nlists_seeding_is_fixed_count_and_deterministic(spark):
+    """The fixed-``nlists`` hash-rank seeding (the 100 TB default) must
+    (a) pick exactly nlists seeds regardless of corpus size — the knob
+    the stride mode lets grow, which is what went quadratic — and
+    (b) pick exactly the ids the dialect-shared rank expression names
+    (replayed here in plain Python), independent of partitioning."""
+    P = S.SEED_HASH_P
+
+    def expected(ids, nlists):
+        return set(
+            sorted(ids, key=lambda i: (((i % P) * 2654435761 + 12345) % P, i))[
+                :nlists
+            ]
+        )
+
+    for n in (300, 600):
+        corpus = _synthetic_corpus(spark, n=n).repartition(7)
+        assigned = S.ivf_assign(corpus, nlists=16)
+        lists = {r.list_id for r in assigned.select("list_id").distinct().collect()}
+        assert lists <= expected(range(n), 16)
+        seeds = {
+            r.seed_id
+            for r in S._seed_frame(corpus, 50, None, nlists=16).collect()
+        }
+        assert seeds == expected(range(n), 16)
+        assert len(seeds) == 16  # constant cardinality at 2× the data
+
+
+def test_ivf_topk_nlists_matches_stride_shape_and_is_exact_within_lists(spark):
+    """ivf_topk(nlists=...) must produce the same schema/rank contract
+    as the stride mode and be exact within searched lists: every
+    returned (probe, vec) pair's cos must equal the brute-force cosine
+    for that pair (precision is exact; only recall is approximate)."""
+    corpus = _synthetic_corpus(spark, n=400)
+    probes = corpus.filter(F.col("vec_id") % 100 == 0)
+    ann = S.ivf_topk(probes, corpus, k=3, nprobe=2, nlists=8).collect()
+    assert {r.rank for r in ann} <= {1, 2, 3}
+    exact = {
+        (r.probe_id, r.vec_id): r.cos
+        for r in S.cosine_topk(probes, corpus, k=400).collect()
+    }
+    for r in ann:
+        assert math.isclose(r.cos, exact[(r.probe_id, r.vec_id)], rel_tol=0, abs_tol=0)

@@ -211,15 +211,18 @@ def test_ivf_assign_literal_path_matches_join_path(spark):
         r["vec_id"]: r["list_id"]
         for r in S.ivf_assign(corpus, seed_stride=50).collect()
     }
-    old = S.MAX_LITERAL_SEEDS
-    S.MAX_LITERAL_SEEDS = 0  # force the broadcast-join + max_by tier
+    import pytest
+
+    old = S.MAX_CLOSURE_SEEDS
+    S.MAX_CLOSURE_SEEDS = 0  # force the broadcast-join + max_by tier
     try:
-        join_assign = {
-            r["vec_id"]: r["list_id"]
-            for r in S.ivf_assign(corpus, seed_stride=50).collect()
-        }
+        with pytest.warns(RuntimeWarning, match="MAX_CLOSURE_SEEDS"):
+            join_assign = {
+                r["vec_id"]: r["list_id"]
+                for r in S.ivf_assign(corpus, seed_stride=50).collect()
+            }
     finally:
-        S.MAX_LITERAL_SEEDS = old
+        S.MAX_CLOSURE_SEEDS = old
     assert lit_assign == join_assign
 
 
