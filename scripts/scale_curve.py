@@ -1,9 +1,14 @@
 #!/usr/bin/env python3
-"""Measured scale-up curve (VERDICT r08 #2): the 5 most expensive ops
-at sf0.1 and builder-generated ~sf0.3 / ~sf1, one JVM, recording
-wall-time ratios (expect ~linear in data) and driver-side collected
-rows (expect FLAT — |strata| scalars, K partial-top-k rows, centroid
-sets — never proportional to data).
+"""Measured scale-up curve (VERDICT r08 #2, extended r10 per VERDICT
+r09 #6): the most expensive LLM ops at sf0.1 and builder-generated
+~sf0.3 / ~sf1, PLUS the relational/warehouse side (the q9 star join,
+a pruned CDC MERGE batch, clustered snapshot compaction) — one JVM,
+recording wall-time ratios (expect ~linear in data) and driver-side
+collected rows (expect FLAT — |strata| scalars, K partial-top-k rows,
+centroid sets — never proportional to data).  Both IVF seeding modes
+are on the curve: stride (list count grows with data — the r09
+measured cliff, kept to show the chunked-tier fix) and fixed-nlists
+(the scale default, expected linear + flat collect).
 
 Data: 10 key-shifted copies of /root/testdata/sf0.1 documents/
 embeddings into a builder-owned dir (never touching the read-only
@@ -51,11 +56,23 @@ RUNS = 3
 
 
 def build_scaled(mult: int) -> str:
-    """DuckDB-generate the x``mult`` dir (idempotent)."""
+    """DuckDB-generate the x``mult`` dir (idempotent).
+
+    Round 10 (VERDICT r09 #6) extends the dir beyond documents/
+    embeddings to the relational/warehouse side: ``lineitem`` and
+    ``orders`` are key-shifted x``mult`` copies (the FACT side scales;
+    orderkeys shift per copy so the li⋈o join key stays 1:1), the
+    DIMENSION tables are copied verbatim (dims do not grow with fact
+    volume — each copy's part/supp/cust keys resolve against the same
+    dims, exactly the star-join shape a 100 TB fact table has), and
+    ``events`` shifts ``event_id`` per copy into one contiguous range
+    (0 .. mult·100000) with ``event_type``/``user_id`` distributions
+    preserved — so the partition count of the snapshot ops stays
+    constant while each partition grows ~linearly."""
     import duckdb
 
     out = OUT / f"x{mult}"
-    done = out / "_DONE"
+    done = out / "_DONE_R10"  # marker versioned: r10 adds tables
     if done.exists():
         return str(out)
     out.mkdir(parents=True, exist_ok=True)
@@ -79,6 +96,35 @@ def build_scaled(mult: int) -> str:
             CROSS JOIN (SELECT unnest(range({mult})) AS i) i
         ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
     """)
+    con.execute(f"""
+        COPY (
+            SELECT l.l_orderkey + i.i * 1000000000 AS l_orderkey,
+                   l.* EXCLUDE (l_orderkey)
+            FROM read_parquet('{BASE}/lineitem.parquet') l
+            CROSS JOIN (SELECT unnest(range({mult})) AS i) i
+        ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+            SELECT o.o_orderkey + i.i * 1000000000 AS o_orderkey,
+                   o.* EXCLUDE (o_orderkey)
+            FROM read_parquet('{BASE}/orders.parquet') o
+            CROSS JOIN (SELECT unnest(range({mult})) AS i) i
+        ) TO '{out}/orders.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+            SELECT e.event_id + i.i * 100000 AS event_id,
+                   e.* EXCLUDE (event_id)
+            FROM read_parquet('{BASE}/events.parquet') e
+            CROSS JOIN (SELECT unnest(range({mult})) AS i) i
+        ) TO '{out}/events.parquet' (FORMAT PARQUET)
+    """)
+    for dim in ("region", "nation", "customer", "supplier", "part"):
+        con.execute(f"""
+            COPY (SELECT * FROM read_parquet('{BASE}/{dim}.parquet'))
+            TO '{out}/{dim}.parquet' (FORMAT PARQUET)
+        """)
     done.touch()
     return str(out)
 
@@ -106,11 +152,25 @@ def blas_fixed_probes(spark, sf_dir):
     )
 
 
-def ivf_fixed_probes(spark, sf_dir):
+def ivf_stride_fixed_probes(spark, sf_dir):
+    """Stride seeding: nlists grows with the corpus (40 → 257 seeds at
+    x10) — O(n²/stride) by construction.  Measured to show the r10
+    chunked-Arrow tier removed the 65× interpreted-fallback cliff; the
+    asymptotic super-linearity is the MODE's, documented as such."""
     from etl_pulumi_aws_snowflake_spark.operators import similarity as S
 
     probes, emb = _fixed_probes(spark, sf_dir)
     return S.ivf_topk(probes, emb, k=3, nprobe=2, seed_stride=50)
+
+
+def ivf_nlists_fixed_probes(spark, sf_dir):
+    """Fixed-count hash-rank seeding (VERDICT r09 #1) — the scale
+    default: 64 lists at every scale, so assignment work is O(n·64)
+    linear and the driver's seed collect is CONSTANT."""
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+
+    probes, emb = _fixed_probes(spark, sf_dir)
+    return S.ivf_topk(probes, emb, k=3, nprobe=2, nlists=64)
 
 
 def ops():
@@ -124,7 +184,143 @@ def ops():
         "pack_sequences": q["pack_sequences"],
         "sample_temperature_mixture": q["sample_temperature_mixture"],
         "sim_cosine_topk_blas_fixed_probes": blas_fixed_probes,
-        "sim_ivf_topk_fixed_probes": ivf_fixed_probes,
+        "sim_ivf_topk_stride_fixed_probes": ivf_stride_fixed_probes,
+        "sim_ivf_topk_nlists_fixed_probes": ivf_nlists_fixed_probes,
+        "q9_product_profit": q["q9_product_profit"],
+    }
+
+
+# ---------------------------------------------------------------------------
+# Warehouse ACTION ops (VERDICT r09 #6): these commit to a snapshot
+# root rather than returning a DataFrame, so each rep gets an untimed
+# SETUP (seed the snapshot state a pruned MERGE / compaction starts
+# from) and a timed RUN under the same CollectMeter.
+
+#: The partition a merge batch / compaction fragment targets, and the
+#: fraction gate (event_id % 100 == 0 → ~1% of the partition, growing
+#: linearly with scale while the PARTITION COUNT stays constant).
+_MERGE_TYPE = "click"
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _setup_seed_snapshot(spark, sf_dir, root):
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_commit_partitioned,
+    )
+
+    snapshot_commit_partitioned(_events(spark, sf_dir), root, "event_type")
+
+
+def _run_merge_pruned(spark, sf_dir, root):
+    from pyspark.sql import functions as F
+
+    from etl_pulumi_aws_snowflake_spark.operators.warehouse import (
+        merge_upsert_pruned,
+    )
+
+    batch = (
+        _events(spark, sf_dir)
+        .filter(
+            (F.col("event_type") == _MERGE_TYPE) & (F.col("event_id") % 100 == 0)
+        )
+        .withColumn("value", F.col("value") + F.lit(1.0))
+    )
+    merge_upsert_pruned(
+        spark, root, batch, key=["event_id"], partition_col="event_type"
+    )
+
+
+def _setup_fragmented_snapshot(spark, sf_dir, root):
+    """Commit, then re-commit ONE partition: every other partition is
+    carried by reference → fragmented → the compaction's work set
+    (the exact state a pruned-MERGE workload leaves behind)."""
+    from pyspark.sql import functions as F
+
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_commit_partitioned,
+    )
+
+    events = _events(spark, sf_dir)
+    snapshot_commit_partitioned(events, root, "event_type")
+    snapshot_commit_partitioned(
+        events.filter(F.col("event_type") == _MERGE_TYPE),
+        root,
+        "event_type",
+        changed_values=[_MERGE_TYPE],
+    )
+
+
+def _run_compact_clustered(spark, sf_dir, root):
+    """The ask-#7 stretch path: one clustered maintenance pass over the
+    fragmented partitions, keyed by the measured curve-choice API."""
+    from etl_pulumi_aws_snowflake_spark.functions.layout import cluster_key
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import snapshot_compact
+
+    mult = _events(spark, sf_dir).count() // 100_000
+    v = snapshot_compact(
+        spark,
+        root,
+        cluster_by=[
+            cluster_key([("user_id", 0, 1500), ("event_id", 0, mult * 100_000)])
+        ],
+        max_versions_referenced=1,
+    )
+    assert v is not None, "compaction unexpectedly a no-op"
+
+
+#: The post-compaction probe box (raw ranges): ~10% of user_id × ~10%
+#: of the x-scale event_id domain — the box shape Hilbert clustering
+#: is the measured default for.
+def _probe_box(spark, sf_dir) -> dict:
+    mult = _events(spark, sf_dir).count() // 100_000
+    return {
+        "user_id": (300, 450),
+        "event_id": (int(mult * 100_000 * 0.2), int(mult * 100_000 * 0.3)),
+    }
+
+
+def _probe_row_groups(spark, sf_dir, root: str) -> dict:
+    """Footer-path row-group pruning count on the compacted table —
+    ``snapshot_read``'s file set, each footer's min/max deciding which
+    row groups a pushed-down box filter scans (the exact stats Spark's
+    parquet row-group pruning reads; same protocol as
+    scripts/hilbert_vs_morton.py).  Turns the r08 64KB-table decision
+    rule into an at-scale measurement (VERDICT r09 #7)."""
+    import pyarrow.parquet as pq
+
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import snapshot_read
+
+    box = _probe_box(spark, sf_dir)
+    touched = total = 0
+    for f in snapshot_read(spark, root).inputFiles():
+        md = pq.ParquetFile(f.removeprefix("file:")).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            total += 1
+            hit = True
+            for col, (lo, hi) in box.items():
+                st = rg.column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                if st.max < lo or st.min > hi:
+                    hit = False
+                    break
+            touched += hit
+    return {"touched": touched, "total": total, "box": box}
+
+
+def action_ops():
+    return {
+        "cdc_merge_pruned_batch": (_setup_seed_snapshot, _run_merge_pruned, None),
+        "snapshot_compact_clustered": (
+            _setup_fragmented_snapshot,
+            _run_compact_clustered,
+            _probe_row_groups,
+        ),
     }
 
 
@@ -191,6 +387,44 @@ def timed(spark, fn, sf_dir):
     }
 
 
+def timed_action(spark, setup, run, probe, sf_dir):
+    """Per rep: fresh root, untimed SETUP, timed RUN under the meter,
+    teardown.  Rep 0 is the warm pass (excluded, like :func:`timed`'s
+    warm write).  ``probe`` (optional) runs once on the LAST rep's
+    post-run state, before teardown."""
+    import shutil
+    import tempfile
+
+    meter_rows = []
+    runs = []
+    extra = None
+    for i in range(RUNS + 1):
+        root = tempfile.mkdtemp(prefix="scale_action_")
+        try:
+            setup(spark, sf_dir, root)
+            spark.catalog.clearCache()
+            with CollectMeter() as m:
+                start = time.perf_counter()
+                run(spark, sf_dir, root)
+                dt = time.perf_counter() - start
+            if i > 0:
+                runs.append(dt)
+                meter_rows.append((m.rows, m.calls))
+            if probe is not None and i == RUNS:
+                extra = probe(spark, sf_dir, root)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    out = {
+        "min": round(min(runs), 4),
+        "median": round(sorted(runs)[len(runs) // 2], 4),
+        "collect_rows": meter_rows[0][0],
+        "collect_calls": meter_rows[0][1],
+    }
+    if extra is not None:
+        out["row_groups"] = extra
+    return out
+
+
 def main() -> None:
     global RUNS
     if "--quick" in sys.argv:
@@ -204,6 +438,12 @@ def main() -> None:
         dirs[m] = build_scaled(m)
 
     spark = get_spark(app_name="scale_curve")
+    # Small parquet row groups for the snapshot writes so the
+    # compaction probe resolves at fixture scale (query ops write to
+    # the noop sink — unaffected).  Same knob as hilbert_vs_morton.py.
+    spark.sparkContext._jsc.hadoopConfiguration().setInt(
+        "parquet.block.size", 64 * 1024
+    )
     try:
         cal = bench._calibration(spark)
         report = {
@@ -224,24 +464,48 @@ def main() -> None:
                     f"  {name} x{mult}: {report['ops'][name][f'x{mult}']}",
                     file=sys.stderr,
                 )
+        for name, (setup, run, probe) in action_ops().items():
+            report["ops"][name] = {}
+            for mult in sorted(dirs):
+                report["ops"][name][f"x{mult}"] = timed_action(
+                    spark, setup, run, probe, dirs[mult]
+                )
+                print(
+                    f"  {name} x{mult}: {report['ops'][name][f'x{mult}']}",
+                    file=sys.stderr,
+                )
         out = REPO / "scripts" / "scale_curve_report.json"
         out.write_text(json.dumps(report, indent=2) + "\n")
 
         # markdown table for SCALE.md
-        print("\n| op | x1 min (s) | x3 min (s) | x10 min (s) |"
-              " t(x10)/t(x1) | collect rows x1 | x10 |")
-        print("|---|---|---|---|---|---|---|")
-        for name, pts in report["ops"].items():
-            r = pts["x10"]["min"] / pts["x1"]["min"]
-            print(
-                f"| {name} | {pts['x1']['min']} | {pts['x3']['min']} | "
-                f"{pts['x10']['min']} | {r:.2f} | "
-                f"{pts['x1']['collect_rows']} | "
-                f"{pts['x10']['collect_rows']} |"
-            )
+        print("\n" + curve_table(report))
         print(f"\ncalibration (fixed-work): {report['calibration_min']} s")
     finally:
         spark.stop()
+
+
+def curve_table(report: dict) -> str:
+    """The SCALE.md table for this report, EXACTLY as the doc must
+    carry it — framed by markers so
+    tests/test_docs.py::test_scale_md_curve_table_matches_report can
+    assert doc == regenerated-from-JSON (VERDICT r09 #2: the r09
+    SCALE.md table silently diverged from the committed report; this
+    makes divergence a loud test failure instead)."""
+    lines = [
+        "<!-- SCALE_CURVE_TABLE_BEGIN -->",
+        "| op | x1 min (s) | x3 min (s) | x10 min (s) |"
+        " t(x10)/t(x1) | collect rows x1 → x10 |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, pts in report["ops"].items():
+        r = pts["x10"]["min"] / pts["x1"]["min"]
+        lines.append(
+            f"| {name} | {pts['x1']['min']} | {pts['x3']['min']} | "
+            f"{pts['x10']['min']} | {r:.2f} | "
+            f"{pts['x1']['collect_rows']} → {pts['x10']['collect_rows']} |"
+        )
+    lines.append("<!-- SCALE_CURVE_TABLE_END -->")
+    return "\n".join(lines)
 
 
 if __name__ == "__main__":

@@ -97,3 +97,32 @@ def test_staleness_report_covers_every_entry():
     # spot-pin against a known file: round 4 contained these as green
     assert evidence["pipeline_batch_e2e"][1] is True
     assert evidence["q1_pricing_summary"][0] >= 1
+
+
+def test_scale_md_curve_table_matches_report():
+    """VERDICT r09 #2: SCALE.md's round-9 scale-curve table silently
+    diverged from the committed scripts/scale_curve_report.json (5 of 7
+    ops, numbers from an earlier run, a conclusion the report
+    contradicts).  The doc table is now framed by markers and must
+    equal the table regenerated verbatim from the committed report —
+    any drift (op added/dropped, number edited, rerun not propagated)
+    fails here instead of surfacing as a judge finding."""
+    import json
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    import scale_curve
+
+    scale = (REPO / "SCALE.md").read_text()
+    m = re.search(
+        r"<!-- SCALE_CURVE_TABLE_BEGIN -->.*?<!-- SCALE_CURVE_TABLE_END -->",
+        scale,
+        re.S,
+    )
+    assert m, "SCALE.md scale-curve table markers missing"
+    report = json.loads(
+        (REPO / "scripts" / "scale_curve_report.json").read_text()
+    )
+    assert m.group(0) == scale_curve.curve_table(report), (
+        "SCALE.md scale-curve table differs from the committed report — "
+        "regenerate it with scripts/scale_curve.curve_table()"
+    )
