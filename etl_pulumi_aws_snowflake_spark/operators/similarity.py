@@ -569,12 +569,18 @@ def ivf_topk(
     """
     assigned = ivf_assign(corpus, seed_stride, centroids=centroids, nlists=nlists)
     seeds = _seed_frame(corpus, seed_stride, centroids, nlists)
-    # nprobe nearest lists per probe (probe may be a corpus member of
-    # another list — search is over lists, membership is irrelevant).
+    return _rank_candidates(_route_probes(probes, seeds, nprobe), assigned, k)
+
+
+def _route_probes(probes: DataFrame, seeds: DataFrame, nprobe: int) -> DataFrame:
+    """nprobe nearest lists per probe — (probe_id, v, nrm, list_id).
+    The probe may be a corpus member of another list: search is over
+    lists, membership is irrelevant.  Seeds broadcast; the window sorts
+    nlists candidates per probe (probes are few by contract)."""
     a = _prep(probes).withColumnRenamed("vec_id", "probe_id").alias("a")
     b = seeds.alias("b")
     wl = Window.partitionBy("probe_id").orderBy(F.desc("list_cos"), F.asc("list_id"))
-    probe_lists = (
+    return (
         a.join(F.broadcast(b))
         .select(
             "probe_id",
@@ -587,6 +593,14 @@ def ivf_topk(
         .filter(F.col("lr") <= nprobe)
         .select("probe_id", "v", "nrm", "list_id")
     )
+
+
+def _rank_candidates(
+    probe_lists: DataFrame, assigned: DataFrame, k: int
+) -> DataFrame:
+    """Exact cosine + per-probe top-k over the pruned candidate set —
+    (probe_id, rank, vec_id, cos).  Probe side broadcast; the assigned
+    corpus never shuffles (the equi-join on list_id runs map-side)."""
     pa, ca = probe_lists.alias("a"), assigned.alias("b")
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -601,3 +615,79 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "rank", "vec_id", "cos")
     )
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    root: str,
+    nlists: int | None = None,
+    seed_stride: int = 50,
+    centroids: list | None = None,
+    fs=None,
+) -> str:
+    """Persist the IVF index: the assigned corpus lands as a versioned
+    snapshot PARTITIONED BY ``list_id`` (``<root>/corpus``), and the
+    exact centroid table it was assigned with lands beside it
+    (``<root>/seeds``) so search routes probes against the same
+    centroids by construction.  Returns the corpus snapshot version.
+
+    This is the 100 TB serving path: building once turns every
+    subsequent :func:`ivf_topk_indexed` search into a
+    PARTITION-PRUNED read — only the ``nprobe`` lists' FILES are
+    opened (manifest-level pruning, zero IO spent on the other
+    ~(1 - nprobe/nlists) of the corpus), where the un-indexed
+    :func:`ivf_topk` must re-assign and scan the full corpus per
+    query.  Pass ``nlists`` (the fixed-count seeding) so the index's
+    list count — and each search's file count — is a constant knob.
+
+    Writes are each atomic (snapshot pointer swap) but the pair is
+    not: REBUILDING in place has a torn window between the two
+    commits.  Build into a fresh root and swap at a higher level —
+    an ANN index is an immutable artifact, same contract as FAISS
+    index files."""
+    import os
+
+    from ..streaming.snapshot import (
+        snapshot_commit,
+        snapshot_commit_partitioned,
+    )
+
+    seeds = _seed_frame(corpus, seed_stride, centroids, nlists)
+    assigned = ivf_assign(corpus, seed_stride, centroids, nlists)
+    snapshot_commit(seeds, os.path.join(root, "seeds"), fs=fs)
+    return snapshot_commit_partitioned(
+        assigned, os.path.join(root, "corpus"), "list_id", fs=fs
+    )
+
+
+def ivf_topk_indexed(
+    probes: DataFrame, root: str, k: int = 3, nprobe: int = 2, fs=None
+) -> DataFrame:
+    """ANN top-k against a PERSISTED index (:func:`ivf_build_index`):
+    (probe_id, rank, vec_id, cos) — bit-identical to :func:`ivf_topk`
+    with the same seeding (same routing rule, same fold, same
+    tiebreaks; property-tested), but the corpus side is a
+    partition-pruned snapshot read of ONLY the union of the probes'
+    ``nprobe`` lists.
+
+    The routed list ids are collected to the driver to name the
+    partitions — bounded by probes × nprobe ids (a probe SET, not a
+    corpus; the collect is the same scalar class as the exact-quota
+    count pass).  At 100 TB this is the entire point: the scan
+    relation is built over nprobe/nlists of the files, so pruning
+    happens before any task launches, not as a post-scan filter."""
+    import os
+
+    from ..streaming.snapshot import snapshot_read
+
+    spark = probes.sparkSession
+    seeds = snapshot_read(spark, os.path.join(root, "seeds"), fs=fs)
+    probe_lists = deferred_persist(_route_probes(probes, seeds, nprobe))
+    wanted = sorted(
+        r["list_id"]
+        for r in probe_lists.select("list_id").distinct().collect()
+    )
+    assigned = snapshot_read(
+        spark, os.path.join(root, "corpus"), partition_values=wanted, fs=fs
+    )
+    return _rank_candidates(probe_lists, assigned, k)

@@ -195,6 +195,32 @@ def sim_ivf_topk_nlists(spark, sf_dir):
 
 
 @query(
+    "sim_ivf_topk_indexed",
+    oracle=f"""
+    WITH {_ivf_ctes(_SEEDS_NLISTS)}
+    SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= 3
+    """,
+)
+def sim_ivf_topk_indexed(spark, sf_dir):
+    """ANN top-3 against a PERSISTED IVF index — the 100 TB serving
+    path: ``ivf_build_index`` lands the assigned corpus as a versioned
+    snapshot partitioned by ``list_id`` (plus the exact seed table it
+    was assigned with), and ``ivf_topk_indexed`` searches it with a
+    PARTITION-PRUNED read — only the probes' routed lists' files are
+    opened, pruning decided at the manifest before any task launches.
+    Bit-identical to :func:`sim_ivf_topk_nlists` (same seeding,
+    routing, fold, tiebreaks), so the oracle is the same CTE chain —
+    the entry certifies the round trip through the index layer
+    preserves results exactly."""
+    from .pipeline_e2e import _workdir
+
+    probes, corpus = _probes(spark, sf_dir)
+    root = _workdir(sf_dir, "ivf_index")
+    S.ivf_build_index(corpus, root, nlists=_NLISTS)
+    return S.ivf_topk_indexed(probes, root, k=3, nprobe=2)
+
+
+@query(
     "sim_ivf_recall",
     oracle=f"""
     WITH {_IVF_CTES},

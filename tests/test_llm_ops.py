@@ -552,3 +552,38 @@ def test_ivf_topk_nlists_matches_stride_shape_and_is_exact_within_lists(spark):
     }
     for r in ann:
         assert math.isclose(r.cos, exact[(r.probe_id, r.vec_id)], rel_tol=0, abs_tol=0)
+
+
+def test_ivf_indexed_matches_unindexed_bit_for_bit(spark, tmp_path):
+    """The persisted-index search must reproduce the in-memory
+    ivf_topk EXACTLY under the same seeding — the round trip through
+    snapshot_commit_partitioned / snapshot_read changes where bytes
+    live, never what the operator returns."""
+    corpus = _synthetic_corpus(spark, n=400)
+    probes = corpus.filter(F.col("vec_id") % 100 == 0)
+    root = str(tmp_path / "ivf")
+    S.ivf_build_index(corpus, root, nlists=8)
+    direct = S.ivf_topk(probes, corpus, k=3, nprobe=2, nlists=8).collect()
+    indexed = S.ivf_topk_indexed(probes, root, k=3, nprobe=2).collect()
+    key = lambda r: (r.probe_id, r.rank)
+    assert sorted(map(tuple, indexed), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, direct), key=lambda t: (t[0], t[1])
+    )
+    assert len(indexed) > 0
+
+
+def test_ivf_indexed_search_is_partition_pruned(spark, tmp_path):
+    """The entire point of the persisted index: the corpus side of the
+    search must open ONLY the probes' routed lists' partition dirs —
+    pruning at the manifest, before any task launches — never the full
+    corpus."""
+    corpus = _synthetic_corpus(spark, n=400)
+    probes = corpus.filter(F.col("vec_id") == 0)  # one probe
+    root = str(tmp_path / "ivf")
+    S.ivf_build_index(corpus, root, nlists=8)
+    result = S.ivf_topk_indexed(probes, root, k=3, nprobe=2)
+    corpus_files = [f for f in result.inputFiles() if "/corpus/" in f]
+    assert corpus_files, "corpus scan contributed no files?"
+    lists_read = {f.split("_p=")[1].split("/")[0] for f in corpus_files}
+    # one probe, nprobe=2 -> exactly 2 of the 8 list partitions opened
+    assert len(lists_read) == 2, lists_read
