@@ -52,7 +52,7 @@ from . import streaming_e2e  # noqa: E402,F401
 # the first 50 — the r05 process miss cannot recur silently.
 _DRIVER_FIRST = [
     # (a) NEW this round — first-ever driver evidence
-    "sim_ivf_topk_nlists", "sim_ivf_topk_indexed",
+    "sim_ivf_topk_nlists", "sim_ivf_topk_indexed", "sim_ivf_recall_nlists",
     # (b) r07-stale, staleness-report order
     "cdc_merge_stream_e2e", "dedup_spans", "q11_important_parts",
     "q12_late_shipment_priority", "q13_customer_distribution",
@@ -74,7 +74,6 @@ _DRIVER_FIRST = [
     "sample_exact_quota_dupkeys", "sample_exact_quota_fail_loud",
     # (d) r08-stale fill, staleness-report order
     "agg_approx_distinct", "agg_approx_quantile", "agg_conditional",
-    "agg_median",
 ]
 
 def _driver_order(d: dict) -> dict:

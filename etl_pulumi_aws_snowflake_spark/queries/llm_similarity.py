@@ -220,10 +220,9 @@ def sim_ivf_topk_indexed(spark, sf_dir):
     return S.ivf_topk_indexed(probes, root, k=3, nprobe=2)
 
 
-@query(
-    "sim_ivf_recall",
-    oracle=f"""
-    WITH {_IVF_CTES},
+#: Recall tail shared by the stride and nlists recall oracles: IVF@3
+#: intersected with the exact brute-force top-3, per probe.
+_RECALL_TAIL = f""",
     ivf AS (SELECT probe_id, vec_id FROM ranked WHERE rank <= 3),
     xranked AS (
         SELECT probe_id, e.vec_id AS vec_id,
@@ -241,20 +240,16 @@ def sim_ivf_topk_indexed(spark, sf_dir):
            COALESCE(h.n_hits, 0) AS n_hits,
            COALESCE(h.n_hits, 0) / 3.0 AS recall_at_3
     FROM p LEFT JOIN hits h ON p.probe_id = h.probe_id
-    """,
-)
-def sim_ivf_recall(spark, sf_dir):
-    """Measured ANN quality: per-probe recall@3 of the IVF index
-    against the exact brute-force top-3 — the number an operator of the
-    100 TB index watches when tuning nlists/nprobe.  Deterministic
-    because the seeded assignment is; the oracle replays both pipelines
-    and computes the same intersection.  (The KMeans-trained centroid
-    path, ``train_ivf_centroids``, raises this metric but is
-    cross-engine-irreproducible, so it is pytest-verified instead.)"""
+    """
+
+
+def _recall_frame(spark, sf_dir, **ivf_kwargs):
+    """Shared Spark side of the recall entries: IVF@3 under the given
+    seeding vs the exact brute-force top-3."""
     probes, corpus = _probes(spark, sf_dir)
-    ann = S.ivf_topk(
-        probes, corpus, k=3, nprobe=2, seed_stride=_PROBE_STRIDE
-    ).select("probe_id", "vec_id")
+    ann = S.ivf_topk(probes, corpus, k=3, nprobe=2, **ivf_kwargs).select(
+        "probe_id", "vec_id"
+    )
     exact = S.cosine_topk(probes, corpus, k=3).select("probe_id", "vec_id")
     hits = (
         ann.join(exact, ["probe_id", "vec_id"])
@@ -272,6 +267,30 @@ def sim_ivf_recall(spark, sf_dir):
             ),
         )
     )
+
+
+@query("sim_ivf_recall", oracle=f"WITH {_IVF_CTES}{_RECALL_TAIL}")
+def sim_ivf_recall(spark, sf_dir):
+    """Measured ANN quality: per-probe recall@3 of the IVF index
+    against the exact brute-force top-3 — the number an operator of the
+    100 TB index watches when tuning nlists/nprobe.  Deterministic
+    because the seeded assignment is; the oracle replays both pipelines
+    and computes the same intersection.  (The KMeans-trained centroid
+    path, ``train_ivf_centroids``, raises this metric but is
+    cross-engine-irreproducible, so it is pytest-verified instead.)"""
+    return _recall_frame(spark, sf_dir, seed_stride=_PROBE_STRIDE)
+
+
+@query(
+    "sim_ivf_recall_nlists",
+    oracle=f"WITH {_ivf_ctes(_SEEDS_NLISTS)}{_RECALL_TAIL}",
+)
+def sim_ivf_recall_nlists(spark, sf_dir):
+    """Per-probe recall@3 of the FIXED-``nlists`` index — the quality
+    number for the seeding mode a 100 TB deployment actually runs
+    (sim_ivf_topk_nlists / sim_ivf_topk_indexed).  Same intersection
+    protocol as :func:`sim_ivf_recall`; only the seed pick differs."""
+    return _recall_frame(spark, sf_dir, nlists=_NLISTS)
 
 
 @query(
