@@ -48,6 +48,7 @@ HEADLINE: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_survivors",
     "sim_ivf_topk",
+    "sim_ivf_topk_nlists",
     "pack_sequences",
     "sim_cosine_topk_blas",
 )

@@ -313,6 +313,27 @@ def _probe_row_groups(spark, sf_dir, root: str) -> dict:
     return {"touched": touched, "total": total, "box": box}
 
 
+def _setup_ivf_index(spark, sf_dir, root):
+    """Build the fixed-nlists persisted index (untimed: an index is
+    built once, searched many times — the searches are the metric)."""
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+
+    _, emb = _fixed_probes(spark, sf_dir)
+    S.ivf_build_index(emb, root, nlists=64)
+
+
+def _run_ivf_search_indexed(spark, sf_dir, root):
+    """One fixed-probe-set search against the persisted index: the
+    partition-pruned serving path.  Work ∝ the nprobe routed lists'
+    volume (∝ corpus/nlists), files opened = routed lists only."""
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+
+    probes, _ = _fixed_probes(spark, sf_dir)
+    S.ivf_topk_indexed(probes, root, k=3, nprobe=2).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
 def action_ops():
     return {
         "cdc_merge_pruned_batch": (_setup_seed_snapshot, _run_merge_pruned, None),
@@ -320,6 +341,12 @@ def action_ops():
             _setup_fragmented_snapshot,
             _run_compact_clustered,
             _probe_row_groups,
+        ),
+        "sim_ivf_search_indexed_fixed_probes": (
+            _setup_ivf_index,
+            _run_ivf_search_indexed,
+            None,
+            True,  # readonly: build once, rep the search
         ),
     }
 
@@ -387,21 +414,26 @@ def timed(spark, fn, sf_dir):
     }
 
 
-def timed_action(spark, setup, run, probe, sf_dir):
+def timed_action(spark, setup, run, probe, sf_dir, readonly=False):
     """Per rep: fresh root, untimed SETUP, timed RUN under the meter,
     teardown.  Rep 0 is the warm pass (excluded, like :func:`timed`'s
     warm write).  ``probe`` (optional) runs once on the LAST rep's
-    post-run state, before teardown."""
+    post-run state, before teardown.  ``readonly`` ops (a search
+    against a built index) set up ONCE and rep the run — the run does
+    not mutate the state, so re-seeding per rep would only burn time.
+    """
     import shutil
     import tempfile
 
     meter_rows = []
     runs = []
     extra = None
-    for i in range(RUNS + 1):
-        root = tempfile.mkdtemp(prefix="scale_action_")
-        try:
-            setup(spark, sf_dir, root)
+    root = None
+    try:
+        for i in range(RUNS + 1):
+            if root is None:
+                root = tempfile.mkdtemp(prefix="scale_action_")
+                setup(spark, sf_dir, root)
             spark.catalog.clearCache()
             with CollectMeter() as m:
                 start = time.perf_counter()
@@ -412,7 +444,11 @@ def timed_action(spark, setup, run, probe, sf_dir):
                 meter_rows.append((m.rows, m.calls))
             if probe is not None and i == RUNS:
                 extra = probe(spark, sf_dir, root)
-        finally:
+            if not readonly:
+                shutil.rmtree(root, ignore_errors=True)
+                root = None
+    finally:
+        if root is not None:
             shutil.rmtree(root, ignore_errors=True)
     out = {
         "min": round(min(runs), 4),
@@ -464,11 +500,13 @@ def main() -> None:
                     f"  {name} x{mult}: {report['ops'][name][f'x{mult}']}",
                     file=sys.stderr,
                 )
-        for name, (setup, run, probe) in action_ops().items():
+        for name, spec in action_ops().items():
+            setup, run, probe = spec[0], spec[1], spec[2]
+            readonly = spec[3] if len(spec) > 3 else False
             report["ops"][name] = {}
             for mult in sorted(dirs):
                 report["ops"][name][f"x{mult}"] = timed_action(
-                    spark, setup, run, probe, dirs[mult]
+                    spark, setup, run, probe, dirs[mult], readonly
                 )
                 print(
                     f"  {name} x{mult}: {report['ops'][name][f'x{mult}']}",
