@@ -660,6 +660,55 @@ def ivf_build_index(
     )
 
 
+def ivf_index_append(new_rows: DataFrame, root: str, fs=None) -> str:
+    """Append vectors to a persisted index WITHOUT rebuild: assign them
+    against the index's FROZEN seed table (an index's centroids are
+    fixed at build time — the FAISS ``add()`` contract; re-seeding
+    would silently reassign the whole existing corpus), then
+    partition-pruned MERGE into the corpus snapshot — only the lists
+    that actually received new vectors are rewritten, every other list
+    carries forward by manifest reference with zero data movement.
+    Returns the new corpus snapshot version; searches see the appended
+    vectors atomically (pointer swap).
+
+    ``new_rows`` is (vec_id, embedding) like the build input.  An
+    existing ``vec_id`` UPSERTS (re-embedding a changed document) —
+    with the pruned-MERGE contract that the new embedding still
+    assigns to the SAME list; a re-embedding that crosses lists would
+    strand the old copy in an unread partition (the standard
+    partition-stability precondition).  Cross-list re-embedding means
+    delete+rebuild, as it does for any ANN index.
+
+    Daily cost at 100 TB: O(lists touched by the batch), not O(index)
+    — the same unit of work as the pruned CDC MERGE this reuses."""
+    import os
+
+    from .warehouse import merge_upsert_pruned
+    from ..streaming.snapshot import snapshot_read
+
+    spark = new_rows.sparkSession
+    seeds = snapshot_read(spark, os.path.join(root, "seeds"), fs=fs)
+    cent = [
+        (r["seed_id"], r["v"])
+        for r in seeds.limit(MAX_CLOSURE_SEEDS + 1).collect()
+    ]
+    if len(cent) > MAX_CLOSURE_SEEDS:
+        raise ValueError(
+            f"index at {root!r} has more than MAX_CLOSURE_SEEDS="
+            f"{MAX_CLOSURE_SEEDS} seeds — append assigns against the "
+            "frozen seed table in-closure; rebuild with a bounded nlists"
+        )
+    assigned = ivf_assign(new_rows, centroids=cent)
+    return merge_upsert_pruned(
+        spark,
+        os.path.join(root, "corpus"),
+        assigned,
+        key=["vec_id"],
+        partition_col="list_id",
+        fs=fs,
+    )
+
+
 def ivf_topk_indexed(
     probes: DataFrame, root: str, k: int = 3, nprobe: int = 2, fs=None
 ) -> DataFrame:

@@ -269,6 +269,43 @@ def _recall_frame(spark, sf_dir, **ivf_kwargs):
     )
 
 
+#: Seed pick for the APPEND entry: hash-rank top-nlists over the BASE
+#: half only (even vec_ids) — the centroids an incrementally-grown
+#: index froze at build time.
+_SEEDS_NLISTS_BASE = (
+    f"SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id % 2 = 0 "
+    f"ORDER BY {S.seed_rank_hash('vec_id')}, vec_id LIMIT {_NLISTS}"
+)
+
+
+@query(
+    "sim_ivf_topk_appended",
+    oracle=f"""
+    WITH {_ivf_ctes(_SEEDS_NLISTS_BASE)}
+    SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= 3
+    """,
+)
+def sim_ivf_topk_appended(spark, sf_dir):
+    """Incremental index maintenance end-to-end: build the persisted
+    index on HALF the corpus (even vec_ids), ``ivf_index_append`` the
+    odd half — assigned against the FROZEN build-time seed table, then
+    partition-pruned-MERGEd so only receiving lists rewrite — and
+    search the grown index.  The oracle replays the exact semantics:
+    seeds ranked over the base half only, assignment/routing/ranking
+    over the full corpus — i.e. append must equal what a build over
+    everything WITH THOSE SEEDS would have produced, which is the
+    FAISS ``add()`` contract."""
+    from .pipeline_e2e import _workdir
+
+    probes, corpus = _probes(spark, sf_dir)
+    root = _workdir(sf_dir, "ivf_index_append")
+    S.ivf_build_index(
+        corpus.filter(F.col("vec_id") % 2 == 0), root, nlists=_NLISTS
+    )
+    S.ivf_index_append(corpus.filter(F.col("vec_id") % 2 == 1), root)
+    return S.ivf_topk_indexed(probes, root, k=3, nprobe=2)
+
+
 @query("sim_ivf_recall", oracle=f"WITH {_IVF_CTES}{_RECALL_TAIL}")
 def sim_ivf_recall(spark, sf_dir):
     """Measured ANN quality: per-probe recall@3 of the IVF index

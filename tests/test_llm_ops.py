@@ -587,3 +587,50 @@ def test_ivf_indexed_search_is_partition_pruned(spark, tmp_path):
     lists_read = {f.split("_p=")[1].split("/")[0] for f in corpus_files}
     # one probe, nprobe=2 -> exactly 2 of the 8 list partitions opened
     assert len(lists_read) == 2, lists_read
+
+
+def test_ivf_index_append_equals_rebuild_with_frozen_seeds(spark, tmp_path):
+    """Append must equal a full build over everything with the SAME
+    centroids (the FAISS add() contract): assignment against the
+    frozen seed table, search results bit-identical."""
+    corpus = _synthetic_corpus(spark, n=400)
+    base = corpus.filter(F.col("vec_id") % 2 == 0)
+    extra = corpus.filter(F.col("vec_id") % 2 == 1)
+    probes = corpus.filter(F.col("vec_id") % 100 == 0)
+
+    grown = str(tmp_path / "grown")
+    S.ivf_build_index(base, grown, nlists=8)
+    S.ivf_index_append(extra, grown)
+
+    # reference: one-shot build over the FULL corpus with the base
+    # half's frozen centroids (collected from the grown index root)
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import snapshot_read
+    import os
+    cent = [
+        (r["seed_id"], r["v"])
+        for r in snapshot_read(spark, os.path.join(grown, "seeds")).collect()
+    ]
+    full = str(tmp_path / "full")
+    S.ivf_build_index(corpus, full, centroids=cent)
+
+    got = sorted(map(tuple, S.ivf_topk_indexed(probes, grown, k=3, nprobe=2).collect()))
+    want = sorted(map(tuple, S.ivf_topk_indexed(probes, full, k=3, nprobe=2).collect()))
+    assert got == want and got
+    # appended vectors are actually findable: odd ids appear in results
+    assert any(r[2] % 2 == 1 for r in got)
+
+
+def test_ivf_index_append_upserts_existing_vec_id(spark, tmp_path):
+    """Re-appending an existing vec_id replaces its row (count stable),
+    matching MERGE upsert semantics — the re-embedding flow, valid
+    while the new embedding stays in the same list."""
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import snapshot_read
+    import os
+
+    corpus = _synthetic_corpus(spark, n=200)
+    root = str(tmp_path / "ivf")
+    S.ivf_build_index(corpus, root, nlists=4)
+    before = snapshot_read(spark, os.path.join(root, "corpus")).count()
+    S.ivf_index_append(corpus.filter(F.col("vec_id") < 20), root)
+    after = snapshot_read(spark, os.path.join(root, "corpus")).count()
+    assert before == after == 200
