@@ -634,3 +634,47 @@ def test_ivf_index_append_upserts_existing_vec_id(spark, tmp_path):
     S.ivf_index_append(corpus.filter(F.col("vec_id") < 20), root)
     after = snapshot_read(spark, os.path.join(root, "corpus")).count()
     assert before == after == 200
+
+
+def test_ivf_index_compact_after_appends_preserves_search(spark, tmp_path):
+    """Index lifecycle closure: daily appends fragment the corpus
+    snapshot (each pruned MERGE pins another version dir); the GENERIC
+    snapshot_compact is the maintenance op — post-compaction searches
+    are bit-identical and the manifest references collapse to <= 2
+    versions, so GC bounds on-disk history exactly as for any other
+    snapshot table."""
+    import os
+
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        _current_version,
+        _read_manifest,
+        DEFAULT_FS,
+        snapshot_compact,
+    )
+
+    corpus = _synthetic_corpus(spark, n=300)
+    probes = corpus.filter(F.col("vec_id") % 100 == 0)
+    root = str(tmp_path / "ivf")
+    S.ivf_build_index(corpus.filter(F.col("vec_id") < 298), root, nlists=4)
+    # a small append hits a strict subset of the 4 lists: the rest
+    # carry forward by reference -> the fragmented state a steady
+    # append workload accumulates
+    S.ivf_index_append(corpus.filter(F.col("vec_id") >= 298), root)
+    before = sorted(
+        map(tuple, S.ivf_topk_indexed(probes, root, k=3, nprobe=2).collect())
+    )
+    crt = os.path.join(root, "corpus")
+    man = _read_manifest(crt, _current_version(crt, DEFAULT_FS), DEFAULT_FS)
+    pre_versions = set(man["entries"].values())
+    assert len(pre_versions) == 2, "append did not fragment?"
+    assert snapshot_compact(spark, crt, max_versions_referenced=1) is not None
+    man2 = _read_manifest(crt, _current_version(crt, DEFAULT_FS), DEFAULT_FS)
+    post_versions = set(man2["entries"].values())
+    # post-compaction references <= {new, previous-live}; the build
+    # version the appends had been carrying is fully released
+    assert len(post_versions) <= 2
+    assert min(pre_versions) not in post_versions
+    after = sorted(
+        map(tuple, S.ivf_topk_indexed(probes, root, k=3, nprobe=2).collect())
+    )
+    assert before == after and before
