@@ -27,6 +27,7 @@ from . import llm_text  # noqa: E402,F401
 from . import llm_multimodal  # noqa: E402,F401
 from . import llm_sampling  # noqa: E402,F401
 from . import llm_packing  # noqa: E402,F401
+from . import llm_curation  # noqa: E402,F401
 from . import warehouse_ops  # noqa: E402,F401
 from . import pipeline_e2e  # noqa: E402,F401
 from . import streaming_e2e  # noqa: E402,F401
@@ -53,7 +54,7 @@ from . import streaming_e2e  # noqa: E402,F401
 _DRIVER_FIRST = [
     # (a) NEW this round — first-ever driver evidence
     "sim_ivf_topk_nlists", "sim_ivf_topk_indexed", "sim_ivf_recall_nlists",
-    "sim_ivf_topk_appended",
+    "sim_ivf_topk_appended", "curation_pipeline_e2e",
     # (b) r07-stale, staleness-report order
     "cdc_merge_stream_e2e", "dedup_spans", "q11_important_parts",
     "q12_late_shipment_priority", "q13_customer_distribution",
@@ -74,7 +75,7 @@ _DRIVER_FIRST = [
     "sample_temperature_mixture", "sample_exact_quota",
     "sample_exact_quota_dupkeys", "sample_exact_quota_fail_loud",
     # (d) r08-stale fill, staleness-report order
-    "agg_approx_distinct", "agg_approx_quantile",
+    "agg_approx_distinct",
 ]
 
 def _driver_order(d: dict) -> dict:
