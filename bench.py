@@ -51,6 +51,7 @@ HEADLINE: tuple[str, ...] = (
     "sim_ivf_topk_nlists",
     "pack_sequences",
     "sim_cosine_topk_blas",
+    "curation_pipeline_e2e",
 )
 
 

@@ -344,3 +344,17 @@ def test_temperature_mixture_shares_the_exact_quota_plan_shape(spark):
     assert "ExistingRDD" in plan
     assert plan.count("(1) Scan") == 1 and "parquet" not in plan.lower()
     assert "SortMergeJoin" not in plan
+
+
+def test_curation_pipeline_composed_plan_shape(spark):
+    """The five-stage curation chain must keep each stage's audited
+    shape INSIDE the composition: the eval-shingle side of
+    decontamination stays a BroadcastHashJoin (never a shuffled join of
+    exploded corpus shingles), and every window in the packing tail
+    carries a partition spec (no global-order window swallowing the
+    corpus through one task)."""
+    plan = _plan(spark, "curation_pipeline_e2e")
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "Window" in line:
+            assert "_pack_pid" in line or "partitionBy" not in line, line
