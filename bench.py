@@ -52,6 +52,8 @@ HEADLINE: tuple[str, ...] = (
     "pack_sequences",
     "sim_cosine_topk_blas",
     "curation_pipeline_e2e",
+    "search_bm25_topk",
+    "search_hybrid_rrf",
 )
 
 

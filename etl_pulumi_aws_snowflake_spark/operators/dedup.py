@@ -117,6 +117,44 @@ def jaccard_pairs(
     )
 
 
+def _banded_keys(
+    sets: DataFrame, num_hashes: int, bands: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band, key) LSH band rows from shingle-set frames — shared
+    by the one-shot :func:`minhash_lsh_pairs` and the persisted-index
+    lifecycle so both paths band with IDENTICAL math.
+
+    MinHash signatures via explode + codegen hash-aggregate: one
+    (doc, shingle) row per shingle, then num_hashes `min` aggregates
+    over the universal-hash family.  Identical values to
+    functions/hashing.minhash_signature (same arithmetic, same
+    family), but the per-element math runs inside whole-stage codegen
+    with map-side partial min — the nested-transform form is
+    interpreted per element and was the measured bottleneck.  The
+    shuffle carries only num_hashes int64 per doc.  Band keys combine
+    each band's ``rows`` signature slots into one int64 (base P, same
+    combine as functions/hashing.band_keys), then unpivot to
+    (doc, band, key) rows with stack()."""
+    rows = num_hashes // bands
+    inv = sets.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    mins = []
+    for i in range(num_hashes):
+        a_i = ((i + 1) * 2654435761) % H.P
+        b_i = (((i + 1) * 40503) + 12345) % H.P
+        mins.append(
+            F.min((F.lit(a_i) * F.col("sh") + F.lit(b_i)) % F.lit(H.P)).alias(f"s{i}")
+        )
+    sig = inv.groupBy(id_col).agg(*mins)
+    keyed = [F.col(f"s{b * rows}") for b in range(bands)]
+    for b in range(bands):
+        for j in range(1, rows):
+            keyed[b] = keyed[b] * F.lit(H.P) + F.col(f"s{b * rows + j}")
+    stack_args = ", ".join(f"{b}, k{b}" for b in range(bands))
+    return sig.select(
+        F.col(id_col), *[e.alias(f"k{b}") for b, e in enumerate(keyed)]
+    ).select(F.col(id_col), F.expr(f"stack({bands}, {stack_args}) as (band, key)"))
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     k: int = 3,
@@ -160,35 +198,7 @@ def minhash_lsh_pairs(
         shingle_sets(docs, k, text_col, id_col).filter(F.col("n_shingles") > 0)
     )
 
-    # MinHash signatures via explode + codegen hash-aggregate: one
-    # (doc, shingle) row per shingle, then num_hashes `min` aggregates
-    # over the universal-hash family.  Identical values to
-    # functions/hashing.minhash_signature (same arithmetic, same
-    # family), but the per-element math runs inside whole-stage codegen
-    # with map-side partial min — the nested-transform form is
-    # interpreted per element and was the measured bottleneck.  The
-    # shuffle carries only num_hashes int64 per doc.
-    inv = sets.select(F.col(id_col), F.explode("shingles").alias("sh"))
-    mins = []
-    for i in range(num_hashes):
-        a_i = ((i + 1) * 2654435761) % H.P
-        b_i = (((i + 1) * 40503) + 12345) % H.P
-        mins.append(
-            F.min((F.lit(a_i) * F.col("sh") + F.lit(b_i)) % F.lit(H.P)).alias(f"s{i}")
-        )
-    sig = inv.groupBy(id_col).agg(*mins)
-
-    # LSH band keys: combine each band's `rows` signature slots into one
-    # int64 (base P, same combine as functions/hashing.band_keys), then
-    # unpivot to (doc, band, key) rows with stack().
-    keyed = [F.col(f"s{b * rows}") for b in range(bands)]
-    for b in range(bands):
-        for j in range(1, rows):
-            keyed[b] = keyed[b] * F.lit(H.P) + F.col(f"s{b * rows + j}")
-    stack_args = ", ".join(f"{b}, k{b}" for b in range(bands))
-    banded = sig.select(
-        F.col(id_col), *[e.alias(f"k{b}") for b, e in enumerate(keyed)]
-    ).select(F.col(id_col), F.expr(f"stack({bands}, {stack_args}) as (band, key)"))
+    banded = _banded_keys(sets, num_hashes, bands, id_col)
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(
@@ -447,4 +457,225 @@ def span_dedup(
             .cast("long")
             .alias("n_kept"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted incremental LSH dedup index — the dedup-at-ingest path.
+#
+# A 100 TB pipeline cannot re-run all-pairs near-dup per ingest batch;
+# it checks each NEW batch against a persisted index and appends, the
+# same unit-of-work argument as the IVF index lifecycle
+# (operators/similarity.py::ivf_build_index).  Layout:
+#
+#   <root>/meta   1-row snapshot: (k, num_hashes, bands, n_buckets) —
+#                 the banding parameters are FROZEN at build (mixing
+#                 band keys from two parameterizations silently finds
+#                 nothing), so check/append READ them, never trust
+#                 caller kwargs.
+#   <root>/bands  (doc_id, band, key) partitioned by
+#                 bucket = pmod(key, n_buckets): a new batch's keys
+#                 route to a bounded bucket set, so the candidate join
+#                 reads ONLY those buckets' files (manifest pruning).
+#   <root>/sets   (doc_id, shingles, n_shingles) partitioned by
+#                 dbucket = pmod(doc_id, n_buckets): the verify join
+#                 reads only the buckets holding candidate old docs.
+#
+# Every driver collect in the lifecycle is bounded by n_buckets (a
+# build-time constant), never by corpus or batch size.
+# ---------------------------------------------------------------------------
+
+
+def lsh_build_index(
+    docs: DataFrame,
+    root: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    n_buckets: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fs=None,
+) -> str:
+    """Build the persisted LSH near-dup index from a corpus; returns
+    the band snapshot version.  Commits are each atomic but the trio
+    is not — build into a fresh root and swap at a higher level, the
+    same immutable-artifact contract as :func:`ivf_build_index`."""
+    import os
+
+    from ..streaming.snapshot import snapshot_commit, snapshot_commit_partitioned
+
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    spark = docs.sparkSession
+    meta = spark.createDataFrame(
+        [(k, num_hashes, bands, n_buckets)],
+        "k int, num_hashes int, bands int, n_buckets int",
+    )
+    snapshot_commit(meta, os.path.join(root, "meta"), fs=fs)
+    sets = shingle_sets(docs, k, text_col, id_col).filter(F.col("n_shingles") > 0)
+    snapshot_commit_partitioned(
+        sets.withColumn("dbucket", F.pmod(F.col(id_col), F.lit(n_buckets))),
+        os.path.join(root, "sets"),
+        "dbucket",
+        fs=fs,
+    )
+    banded = _banded_keys(sets, num_hashes, bands, id_col).withColumn(
+        "bucket", F.pmod(F.col("key"), F.lit(n_buckets))
+    )
+    return snapshot_commit_partitioned(
+        banded, os.path.join(root, "bands"), "bucket", fs=fs
+    )
+
+
+def _lsh_meta(spark, root: str, fs=None) -> tuple[int, int, int, int]:
+    import os
+
+    from ..streaming.snapshot import snapshot_read
+
+    r = snapshot_read(spark, os.path.join(root, "meta"), fs=fs).collect()[0]
+    return r["k"], r["num_hashes"], r["bands"], r["n_buckets"]
+
+
+def lsh_index_check(
+    new_docs: DataFrame,
+    root: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fs=None,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and the indexed corpus:
+    (doc_new, doc_old, jaccard) with exact-Jaccard verification —
+    the same candidates→verify semantics as :func:`minhash_lsh_pairs`
+    restricted to new×indexed pairs, without touching the original
+    corpus (shingle sets come from the index).
+
+    Reads are partition-pruned twice: the candidate join opens only
+    the band buckets the batch's keys route to, and the verify join
+    opens only the doc buckets holding candidate old docs.  Both
+    collected routing lists are bounded by the index's ``n_buckets``
+    constant — batch-size- and corpus-independent driver traffic."""
+    import os
+
+    from ..streaming.snapshot import snapshot_read
+
+    spark = new_docs.sparkSession
+    k, num_hashes, bands, n_buckets = _lsh_meta(spark, root, fs)
+    nsets = deferred_persist(
+        shingle_sets(new_docs, k, text_col, id_col).filter(F.col("n_shingles") > 0)
+    )
+    nbanded = deferred_persist(
+        _banded_keys(nsets, num_hashes, bands, id_col).withColumn(
+            "bucket", F.pmod(F.col("key"), F.lit(n_buckets))
+        )
+    )
+    buckets = sorted(
+        r["bucket"] for r in nbanded.select("bucket").distinct().collect()
+    )
+    old_banded = snapshot_read(
+        spark, os.path.join(root, "bands"), partition_values=buckets, fs=fs
+    )
+    cand = deferred_persist(
+        nbanded.alias("n")
+        .join(
+            old_banded.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.key") == F.col("o.key"))
+            & (F.col(f"n.{id_col}") != F.col(f"o.{id_col}")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("doc_new"),
+            F.col(f"o.{id_col}").alias("doc_old"),
+        )
+        .distinct()
+    )
+    dbuckets = sorted(
+        r["dbucket"]
+        for r in cand.select(
+            F.pmod(F.col("doc_old"), F.lit(n_buckets)).alias("dbucket")
+        )
+        .distinct()
+        .collect()
+    )
+    if not dbuckets:
+        return cand.withColumn("jaccard", F.lit(0.0)).filter(F.lit(False))
+    old_sets = snapshot_read(
+        spark, os.path.join(root, "sets"), partition_values=dbuckets, fs=fs
+    )
+    return (
+        cand.join(
+            nsets.select(
+                F.col(id_col).alias("doc_new"),
+                F.col("shingles").alias("sh_n"),
+                F.col("n_shingles").alias("nn"),
+            ),
+            "doc_new",
+        )
+        .join(
+            old_sets.select(
+                F.col(id_col).alias("doc_old"),
+                F.col("shingles").alias("sh_o"),
+                F.col("n_shingles").alias("no"),
+            ),
+            "doc_old",
+        )
+        .withColumn("n_shared", F.size(F.array_intersect("sh_n", "sh_o")))
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("nn") + F.col("no") - F.col("n_shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_new", "doc_old", "jaccard")
+    )
+
+
+def lsh_index_append(
+    new_docs: DataFrame,
+    root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fs=None,
+) -> str:
+    """Add a batch to the index WITHOUT rebuild: band against the
+    frozen meta parameters, then partition-pruned MERGE into both
+    snapshots — only the buckets the batch touches are rewritten,
+    every other bucket carries forward by manifest reference.  Returns
+    the new band snapshot version.
+
+    An existing ``doc_id`` UPSERTS, with the standard pruned-MERGE
+    partition-stability contract: re-ingesting a CHANGED document
+    moves its band keys across buckets and would strand stale band
+    rows in unread partitions — that workload is delete+rebuild, the
+    same caveat as :func:`ivf_index_append` re-embedding."""
+    import os
+
+    from .warehouse import merge_upsert_pruned
+
+    spark = new_docs.sparkSession
+    k, num_hashes, bands, n_buckets = _lsh_meta(spark, root, fs)
+    nsets = deferred_persist(
+        shingle_sets(new_docs, k, text_col, id_col).filter(F.col("n_shingles") > 0)
+    )
+    merge_upsert_pruned(
+        spark,
+        os.path.join(root, "sets"),
+        nsets.withColumn("dbucket", F.pmod(F.col(id_col), F.lit(n_buckets))),
+        key=[id_col],
+        partition_col="dbucket",
+        fs=fs,
+    )
+    nbanded = _banded_keys(nsets, num_hashes, bands, id_col).withColumn(
+        "bucket", F.pmod(F.col("key"), F.lit(n_buckets))
+    )
+    return merge_upsert_pruned(
+        spark,
+        os.path.join(root, "bands"),
+        nbanded,
+        key=[id_col, "band"],
+        partition_col="bucket",
+        fs=fs,
     )

@@ -1,0 +1,247 @@
+"""Keyword and hybrid retrieval over the documents corpus
+(SURVEY.md §2.10): Okapi BM25 scoring and reciprocal-rank fusion.
+
+A training-data pipeline needs BOTH retrieval families — keyword
+(BM25: targeted corpus probes, contamination audits, "find every doc
+mentioning X" sweeps) and vector (cosine / IVF, operators/similarity
+.py) — plus a fusion rule to combine them; RRF is the standard
+score-free fusion (Cormack et al., SIGIR'09) because it needs no
+cross-arm score calibration.
+
+Scale shape (the reason these are written this way):
+
+- BM25 is TWO column-pruned corpus scans and zero wide shuffles: a
+  stats pass (per-row tf/dl in whole-stage codegen — no explode, no
+  inverted-index shuffle for a bounded query-term set — map-side
+  partial-aggregated to a single row: N, Σdl, per-term df), then the
+  1-row stats broadcast back over a scoring pass, ending in a
+  TakeOrderedAndProject top-k.  Re-scanning beats persisting the
+  tokenized corpus at 100 TB (the scan reads one column; the persist
+  would hold the corpus); the only exchanges are the single-partition
+  scalar agg and the final top-k, both bytes-bounded by k and |terms|.
+- RRF joins per-arm RANK tables (probes × top-N rows each — probe-set
+  sized, never corpus-sized) and pivots arms into fixed columns so the
+  fused sum adds in a FIXED left-to-right order: bit-deterministic
+  across engines and partitionings, unlike a float SUM over an
+  unordered group.
+
+Determinism contract: every BM25 arithmetic step except ``ln`` is a
+single correctly-rounded IEEE op, identical across engines; ``ln``
+(Java ``Math.log`` vs libm) can differ in the last ulp, so the JUDGED
+output of the BM25 entry is rank-only — the same contract as
+``cosine_topk_blas`` (operators/similarity.py), whose cos values
+differ in ulps while ranks are stable because true score gaps between
+distinct (tf, dl) profiles are ≫ 1e-12 (asserted against DuckDB at
+1e-9 in tests/test_llm_ops.py).  RRF scores contain no
+transcendentals and ARE judged exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+
+#: Default BM25 free parameters (the Robertson/Walker standard).
+K1 = 1.2
+B = 0.75
+
+
+def _tf(term: str) -> H.X:
+    """Per-row term frequency over the bound token array ``ws`` —
+    dialect pair so the oracle cannot drift from the Spark side."""
+    if "'" in term or "\\" in term:
+        raise ValueError(f"query term {term!r} would need escaping; use plain terms")
+    return H.X(
+        f"size(filter(ws, x -> x = '{term}'))",
+        f"len(list_filter(ws, x -> x = '{term}'))",
+    )
+
+
+def _lit(v: float) -> str:
+    """A DOUBLE literal valid in both dialects (bare ``1.2`` parses as
+    DECIMAL in both Spark and DuckDB, which would change arithmetic)."""
+    return f"cast({v!r} as double)"
+
+
+def bm25_contrib(i: int, k1: float = K1, b: float = B) -> str:
+    """One query term's BM25 contribution as dialect-NEUTRAL SQL over
+    the prepared columns ``tf_i``/``dl``/``n``/``df_i``/``avgdl`` —
+    identical text runs on both engines, so there is no pair to drift.
+
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1)   (the +1 keeps idf > 0)
+    w   = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    """
+    idf = (
+        f"ln((cast(n - df_{i} as double) + 0.5)"
+        f" / (cast(df_{i} as double) + 0.5) + 1.0)"
+    )
+    return (
+        f"{idf} * (cast(tf_{i} as double) * {_lit(k1 + 1.0)})"
+        f" / (cast(tf_{i} as double) + {_lit(k1)}"
+        f" * (1.0 - {_lit(b)} + {_lit(b)} * cast(dl as double) / avgdl))"
+    )
+
+
+def bm25_score_expr(n_terms: int, k1: float = K1, b: float = B) -> str:
+    """Fixed left-to-right sum of the per-term contributions — addition
+    order pinned so the double result is bit-deterministic."""
+    return " + ".join(f"({bm25_contrib(i, k1, b)})" for i in range(n_terms))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents for a bounded keyword query by Okapi BM25:
+    (rank, doc_id, score).
+
+    Plan: narrow per-row projection (token array once, then dl + one
+    tf per term — all codegen), a single-row stats aggregate
+    (count/Σdl/per-term df with map-side partials), broadcast-nested-
+    loop of that one row back over a SECOND column-pruned corpus scan,
+    score in one projection, TakeOrderedAndProject (plan-guarded).
+    Driver collects nothing; the only single-partition data is the
+    1-row stats frame and the k result rows.
+
+    ``score`` carries the ulp caveat in the module docstring — judge
+    ranks, compare scores with tolerance."""
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    w = H.words(text_col)
+    base = docs.select(
+        F.col(id_col), F.expr(w.spark).alias("ws")
+    ).select(
+        F.col(id_col),
+        F.expr("size(ws)").alias("dl"),
+        *[F.expr(_tf(t).spark).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.expr(f"sum(case when tf_{i} > 0 then 1 else 0 end)").alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = (
+        base.join(F.broadcast(stats))
+        .withColumn("avgdl", F.expr("cast(sum_dl as double) / cast(n as double)"))
+        .withColumn("score", F.expr(bm25_score_expr(len(terms), k1, b)))
+    )
+    top = scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+    # Rank assignment runs AFTER the limit, over <= k rows — the global
+    # window is bounded by the constant k, never by the corpus.
+    rk = Window.orderBy(F.desc("score"), F.col(id_col))
+    return top.select(
+        F.row_number().over(rk).alias("rank"), F.col(id_col), F.col("score")
+    )
+
+
+def rrf_fuse(
+    arms: Sequence[DataFrame],
+    k: int = 5,
+    k_const: int = 60,
+    probe_col: str = "probe_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of per-probe rankings:
+    (probe_id, rank, doc_id, rrf) — top-``k`` per probe by
+    Σ_arms 1/(k_const + arm_rank), candidates missing from an arm
+    contribute 0 for it.
+
+    Arms are (probe_id, doc_id, rank) frames — each probe-set × top-N
+    sized, so every join here is small-side.  The arms pivot into one
+    fixed column per arm (max-of-at-most-one within the group), and
+    the fused score adds those columns LEFT-TO-RIGHT — a pinned
+    summation order, unlike ``SUM`` over an unordered group whose
+    float result depends on row order.  Ties (same fused score) break
+    by id, so the output is a total order."""
+    if not arms:
+        raise ValueError("rrf_fuse needs at least one ranking arm")
+    tagged = None
+    for i, arm in enumerate(arms):
+        part = arm.select(
+            F.col(probe_col),
+            F.col(id_col),
+            F.col(rank_col).alias("r"),
+            F.lit(i).alias("arm"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    pivoted = tagged.groupBy(probe_col, id_col).agg(
+        *[
+            F.max(F.when(F.col("arm") == i, F.col("r"))).alias(f"r_{i}")
+            for i in range(len(arms))
+        ]
+    )
+    fused = " + ".join(
+        f"coalesce(1.0 / (cast({k_const} + r_{i} as double)), 0.0)"
+        for i in range(len(arms))
+    )
+    win = Window.partitionBy(probe_col).orderBy(F.desc("rrf"), F.col(id_col))
+    return (
+        pivoted.withColumn("rrf", F.expr(fused))
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(probe_col, "rank", id_col, "rrf")
+    )
+
+
+def jaccard_rank(
+    probes: DataFrame,
+    corpus: DataFrame,
+    n: int = 20,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lexical retrieval arm: rank the corpus per probe by word-
+    ``shingle_k``-gram shingle-set Jaccard — (probe_id, doc_id, rank),
+    top-``n`` per probe, self-pairs excluded, empty-shingle docs
+    dropped (0/0 is undefined, same guard as minhash_lsh_pairs).
+
+    The probe side is broadcast (a probe SET, not a corpus); the
+    corpus side is one narrow shingle projection that never shuffles —
+    ranking shuffles only by probe_id, the same shape as cosine_topk.
+    Jaccard here is exact integer set math over int64 shingle hashes
+    and divides once — bit-deterministic, so arm ranks (and anything
+    fused from them) are engine-stable."""
+    from . import dedup as D
+
+    psets = D.shingle_sets(probes, shingle_k, text_col, id_col).filter(
+        F.col("n_shingles") > 0
+    )
+    csets = D.shingle_sets(corpus, shingle_k, text_col, id_col).filter(
+        F.col("n_shingles") > 0
+    )
+    pairs = (
+        F.broadcast(
+            psets.select(
+                F.col(id_col).alias("probe_id"),
+                F.col("shingles").alias("psh"),
+                F.col("n_shingles").alias("pn"),
+            )
+        )
+        .join(csets, F.col("probe_id") != F.col(id_col))
+        .withColumn("n_shared", F.size(F.array_intersect("psh", "shingles")))
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("pn") + F.col("n_shingles") - F.col("n_shared")).cast("double"),
+        )
+    )
+    win = Window.partitionBy("probe_id").orderBy(F.desc("jaccard"), F.col(id_col))
+    return (
+        pairs.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= n)
+        .select("probe_id", F.col(id_col), "rank")
+    )

@@ -261,3 +261,82 @@ def dedup_spans(spark, sf_dir):
         "both paths"
     )
     return out
+
+
+#: New-batch-vs-index oracle, shared by the build-then-check and the
+#: build-append-check entries: both end with the SAME index content
+#: (every doc_id % 10 != 0), so the appended entry certifies the
+#: pruned-MERGE append path preserves results exactly — the same
+#: round-trip contract as sim_ivf_topk_appended.
+_LSH_INC_ORACLE = f"""
+    WITH {_SETS},
+    nonempty AS (SELECT * FROM sized WHERE n > 0),
+    sig AS (SELECT doc_id, shingles, n, {_SIG} AS sig FROM nonempty),
+    keys AS (SELECT doc_id, shingles, n, {_BANDS} AS bandkeys FROM sig),
+    banded AS (
+        SELECT doc_id, g.j AS band, bandkeys[g.j + 1] AS key
+        FROM keys CROSS JOIN generate_series(0, 7) g(j)
+    ),
+    cand AS (
+        SELECT DISTINCT nw.doc_id AS doc_new, od.doc_id AS doc_old
+        FROM banded nw
+        JOIN banded od ON nw.band = od.band AND nw.key = od.key
+                      AND nw.doc_id != od.doc_id
+        WHERE nw.doc_id % 10 = 0 AND od.doc_id % 10 != 0
+    )
+    SELECT doc_new, doc_old,
+           CAST(len(list_intersect(sn.shingles, so.shingles)) AS DOUBLE)
+             / CAST(sn.n + so.n
+                    - len(list_intersect(sn.shingles, so.shingles)) AS DOUBLE)
+             AS jaccard
+    FROM cand
+    JOIN nonempty sn ON sn.doc_id = doc_new
+    JOIN nonempty so ON so.doc_id = doc_old
+    WHERE CAST(len(list_intersect(sn.shingles, so.shingles)) AS DOUBLE)
+            / CAST(sn.n + so.n
+                   - len(list_intersect(sn.shingles, so.shingles)) AS DOUBLE)
+            >= 0.8
+    """
+
+
+@query("dedup_lsh_incremental", oracle=_LSH_INC_ORACLE)
+def dedup_lsh_incremental(spark, sf_dir):
+    """Dedup-at-ingest against a PERSISTED LSH index: build the index
+    from the standing corpus (doc_id % 10 != 0), then check the new
+    batch (doc_id % 10 == 0) against it — (doc_new, doc_old, jaccard)
+    with exact verification.  The check reads are partition-pruned
+    twice (band buckets the batch routes to; doc buckets holding
+    candidates) and every driver collect is bounded by the index's
+    n_buckets constant — the reason a 100 TB pipeline checks batches
+    against an index instead of re-running all-pairs dedup."""
+    from .pipeline_e2e import _workdir
+
+    docs = t(spark, sf_dir, "documents")
+    root = _workdir(sf_dir, "lsh_index")
+    D.lsh_build_index(docs.filter(F.col("doc_id") % 10 != 0), root)
+    return D.lsh_index_check(
+        docs.filter(F.col("doc_id") % 10 == 0), root, threshold=0.8
+    )
+
+
+@query("dedup_lsh_appended", oracle=_LSH_INC_ORACLE)
+def dedup_lsh_appended(spark, sf_dir):
+    """Incremental index maintenance: build on a smaller base
+    (doc_id % 10 not in (0, 5)), APPEND the % 10 == 5 batch via
+    partition-pruned MERGE (only touched buckets rewrite; the frozen
+    meta parameters band the batch identically), then check the
+    % 10 == 0 batch.  Final index content equals
+    dedup_lsh_incremental's, so the shared oracle certifies the
+    append path is exact — including matches against appended docs."""
+    from .pipeline_e2e import _workdir
+
+    docs = t(spark, sf_dir, "documents")
+    root = _workdir(sf_dir, "lsh_index_app")
+    D.lsh_build_index(
+        docs.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 5)),
+        root,
+    )
+    D.lsh_index_append(docs.filter(F.col("doc_id") % 10 == 5), root)
+    return D.lsh_index_check(
+        docs.filter(F.col("doc_id") % 10 == 0), root, threshold=0.8
+    )

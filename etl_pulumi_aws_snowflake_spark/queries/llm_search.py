@@ -1,0 +1,203 @@
+"""Retrieval queries (SURVEY.md §2.10): BM25 keyword search over the
+documents table and hybrid keyword+vector retrieval fused by RRF.
+
+Oracles are generated from the SAME dialect templates the Spark side
+uses (operators/search.py builds its score SQL dialect-neutral), so
+the two engines cannot drift.  The BM25 entry judges RANKS only — its
+``ln`` differs from DuckDB's in the last ulp (measured: 1 of 19 idf
+values, ~7% of composed scores at 1 ulp), exactly the
+``sim_cosine_topk_blas`` contract; scores are tolerance-compared in
+tests/test_llm_ops.py.  The RRF entry has no transcendentals, so its
+fused doubles are judged exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import vectors as V
+from ..operators import search as SR
+from ..operators import similarity as S
+from ._util import t
+from .registry import query
+
+#: Fixed keyword query for the BM25 entry — terms from the corpus
+#: vocabulary with distinct document-frequency profiles.
+BM25_TERMS = ("vector", "merge", "customer", "spark")
+_BM25_K = 10
+
+#: Probe stride for hybrid retrieval: every 250th id that has BOTH a
+#: document row and an embedding row (the two tables share an id
+#: domain but not a row count at every SF).
+_HYBRID_STRIDE = 250
+_ARM_N = 20
+_RRF_K = 5
+
+_WORDS = H.words("text").duck
+
+
+def _bm25_oracle() -> str:
+    tfs = ",\n           ".join(
+        f"{SR._tf(term).duck} AS tf_{i}" for i, term in enumerate(BM25_TERMS)
+    )
+    dfs = ",\n           ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    base AS (
+        SELECT doc_id, len(ws) AS dl,
+           {tfs}
+        FROM d
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n, SUM(dl) AS sum_dl,
+           {dfs}
+        FROM base
+    ),
+    joined AS (
+        SELECT base.*, stats.*,
+               cast(sum_dl as double) / cast(n as double) AS avgdl
+        FROM base CROSS JOIN stats
+    ),
+    scored AS (
+        SELECT doc_id, {SR.bm25_score_expr(len(BM25_TERMS))} AS score
+        FROM joined
+    ),
+    ranked AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM scored
+    )
+    SELECT rank, doc_id FROM ranked WHERE rank <= {_BM25_K}
+    """
+
+
+@query("search_bm25_topk", oracle=_bm25_oracle())
+def search_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-10 for a fixed keyword query — the keyword
+    retrieval arm a curation pipeline uses for targeted corpus probes
+    and contamination sweeps.  Two column-pruned corpus scans (per-row
+    tf/dl in codegen, no explode), a 1-row stats aggregate broadcast
+    back, a TakeOrderedAndProject top-k: nothing corpus-sized ever
+    shuffles.
+    Judged rank-only (ulp caveat in operators/search.py); scores
+    checked at 1e-9 in tests/test_llm_ops.py."""
+    return SR.bm25_topk(
+        t(spark, sf_dir, "documents"), BM25_TERMS, k=_BM25_K
+    ).select("rank", "doc_id")
+
+
+_E = "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+
+def _cos(a: str, b: str) -> str:
+    return V.cosine(V.X("", a), V.X("", b)).duck
+
+
+_SHINGLES = H.shingle_hashes(H.word_hashes("text"), k=3).duck
+
+
+def _hybrid_oracle() -> str:
+    return f"""
+    WITH {_E},
+    sets AS (
+        SELECT doc_id, list_distinct({_SHINGLES}) AS shingles
+        FROM documents
+    ),
+    sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sets),
+    nonempty AS (SELECT * FROM sized WHERE n > 0),
+    ids AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id % {_HYBRID_STRIDE} = 0
+          AND doc_id IN (SELECT vec_id FROM embeddings)
+    ),
+    lexpairs AS (
+        SELECT i.doc_id AS probe_id, c.doc_id AS doc_id,
+               CAST(len(list_intersect(p.shingles, c.shingles)) AS DOUBLE)
+                 / CAST(p.n + c.n
+                        - len(list_intersect(p.shingles, c.shingles)) AS DOUBLE)
+                 AS jac
+        FROM ids i
+        JOIN nonempty p ON p.doc_id = i.doc_id
+        JOIN nonempty c ON c.doc_id != i.doc_id
+    ),
+    lex AS (
+        SELECT probe_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY jac DESC, doc_id) AS r
+        FROM lexpairs QUALIFY r <= {_ARM_N}
+    ),
+    vecpairs AS (
+        SELECT i.doc_id AS probe_id, e.vec_id AS doc_id,
+               {_cos('pe.v', 'e.v')} AS cos
+        FROM ids i
+        JOIN e pe ON pe.vec_id = i.doc_id
+        CROSS JOIN e
+        WHERE e.vec_id != i.doc_id
+    ),
+    vec AS (
+        SELECT probe_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY cos DESC, doc_id) AS r
+        FROM vecpairs QUALIFY r <= {_ARM_N}
+    ),
+    tagged AS (
+        SELECT probe_id, doc_id, r, 0 AS arm FROM lex
+        UNION ALL
+        SELECT probe_id, doc_id, r, 1 AS arm FROM vec
+    ),
+    piv AS (
+        SELECT probe_id, doc_id,
+               MAX(CASE WHEN arm = 0 THEN r END) AS r_0,
+               MAX(CASE WHEN arm = 1 THEN r END) AS r_1
+        FROM tagged GROUP BY probe_id, doc_id
+    ),
+    fused AS (
+        SELECT probe_id, doc_id,
+               coalesce(1.0 / (cast(60 + r_0 as double)), 0.0)
+                 + coalesce(1.0 / (cast(60 + r_1 as double)), 0.0) AS rrf
+        FROM piv
+    ),
+    ranked AS (
+        SELECT probe_id, doc_id, rrf,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY rrf DESC, doc_id) AS rank
+        FROM fused
+    )
+    SELECT probe_id, rank, doc_id, rrf FROM ranked WHERE rank <= {_RRF_K}
+    """
+
+
+@query("search_hybrid_rrf", oracle=_hybrid_oracle())
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid "more like this" retrieval: for each probe id present in
+    BOTH tables, rank the corpus lexically (3-gram shingle Jaccard,
+    top-20) and by embedding cosine (top-20), fuse with reciprocal-rank
+    fusion (k=60), judge the fused top-5 per probe.
+
+    RRF is the standard calibration-free fusion — it needs only ranks,
+    which here are bit-deterministic in both arms (exact integer set
+    math; strict cosine fold), so the fused doubles are judged EXACTLY.
+    Both arms keep their scale shapes: probes broadcast, the corpus
+    side one narrow projection; fusion joins probe×top-N rank tables,
+    never anything corpus-sized."""
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    ids = (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") % _HYBRID_STRIDE == 0)
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "semi"
+        )
+    )
+    probe_docs = docs.join(F.broadcast(ids), "doc_id")
+    probe_emb = emb.join(
+        F.broadcast(ids.withColumnRenamed("doc_id", "vec_id")), "vec_id"
+    )
+    lex = SR.jaccard_rank(probe_docs, docs, n=_ARM_N)
+    vec = S.cosine_topk(probe_emb, emb, k=_ARM_N).select(
+        "probe_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return SR.rrf_fuse([lex, vec], k=_RRF_K, k_const=60)

@@ -678,3 +678,245 @@ def test_ivf_index_compact_after_appends_preserves_search(spark, tmp_path):
         map(tuple, S.ivf_topk_indexed(probes, root, k=3, nprobe=2).collect())
     )
     assert before == after and before
+
+
+# --- retrieval: BM25 + RRF (operators/search.py) ------------------------
+
+
+def test_bm25_scores_match_duckdb_within_tolerance(spark, sf_correct):
+    """The judged BM25 output is rank-only (ln differs across engines
+    in the last ulp); this is the promised tolerance check on the
+    SCORES, plus exact agreement on the ranks themselves."""
+    from etl_pulumi_aws_snowflake_spark.operators import search as SR
+    from etl_pulumi_aws_snowflake_spark.queries.llm_search import BM25_TERMS
+
+    docs = load_table(spark, sf_correct, "documents")
+    got = {
+        r["rank"]: (r["doc_id"], r["score"])
+        for r in SR.bm25_topk(docs, BM25_TERMS, k=10).collect()
+    }
+    tfs = ", ".join(
+        f"{SR._tf(t).duck} AS tf_{i}" for i, t in enumerate(BM25_TERMS)
+    )
+    dfs = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    con = duckdb_con(sf_correct)
+    want = {
+        rank: (doc_id, score)
+        for rank, doc_id, score in con.execute(
+            f"""
+            WITH d AS (SELECT doc_id, {H.words('text').duck} AS ws FROM documents),
+            base AS (SELECT doc_id, len(ws) AS dl, {tfs} FROM d),
+            stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sum_dl, {dfs} FROM base),
+            joined AS (SELECT base.*, stats.*,
+                              cast(sum_dl as double)/cast(n as double) AS avgdl
+                       FROM base CROSS JOIN stats),
+            scored AS (SELECT doc_id,
+                              {SR.bm25_score_expr(len(BM25_TERMS))} AS score
+                       FROM joined)
+            SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank,
+                   doc_id, score
+            FROM scored QUALIFY rank <= 10
+            """
+        ).fetchall()
+    }
+    assert set(got) == set(want) == set(range(1, 11))
+    for rank in got:
+        assert got[rank][0] == want[rank][0], (rank, got[rank], want[rank])
+        assert got[rank][1] == pytest.approx(want[rank][1], abs=1e-9)
+
+
+def test_bm25_rank_gaps_dwarf_the_ulp_band(sf_correct):
+    """Rank-only judging is sound only while distinct scores differ by
+    far more than the cross-engine ulp divergence: every adjacent score
+    gap in the full ranking must be exactly 0 (a true tie — broken by
+    doc_id identically in both engines) or > 1e-9."""
+    from etl_pulumi_aws_snowflake_spark.operators import search as SR
+    from etl_pulumi_aws_snowflake_spark.queries.llm_search import BM25_TERMS
+
+    tfs = ", ".join(
+        f"{SR._tf(t).duck} AS tf_{i}" for i, t in enumerate(BM25_TERMS)
+    )
+    dfs = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    con = duckdb_con(sf_correct)
+    scores = [
+        s
+        for (s,) in con.execute(
+            f"""
+            WITH d AS (SELECT doc_id, {H.words('text').duck} AS ws FROM documents),
+            base AS (SELECT doc_id, len(ws) AS dl, {tfs} FROM d),
+            stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sum_dl, {dfs} FROM base),
+            joined AS (SELECT base.*, stats.*,
+                              cast(sum_dl as double)/cast(n as double) AS avgdl
+                       FROM base CROSS JOIN stats)
+            SELECT {SR.bm25_score_expr(len(BM25_TERMS))} AS score
+            FROM joined ORDER BY score DESC
+            """
+        ).fetchall()
+    ]
+    assert len(scores) > 10
+    for hi, lo in zip(scores, scores[1:]):
+        gap = hi - lo
+        assert gap == 0.0 or gap > 1e-9, (hi, lo)
+
+
+def test_bm25_requires_terms(spark, sample_df):
+    from etl_pulumi_aws_snowflake_spark.operators import search as SR
+
+    with pytest.raises(ValueError, match="at least one query term"):
+        SR.bm25_topk(sample_df, [])
+    with pytest.raises(ValueError, match="escaping"):
+        SR.bm25_topk(sample_df, ["o'brien"])
+
+
+def test_rrf_fuse_missing_arm_contributes_zero(spark):
+    """A candidate absent from one arm gets exactly the other arm's
+    1/(k+rank); present in both, exactly the two-term sum — and the
+    pivoted fixed-order addition makes these doubles deterministic."""
+    from etl_pulumi_aws_snowflake_spark.operators import search as SR
+
+    arm0 = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "probe_id long, doc_id long, rank long"
+    )
+    arm1 = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2)], "probe_id long, doc_id long, rank long"
+    )
+    got = {
+        r["doc_id"]: r["rrf"]
+        for r in SR.rrf_fuse([arm0, arm1], k=10, k_const=60).collect()
+    }
+    assert got[10] == 1.0 / 61.0
+    assert got[12] == 1.0 / 62.0
+    assert got[11] == 1.0 / 62.0 + 1.0 / 61.0
+    with pytest.raises(ValueError, match="at least one ranking arm"):
+        SR.rrf_fuse([])
+
+
+# --- persisted incremental LSH dedup index ------------------------------
+
+
+def _lsh_corpus(spark, n=60, planted=6):
+    """Deterministic corpus with planted near-dups: doc n-planted+j is
+    doc j's text with the last word changed, so (j, n-planted+j) are
+    high-Jaccard pairs crossing any split that separates them."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(30)) for _ in range(n - planted)
+    ]
+    for j in range(planted):
+        texts.append(texts[j].rsplit(" ", 1)[0] + " changed")
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_lsh_index_check_equals_oneshot_pairs(spark, tmp_path):
+    """Build-then-check must find exactly the one-shot
+    minhash_lsh_pairs results restricted to new×indexed pairs — the
+    index layer adds persistence and pruning, never different
+    answers."""
+    docs = _lsh_corpus(spark)
+    old = docs.filter(F.col("doc_id") < 54)
+    new = docs.filter(F.col("doc_id") >= 54)
+    root = str(tmp_path / "lsh")
+    D.lsh_build_index(old, root)
+    got = {
+        (r["doc_new"], r["doc_old"], r["jaccard"])
+        for r in D.lsh_index_check(new, root, threshold=0.5).collect()
+    }
+    oneshot = {
+        (r["doc_b"], r["doc_a"], r["jaccard"])
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+        if r["doc_b"] >= 54 and r["doc_a"] < 54
+    }
+    assert got == oneshot and got, got
+
+
+def test_lsh_index_append_equals_rebuild(spark, tmp_path):
+    """After appending a batch, the bands and sets snapshots must hold
+    exactly what a fresh build over the union holds — the pruned-MERGE
+    append is a pure optimization."""
+    import os
+
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import snapshot_read
+
+    docs = _lsh_corpus(spark)
+    base = docs.filter(F.col("doc_id") < 40)
+    batch = docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 54))
+    ra, rb = str(tmp_path / "app"), str(tmp_path / "full")
+    D.lsh_build_index(base, ra)
+    D.lsh_index_append(batch, ra)
+    D.lsh_build_index(docs.filter(F.col("doc_id") < 54), rb)
+    for leaf in ("bands", "sets"):
+        a = {
+            tuple(r)
+            for r in snapshot_read(spark, os.path.join(ra, leaf))
+            .drop("shingles")
+            .collect()
+        }
+        b = {
+            tuple(r)
+            for r in snapshot_read(spark, os.path.join(rb, leaf))
+            .drop("shingles")
+            .collect()
+        }
+        assert a == b, leaf
+
+
+def test_lsh_check_reads_only_routed_buckets(spark, tmp_path, monkeypatch):
+    """The check's candidate join must open ONLY the band-bucket
+    partitions the batch's keys route to (≤ bands per new doc), and
+    the verify side only the candidate docs' set buckets — manifest
+    pruning, the index's entire value at 100 TB.  Asserted by spying
+    on the ``partition_values`` the operator passes to the REAL
+    ``snapshot_read`` (whose pruning-by-construction is covered by the
+    snapshot suite); the check subtree is persisted, so inputFiles()
+    can't see the pruned scan."""
+    from etl_pulumi_aws_snowflake_spark.streaming import snapshot as SN
+
+    docs = _lsh_corpus(spark)
+    old = docs.filter(F.col("doc_id") < 54)
+    new = docs.filter(F.col("doc_id") == 54)  # ONE new doc -> <= 8 band keys
+    root = str(tmp_path / "lsh")
+    D.lsh_build_index(old, root)
+    seen: dict[str, list] = {}
+    real = SN.snapshot_read
+
+    def spy(spark_, root_, partition_values=None, **kw):
+        seen[root_.rsplit("/", 1)[-1]] = partition_values
+        return real(spark_, root_, partition_values=partition_values, **kw)
+
+    monkeypatch.setattr(SN, "snapshot_read", spy)
+    got = D.lsh_index_check(new, root, threshold=0.5).collect()
+    assert got  # the planted near-dup (54, 0) verified
+    assert seen["bands"] is not None and 1 <= len(seen["bands"]) <= 8, seen
+    # the verify side opens the CANDIDATE docs' buckets (candidates are
+    # a banding superset — false positives may add a bucket or two) but
+    # never the whole 16-bucket index
+    assert seen["sets"] is not None and 1 <= len(seen["sets"]) <= 4, seen
+
+
+def test_lsh_meta_freezes_band_parameters(spark, tmp_path):
+    """check/append band with the INDEX's parameters read from the meta
+    snapshot, not caller kwargs — mixing parameterizations would
+    silently find nothing."""
+    docs = _lsh_corpus(spark)
+    root = str(tmp_path / "lsh")
+    D.lsh_build_index(
+        docs.filter(F.col("doc_id") < 54), root, num_hashes=8, bands=4
+    )
+    assert D._lsh_meta(spark, root) == (3, 8, 4, 16)
+    got = D.lsh_index_check(
+        docs.filter(F.col("doc_id") >= 54), root, threshold=0.5
+    ).collect()
+    assert got  # 4-band banding on both sides still finds the planted dups
+    with pytest.raises(ValueError, match="divisible"):
+        D.lsh_build_index(docs, str(tmp_path / "bad"), num_hashes=10, bands=4)

@@ -358,3 +358,33 @@ def test_curation_pipeline_composed_plan_shape(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line and "Window" in line:
             assert "_pack_pid" in line or "partitionBy" not in line, line
+
+
+def test_bm25_zero_wide_shuffle_plan(spark):
+    """BM25's scale contract: two column-pruned corpus scans, the 1-row
+    stats frame broadcast back (never a shuffled join), and the global
+    top-k as TakeOrderedAndProject — no sort-merge join, no wide
+    exchange anywhere."""
+    plan = _plan(spark, "search_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats x corpus
+    assert "SortMergeJoin" not in plan
+    # formatted explain lists each node in the tree AND the detail
+    # section — count detail headers: stats pass + scoring pass
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if ln.startswith("(") and "Scan parquet" in ln
+    ]
+    assert len(scans) == 2, scans
+
+
+def test_hybrid_rrf_arms_broadcast_probes(spark):
+    """Both retrieval arms must broadcast the PROBE side over a
+    streaming corpus scan, and the per-probe rank cut must push down
+    as WindowGroupLimit (map-side partial top-N before the probe
+    exchange) — the shapes that keep fusion probe-set-sized."""
+    plan = _plan(spark, "search_hybrid_rrf")
+    assert plan.count("BroadcastNestedLoopJoin Inner BuildLeft") == 2
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
