@@ -59,7 +59,7 @@ _DRIVER_FIRST = [
     "sim_ivf_topk_nlists", "sim_ivf_topk_indexed", "sim_ivf_recall_nlists",
     "sim_ivf_topk_appended", "curation_pipeline_e2e",
     "search_bm25_topk", "search_hybrid_rrf",
-    "dedup_lsh_incremental", "dedup_lsh_appended",
+    "dedup_lsh_incremental", "dedup_lsh_appended", "stream_lsh_ingest_e2e",
     # (b) r07-stale, staleness-report order
     "cdc_merge_stream_e2e", "dedup_spans", "q11_important_parts",
     "q12_late_shipment_priority", "q13_customer_distribution",
@@ -76,15 +76,12 @@ _DRIVER_FIRST = [
     "text_repetition", "udf_grouped_agg", "udf_pandas_scalar",
     "win_session", "win_sliding", "win_tumbling",
     # (c) round-10 code-touched: re-certify under the driver hash.
-    # The four late-round retrieval/LSH-index entries in (a) displaced
-    # sample_exact_quota{,_dupkeys,_fail_loud} and the (d) r08 fill —
+    # The five late-round retrieval/LSH-index/stream-ingest entries in
+    # (a) displaced the sample_* family and the (d) r08 fill —
     # acceptable: the r10 sampling edits touched only cold guard paths
     # (raise-on-pathological-input) that driver inputs never reach, and
-    # their r09 evidence is green on the hot path;
-    # sample_temperature_mixture stays as the family's in-window
-    # representative.
+    # the family's r09 evidence is green on the hot path.
     "dedup_embedding_survivors", "dedup_embedding_survivors_multi",
-    "sample_temperature_mixture",
 ]
 
 def _driver_order(d: dict) -> dict:

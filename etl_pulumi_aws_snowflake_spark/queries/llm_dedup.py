@@ -340,3 +340,80 @@ def dedup_lsh_appended(spark, sf_dir):
     return D.lsh_index_check(
         docs.filter(F.col("doc_id") % 10 == 0), root, threshold=0.8
     )
+
+
+@query(
+    "stream_lsh_ingest_e2e",
+    oracle=f"""
+    WITH {_SETS},
+    nonempty AS (SELECT * FROM sized WHERE n > 0),
+    sig AS (SELECT doc_id, shingles, n, {_SIG} AS sig FROM nonempty),
+    keys AS (SELECT doc_id, shingles, n, {_BANDS} AS bandkeys FROM sig),
+    banded AS (
+        SELECT doc_id, g.j AS band, bandkeys[g.j + 1] AS key
+        FROM keys CROSS JOIN generate_series(0, 7) g(j)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.key = b.key
+                     AND a.doc_id < b.doc_id
+        WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / CAST(sa.n + sb.n
+                    - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             AS jaccard
+    FROM cand
+    JOIN nonempty sa ON sa.doc_id = doc_a
+    JOIN nonempty sb ON sb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / CAST(sa.n + sb.n
+                   - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            >= 0.8
+    """,
+)
+def stream_lsh_ingest_e2e(spark, sf_dir):
+    """Streaming dedup-at-ingest end-to-end under the driver hash: the
+    standing corpus (doc_id % 10 != 0) seeds a persisted LSH index;
+    the % 10 == 0 docs land as THREE parquet files streamed one per
+    microbatch (maxFilesPerTrigger=1, AvailableNow, checkpointed);
+    each batch is checked against the index-so-far, its canonical
+    near-dup pairs land per-epoch, and the batch appends into the
+    index.  The accumulated pair set equals "every banding-candidate
+    pair with Jaccard ≥ 0.8 touching a streamed doc" REGARDLESS of how
+    the source batches the files (streaming/lsh_ingest.py docstring
+    has the argument) — which is exactly what the oracle computes
+    relationally, so this row hash-certifies the streaming loop, the
+    per-batch pruned check, AND the incremental append in one."""
+    import os
+
+    from ..streaming.lsh_ingest import stream_lsh_ingest
+    from .pipeline_e2e import _workdir
+
+    work = _workdir(sf_dir, "lsh_stream")
+    docs = t(spark, sf_dir, "documents")
+    root = os.path.join(work, "index")
+    D.lsh_build_index(docs.filter(F.col("doc_id") % 10 != 0), root)
+
+    landing = os.path.join(work, "landing")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    for g in range(3):
+        new.filter(F.col("doc_id") % 3 == g).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    stream_lsh_ingest(
+        spark,
+        landing,
+        new.schema,
+        root,
+        os.path.join(work, "results"),
+        os.path.join(work, "ckpt"),
+        threshold=0.8,
+        max_files_per_trigger=1,
+    )
+    return spark.read.parquet(os.path.join(work, "results")).select(
+        "doc_a", "doc_b", "jaccard"
+    )

@@ -920,3 +920,62 @@ def test_lsh_meta_freezes_band_parameters(spark, tmp_path):
     assert got  # 4-band banding on both sides still finds the planted dups
     with pytest.raises(ValueError, match="divisible"):
         D.lsh_build_index(docs, str(tmp_path / "bad"), num_hashes=10, bands=4)
+
+
+def test_stream_lsh_ingest_batch_split_independent(spark, tmp_path):
+    """The streaming ingest's accumulated pair set must be the SAME
+    however the file source slices the stream — including a new×new
+    near-dup pair landing in one batch (within-batch channel) vs two
+    batches (later-member-vs-index channel).  This is the determinism
+    argument streaming/lsh_ingest.py rests its hash-judgeability on,
+    exercised on channels the sf0.01 fixture doesn't hit (its pairs
+    are all new×old)."""
+    import os
+
+    from etl_pulumi_aws_snowflake_spark.operators import dedup as D
+    from etl_pulumi_aws_snowflake_spark.streaming.lsh_ingest import (
+        stream_lsh_ingest,
+    )
+
+    base = _lsh_corpus(spark, n=48, planted=0)  # ids 0..47, no planted dups
+    texts = {r["doc_id"]: r["text"] for r in base.collect()}
+    new_rows = [
+        (100, texts[0].rsplit(" ", 1)[0] + " edit"),  # new x old (0)
+        (101, texts[1]),  # new x old (1), verbatim
+        (102, texts[1] + " tail"),  # new x old AND new x new (101)
+        (103, " ".join("zed" for _ in range(25))),  # matches nothing old
+        (104, " ".join("zed" for _ in range(25)) + " tip"),  # new x new (103)
+    ]
+    docs_new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    def run(splits, leaf):
+        work = str(tmp_path / leaf)
+        root = os.path.join(work, "index")
+        D.lsh_build_index(base, root)
+        landing = os.path.join(work, "landing")
+        for ids in splits:
+            docs_new.filter(F.col("doc_id").isin(ids)).coalesce(1).write.mode(
+                "append"
+            ).parquet(landing)
+        stream_lsh_ingest(
+            spark,
+            landing,
+            docs_new.schema,
+            root,
+            os.path.join(work, "results"),
+            os.path.join(work, "ckpt"),
+            threshold=0.5,
+            max_files_per_trigger=1,
+        )
+        return {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in spark.read.parquet(os.path.join(work, "results")).collect()
+        }
+
+    one_batch = run([[100, 101, 102, 103, 104]], "one")
+    split = run([[100, 103], [101, 104], [102]], "split")
+    assert one_batch == split, (one_batch, split)
+    pairs = {(a, b) for a, b, _ in one_batch}
+    # both channels fired: new x new pairs present under both slicings
+    assert (101, 102) in pairs and (103, 104) in pairs, pairs
+    assert (1, 101) in pairs, pairs  # and new x old
