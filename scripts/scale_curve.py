@@ -8,7 +8,11 @@ collected rows (expect FLAT — |strata| scalars, K partial-top-k rows,
 centroid sets — never proportional to data).  Both IVF seeding modes
 are on the curve: stride (list count grows with data — the r09
 measured cliff, kept to show the chunked-tier fix) and fixed-nlists
-(the scale default, expected linear + flat collect).
+(the scale default, expected linear + flat collect).  The r10
+retrieval/index additions ride the same curve: BM25 (fixed query,
+corpus scales — expect linear scan, zero collect) and the persisted
+LSH index check (fixed 5-doc batch vs an index built with
+n_buckets ∝ corpus — expect flat, the n_buckets-is-nlists claim).
 
 Data: 10 key-shifted copies of /root/testdata/sf0.1 documents/
 embeddings into a builder-owned dir (never touching the read-only
@@ -187,6 +191,9 @@ def ops():
         "sim_ivf_topk_stride_fixed_probes": ivf_stride_fixed_probes,
         "sim_ivf_topk_nlists_fixed_probes": ivf_nlists_fixed_probes,
         "q9_product_profit": q["q9_product_profit"],
+        # fixed 4-term query; the corpus side is the thing that scales —
+        # expect linear scan growth, collect 0 (stats ride a broadcast)
+        "search_bm25_topk": q["search_bm25_topk"],
     }
 
 
@@ -334,6 +341,77 @@ def _run_ivf_search_indexed(spark, sf_dir, root):
     ).save()
 
 
+def _lsh_mult(spark, sf_dir) -> int:
+    from etl_pulumi_aws_snowflake_spark.sources import load_table
+
+    return load_table(spark, sf_dir, "documents").count() // 5000
+
+
+def _lsh_batch(spark, sf_dir):
+    """FIXED 5-doc ingest batch (copy-0 ids ≡ 0 mod 1000) at every
+    scale — the check measures serving cost vs INDEX size, so the
+    batch side must not scale."""
+    from pyspark.sql import functions as F
+
+    from etl_pulumi_aws_snowflake_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        (F.col("doc_id") < 10_000_000) & (F.col("doc_id") % 1000 == 0)
+    )
+
+
+def _setup_lsh_index(spark, sf_dir, root):
+    """Build the LSH index over everything EXCEPT the batch, with
+    n_buckets ∝ corpus (16·mult) — the index's scale knob, exactly as
+    IVF fixes nlists: per-bucket volume stays constant, so a bounded
+    batch's routed-bucket read is flat in corpus size.  (With
+    n_buckets held at 16, the same check reads corpus/2 and grows
+    linearly — the documented fixed-knob behavior, not measured
+    separately.)"""
+    from pyspark.sql import functions as F
+
+    from etl_pulumi_aws_snowflake_spark.operators import dedup as D
+    from etl_pulumi_aws_snowflake_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    index_side = docs.join(
+        _lsh_batch(spark, sf_dir).select("doc_id"), "doc_id", "anti"
+    )
+    D.lsh_build_index(
+        index_side, root, n_buckets=16 * _lsh_mult(spark, sf_dir)
+    )
+
+
+def _run_lsh_check(spark, sf_dir, root):
+    from etl_pulumi_aws_snowflake_spark.operators import dedup as D
+
+    D.lsh_index_check(_lsh_batch(spark, sf_dir), root, threshold=0.8).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+
+def _probe_lsh_routing(spark, sf_dir, root) -> dict:
+    """Structural pruning evidence alongside the timing: how many of
+    the index's band buckets the fixed batch routes to — the fraction
+    of the index the check's candidate read opens."""
+    from pyspark.sql import functions as F
+
+    from etl_pulumi_aws_snowflake_spark.operators import dedup as D
+
+    k, num_hashes, bands, n_buckets = D._lsh_meta(spark, root)
+    nsets = D.shingle_sets(_lsh_batch(spark, sf_dir), k).filter(
+        F.col("n_shingles") > 0
+    )
+    routed = (
+        D._banded_keys(nsets, num_hashes, bands)
+        .select(F.pmod(F.col("key"), F.lit(n_buckets)).alias("b"))
+        .distinct()
+        .count()
+    )
+    return {"buckets_routed": routed, "n_buckets": n_buckets}
+
+
 def action_ops():
     return {
         "cdc_merge_pruned_batch": (_setup_seed_snapshot, _run_merge_pruned, None),
@@ -347,6 +425,12 @@ def action_ops():
             _run_ivf_search_indexed,
             None,
             True,  # readonly: build once, rep the search
+        ),
+        "dedup_lsh_check_indexed_fixed_batch": (
+            _setup_lsh_index,
+            _run_lsh_check,
+            _probe_lsh_routing,
+            True,  # readonly: an index is built once, checked per batch
         ),
     }
 
@@ -457,7 +541,9 @@ def timed_action(spark, setup, run, probe, sf_dir, readonly=False):
         "collect_calls": meter_rows[0][1],
     }
     if extra is not None:
-        out["row_groups"] = extra
+        # generic per-op structural evidence: row-group pruning counts
+        # for the compaction op, bucket routing for the LSH check
+        out["probe"] = extra
     return out
 
 

@@ -979,3 +979,49 @@ def test_stream_lsh_ingest_batch_split_independent(spark, tmp_path):
     # both channels fired: new x new pairs present under both slicings
     assert (101, 102) in pairs and (103, 104) in pairs, pairs
     assert (1, 101) in pairs, pairs  # and new x old
+
+
+def test_lsh_index_compact_after_appends_preserves_check(spark, tmp_path):
+    """LSH lifecycle closure, mirroring the IVF one: appends fragment
+    the bands snapshot (each pruned MERGE pins another version dir);
+    the GENERIC snapshot_compact is the maintenance op — the
+    post-compaction check is identical and manifest references
+    collapse, so GC bounds on-disk history with no index-specific
+    machinery."""
+    import os
+
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        DEFAULT_FS,
+        _current_version,
+        _read_manifest,
+        snapshot_compact,
+    )
+
+    docs = _lsh_corpus(spark)
+    root = str(tmp_path / "lsh")
+    # 64 buckets + a 2-doc append batch (<= 16 band keys) so the pruned
+    # MERGE provably leaves untouched buckets behind on the old version
+    # — the fragmentation this test is about (14 docs x 8 bands over 16
+    # buckets would touch every bucket and fragment nothing)
+    D.lsh_build_index(docs.filter(F.col("doc_id") < 40), root, n_buckets=64)
+    D.lsh_index_append(
+        docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 42)), root
+    )
+    batch = docs.filter(F.col("doc_id") >= 54)
+    before = sorted(
+        map(tuple, D.lsh_index_check(batch, root, threshold=0.5).collect())
+    )
+    bands_root = os.path.join(root, "bands")
+    man = _read_manifest(
+        bands_root, _current_version(bands_root, DEFAULT_FS), DEFAULT_FS
+    )
+    assert len(set(man["entries"].values())) == 2, "append did not fragment?"
+    assert snapshot_compact(spark, bands_root, max_versions_referenced=1)
+    man2 = _read_manifest(
+        bands_root, _current_version(bands_root, DEFAULT_FS), DEFAULT_FS
+    )
+    assert len(set(man2["entries"].values())) <= 2
+    after = sorted(
+        map(tuple, D.lsh_index_check(batch, root, threshold=0.5).collect())
+    )
+    assert before == after and before
