@@ -53,6 +53,7 @@ HEADLINE: tuple[str, ...] = (
     "sim_cosine_topk_blas",
     "curation_pipeline_e2e",
     "search_bm25_topk",
+    "search_bm25_indexed",
     "search_hybrid_rrf",
 )
 

@@ -146,6 +146,227 @@ def bm25_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Persisted inverted (BM25) index — the third index family, closing the
+# serving-path triple: ANN behind IVF lists (operators/similarity.py),
+# near-dup behind LSH buckets (operators/dedup.py), and keyword search
+# behind posting lists here.  :func:`bm25_topk` re-scans the corpus per
+# query — right for one-off sweeps, wrong for a served query load; the
+# index turns each query into a partition-pruned read of only the query
+# terms' routed buckets.
+#
+# Layout: two snapshots under ``root`` —
+#   ``postings``  (term, doc_id, dl, tf) partitioned by
+#                 ``tbucket = pmod(xxhash64(term), n_buckets)``
+#   ``meta``      one row (n, sum_dl, n_buckets) — the corpus stats the
+#                 scan path computes per query, frozen at build time
+# ``df(term)`` is NOT materialized: each (term, doc) is one postings
+# row, so the pruned read already holds exactly the rows that count it.
+#
+# Every driver collect in the lifecycle is bounded by |query terms| (+1
+# meta row), never corpus or batch size.
+# ---------------------------------------------------------------------------
+
+
+def bm25_build_index(
+    docs: DataFrame,
+    root: str,
+    n_buckets: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fs=None,
+) -> str:
+    """Build the persisted inverted index; returns the postings
+    snapshot version.
+
+    The build is the one O(corpus-tokens) pass (explode + groupBy with
+    map-side partials — the inherent cost of inverting, paid once);
+    tokenization is the SAME ``H.words`` expression :func:`bm25_topk`
+    scans with, so index and scan can never disagree on a token.
+    ``n_buckets`` is this index's ``nlists``: size it ∝ corpus so
+    per-bucket volume stays constant and a bounded query's routed read
+    is flat in index size.
+
+    Commits are each atomic but the pair is not — rebuild into a fresh
+    root and swap above, the same immutable-artifact contract as
+    :func:`ivf_build_index` / :func:`lsh_build_index`."""
+    import os
+
+    from ..streaming.snapshot import snapshot_commit, snapshot_commit_partitioned
+
+    w = H.words(text_col)
+    toks = docs.select(F.col(id_col), F.expr(w.spark).alias("ws"))
+    meta = (
+        toks.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size("ws")).alias("sum_dl"),
+        )
+        .withColumn("n_buckets", F.lit(n_buckets))
+    )
+    snapshot_commit(meta, os.path.join(root, "meta"), fs=fs)
+    return snapshot_commit_partitioned(
+        _postings(toks, n_buckets, id_col),
+        os.path.join(root, "postings"),
+        "tbucket",
+        fs=fs,
+    )
+
+
+def _postings(toks: DataFrame, n_buckets: int, id_col: str) -> DataFrame:
+    """(term, doc_id, dl, tf, tbucket) from a (id, ws) token frame —
+    shared by build and append so the two land identical rows."""
+    return (
+        toks.select(
+            F.col(id_col), F.size("ws").alias("dl"), F.explode("ws").alias("term")
+        )
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("tbucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    )
+
+
+def _bm25_meta(spark, root: str, fs=None) -> tuple[int, int, int]:
+    import os
+
+    from ..streaming.snapshot import snapshot_read
+
+    r = snapshot_read(spark, os.path.join(root, "meta"), fs=fs).collect()[0]
+    return r["n"], r["sum_dl"], r["n_buckets"]
+
+
+def bm25_index_append(
+    new_docs: DataFrame,
+    root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fs=None,
+) -> str:
+    """Add NEW documents to the index without rebuild: their postings
+    land via a partition-pruned MERGE (only the buckets the batch's
+    terms route to are rewritten — a bounded batch touches a bounded
+    bucket set), and ``meta`` advances by the batch's (count, Σdl).
+    Property-tested equal to a fresh rebuild over the union.
+
+    ``new_docs`` must be id-disjoint from the indexed corpus: a MERGE
+    upserts the rows the batch CONTAINS, so re-ingesting changed text
+    would leave the old text's now-absent terms stranded in their
+    buckets (the delete+rebuild caveat every index family here shares,
+    stated for the same reason at :func:`lsh_index_append`).  Note the
+    append moves ``n``/``avgdl``/``df`` and therefore EVERY document's
+    score — that is BM25's semantics, not an index artifact.
+
+    The two commits (postings, then meta) are each atomic but not a
+    pair: a search between them scores new candidates against the old
+    corpus stats.  Serve from a higher-level swap when that window
+    matters — same contract as the build."""
+    import os
+
+    from ..streaming.snapshot import snapshot_commit
+    from .warehouse import merge_upsert_pruned
+
+    spark = new_docs.sparkSession
+    n, sum_dl, n_buckets = _bm25_meta(spark, root, fs)
+    w = H.words(text_col)
+    toks = new_docs.select(F.col(id_col), F.expr(w.spark).alias("ws"))
+    version = merge_upsert_pruned(
+        spark,
+        os.path.join(root, "postings"),
+        _postings(toks, n_buckets, id_col),
+        key=["term", id_col],
+        partition_col="tbucket",
+        fs=fs,
+    )
+    meta = (
+        toks.agg(
+            (F.count(F.lit(1)) + F.lit(n)).alias("n"),
+            (F.coalesce(F.sum(F.size("ws")), F.lit(0)) + F.lit(sum_dl)).alias(
+                "sum_dl"
+            ),
+        )
+        .withColumn("n_buckets", F.lit(n_buckets))
+    )
+    snapshot_commit(meta, os.path.join(root, "meta"), fs=fs)
+    return version
+
+
+def bm25_topk_indexed(
+    spark,
+    root: str,
+    terms: Sequence[str],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    id_col: str = "doc_id",
+    fs=None,
+) -> DataFrame:
+    """Top-``k`` by BM25 against the PERSISTED index — (rank, doc_id,
+    score), bit-identical to :func:`bm25_topk` over the indexed corpus
+    whenever ≥ k documents match some query term (identical score
+    expression over identical tf/dl/n/df/avgdl values; the candidate
+    set differs only by zero-score documents, which the scan path
+    would rank below every match).  Fewer than k matches returns just
+    the matches — an inverted index never sees tf=0 documents.
+
+    Scale shape: the query's terms route to ≤ |terms| buckets
+    (xxhash64 computed BY the engine so routing can never drift from
+    the build's pmod), the postings read is partition-pruned to those
+    buckets at the manifest, and the in-bucket ``term IN (...)`` filter
+    pushes to parquet.  Work is O(matching postings) — the posting
+    lists of the query's terms — never O(corpus); the driver collects
+    1 meta row + ≤ |terms| routing rows."""
+    import os
+
+    from ..cache import deferred_persist
+    from ..streaming.snapshot import snapshot_read
+
+    if not terms:
+        raise ValueError("bm25_topk_indexed needs at least one query term")
+    n, sum_dl, n_buckets = _bm25_meta(spark, root, fs)
+    routed = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("tb"))
+        .distinct()
+        .collect()
+    )
+    buckets = sorted(r["tb"] for r in routed)
+    cand = deferred_persist(
+        snapshot_read(
+            spark,
+            os.path.join(root, "postings"),
+            partition_values=buckets,
+            fs=fs,
+        ).filter(F.col("term").isin(list(terms)))
+    )
+    stats = (
+        cand.agg(
+            *[
+                F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"df_{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+        .withColumn("n", F.lit(n))
+        .withColumn("sum_dl", F.lit(sum_dl))
+    )
+    per_doc = cand.groupBy(id_col, "dl").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
+            ).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    scored = (
+        per_doc.join(F.broadcast(stats))
+        .withColumn("avgdl", F.expr("cast(sum_dl as double) / cast(n as double)"))
+        .withColumn("score", F.expr(bm25_score_expr(len(terms), k1, b)))
+    )
+    top = scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+    rk = Window.orderBy(F.desc("score"), F.col(id_col))
+    return top.select(
+        F.row_number().over(rk).alias("rank"), F.col(id_col), F.col("score")
+    )
+
+
 def rrf_fuse(
     arms: Sequence[DataFrame],
     k: int = 5,

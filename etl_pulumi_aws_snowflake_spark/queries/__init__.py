@@ -36,26 +36,22 @@ from . import streaming_e2e  # noqa: E402,F401
 
 # The external correctness driver checks the FIRST 50 dict entries per
 # round (CORRECTNESS_r01-r09 each recorded exactly queries()[:50] in
-# order).  Round 10 executes VERDICT r09 #4's rotation: (a) the NINE
+# order).  Round 10 executes VERDICT r09 #4's rotation: (a) the TWELVE
 # entries round 10 added lead (never-checked-entries-lead rule — the
 # fixed-nlists IVF family closing the r09 scale cliff per VERDICT r09
 # #1 "the fixed-k mode needs its own green registry entry", the
 # persisted-IVF-index lifecycle, the composed curation pipeline, the
-# BM25/hybrid-RRF retrieval pair, and the incremental LSH dedup
-# index), then (b) ALL 38 r07-stale entries,
-# staleness-report order — after this round no entry's latest evidence
-# is older than r08 — then (c) the entries whose CODE round 10 touched
-# and that are not already in (b): the embedding-survivor pair (their
-# candidate generation routes through the rewritten
-# similarity.py assignment tiers) and the sample_* family (the
-# defensive tot==0 / empty-schema guards live in the shared
-# operators/sampling.py core), then (d) 5 r08-stale entries as fill,
-# staleness-report order.
+# BM25/hybrid-RRF retrieval pair plus the persisted inverted-index
+# build/append pair, and the incremental LSH dedup index), then
+# (b) ALL 38 r07-stale entries, staleness-report order — after this
+# round no entry's latest evidence is older than r08.  12 + 38 fill
+# the window exactly; the trailing note records what that displaced.
 # tests/test_docs.py::test_never_driver_checked_entries_lead_the_window
 # FAILS if a registry entry without any CORRECTNESS row sits outside
 # the first 50 — the r05 process miss cannot recur silently.
 _DRIVER_FIRST = [
     # (a) NEW this round — first-ever driver evidence
+    "search_bm25_indexed", "search_bm25_appended",
     "sim_ivf_topk_nlists", "sim_ivf_topk_indexed", "sim_ivf_recall_nlists",
     "sim_ivf_topk_appended", "curation_pipeline_e2e",
     "search_bm25_topk", "search_hybrid_rrf",
@@ -75,13 +71,15 @@ _DRIVER_FIRST = [
     "stream_interval_join_e2e", "text_fingerprint", "text_pii_redact",
     "text_repetition", "udf_grouped_agg", "udf_pandas_scalar",
     "win_session", "win_sliding", "win_tumbling",
-    # (c) round-10 code-touched: re-certify under the driver hash.
-    # The five late-round retrieval/LSH-index/stream-ingest entries in
-    # (a) displaced the sample_* family and the (d) r08 fill —
-    # acceptable: the r10 sampling edits touched only cold guard paths
-    # (raise-on-pathological-input) that driver inputs never reach, and
-    # the family's r09 evidence is green on the hot path.
-    "dedup_embedding_survivors", "dedup_embedding_survivors_multi",
+    # The late-round additions in (a) displaced, in order: the
+    # sample_* family and the (d) r08 fill (the r10 sampling edits
+    # touched only cold guard paths — raise-on-pathological-input —
+    # that driver inputs never reach, and the family's r09 evidence is
+    # green on the hot path), then the (c) code-touched
+    # embedding-survivors pair (r08-green; the rewritten similarity
+    # assignment tiers they route through ARE in-window via the five
+    # sim_ivf_* entries, and the full 146-entry mirror run this round
+    # re-checked the pair green at sf0.01).
 ]
 
 def _driver_order(d: dict) -> dict:

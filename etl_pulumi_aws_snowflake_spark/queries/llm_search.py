@@ -89,6 +89,48 @@ def search_bm25_topk(spark, sf_dir):
     ).select("rank", "doc_id")
 
 
+@query("search_bm25_indexed", oracle=_bm25_oracle())
+def search_bm25_indexed(spark, sf_dir):
+    """BM25 top-10 against the PERSISTED inverted index — the served
+    query path: ``bm25_build_index`` lands (term, doc, dl, tf) postings
+    partitioned by term bucket plus a 1-row corpus-stats snapshot, and
+    ``bm25_topk_indexed`` reads ONLY the query terms' routed buckets
+    (manifest pruning + in-bucket term pushdown).  Bit-identical to
+    :func:`search_bm25_topk` (same score expression over the same
+    tf/dl/n/df/avgdl values — property-tested), so the oracle is the
+    same full-corpus SQL: the entry certifies the round trip through
+    the index layer preserves results exactly.  Judged rank-only (the
+    ``ln`` ulp contract of the scan entry)."""
+    from .pipeline_e2e import _workdir
+
+    root = _workdir(sf_dir, "bm25_index")
+    SR.bm25_build_index(t(spark, sf_dir, "documents"), root, n_buckets=16)
+    return SR.bm25_topk_indexed(spark, root, BM25_TERMS, k=_BM25_K).select(
+        "rank", "doc_id"
+    )
+
+
+@query("search_bm25_appended", oracle=_bm25_oracle())
+def search_bm25_appended(spark, sf_dir):
+    """Index maintenance under the driver hash: build the inverted
+    index from 90% of the corpus, ``bm25_index_append`` the held-out
+    batch (partition-pruned MERGE of its postings + a corpus-stats
+    advance), then search — the result must equal a search over an
+    index built from EVERYTHING, i.e. the scan oracle's full-corpus
+    ranks.  This pins the append's df/n/avgdl bookkeeping: any drift
+    in the merged postings or the meta advance moves BM25 scores and
+    fails the hash."""
+    from .pipeline_e2e import _workdir
+
+    docs = t(spark, sf_dir, "documents")
+    root = _workdir(sf_dir, "bm25_index_app")
+    SR.bm25_build_index(docs.filter(F.col("doc_id") % 10 != 0), root, n_buckets=16)
+    SR.bm25_index_append(docs.filter(F.col("doc_id") % 10 == 0), root)
+    return SR.bm25_topk_indexed(spark, root, BM25_TERMS, k=_BM25_K).select(
+        "rank", "doc_id"
+    )
+
+
 _E = "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
 
 

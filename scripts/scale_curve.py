@@ -412,6 +412,65 @@ def _probe_lsh_routing(spark, sf_dir, root) -> dict:
     return {"buckets_routed": routed, "n_buckets": n_buckets}
 
 
+def _setup_bm25_index(spark, sf_dir, root):
+    """Build the inverted index with n_buckets ∝ corpus (16·mult) —
+    the same scale knob as the LSH index: per-bucket postings volume
+    stays constant, so a bounded query's routed read tracks its terms'
+    posting lists, not the corpus."""
+    from etl_pulumi_aws_snowflake_spark.operators import search as SR
+    from etl_pulumi_aws_snowflake_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    SR.bm25_build_index(docs, root, n_buckets=16 * _lsh_mult(spark, sf_dir))
+
+
+_BM25_CURVE_TERMS = ("vector", "merge", "customer", "spark")
+
+
+def _run_bm25_indexed(spark, sf_dir, root):
+    from etl_pulumi_aws_snowflake_spark.operators import search as SR
+
+    SR.bm25_topk_indexed(spark, root, _BM25_CURVE_TERMS, k=10).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+
+def _probe_bm25_routing(spark, sf_dir, root) -> dict:
+    """Structural evidence beside the timing: the routed-bucket count
+    (≤ |terms|) against the index's bucket total, plus the candidate
+    postings rows the pruned read feeds the scorer — the quantity the
+    serve cost is actually linear in (the query terms' posting lists
+    grow with the corpus; the PRUNING keeps the read at those lists
+    instead of all postings)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_pulumi_aws_snowflake_spark.operators import search as SR
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import snapshot_read
+
+    _, _, n_buckets = SR._bm25_meta(spark, root)
+    routed = (
+        spark.createDataFrame([(t,) for t in _BM25_CURVE_TERMS], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("tb"))
+        .distinct()
+        .collect()
+    )
+    buckets = sorted(r["tb"] for r in routed)
+    cand_rows = (
+        snapshot_read(
+            spark, os.path.join(root, "postings"), partition_values=buckets
+        )
+        .filter(F.col("term").isin(list(_BM25_CURVE_TERMS)))
+        .count()
+    )
+    return {
+        "buckets_routed": len(buckets),
+        "n_buckets": n_buckets,
+        "candidate_postings": cand_rows,
+    }
+
+
 def action_ops():
     return {
         "cdc_merge_pruned_batch": (_setup_seed_snapshot, _run_merge_pruned, None),
@@ -431,6 +490,12 @@ def action_ops():
             _run_lsh_check,
             _probe_lsh_routing,
             True,  # readonly: an index is built once, checked per batch
+        ),
+        "search_bm25_indexed_fixed_query": (
+            _setup_bm25_index,
+            _run_bm25_indexed,
+            _probe_bm25_routing,
+            True,  # readonly: build once, serve the query per rep
         ),
     }
 

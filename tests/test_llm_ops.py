@@ -1025,3 +1025,141 @@ def test_lsh_index_compact_after_appends_preserves_check(spark, tmp_path):
         map(tuple, D.lsh_index_check(batch, root, threshold=0.5).collect())
     )
     assert before == after and before
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted (BM25) index — operators/search.py
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_indexed_equals_scan_bit_for_bit(spark, tmp_path):
+    """The indexed search must reproduce the scan-path bm25_topk
+    EXACTLY — ranks AND score doubles — whenever >= k docs match: the
+    score expression is byte-shared and the tf/dl/n/df/avgdl values it
+    sees are identical by construction (df is one COUNT over postings
+    rows vs one SUM over tf_i>0, same set)."""
+    from etl_pulumi_aws_snowflake_spark.operators import search as SR
+
+    docs = _lsh_corpus(spark)
+    root = str(tmp_path / "bm25")
+    SR.bm25_build_index(docs, root, n_buckets=8)
+    terms = ("alpha", "beta", "changed")
+    scan = SR.bm25_topk(docs, terms, k=10).collect()
+    idx = SR.bm25_topk_indexed(spark, root, terms, k=10).collect()
+    assert [tuple(r) for r in idx] == [tuple(r) for r in scan]
+    assert len(idx) == 10 and all(r["score"] > 0 for r in idx)
+
+
+def test_bm25_index_append_equals_rebuild(spark, tmp_path):
+    """After appending a disjoint batch, postings, corpus-stats meta,
+    and search results must all equal a fresh build over the union —
+    the pruned-MERGE append plus the meta (n, sum_dl) advance is a
+    pure optimization."""
+    import os
+
+    from etl_pulumi_aws_snowflake_spark.operators import search as SR
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import snapshot_read
+
+    docs = _lsh_corpus(spark)
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    ra, rb = str(tmp_path / "app"), str(tmp_path / "full")
+    SR.bm25_build_index(base, ra, n_buckets=8)
+    SR.bm25_index_append(batch, ra)
+    SR.bm25_build_index(docs, rb, n_buckets=8)
+    for leaf in ("postings", "meta"):
+        a = {tuple(r) for r in snapshot_read(spark, os.path.join(ra, leaf)).collect()}
+        b = {tuple(r) for r in snapshot_read(spark, os.path.join(rb, leaf)).collect()}
+        assert a == b, leaf
+    terms = ("alpha", "changed")
+    got_a = SR.bm25_topk_indexed(spark, ra, terms, k=10).collect()
+    got_b = SR.bm25_topk_indexed(spark, rb, terms, k=10).collect()
+    assert [tuple(r) for r in got_a] == [tuple(r) for r in got_b] and got_a
+
+
+def test_bm25_indexed_rare_query_returns_matches_only(spark, tmp_path):
+    """An inverted index never sees tf=0 docs: a query matching fewer
+    than k documents returns exactly the matches — equal to the scan
+    path's positive-score prefix (the scan fills the remaining ranks
+    with zero-score docs, which no served result should contain)."""
+    from etl_pulumi_aws_snowflake_spark.operators import search as SR
+
+    docs = _lsh_corpus(spark)  # "changed" appears in exactly 6 planted docs
+    root = str(tmp_path / "bm25")
+    SR.bm25_build_index(docs, root, n_buckets=8)
+    idx = SR.bm25_topk_indexed(spark, root, ("changed",), k=10).collect()
+    scan = SR.bm25_topk(docs, ("changed",), k=10).collect()
+    assert len(idx) == 6 and all(r["score"] > 0 for r in idx)
+    assert [tuple(r) for r in idx] == [tuple(r) for r in scan[:6]]
+    assert all(r["score"] == 0.0 for r in scan[6:])
+    with pytest.raises(ValueError, match="at least one"):
+        SR.bm25_topk_indexed(spark, root, (), k=10)
+
+
+def test_bm25_indexed_reads_only_routed_buckets(spark, tmp_path, monkeypatch):
+    """The postings read must be pruned to the query terms' routed
+    buckets — asserted by spying on the partition_values the operator
+    hands the REAL snapshot_read (the candidate subtree is persisted,
+    so inputFiles() can't see the pruned scan; same protocol as the
+    LSH check's test)."""
+    from etl_pulumi_aws_snowflake_spark.operators import search as SR
+    from etl_pulumi_aws_snowflake_spark.streaming import snapshot as SN
+
+    docs = _lsh_corpus(spark)
+    root = str(tmp_path / "bm25")
+    SR.bm25_build_index(docs, root, n_buckets=32)
+    seen: dict[str, list] = {}
+    real = SN.snapshot_read
+
+    def spy(spark_, root_, partition_values=None, **kw):
+        seen[root_.rsplit("/", 1)[-1]] = partition_values
+        return real(spark_, root_, partition_values=partition_values, **kw)
+
+    monkeypatch.setattr(SN, "snapshot_read", spy)
+    got = SR.bm25_topk_indexed(spark, root, ("alpha", "changed"), k=5).collect()
+    assert got
+    # 2 terms -> at most 2 of the 32 bucket partitions opened
+    assert seen["postings"] is not None and 1 <= len(seen["postings"]) <= 2, seen
+    assert seen["meta"] is None  # the 1-row stats read is unpruned
+
+
+def test_bm25_index_compact_after_appends_preserves_search(spark, tmp_path):
+    """Lifecycle closure, mirroring IVF and LSH: an append whose terms
+    route to a strict bucket subset fragments the postings snapshot
+    (the pruned MERGE pins a second version dir); the GENERIC
+    snapshot_compact defragments it and search results are identical
+    — no index-specific maintenance machinery."""
+    import os
+
+    from etl_pulumi_aws_snowflake_spark.operators import search as SR
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        DEFAULT_FS,
+        _current_version,
+        _read_manifest,
+        snapshot_compact,
+    )
+
+    # disjoint vocabularies so the append provably touches a strict
+    # subset of buckets: base docs carry w0..w19 + 'common', the
+    # appended doc only {w0, common}
+    base = spark.createDataFrame(
+        [(i, f"w{i} w{i} common") for i in range(20)], "doc_id long, text string"
+    )
+    extra = spark.createDataFrame([(100, "w0 common")], "doc_id long, text string")
+    root = str(tmp_path / "bm25")
+    SR.bm25_build_index(base, root, n_buckets=32)
+    SR.bm25_index_append(extra, root)
+    proot = os.path.join(root, "postings")
+    man = _read_manifest(proot, _current_version(proot, DEFAULT_FS), DEFAULT_FS)
+    assert len(set(man["entries"].values())) == 2, "append did not fragment?"
+    terms = ("common", "w0")
+    before = [
+        tuple(r) for r in SR.bm25_topk_indexed(spark, root, terms, k=5).collect()
+    ]
+    assert snapshot_compact(spark, proot, max_versions_referenced=1)
+    man2 = _read_manifest(proot, _current_version(proot, DEFAULT_FS), DEFAULT_FS)
+    assert len(set(man2["entries"].values())) <= 2
+    after = [
+        tuple(r) for r in SR.bm25_topk_indexed(spark, root, terms, k=5).collect()
+    ]
+    assert before == after and before

@@ -388,3 +388,16 @@ def test_hybrid_rrf_arms_broadcast_probes(spark):
     assert plan.count("BroadcastNestedLoopJoin Inner BuildLeft") == 2
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_indexed_serving_plan(spark):
+    """The served-query path must never touch the documents table —
+    its only parquet scans are the index's own snapshots (pruned
+    postings + 1-row meta) — and must keep the scan entry's shape:
+    stats broadcast (never a shuffled join), top-k as
+    TakeOrderedAndProject."""
+    plan = _plan(spark, "search_bm25_indexed")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats x candidates
+    assert "documents.parquet" not in plan
