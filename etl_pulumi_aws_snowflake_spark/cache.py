@@ -79,6 +79,36 @@ def deferred_persist(df: DataFrame, level=None) -> DataFrame:
     return df
 
 
+class scoped_release:
+    """Context manager releasing ONLY the deferred persists registered
+    inside its block — the per-microbatch form of the query-boundary
+    sweep (ADVICE r10: a continuous stream never crosses a registry
+    boundary, so its per-batch persists would otherwise accumulate
+    without bound).  Tracked localCheckpoint ids are left alone: a
+    checkpoint cannot recompute, and a batch body that needs one can
+    still rely on the eventual boundary sweep.
+
+    Identity-based (not positional), so persists other threads
+    register concurrently — a host query, another stream — are
+    neither released nor dropped from the pool."""
+
+    def __enter__(self):
+        with _LOCK:
+            self._before = {id(df) for df in _PENDING}
+        return self
+
+    def __exit__(self, *exc):
+        with _LOCK:
+            mine = [df for df in _PENDING if id(df) not in self._before]
+            _PENDING[:] = [df for df in _PENDING if id(df) in self._before]
+        for df in mine:
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass
+        return False
+
+
 def _persistent_rdd_ids(spark) -> set[int]:
     ids: set[int] = set()
     it = spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()

@@ -142,7 +142,19 @@ def band_keys(sig: X, bands: int, rows: int) -> X:
     """LSH banding: split the signature into ``bands`` groups of
     ``rows`` and combine each group into one int64 key (base P keeps
     r=2 keys < 1e18).  Docs sharing any (band index, key) become
-    candidate pairs."""
+    candidate pairs.
+
+    ``rows > 2`` is rejected loudly (ADVICE r10): the base-P fold at
+    r=3 reaches ~P³ ≈ 1e27, which Spark wraps silently in non-ANSI
+    int64 arithmetic while DuckDB raises or diverges — silently
+    engine-divergent, collision-prone keys.  Widening the banding
+    means more BANDS, not more rows per key."""
+    if rows > 2:
+        raise ValueError(
+            f"band_keys: rows={rows} overflows the base-P int64 key "
+            f"combine (P^{rows} ≈ {float(P) ** rows:.1e} > int64 max); "
+            "use rows <= 2 — i.e. num_hashes <= 2 * bands"
+        )
 
     def combine(elem_at) -> str:
         expr = elem_at(0)

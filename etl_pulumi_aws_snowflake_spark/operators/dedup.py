@@ -134,8 +134,20 @@ def _banded_keys(
     shuffle carries only num_hashes int64 per doc.  Band keys combine
     each band's ``rows`` signature slots into one int64 (base P, same
     combine as functions/hashing.band_keys), then unpivot to
-    (doc, band, key) rows with stack()."""
+    (doc, band, key) rows with stack().
+
+    Rejects rows > 2 loudly, same contract (and reason) as
+    functions/hashing.band_keys: the base-P fold overflows int64 at
+    r=3, and Spark's non-ANSI wrap would silently diverge from every
+    other engine while baking collision-prone keys into any persisted
+    index built from them (ADVICE r10)."""
     rows = num_hashes // bands
+    if rows > 2:
+        raise ValueError(
+            f"_banded_keys: num_hashes/bands = {rows} signature rows "
+            "per band overflows the base-P int64 key combine "
+            f"(P^{rows} > int64 max) — use num_hashes <= 2 * bands"
+        )
     inv = sets.select(F.col(id_col), F.explode("shingles").alias("sh"))
     mins = []
     for i in range(num_hashes):
@@ -508,6 +520,16 @@ def lsh_build_index(
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    if num_hashes // bands > 2:
+        # Validated HERE, before any snapshot commits: _banded_keys
+        # raises the same error later, but by then meta and sets would
+        # already be committed with parameters frozen that every
+        # future check/append call would re-fail on (ADVICE r10).
+        raise ValueError(
+            f"lsh_build_index: num_hashes/bands = {num_hashes // bands} "
+            "rows per band overflows the base-P int64 band-key combine "
+            "— use num_hashes <= 2 * bands"
         )
     spark = docs.sparkSession
     meta = spark.createDataFrame(

@@ -24,21 +24,75 @@ Exactly-once: the file source + checkpoint feed each landing file to
 one ``foreachBatch`` call across restarts; the index append is an
 idempotent keyed MERGE, and results land per-epoch
 (``<results>/epoch=N``, overwritten on replay) rather than blind
-append — the standard foreachBatch idempotent-sink pattern.
+append — the standard foreachBatch idempotent-sink pattern.  Replay
+has one wrinkle the dedupe below absorbs (ADVICE r10): a crash AFTER
+the append but BEFORE the checkpoint commits re-runs the epoch
+against an index that already CONTAINS the batch, so every
+within-batch pair is rediscovered through the index channel too —
+``dropDuplicates`` on the canonical pair key makes the epoch's row
+set attempt-invariant (jaccard is computed identically by both
+channels, so collapsing on the key loses nothing).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..cache import scoped_release
 from ..operators.dedup import (
     _lsh_meta,
     lsh_index_append,
     lsh_index_check,
     minhash_lsh_pairs,
 )
+
+
+def lsh_ingest_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_root: str,
+    results_dir: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fs=None,
+) -> None:
+    """One ingest epoch: check ``batch_df`` against the index, land
+    its canonical near-dup pairs at ``<results>/epoch=<epoch_id>``,
+    append the batch.  Module-level (not a stream closure) so the
+    crash-replay contract is directly testable: re-running the SAME
+    epoch — even against an index the first attempt already appended
+    to — overwrites the epoch directory with the IDENTICAL row set,
+    because the pair key is canonicalized and deduplicated across the
+    two discovery channels.
+
+    Each call releases its own deferred persists on exit
+    (``cache.scoped_release``): a continuous stream never crosses a
+    query-registry boundary, so without this the per-batch caches
+    registered by ``lsh_index_check``/``minhash_lsh_pairs``/
+    ``lsh_index_append`` would accumulate without bound across
+    microbatches (ADVICE r10).  By epoch end every one of them has
+    been materialized into the results write or the MERGE, so the
+    release frees storage only — and it is scoped, so persists other
+    code registered stay pooled for the boundary sweep."""
+    k, num_hashes, bands, _ = _lsh_meta(batch_df.sparkSession, index_root, fs)
+    with scoped_release():
+        vs_index = lsh_index_check(
+            batch_df, index_root, threshold, text_col, id_col, fs=fs
+        ).select(
+            F.least("doc_new", "doc_old").alias("doc_a"),
+            F.greatest("doc_new", "doc_old").alias("doc_b"),
+            "jaccard",
+        )
+        within = minhash_lsh_pairs(
+            batch_df, k, num_hashes, bands, threshold, text_col, id_col
+        ).select("doc_a", "doc_b", "jaccard")
+        vs_index.unionByName(within).dropDuplicates(
+            ["doc_a", "doc_b"]
+        ).write.mode("overwrite").parquet(f"{results_dir}/epoch={epoch_id}")
+        lsh_index_append(batch_df, index_root, text_col, id_col, fs=fs)
 
 
 def stream_lsh_ingest(
@@ -65,8 +119,6 @@ def stream_lsh_ingest(
     parameters (k, num_hashes, bands), so stream-found pairs are the
     same candidate family the one-shot ``minhash_lsh_pairs`` finds —
     one banding rule everywhere, never two parameterizations."""
-    k, num_hashes, bands, _ = _lsh_meta(spark, index_root, fs)
-
     reader = spark.readStream.schema(doc_schema).option(
         "pathGlobFilter", "*.parquet"
     )
@@ -77,20 +129,10 @@ def stream_lsh_ingest(
     def ingest_batch(batch_df, epoch_id: int) -> None:
         if not batch_df.take(1):
             return
-        vs_index = lsh_index_check(
-            batch_df, index_root, threshold, text_col, id_col, fs=fs
-        ).select(
-            F.least("doc_new", "doc_old").alias("doc_a"),
-            F.greatest("doc_new", "doc_old").alias("doc_b"),
-            "jaccard",
+        lsh_ingest_batch(
+            batch_df, epoch_id, index_root, results_dir,
+            threshold, text_col, id_col, fs=fs,
         )
-        within = minhash_lsh_pairs(
-            batch_df, k, num_hashes, bands, threshold, text_col, id_col
-        ).select("doc_a", "doc_b", "jaccard")
-        vs_index.unionByName(within).write.mode("overwrite").parquet(
-            f"{results_dir}/epoch={epoch_id}"
-        )
-        lsh_index_append(batch_df, index_root, text_col, id_col, fs=fs)
 
     query = (
         stream.writeStream.foreachBatch(ingest_batch)

@@ -128,3 +128,52 @@ def test_sparkless_release_keeps_tracked_ids_for_a_later_sweep(spark):
     assert cache.release_deferred(spark) >= len(tracked_before)
     with cache._LOCK:
         assert not cache._TRACKED_RDD_IDS
+
+
+def test_scoped_release_frees_only_in_scope_persists(spark):
+    """cache.scoped_release releases exactly the deferred persists
+    registered inside the block (the per-microbatch form of the
+    boundary sweep, ADVICE r10) — persists registered BEFORE the scope
+    stay pooled for the next boundary sweep."""
+    spark.catalog.clearCache()
+    cache.release_deferred(spark)
+
+    outer = cache.deferred_persist(spark.range(50).toDF("n"))
+    outer.count()
+    with cache._LOCK:
+        assert len(cache._PENDING) == 1
+
+    with cache.scoped_release():
+        inner = cache.deferred_persist(spark.range(60).toDF("m"))
+        inner.count()
+        assert inner.storageLevel.useMemory
+        with cache._LOCK:
+            assert len(cache._PENDING) == 2
+
+    # inner released, outer untouched (still cached AND still pooled)
+    assert not inner.storageLevel.useMemory
+    assert outer.storageLevel.useMemory
+    with cache._LOCK:
+        assert [id(df) for df in cache._PENDING] == [id(outer)]
+    cache.release_deferred(spark)
+    assert not outer.storageLevel.useMemory
+
+
+def test_scoped_release_leaves_tracked_checkpoints_alone(spark):
+    """A tracked localCheckpoint created inside the scope must NOT be
+    swept by scoped_release (a swept checkpoint cannot recompute); it
+    stays registered for the eventual boundary sweep."""
+    spark.catalog.clearCache()
+    cache.release_deferred(spark)
+
+    with cache.scoped_release():
+        df = cache.tracked_local_checkpoint(spark.range(70).toDF("n"))
+        df.count()
+        with cache._LOCK:
+            tracked = set(cache._TRACKED_RDD_IDS)
+        assert tracked
+
+    with cache._LOCK:
+        assert set(cache._TRACKED_RDD_IDS) == tracked
+    assert df.count() == 70  # blocks still alive
+    cache.release_deferred(spark)

@@ -1163,3 +1163,109 @@ def test_bm25_index_compact_after_appends_preserves_search(spark, tmp_path):
         tuple(r) for r in SR.bm25_topk_indexed(spark, root, terms, k=5).collect()
     ]
     assert before == after and before
+
+
+def test_lsh_ingest_batch_replay_invariant(spark, tmp_path):
+    """Crash-replay contract (ADVICE r10): an epoch that dies AFTER the
+    index append but BEFORE the checkpoint commit re-runs against an
+    index that already CONTAINS the batch, so every within-batch pair
+    is rediscovered through the index channel too.  The epoch's landed
+    row set must be IDENTICAL across attempts — the dedupe on the
+    canonical pair key absorbs the double discovery."""
+    import os
+
+    from etl_pulumi_aws_snowflake_spark.streaming.lsh_ingest import (
+        lsh_ingest_batch,
+    )
+
+    base = _lsh_corpus(spark, n=48, planted=0)
+    texts = {r["doc_id"]: r["text"] for r in base.collect()}
+    batch = spark.createDataFrame(
+        [
+            (100, texts[0].rsplit(" ", 1)[0] + " edit"),  # new x old
+            (101, " ".join("qix" for _ in range(25))),
+            (102, " ".join("qix" for _ in range(25)) + " tip"),  # new x new
+        ],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "index")
+    D.lsh_build_index(base, root)
+    results = str(tmp_path / "results")
+
+    def epoch_rows():
+        return {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in spark.read.parquet(os.path.join(results, "epoch=0")).collect()
+        }
+
+    lsh_ingest_batch(batch, 0, root, results, threshold=0.5)
+    first = epoch_rows()
+    assert any(a == 101 and b == 102 for a, b, _ in first), first  # within-batch
+    assert any(b == 100 or a == 100 for a, b, _ in first), first  # vs index
+
+    # replay: same epoch re-runs, index now holds the batch itself
+    lsh_ingest_batch(batch, 0, root, results, threshold=0.5)
+    assert epoch_rows() == first
+
+    # each canonical pair appears exactly once (not just set-equality
+    # over a multiset with duplicates)
+    rows = spark.read.parquet(os.path.join(results, "epoch=0")).collect()
+    assert len(rows) == len(first)
+
+
+def test_lsh_ingest_batch_releases_its_persists(spark, tmp_path):
+    """Each ingest epoch frees its own deferred persists on exit
+    (ADVICE r10: a continuous stream never crosses a query-registry
+    boundary, so per-batch caches would otherwise accumulate without
+    bound) — while persists registered by OTHER code stay pooled."""
+    from etl_pulumi_aws_snowflake_spark import cache
+    from etl_pulumi_aws_snowflake_spark.streaming.lsh_ingest import (
+        lsh_ingest_batch,
+    )
+
+    base = _lsh_corpus(spark, n=24, planted=0)
+    root = str(tmp_path / "index")
+    D.lsh_build_index(base, root)
+    cache.release_deferred(spark)
+
+    host = cache.deferred_persist(spark.range(10).toDF("n"))
+    host.count()
+    batch = spark.createDataFrame(
+        [(200, "alpha beta gamma delta eps zeta eta theta alpha beta")],
+        "doc_id long, text string",
+    )
+    lsh_ingest_batch(batch, 0, root, str(tmp_path / "results"), threshold=0.5)
+
+    with cache._LOCK:
+        assert [id(df) for df in cache._PENDING] == [id(host)]
+    assert host.storageLevel.useMemory
+    cache.release_deferred(spark)
+
+
+def test_band_key_overflow_rejected_loudly(spark, tmp_path):
+    """rows-per-band > 2 overflows the base-P int64 band-key combine
+    (ADVICE r10: Spark wraps silently while DuckDB diverges) — every
+    entry point fails loudly, and lsh_build_index fails BEFORE any
+    snapshot commits so no index is left half-built with poisoned
+    frozen parameters."""
+    import os
+
+    from etl_pulumi_aws_snowflake_spark.functions import hashing as H
+
+    with pytest.raises(ValueError, match="rows"):
+        H.band_keys(H.X("sig", "sig"), bands=4, rows=3)
+
+    docs = _lsh_corpus(spark, n=10, planted=0)
+    with pytest.raises(ValueError, match="2 \\* bands"):
+        D._banded_keys(
+            D.shingle_sets(docs), num_hashes=12, bands=4
+        )
+
+    root = str(tmp_path / "bad_lsh")
+    with pytest.raises(ValueError, match="2 \\* bands"):
+        D.lsh_build_index(docs, root, num_hashes=16, bands=4)
+    assert not os.path.exists(root), "partial index committed"
+
+    # the boundary case still works: rows == 2 is the documented max
+    ok = D._banded_keys(D.shingle_sets(docs), num_hashes=8, bands=4)
+    assert ok.count() == 10 * 4
