@@ -243,3 +243,122 @@ def search_hybrid_rrf(spark, sf_dir):
         "probe_id", F.col("vec_id").alias("doc_id"), "rank"
     )
     return SR.rrf_fuse([lex, vec], k=_RRF_K, k_const=60)
+
+
+def _hybrid_indexed_oracle() -> str:
+    """BM25 arm (full-corpus scan ranks — equal to the indexed ranks
+    whenever ≥ ARM_N docs match a term, same argument as the
+    search_bm25_indexed entry) × the exact IVF replication from
+    llm_similarity, fused by the same pinned-order RRF sum."""
+    from .llm_similarity import _PROBE_STRIDE, _SEEDS_NLISTS, _ivf_ctes
+
+    tfs = ",\n           ".join(
+        f"{SR._tf(term).duck} AS tf_{i}" for i, term in enumerate(BM25_TERMS)
+    )
+    dfs = ",\n           ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    # _ivf_ctes binds e/seeds/assign/lists/p/plists/cand/ranked with
+    # probes at vec_id % _PROBE_STRIDE — the vector arm.  The keyword
+    # arm's CTEs are b-prefixed to avoid capture.
+    assert _PROBE_STRIDE == 50
+    return f"""
+    WITH {_ivf_ctes(_SEEDS_NLISTS)},
+    bd AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    bbase AS (
+        SELECT doc_id, len(ws) AS dl,
+           {tfs}
+        FROM bd
+    ),
+    bstats AS (
+        SELECT COUNT(*) AS n, SUM(dl) AS sum_dl,
+           {dfs}
+        FROM bbase
+    ),
+    bjoined AS (
+        SELECT bbase.*, bstats.*,
+               cast(sum_dl as double) / cast(n as double) AS avgdl
+        FROM bbase CROSS JOIN bstats
+    ),
+    bscored AS (
+        SELECT doc_id, {SR.bm25_score_expr(len(BM25_TERMS))} AS score
+        FROM bjoined
+    ),
+    branked AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM bscored QUALIFY r <= {_ARM_N}
+    ),
+    barm AS (
+        SELECT p.probe_id, branked.doc_id, branked.r
+        FROM branked CROSS JOIN p
+    ),
+    varm AS (
+        SELECT probe_id, vec_id AS doc_id, rank AS r
+        FROM ranked WHERE rank <= {_ARM_N}
+    ),
+    tagged AS (
+        SELECT probe_id, doc_id, r, 0 AS arm FROM barm
+        UNION ALL
+        SELECT probe_id, doc_id, r, 1 AS arm FROM varm
+    ),
+    piv AS (
+        SELECT probe_id, doc_id,
+               MAX(CASE WHEN arm = 0 THEN r END) AS r_0,
+               MAX(CASE WHEN arm = 1 THEN r END) AS r_1
+        FROM tagged GROUP BY probe_id, doc_id
+    ),
+    fused AS (
+        SELECT probe_id, doc_id,
+               coalesce(1.0 / (cast(60 + r_0 as double)), 0.0)
+                 + coalesce(1.0 / (cast(60 + r_1 as double)), 0.0) AS rrf
+        FROM piv
+    ),
+    frank AS (
+        SELECT probe_id, doc_id, rrf,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY rrf DESC, doc_id) AS rank
+        FROM fused
+    )
+    SELECT probe_id, rank, doc_id, rrf FROM frank WHERE rank <= {_RRF_K}
+    """
+
+
+@query("search_hybrid_rrf_indexed", oracle=_hybrid_indexed_oracle())
+def search_hybrid_rrf_indexed(spark, sf_dir):
+    """Hybrid retrieval SERVED FROM THE PERSISTED INDEXES — the 100 TB
+    query path (VERDICT r10 #3): the keyword arm is
+    ``bm25_topk_indexed`` (postings read pruned to the query terms'
+    routed buckets), the vector arm is ``ivf_topk_indexed`` (corpus
+    read pruned to each probe's nprobe routed lists), fused by the
+    same pinned-order RRF sum as the scan-path entry.  NEITHER corpus
+    table is scanned at serve time (plan-guarded): the only
+    corpus-sized reads are the two index builds this entry performs to
+    certify the full round trip — at 100 TB those are standing
+    artifacts and a query touches only routed index partitions.
+
+    RRF needs only ranks; both arms' ranks are engine-stable (BM25
+    rank tiebreak by doc_id; IVF's strict cosine fold), so the fused
+    doubles are judged EXACTLY, per-probe top-{_RRF_K}."""
+    from .llm_similarity import _NLISTS, _PROBE_STRIDE
+    from .pipeline_e2e import _workdir
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    bm_root = _workdir(sf_dir, "bm25_index_hybrid")
+    ivf_root = _workdir(sf_dir, "ivf_index_hybrid")
+    SR.bm25_build_index(docs, bm_root, n_buckets=16)
+    S.ivf_build_index(emb, ivf_root, nlists=_NLISTS)
+
+    probes = emb.filter(F.col("vec_id") % _PROBE_STRIDE == 0)
+    probe_ids = probes.select(F.col("vec_id").alias("probe_id"))
+    barm = (
+        SR.bm25_topk_indexed(spark, bm_root, BM25_TERMS, k=_ARM_N)
+        .select("doc_id", "rank")
+        .crossJoin(F.broadcast(probe_ids))
+    )
+    varm = S.ivf_topk_indexed(probes, ivf_root, k=_ARM_N, nprobe=2).select(
+        "probe_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return SR.rrf_fuse([barm, varm], k=_RRF_K, k_const=60)

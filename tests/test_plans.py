@@ -401,3 +401,30 @@ def test_bm25_indexed_serving_plan(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row stats x candidates
     assert "documents.parquet" not in plan
+
+
+def test_hybrid_indexed_serving_plan(spark):
+    """The fused serve path (VERDICT r10 #3) must stay prune-only end
+    to end: the DOCUMENTS table is never scanned (the keyword arm
+    reads only the inverted index's routed postings), and the only
+    embeddings.parquet scans are the PROBE side — each with the probe
+    filter pushed to parquet, never a bare corpus scan (the vector
+    arm's corpus is the IVF index's pruned snapshot).  Fusion joins
+    stay broadcast; nothing sort-merges."""
+    plan = _plan(spark, "search_hybrid_rrf_indexed")
+    assert "documents.parquet" not in plan
+    assert "SortMergeJoin" not in plan
+    # keyword arm: postings read pruned in-bucket by the query terms
+    assert "/postings/" in plan and "In(term, [" in plan
+    # vector arm: the corpus relation is the IVF index snapshot, and the
+    # candidate join is broadcast probes x pruned lists
+    assert "ivf_index_hybrid/corpus" in plan
+    assert "BroadcastHashJoin" in plan
+    # the ONLY embeddings.parquet scans are probe reads: narrow schema,
+    # never the corpus (each detail chunk's ReadSchema proves it)
+    chunks = plan.split("Scan parquet")[1:]
+    emb = [c for c in chunks if "embeddings.parquet" in c.split("ReadSchema")[0]]
+    assert len(emb) == 2, len(emb)  # barm probe ids + varm probe vectors
+    for c in emb:
+        schema = c.split("ReadSchema:")[1].split("\n")[0]
+        assert "vec_id" in schema and "struct<vec_id" in schema, schema
