@@ -38,17 +38,69 @@ from .registry import query
 
 _SH5 = H.shingle_hashes(H.word_hashes("text"), k=5).duck
 
+#: Near-dup stage templates — the SAME parameterization as the
+#: certified ``dedup_survivors`` entry (llm_dedup.py): 3-gram shingles,
+#: 16 minhashes, 8 bands of 2 rows, Jaccard >= 0.8.
+_SH3 = H.shingle_hashes(H.word_hashes("text"), k=3).duck
+_SIG = H.minhash_signature(H.X("", "shingles"), k=16).duck
+_BANDS = H.band_keys(H.X("", "sig"), bands=8, rows=2).duck
+
 _QUALITY_DUCK = (
     f"({T.n_words().duck} >= 20 AND {T.stopword_ratio().duck} >= 0.05 "
     f"AND {T.distinct_ratio().duck} >= 0.3 AND {T.punct_ratio().duck} <= 0.2)"
 )
 
 _CURATION_ORACLE = f"""
-    WITH keepers AS (
+    WITH RECURSIVE keepers AS (
         SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
     ),
-    quality AS (
+    dd AS (
         SELECT d.doc_id, d.text FROM documents d JOIN keepers USING (doc_id)
+    ),
+    nsets AS (
+        SELECT doc_id, list_distinct({_SH3}) AS shingles FROM dd
+    ),
+    nsized AS (SELECT doc_id, shingles, len(shingles) AS n FROM nsets),
+    nnonempty AS (SELECT * FROM nsized WHERE n > 0),
+    nsig AS (SELECT doc_id, shingles, n, {_SIG} AS sig FROM nnonempty),
+    nkeys AS (SELECT doc_id, shingles, n, {_BANDS} AS bandkeys FROM nsig),
+    nbanded AS (
+        SELECT doc_id, g.j AS band, bandkeys[g.j + 1] AS key
+        FROM nkeys CROSS JOIN generate_series(0, 7) g(j)
+    ),
+    ncand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM nbanded a
+        JOIN nbanded b ON a.band = b.band AND a.key = b.key
+                      AND a.doc_id < b.doc_id
+    ),
+    npairs AS (
+        SELECT doc_a, doc_b
+        FROM ncand
+        JOIN nnonempty sa ON sa.doc_id = doc_a
+        JOIN nnonempty sb ON sb.doc_id = doc_b
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                / CAST(sa.n + sb.n
+                       - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                >= 0.8
+    ),
+    nedges AS (
+        SELECT doc_a AS a, doc_b AS b FROM npairs
+        UNION SELECT doc_b, doc_a FROM npairs
+    ),
+    nreach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM nedges)
+        UNION
+        SELECT r.a, e2.b FROM nreach r JOIN nedges e2 ON r.b = e2.a
+    ),
+    ncomp AS (SELECT a AS doc_id, MIN(b) AS keep_id FROM nreach GROUP BY a),
+    nd AS (
+        SELECT dd.doc_id, dd.text
+        FROM dd LEFT JOIN ncomp c USING (doc_id)
+        WHERE COALESCE(c.keep_id, dd.doc_id) = dd.doc_id
+    ),
+    quality AS (
+        SELECT doc_id, text FROM nd
         WHERE {_QUALITY_DUCK}
     ),
     bi AS (
@@ -91,16 +143,35 @@ _CURATION_ORACLE = f"""
 
 @query("curation_pipeline_e2e", oracle=_CURATION_ORACLE)
 def curation_pipeline_e2e(spark, sf_dir):
-    """Dedup → quality → decontaminate → split → pack, end-to-end:
-    (doc_id, chunk_id, tok_start, tok_end) for every surviving train
-    document at the 512-token context budget.  The survivor set and
-    the offsets are both hash-judged, so the entry certifies the whole
-    chain's composition, not just each stage alone."""
+    """Exact dedup → NEAR-dup keep-one → quality → decontaminate →
+    split → pack, end-to-end: (doc_id, chunk_id, tok_start, tok_end)
+    for every surviving train document at the 512-token context
+    budget.  The survivor set and the offsets are both hash-judged, so
+    the entry certifies the whole chain's composition, not just each
+    stage alone.
+
+    The near-dup stage (added r11, VERDICT r10 #4) is the certified
+    ``dedup_survivors`` operator — MinHash-LSH pairs over the
+    exact-deduped set, connected components, keep each component's
+    minimum id — which is what a production 100 TB curation chain
+    actually runs between exact dedup and quality filtering.  Its
+    scale shape is unchanged by the composition: only (digest, id) /
+    (id, band-key) pairs shuffle; the corpus body still never crosses
+    the wire (plan-guarded)."""
     docs = t(spark, sf_dir, "documents")
     gate10 = F.expr(hash_gate_spark("doc_id", 10))
 
     keep = D.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
     deduped = docs.join(keep, "doc_id")
+    npairs = D.minhash_lsh_pairs(
+        deduped, k=3, num_hashes=16, bands=8, threshold=0.8
+    )
+    nkeep = (
+        D.dedup_survivors(deduped, npairs)
+        .filter(~F.col("is_dup"))
+        .select("doc_id")
+    )
+    deduped = deduped.join(nkeep, "doc_id")
     quality = deduped.filter(
         (F.expr(T.n_words().spark) >= 20)
         & (F.expr(T.stopword_ratio().spark) >= 0.05)
