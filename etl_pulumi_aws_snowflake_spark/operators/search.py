@@ -240,6 +240,7 @@ def bm25_index_append(
     text_col: str = "text",
     id_col: str = "doc_id",
     fs=None,
+    epoch_id: int | None = None,
 ) -> str:
     """Add NEW documents to the index without rebuild: their postings
     land via a partition-pruned MERGE (only the buckets the batch's
@@ -250,22 +251,40 @@ def bm25_index_append(
     ``new_docs`` must be id-disjoint from the indexed corpus: a MERGE
     upserts the rows the batch CONTAINS, so re-ingesting changed text
     would leave the old text's now-absent terms stranded in their
-    buckets (the delete+rebuild caveat every index family here shares,
-    stated for the same reason at :func:`lsh_index_append`).  Note the
+    buckets.  Changed text is the two-step every index family here
+    shares: :func:`bm25_index_delete` with the OLD text (which routes
+    the pruned delete to the old terms' buckets — property-tested
+    equal to never-ingested), then append the new.  Note the
     append moves ``n``/``avgdl``/``df`` and therefore EVERY document's
     score — that is BM25's semantics, not an index artifact.
 
     The two commits (postings, then meta) are each atomic but not a
     pair: a search between them scores new candidates against the old
     corpus stats.  Serve from a higher-level swap when that window
-    matters — same contract as the build."""
+    matters — same contract as the build.
+
+    ``epoch_id`` is the STREAMING ingest's exactly-once token
+    (streaming/bm25_ingest.py): the postings MERGE is idempotent on
+    its (term, doc_id) keys, but the meta advance is NOT — replaying a
+    crashed epoch would double-count (n, Σdl).  With ``epoch_id`` set,
+    the advanced meta commits WITH a ``last_epoch`` stamp (one atomic
+    pointer swap), and a replay whose epoch is already stamped returns
+    without touching anything.  Batch-mode appends (``epoch_id=None``)
+    drop the stamp on their next meta commit — harmless, since only
+    the stream's own checkpoint can replay an epoch."""
     import os
 
-    from ..streaming.snapshot import snapshot_commit
+    from ..streaming.snapshot import snapshot_commit, snapshot_read
     from .warehouse import merge_upsert_pruned
 
     spark = new_docs.sparkSession
-    n, sum_dl, n_buckets = _bm25_meta(spark, root, fs)
+    row = snapshot_read(spark, os.path.join(root, "meta"), fs=fs).collect()[0]
+    n, sum_dl, n_buckets = row["n"], row["sum_dl"], row["n_buckets"]
+    last = row["last_epoch"] if "last_epoch" in row.__fields__ else None
+    if epoch_id is not None and last is not None and epoch_id <= last:
+        from ..streaming.snapshot import DEFAULT_FS, _current_version
+
+        return _current_version(os.path.join(root, "postings"), fs or DEFAULT_FS)
     w = H.words(text_col)
     toks = new_docs.select(F.col(id_col), F.expr(w.spark).alias("ws"))
     version = merge_upsert_pruned(
@@ -285,6 +304,8 @@ def bm25_index_append(
         )
         .withColumn("n_buckets", F.lit(n_buckets))
     )
+    if epoch_id is not None:
+        meta = meta.withColumn("last_epoch", F.lit(int(epoch_id)))
     snapshot_commit(meta, os.path.join(root, "meta"), fs=fs)
     return version
 
@@ -466,3 +487,59 @@ def jaccard_rank(
         .filter(F.col("rank") <= n)
         .select("probe_id", F.col(id_col), "rank")
     )
+
+
+def bm25_index_delete(
+    docs: DataFrame,
+    root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fs=None,
+) -> str:
+    """Remove documents from the inverted index WITHOUT rebuild — the
+    tested deletion path (VERDICT r10 #6).  ``docs`` carries the
+    documents' ORIGINAL text: the postings to remove are recomputed
+    with the same ``H.words``/:func:`_postings` templates the build
+    landed, which routes the delete to exactly the terms' buckets —
+    a partition-pruned MERGE with a delete flag, never an O(index)
+    sweep.  ``meta`` retreats by the batch's (count, Σdl), the exact
+    inverse of :func:`bm25_index_append`'s advance.
+
+    Contract (the inverse of append's id-disjointness): every doc in
+    the batch IS currently indexed with THIS text.  Deleting with
+    drifted text would leave the old text's terms stranded in buckets
+    this routing never opens, and deleting an id that was never
+    ingested would still retreat the corpus stats — both are the
+    delete+rebuild workload every index family here shares.
+    Property-tested: build+append+delete answers queries identically
+    to an index that never ingested the batch, stats included.
+    Returns the new postings snapshot version."""
+    import os
+
+    from ..streaming.snapshot import snapshot_commit
+    from .warehouse import merge_upsert_pruned
+
+    spark = docs.sparkSession
+    n, sum_dl, n_buckets = _bm25_meta(spark, root, fs)
+    w = H.words(text_col)
+    toks = docs.select(F.col(id_col), F.expr(w.spark).alias("ws"))
+    version = merge_upsert_pruned(
+        spark,
+        os.path.join(root, "postings"),
+        _postings(toks, n_buckets, id_col).withColumn("_del", F.lit(True)),
+        key=["term", id_col],
+        partition_col="tbucket",
+        delete_col="_del",
+        fs=fs,
+    )
+    meta = (
+        toks.agg(
+            (F.lit(n) - F.count(F.lit(1))).alias("n"),
+            (F.lit(sum_dl) - F.coalesce(F.sum(F.size("ws")), F.lit(0))).alias(
+                "sum_dl"
+            ),
+        )
+        .withColumn("n_buckets", F.lit(n_buckets))
+    )
+    snapshot_commit(meta, os.path.join(root, "meta"), fs=fs)
+    return version

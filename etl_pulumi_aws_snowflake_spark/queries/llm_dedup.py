@@ -263,12 +263,13 @@ def dedup_spans(spark, sf_dir):
     return out
 
 
-#: New-batch-vs-index oracle, shared by the build-then-check and the
-#: build-append-check entries: both end with the SAME index content
-#: (every doc_id % 10 != 0), so the appended entry certifies the
-#: pruned-MERGE append path preserves results exactly — the same
-#: round-trip contract as sim_ivf_topk_appended.
-_LSH_INC_ORACLE = f"""
+def _lsh_inc_oracle(old_pred: str = "od.doc_id % 10 != 0") -> str:
+    """New-batch-vs-index oracle, parameterized on the predicate
+    describing WHICH docs the index holds at check time — shared by
+    the build-then-check, build-append-check, and build-delete-check
+    entries, so all three lifecycle paths are certified against the
+    same relational recomputation."""
+    return f"""
     WITH {_SETS},
     nonempty AS (SELECT * FROM sized WHERE n > 0),
     sig AS (SELECT doc_id, shingles, n, {_SIG} AS sig FROM nonempty),
@@ -282,7 +283,7 @@ _LSH_INC_ORACLE = f"""
         FROM banded nw
         JOIN banded od ON nw.band = od.band AND nw.key = od.key
                       AND nw.doc_id != od.doc_id
-        WHERE nw.doc_id % 10 = 0 AND od.doc_id % 10 != 0
+        WHERE nw.doc_id % 10 = 0 AND ({old_pred})
     )
     SELECT doc_new, doc_old,
            CAST(len(list_intersect(sn.shingles, so.shingles)) AS DOUBLE)
@@ -297,6 +298,14 @@ _LSH_INC_ORACLE = f"""
                    - len(list_intersect(sn.shingles, so.shingles)) AS DOUBLE)
             >= 0.8
     """
+
+
+#: Both the build-then-check and the build-append-check entries end
+#: with the SAME index content (every doc_id % 10 != 0), so the
+#: appended entry certifies the pruned-MERGE append path preserves
+#: results exactly — the same round-trip contract as
+#: sim_ivf_topk_appended.
+_LSH_INC_ORACLE = _lsh_inc_oracle()
 
 
 @query("dedup_lsh_incremental", oracle=_LSH_INC_ORACLE)
@@ -337,6 +346,32 @@ def dedup_lsh_appended(spark, sf_dir):
         root,
     )
     D.lsh_index_append(docs.filter(F.col("doc_id") % 10 == 5), root)
+    return D.lsh_index_check(
+        docs.filter(F.col("doc_id") % 10 == 0), root, threshold=0.8
+    )
+
+
+@query(
+    "dedup_lsh_deleted",
+    oracle=_lsh_inc_oracle("od.doc_id % 10 NOT IN (0, 5)"),
+)
+def dedup_lsh_deleted(spark, sf_dir):
+    """Index DELETION under the driver hash — the exact inverse of
+    dedup_lsh_appended: build on the standing corpus (doc_id % 10 !=
+    0), ``lsh_index_delete`` the % 10 == 5 docs BY ID ALONE (their
+    stored shingle sets recompute the band routing, so both deletes
+    are partition-pruned MERGEs), then check the % 10 == 0 batch.  The
+    oracle recomputes candidates against only the surviving docs, so
+    any stale band row or set row left behind by the delete produces
+    an extra pair and fails the hash."""
+    from .pipeline_e2e import _workdir
+
+    docs = t(spark, sf_dir, "documents")
+    root = _workdir(sf_dir, "lsh_index_del")
+    D.lsh_build_index(docs.filter(F.col("doc_id") % 10 != 0), root)
+    D.lsh_index_delete(
+        docs.filter(F.col("doc_id") % 10 == 5).select("doc_id"), root
+    )
     return D.lsh_index_check(
         docs.filter(F.col("doc_id") % 10 == 0), root, threshold=0.8
     )

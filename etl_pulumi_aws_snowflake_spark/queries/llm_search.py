@@ -36,7 +36,10 @@ _RRF_K = 5
 _WORDS = H.words("text").duck
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(where: str = "TRUE") -> str:
+    """Full-relational BM25 oracle, parameterized on WHICH documents
+    the (possibly appended-to / deleted-from) index holds — stats and
+    ranks are both recomputed over exactly that corpus."""
     tfs = ",\n           ".join(
         f"{SR._tf(term).duck} AS tf_{i}" for i, term in enumerate(BM25_TERMS)
     )
@@ -45,7 +48,7 @@ def _bm25_oracle() -> str:
         for i in range(len(BM25_TERMS))
     )
     return f"""
-    WITH d AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    WITH d AS (SELECT doc_id, {_WORDS} AS ws FROM documents WHERE {where}),
     base AS (
         SELECT doc_id, len(ws) AS dl,
            {tfs}
@@ -126,6 +129,68 @@ def search_bm25_appended(spark, sf_dir):
     root = _workdir(sf_dir, "bm25_index_app")
     SR.bm25_build_index(docs.filter(F.col("doc_id") % 10 != 0), root, n_buckets=16)
     SR.bm25_index_append(docs.filter(F.col("doc_id") % 10 == 0), root)
+    return SR.bm25_topk_indexed(spark, root, BM25_TERMS, k=_BM25_K).select(
+        "rank", "doc_id"
+    )
+
+
+@query("stream_bm25_ingest_e2e", oracle=_bm25_oracle())
+def stream_bm25_ingest_e2e(spark, sf_dir):
+    """Streaming index-at-ingest end-to-end under the driver hash: the
+    standing corpus (doc_id % 10 != 0) seeds the persisted inverted
+    index; the % 10 == 0 docs land as THREE parquet files streamed one
+    per microbatch (maxFilesPerTrigger=1, AvailableNow, checkpointed),
+    each appended via the pruned postings MERGE with the epoch-stamped
+    meta advance.  The final search must equal the FULL-corpus scan
+    oracle — which certifies the streaming loop, the per-batch pruned
+    append, AND the n/Σdl/df bookkeeping across epochs in one row
+    (streaming/bm25_ingest.py has the batching-independence
+    argument)."""
+    import os
+
+    from ..streaming.bm25_ingest import stream_bm25_ingest
+    from .pipeline_e2e import _workdir
+
+    work = _workdir(sf_dir, "bm25_stream")
+    docs = t(spark, sf_dir, "documents")
+    root = os.path.join(work, "index")
+    SR.bm25_build_index(docs.filter(F.col("doc_id") % 10 != 0), root, n_buckets=16)
+
+    landing = os.path.join(work, "landing")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    for part in range(3):
+        new.filter(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    stream_bm25_ingest(
+        spark,
+        landing,
+        new.schema,
+        root,
+        os.path.join(work, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    return SR.bm25_topk_indexed(spark, root, BM25_TERMS, k=_BM25_K).select(
+        "rank", "doc_id"
+    )
+
+
+@query("search_bm25_deleted", oracle=_bm25_oracle("doc_id % 10 != 0"))
+def search_bm25_deleted(spark, sf_dir):
+    """Index DELETION under the driver hash: build the inverted index
+    from the full corpus, ``bm25_index_delete`` the doc_id % 10 == 0
+    batch (postings recomputed from the original text route the
+    pruned MERGE; ``meta`` retreats by the batch's count/Σdl — the
+    exact inverse of the append's advance), then search.  The oracle
+    recomputes stats AND ranks over only the surviving documents, so
+    a stale posting, a missed one, or a drifted n/sum_dl/df all move
+    BM25 scores and fail the hash."""
+    from .pipeline_e2e import _workdir
+
+    docs = t(spark, sf_dir, "documents")
+    root = _workdir(sf_dir, "bm25_index_del")
+    SR.bm25_build_index(docs, root, n_buckets=16)
+    SR.bm25_index_delete(docs.filter(F.col("doc_id") % 10 == 0), root)
     return SR.bm25_topk_indexed(spark, root, BM25_TERMS, k=_BM25_K).select(
         "rank", "doc_id"
     )

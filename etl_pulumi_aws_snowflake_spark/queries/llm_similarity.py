@@ -118,10 +118,12 @@ _SEEDS_NLISTS = (
 )
 
 
-def _ivf_ctes(seeds_sql: str) -> str:
+def _ivf_ctes(seeds_sql: str, corpus_where: str = "TRUE") -> str:
     """The IVF pipeline as DuckDB CTEs (seeded assignment → probe
     routing → list-pruned ranking), parameterized by the seed pick —
-    shared by the topk/recall/nlists oracles."""
+    shared by the topk/recall/nlists oracles — and by WHICH vectors
+    the index still holds (``corpus_where``, for the deletion entry:
+    seeds stay frozen, candidates shrink)."""
     return f"""{_E},
     seeds AS ({seeds_sql}),
     assign AS (
@@ -130,7 +132,8 @@ def _ivf_ctes(seeds_sql: str) -> str:
                                   ORDER BY {_cos('sv', 'v')} DESC, seed_id) AS rn
         FROM e CROSS JOIN seeds
     ),
-    lists AS (SELECT vec_id, v, seed_id AS list_id FROM assign WHERE rn = 1),
+    lists AS (SELECT vec_id, v, seed_id AS list_id FROM assign
+              WHERE rn = 1 AND ({corpus_where})),
     p AS (SELECT vec_id AS probe_id, v AS pv FROM e
           WHERE vec_id % {_PROBE_STRIDE} = 0),
     plists AS (
@@ -303,6 +306,32 @@ def sim_ivf_topk_appended(spark, sf_dir):
         corpus.filter(F.col("vec_id") % 2 == 0), root, nlists=_NLISTS
     )
     S.ivf_index_append(corpus.filter(F.col("vec_id") % 2 == 1), root)
+    return S.ivf_topk_indexed(probes, root, k=3, nprobe=2)
+
+
+@query(
+    "sim_ivf_topk_deleted",
+    oracle=f"""
+    WITH {_ivf_ctes(_SEEDS_NLISTS, "vec_id % 2 = 0")}
+    SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= 3
+    """,
+)
+def sim_ivf_topk_deleted(spark, sf_dir):
+    """Index DELETION under the driver hash — the inverse of
+    sim_ivf_topk_appended: build the persisted index on the FULL
+    corpus (seeds hash-ranked over everything and frozen),
+    ``ivf_index_delete`` the odd half (vectors re-assign against the
+    frozen seeds to route a pruned MERGE with a delete flag — the
+    FAISS ``remove_ids`` contract: centroids never move), then
+    search.  The oracle keeps the full-corpus seed pick but restricts
+    candidates to surviving vectors, so a stale copy left in any list
+    — or an over-deleted one — changes a rank and fails the hash."""
+    from .pipeline_e2e import _workdir
+
+    probes, corpus = _probes(spark, sf_dir)
+    root = _workdir(sf_dir, "ivf_index_del")
+    S.ivf_build_index(corpus, root, nlists=_NLISTS)
+    S.ivf_index_delete(corpus.filter(F.col("vec_id") % 2 == 1), root)
     return S.ivf_topk_indexed(probes, root, k=3, nprobe=2)
 
 

