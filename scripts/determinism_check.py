@@ -47,6 +47,8 @@ def run_all(names, queries, sf_dir, master, shuffle_parts):
 
 
 def main() -> None:
+    import json
+
     first_n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     queries = all_queries()
@@ -63,6 +65,16 @@ def main() -> None:
         f"(local[5],parts=7): {len(names) - len(bad)} stable, {len(bad)} unstable "
         f"[{time.perf_counter() - t0:.0f}s]"
     )
+    out = ROOT / "scripts" / "determinism_report.json"
+    out.write_text(json.dumps({
+        "checked": len(names),
+        "stable": len(names) - len(bad),
+        "unstable": sorted(bad),
+        "sf_dir": sf_dir,
+        "sessions": ["local[32]/parts=32", "local[5]/parts=7"],
+        "names": names,
+    }, indent=1))
+    print(f"wrote {out}")
     sys.exit(1 if bad else 0)
 
 

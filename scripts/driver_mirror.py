@@ -4,7 +4,11 @@
 Runs EVERY registered query and its DuckDB oracle at sf0.01 (the
 driver's scale) through tests/oracle_check.compare — which uses the
 driver's own pandas-sort canonicalization — and prints one JSON report.
-Usage: python scripts/driver_mirror.py [first_n] [sf_dir]
+Usage: python scripts/driver_mirror.py [first_n] [sf_dir] [report_name]
+``report_name`` defaults to driver_mirror_report.json; the sf0.001
+smoke sweep writes smoke_mirror_report.json so both artifacts persist
+(COVERAGE.md's sweep paragraphs are guarded against them by
+tests/test_docs.py).
 """
 
 from __future__ import annotations
@@ -58,8 +62,14 @@ def main() -> None:
         "fail": sorted(bad),
         "total_sec": round(time.perf_counter() - t_total, 1),
     }))
-    out = ROOT / "scripts" / "driver_mirror_report.json"
-    out.write_text(json.dumps(report, indent=1, default=str))
+    report_name = (
+        sys.argv[3] if len(sys.argv) > 3 else "driver_mirror_report.json"
+    )
+    out = ROOT / "scripts" / report_name
+    payload = dict(report)
+    payload["_meta"] = {"sf_dir": sf_dir, "total": len(report),
+                        "ok": len(report) - len(bad)}
+    out.write_text(json.dumps(payload, indent=1, default=str))
     print(f"wrote {out}")
 
 

@@ -471,6 +471,76 @@ def _probe_bm25_routing(spark, sf_dir, root) -> dict:
     }
 
 
+def _setup_lsh_index_full(spark, sf_dir, root):
+    """Build the LSH index over EVERYTHING (including the fixed batch,
+    so the delete op has something to remove), n_buckets ∝ corpus —
+    same knob as :func:`_setup_lsh_index`."""
+    from etl_pulumi_aws_snowflake_spark.operators import dedup as D
+    from etl_pulumi_aws_snowflake_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    D.lsh_build_index(docs, root, n_buckets=16 * _lsh_mult(spark, sf_dir))
+
+
+def _run_lsh_delete(spark, sf_dir, root):
+    """Delete the FIXED 5-doc batch by id (VERDICT r10 #6's measured
+    closure): routing from ids + stored sets, two pruned MERGEs.  The
+    op MUTATES the index, so the harness re-seeds per rep (untimed)
+    and times only the delete — flat in index size iff the routed
+    reads and the merge's carried-forward-by-reference buckets hold."""
+    from etl_pulumi_aws_snowflake_spark.operators import dedup as D
+
+    D.lsh_index_delete(_lsh_batch(spark, sf_dir).select("doc_id"), root)
+
+
+def _setup_hybrid_indexes(spark, sf_dir, root):
+    """Build BOTH serving indexes (untimed): the inverted index with
+    n_buckets ∝ corpus and the fixed-nlists IVF index — the standing
+    artifacts the fused serve path reads."""
+    import os
+
+    from etl_pulumi_aws_snowflake_spark.operators import search as SR
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+    from etl_pulumi_aws_snowflake_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    SR.bm25_build_index(
+        docs, os.path.join(root, "bm25"), n_buckets=16 * _lsh_mult(spark, sf_dir)
+    )
+    _, emb = _fixed_probes(spark, sf_dir)
+    S.ivf_build_index(emb, os.path.join(root, "ivf"), nlists=64)
+
+
+def _run_hybrid_indexed(spark, sf_dir, root):
+    """One fused hybrid query against the persisted indexes (the
+    search_hybrid_rrf_indexed serve path, build untimed): keyword arm
+    pruned to the query terms' buckets, vector arm pruned to the fixed
+    probes' routed lists, RRF fusion over probe×top-N rank tables —
+    flat in corpus size iff both arms' pruning holds composed."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_pulumi_aws_snowflake_spark.operators import search as SR
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+
+    probes, _ = _fixed_probes(spark, sf_dir)
+    probe_ids = probes.select(F.col("vec_id").alias("probe_id"))
+    barm = (
+        SR.bm25_topk_indexed(
+            spark, os.path.join(root, "bm25"), _BM25_CURVE_TERMS, k=20
+        )
+        .select("doc_id", "rank")
+        .crossJoin(F.broadcast(probe_ids))
+    )
+    varm = S.ivf_topk_indexed(
+        probes, os.path.join(root, "ivf"), k=20, nprobe=2
+    ).select("probe_id", F.col("vec_id").alias("doc_id"), "rank")
+    SR.rrf_fuse([barm, varm], k=5, k_const=60).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
 def action_ops():
     return {
         "cdc_merge_pruned_batch": (_setup_seed_snapshot, _run_merge_pruned, None),
@@ -496,6 +566,19 @@ def action_ops():
             _run_bm25_indexed,
             _probe_bm25_routing,
             True,  # readonly: build once, serve the query per rep
+        ),
+        "search_hybrid_indexed_fixed_query": (
+            _setup_hybrid_indexes,
+            _run_hybrid_indexed,
+            None,
+            True,  # readonly: both indexes built once, fused serve per rep
+        ),
+        "dedup_lsh_delete_fixed_batch": (
+            _setup_lsh_index_full,
+            _run_lsh_delete,
+            None,
+            # NOT readonly: the delete mutates the index — re-seed per
+            # rep (untimed), time only the delete
         ),
     }
 
