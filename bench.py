@@ -56,6 +56,7 @@ HEADLINE: tuple[str, ...] = (
     "search_bm25_indexed",
     "search_hybrid_rrf",
     "search_hybrid_rrf_indexed",
+    "text_chunk_windows",
 )
 
 #: Rows whose registry callables time index CONSTRUCTION + the query

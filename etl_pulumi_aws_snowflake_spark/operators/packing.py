@@ -148,3 +148,75 @@ def pack_chunks(
             .alias("tok_end"),
         )
     )
+
+
+def chunk_windows(
+    docs,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Sliding token windows with overlap — the inference/RAG-side
+    complement to :func:`pack_chunks` (which packs WHOLE documents
+    into training contexts; this SPLITS each document into overlapping
+    retrieval units): (doc_id, chunk_ix, tok_start, tok_end,
+    chunk_text).
+
+    Contract (the HF tokenizer-overflow shape): chunk ``i`` covers
+    tokens ``[i*stride, min(i*stride + window, n))``; the last start
+    is ``ceil((n - window)/stride)`` clamped at 0, so every token is
+    covered, the final window ends exactly at ``n``, and no degenerate
+    tail chunk duplicates a fully-covered suffix.  Empty-token
+    documents produce no chunks.
+
+    100 TB shape: one narrow projection — tokenize, generate the
+    per-row chunk-index sequence (bounded by n/stride), explode,
+    slice — all inside whole-stage codegen with ZERO shuffle; output
+    partitioning inherits the scan.  Tokenization is the shared
+    ``H.words`` template, so chunks can never disagree with the
+    dedup/search/packing token arithmetic."""
+    from pyspark.sql import functions as F
+
+    from ..functions import hashing as H
+
+    if window < 1 or stride < 1 or stride > window:
+        raise ValueError(
+            f"chunk_windows needs 1 <= stride <= window, got "
+            f"window={window}, stride={stride}"
+        )
+    w = H.words(text_col)
+    toks = (
+        docs.select(F.col(id_col), F.expr(w.spark).alias("ws"))
+        .withColumn("n", F.size("ws"))
+        .filter(F.col("n") > 0)
+    )
+    return (
+        toks.select(
+            F.col(id_col),
+            "ws",
+            "n",
+            F.explode(
+                F.expr(
+                    f"sequence(0, greatest((n - {window} + {stride} - 1) "
+                    f"div {stride}, 0))"
+                )
+            ).alias("chunk_ix"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_ix").cast("bigint").alias("chunk_ix"),
+            (F.col("chunk_ix") * stride).cast("bigint").alias("tok_start"),
+            F.least(
+                F.col("chunk_ix") * stride + window, F.col("n")
+            ).cast("bigint").alias("tok_end"),
+            F.array_join(
+                F.slice(
+                    F.col("ws"),
+                    F.col("chunk_ix") * F.lit(stride) + F.lit(1),
+                    F.lit(window),
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )

@@ -150,3 +150,49 @@ def corpus_split(spark, sf_dir):
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+#: Sliding-window chunking knobs for the judged entry: small enough
+#: that sf0.01's documents produce multi-chunk output with both the
+#: n <= window single-chunk path and the clamped final window.
+_WIN, _STRIDE = 40, 30
+
+_WORDS_DUCK = T.words().duck
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_WORDS_DUCK} AS ws FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) > 0
+    ),
+    ix AS (
+        SELECT doc_id, ws, n,
+               UNNEST(generate_series(0,
+                   GREATEST((n - {_WIN} + {_STRIDE} - 1) // {_STRIDE}, 0)))
+                   AS chunk_ix
+        FROM sized
+    )
+    SELECT doc_id,
+           CAST(chunk_ix AS BIGINT) AS chunk_ix,
+           CAST(chunk_ix * {_STRIDE} AS BIGINT) AS tok_start,
+           CAST(LEAST(chunk_ix * {_STRIDE} + {_WIN}, n) AS BIGINT) AS tok_end,
+           ARRAY_TO_STRING(LIST_SLICE(ws, chunk_ix * {_STRIDE} + 1,
+               LEAST(chunk_ix * {_STRIDE} + {_WIN}, n)), ' ') AS chunk_text
+    FROM ix
+    """,
+)
+def text_chunk_windows(spark, sf_dir):
+    """Overlapping sliding-window chunking (window=40, stride=30) —
+    the retrieval-unit splitter a RAG ingest or long-document eval
+    pipeline runs over every document; judged on indices, offsets,
+    AND the reassembled chunk text, so tokenization, the chunk-count
+    arithmetic, and the slice bounds are all hash-certified.  Zero
+    shuffle (operators/packing.py::chunk_windows docstring has the
+    plan argument)."""
+    return P.chunk_windows(
+        t(spark, sf_dir, "documents"), window=_WIN, stride=_STRIDE
+    )

@@ -310,6 +310,54 @@ def sim_ivf_topk_appended(spark, sf_dir):
 
 
 @query(
+    "stream_ivf_ingest_e2e",
+    oracle=f"""
+    WITH {_ivf_ctes(_SEEDS_NLISTS_BASE)}
+    SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= 3
+    """,
+)
+def stream_ivf_ingest_e2e(spark, sf_dir):
+    """Streaming index-at-ingest for the IVF family, end-to-end under
+    the driver hash: the even half of the corpus seeds the persisted
+    index (its hash-rank seeds frozen), the odd half lands as THREE
+    parquet files streamed one per microbatch (maxFilesPerTrigger=1,
+    AvailableNow, checkpointed), each assigned against the FROZEN
+    seeds and pruned-MERGEd into its routed lists.  The final search
+    must equal a build-over-everything with those seeds — the same
+    oracle as sim_ivf_topk_appended, now certified THROUGH a real
+    StreamingQuery (streaming/ivf_ingest.py has the exactly-once and
+    batching-independence arguments — this family needs no epoch
+    bookkeeping because the append is replay-idempotent by its
+    keys)."""
+    import os
+
+    from ..streaming.ivf_ingest import stream_ivf_ingest
+    from .pipeline_e2e import _workdir
+
+    probes, corpus = _probes(spark, sf_dir)
+    work = _workdir(sf_dir, "ivf_stream")
+    root = os.path.join(work, "index")
+    S.ivf_build_index(
+        corpus.filter(F.col("vec_id") % 2 == 0), root, nlists=_NLISTS
+    )
+    landing = os.path.join(work, "landing")
+    new = corpus.filter(F.col("vec_id") % 2 == 1)
+    for part in range(3):
+        new.filter(F.expr(f"((vec_id - 1) div 2) % 3 = {part}")).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+    stream_ivf_ingest(
+        spark,
+        landing,
+        new.schema,
+        root,
+        os.path.join(work, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    return S.ivf_topk_indexed(probes, root, k=3, nprobe=2)
+
+
+@query(
     "sim_ivf_topk_deleted",
     oracle=f"""
     WITH {_ivf_ctes(_SEEDS_NLISTS, "vec_id % 2 = 0")}

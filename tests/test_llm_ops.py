@@ -1506,3 +1506,57 @@ def test_stream_bm25_ingest_batch_split_independent(spark, tmp_path):
     split = run([[100, 103], [101, 104], [102, 105]], "split")
     assert one == split
     assert one[1][0] == 26  # 20 base + 6 streamed
+
+
+def test_stream_ivf_ingest_split_independent_and_replay_safe(spark, tmp_path):
+    """The IVF streaming ingest needs no epoch bookkeeping: the append
+    is replay-idempotent by its vec_id keys (re-running an epoch lands
+    identical rows in identical lists), and the final index is
+    batch-split-independent (id-disjoint batches union under the keyed
+    MERGE).  Both proven on the search results of the grown index."""
+    import os
+
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+    from etl_pulumi_aws_snowflake_spark.sources import load_table
+    from etl_pulumi_aws_snowflake_spark.streaming.ivf_ingest import (
+        ivf_ingest_batch,
+        stream_ivf_ingest,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 60))
+
+    def search(root):
+        return [
+            tuple(r)
+            for r in S.ivf_topk_indexed(probes, root, k=3, nprobe=2)
+            .orderBy("probe_id", "rank")
+            .collect()
+        ]
+
+    def run(splits, leaf):
+        work = str(tmp_path / leaf)
+        root = os.path.join(work, "index")
+        S.ivf_build_index(base, root, nlists=8)
+        landing = os.path.join(work, "landing")
+        for pred in splits:
+            new.filter(pred).coalesce(1).write.mode("append").parquet(landing)
+        stream_ivf_ingest(
+            spark, landing, new.schema, root,
+            os.path.join(work, "ckpt"), max_files_per_trigger=1,
+        )
+        return root
+
+    one = search(run([F.lit(True)], "one"))
+    root_split = run(
+        [F.col("vec_id") % 3 == 0, F.col("vec_id") % 3 == 1,
+         F.col("vec_id") % 3 == 2],
+        "split",
+    )
+    assert search(root_split) == one and one
+
+    # replay: re-delivering an already-applied batch changes nothing
+    ivf_ingest_batch(new.filter(F.col("vec_id") % 3 == 1), 0, root_split)
+    assert search(root_split) == one

@@ -141,3 +141,66 @@ def test_contamination_bench_side_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_chunk_windows_covers_every_token_with_correct_overlap(spark):
+    """Sliding-window contract: chunk i = [i*stride, min(i*stride+window, n));
+    union of chunks covers [0, n) exactly; consecutive chunks overlap by
+    window - stride (except a clamped final window); n <= window yields
+    ONE chunk; empty docs yield none; chunk_text is the literal token
+    slice."""
+    import pytest
+    from etl_pulumi_aws_snowflake_spark.operators.packing import chunk_windows
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(100))),  # multi-chunk
+            (2, " ".join(f"u{i}" for i in range(40))),   # exactly window
+            (3, "a b c"),                                # n < window
+            (4, "   "),                                  # empty tokens
+            (5, " ".join(f"v{i}" for i in range(41))),   # clamped tail
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_windows(docs, window=40, stride=30)
+    rows = {r["doc_id"]: [] for r in out.collect()}
+    for r in out.collect():
+        rows[r["doc_id"]].append(r)
+    assert 4 not in rows
+    assert [c["chunk_ix"] for c in sorted(rows[3], key=lambda c: c["chunk_ix"])] == [0]
+    assert rows[3][0]["chunk_text"] == "a b c"
+    assert len(rows[2]) == 1 and rows[2][0]["tok_end"] == 40
+
+    d1 = sorted(rows[1], key=lambda c: c["chunk_ix"])
+    # ceil((100-40)/30) = 2 -> chunk_ix 0..2
+    assert [c["chunk_ix"] for c in d1] == [0, 1, 2]
+    assert [(c["tok_start"], c["tok_end"]) for c in d1] == [
+        (0, 40), (30, 70), (60, 100)
+    ]
+    assert d1[1]["chunk_text"].split(" ")[0] == "t30"
+    assert d1[2]["chunk_text"].split(" ")[-1] == "t99"
+
+    d5 = sorted(rows[5], key=lambda c: c["chunk_ix"])
+    assert [(c["tok_start"], c["tok_end"]) for c in d5] == [(0, 40), (30, 41)]
+    assert d5[1]["chunk_text"] == "v30 v31 v32 v33 v34 v35 v36 v37 v38 v39 v40"
+
+    with pytest.raises(ValueError, match="stride"):
+        chunk_windows(docs, window=10, stride=20)
+
+
+def test_chunk_windows_plan_is_shuffle_free(spark):
+    """The chunker must stay one narrow codegen projection: no
+    Exchange, no Python nodes — the zero-shuffle claim in its
+    docstring."""
+    from etl_pulumi_aws_snowflake_spark.operators.packing import chunk_windows
+    from etl_pulumi_aws_snowflake_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        chunk_windows(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "MapInPandas" not in plan
