@@ -789,3 +789,125 @@ def ivf_index_delete(rows: DataFrame, root: str, fs=None) -> str:
         delete_col="_del",
         fs=fs,
     )
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized IVF serving path — the IO knob a 100 TB ANN deployment
+# actually turns: the index's vector payload shrinks ~4x (int8 vs
+# float32, ~8x vs the double working form) while routing stays
+# full-precision.  Scalar max-abs quantization per vector:
+#   q_i = floor(127 * v_i / max|v| + 0.5)        (ints in [-127, 127])
+# and the crucial identity that makes serving exact-replayable with NO
+# dequantization state: cosine against the dequantized vector equals
+# cosine against the raw int vector —
+#   cos(p, scale*q) = dot(p,q)·scale / (‖p‖·scale·‖q‖) = cos(p, q)
+# so the index stores only (qv, ‖q‖); the scale cancels and never
+# needs to be persisted.  floor(x + 0.5) is spelled identically in both
+# dialects (engine round() half-rule differences never enter).
+# ---------------------------------------------------------------------------
+
+#: Spark-side quantization expressions (dual-dialect mirrors live in
+#: the oracle builders, queries/llm_similarity.py::_ivf_q_ctes).
+_QMAX = "array_max(transform(v, x -> abs(x)))"
+_QV = "transform(v, x -> cast(floor(127.0D * x / qmax + 0.5D) as int))"
+_QNRM = (
+    "sqrt(aggregate(qv, 0D, (acc, q) -> acc + cast(q as double) * "
+    "cast(q as double)))"
+)
+#: dot(probe double[], corpus int8[]) promoted element-wise — same
+#: strict left fold as V.dot_cols.
+_DOT_AQ = (
+    "aggregate(zip_with(a.v, b.qv, (x, q) -> x * cast(q as double)), 0D, "
+    "(acc, v) -> acc + v)"
+)
+
+
+def quantize_assigned(assigned: DataFrame) -> DataFrame:
+    """(vec_id, v, nrm, list_id) → (vec_id, qv, qnrm, list_id): the
+    int8 payload the quantized index persists.  Zero vectors are
+    dropped (max|v| = 0 has no quantization and no cosine)."""
+    return (
+        assigned.withColumn("qmax", F.expr(_QMAX))
+        .filter(F.col("qmax") > 0)
+        .withColumn("qv", F.expr(_QV))
+        .withColumn("qnrm", F.expr(_QNRM))
+        .select("vec_id", "qv", "qnrm", "list_id")
+    )
+
+
+def ivf_build_index_quantized(
+    corpus: DataFrame,
+    root: str,
+    nlists: int | None = None,
+    seed_stride: int = 50,
+    centroids: list | None = None,
+    fs=None,
+) -> str:
+    """Persist the QUANTIZED IVF index: full-precision seed table
+    (routing quality is not worth quantizing — it is nlists rows) +
+    the int8 corpus partitioned by ``list_id``.  Assignment runs on
+    full-precision vectors (build-time cost, paid once), so list
+    membership is identical to :func:`ivf_build_index`'s — only the
+    serving payload is quantized.  Same immutable-artifact commit
+    contract as the full-precision build."""
+    import os
+
+    from ..streaming.snapshot import snapshot_commit, snapshot_commit_partitioned
+
+    seeds = _seed_frame(corpus, seed_stride, centroids, nlists)
+    assigned = ivf_assign(corpus, seed_stride, centroids, nlists)
+    snapshot_commit(seeds, os.path.join(root, "seeds"), fs=fs)
+    return snapshot_commit_partitioned(
+        quantize_assigned(assigned),
+        os.path.join(root, "corpus_q"),
+        "list_id",
+        fs=fs,
+    )
+
+
+def ivf_topk_indexed_quantized(
+    probes: DataFrame, root: str, k: int = 3, nprobe: int = 2, fs=None
+) -> DataFrame:
+    """ANN top-k against the QUANTIZED index — (probe_id, rank, vec_id,
+    qcos).  Routing is full-precision (probes × seed table, identical
+    to the float path), the pruned corpus read moves ~4x fewer vector
+    bytes, and candidate scoring is the asymmetric form: full-precision
+    probe against int8 corpus (``cos(p, q)`` — the scale cancelled,
+    module note above).  ``qcos`` is deterministic (strict left fold
+    over exact-integer-valued doubles), so the oracle judges it
+    EXACTLY; ranking quality vs the float path is the recall entry's
+    job (`sim_ivf_recall_quantized`)."""
+    import os
+
+    from ..streaming.snapshot import snapshot_read
+
+    spark = probes.sparkSession
+    seeds = snapshot_read(spark, os.path.join(root, "seeds"), fs=fs)
+    probe_lists = deferred_persist(_route_probes(probes, seeds, nprobe))
+    wanted = sorted(
+        r["list_id"]
+        for r in probe_lists.select("list_id").distinct().collect()
+    )
+    qcorpus = snapshot_read(
+        spark, os.path.join(root, "corpus_q"), partition_values=wanted, fs=fs
+    )
+    pa, ca = probe_lists.alias("a"), qcorpus.alias("b")
+    w = Window.partitionBy("probe_id").orderBy(F.desc("qcos"), F.asc("vec_id"))
+    return (
+        F.broadcast(pa)
+        .join(
+            ca,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.probe_id") != F.col("b.vec_id")),
+        )
+        .select(
+            "probe_id",
+            F.col("b.vec_id").alias("vec_id"),
+            (F.expr(_DOT_AQ) / (F.col("a.nrm") * F.col("b.qnrm"))).alias(
+                "qcos"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "rank", "vec_id", "qcos")
+    )

@@ -383,6 +383,84 @@ def sim_ivf_topk_deleted(spark, sf_dir):
     return S.ivf_topk_indexed(probes, root, k=3, nprobe=2)
 
 
+def _ivf_q_ctes(seeds_sql: str) -> str:
+    """The QUANTIZED IVF pipeline as DuckDB CTEs, mirroring
+    operators/similarity.py's int8 path exactly: full-precision seeded
+    assignment and probe routing, per-vector max-abs quantization
+    q_i = floor(127·v_i/max|v| + 0.5), and asymmetric candidate
+    scoring cos(probe, q) — the scale cancels (module note in
+    operators/similarity.py), so the fused doubles are engine-exact.
+    Ends with ``ranked`` like :func:`_ivf_ctes`, so the same recall
+    tail composes."""
+    qvd = "list_transform(qv, q -> CAST(q AS DOUBLE))"
+    return f"""{_E},
+    seeds AS ({seeds_sql}),
+    assign AS (
+        SELECT e.vec_id, e.v, seed_id, {_cos('sv', 'v')} AS seed_cos,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos('sv', 'v')} DESC, seed_id) AS rn
+        FROM e CROSS JOIN seeds
+    ),
+    lists AS (SELECT vec_id, v, seed_id AS list_id FROM assign WHERE rn = 1),
+    lmax AS (
+        SELECT vec_id, v, list_id,
+               list_max(list_transform(v, x -> abs(x))) AS qmax
+        FROM lists
+    ),
+    q AS (
+        SELECT vec_id, list_id,
+               list_transform(v, x ->
+                   CAST(floor(127.0 * x / qmax + 0.5) AS INT)) AS qv
+        FROM lmax WHERE qmax > 0
+    ),
+    p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+          WHERE vec_id % {_PROBE_STRIDE} = 0),
+    plists AS (
+        SELECT probe_id, pv, list_id FROM (
+            SELECT probe_id, pv, seed_id AS list_id,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY {_cos('pv', 'sv')} DESC, seed_id) AS lr
+            FROM p CROSS JOIN seeds
+        ) WHERE lr <= 2
+    ),
+    cand AS (
+        SELECT probe_id, pv, q.vec_id AS vec_id, {qvd} AS qvd
+        FROM plists JOIN q ON plists.list_id = q.list_id
+                          AND probe_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT probe_id, vec_id, {_cos('pv', 'qvd')} AS qcos,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY {_cos('pv', 'qvd')} DESC, vec_id) AS rank
+        FROM cand
+    )"""
+
+
+@query(
+    "sim_ivf_topk_quantized",
+    oracle=f"""
+    WITH {_ivf_q_ctes(_SEEDS_NLISTS)}
+    SELECT probe_id, rank, vec_id, qcos FROM ranked WHERE rank <= 3
+    """,
+)
+def sim_ivf_topk_quantized(spark, sf_dir):
+    """ANN top-3 against the INT8-QUANTIZED persisted index — the IO
+    knob a 100 TB deployment turns: the routed lists' vector payload
+    is ~4x smaller (int8 vs float32 storage), routing stays
+    full-precision, and candidate scoring is asymmetric
+    (full-precision probe × int8 corpus).  The per-vector max-abs
+    scale CANCELS out of cosine, so the index persists only (qv, ‖q‖)
+    and the oracle replays the identical integer arithmetic — qcos is
+    judged EXACTLY, not with tolerance.  Quantization's effect on
+    ranking quality is the paired recall entry."""
+    from .pipeline_e2e import _workdir
+
+    probes, corpus = _probes(spark, sf_dir)
+    root = _workdir(sf_dir, "ivf_index_q")
+    S.ivf_build_index_quantized(corpus, root, nlists=_NLISTS)
+    return S.ivf_topk_indexed_quantized(probes, root, k=3, nprobe=2)
+
+
 @query("sim_ivf_recall", oracle=f"WITH {_IVF_CTES}{_RECALL_TAIL}")
 def sim_ivf_recall(spark, sf_dir):
     """Measured ANN quality: per-probe recall@3 of the IVF index
@@ -405,6 +483,45 @@ def sim_ivf_recall_nlists(spark, sf_dir):
     (sim_ivf_topk_nlists / sim_ivf_topk_indexed).  Same intersection
     protocol as :func:`sim_ivf_recall`; only the seed pick differs."""
     return _recall_frame(spark, sf_dir, nlists=_NLISTS)
+
+
+@query(
+    "sim_ivf_recall_quantized",
+    oracle=f"WITH {_ivf_q_ctes(_SEEDS_NLISTS)}{_RECALL_TAIL}",
+)
+def sim_ivf_recall_quantized(spark, sf_dir):
+    """Per-probe recall@3 of the INT8-QUANTIZED index against the
+    exact full-precision brute-force top-3 — the quality number that
+    justifies (or vetoes) turning the quantization knob at 100 TB: it
+    folds BOTH approximations together (coarse-list pruning AND int8
+    rounding).  Same intersection protocol as sim_ivf_recall_nlists;
+    the oracle replays the quantized pipeline and the exact ranking
+    relationally."""
+    from .pipeline_e2e import _workdir
+
+    probes, corpus = _probes(spark, sf_dir)
+    root = _workdir(sf_dir, "ivf_index_q_recall")
+    S.ivf_build_index_quantized(corpus, root, nlists=_NLISTS)
+    ann = S.ivf_topk_indexed_quantized(probes, root, k=3, nprobe=2).select(
+        "probe_id", "vec_id"
+    )
+    exact = S.cosine_topk(probes, corpus, k=3).select("probe_id", "vec_id")
+    hits = (
+        ann.join(exact, ["probe_id", "vec_id"])
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        probes.select(F.col("vec_id").alias("probe_id"))
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(3.0)).alias(
+                "recall_at_3"
+            ),
+        )
+    )
 
 
 @query(

@@ -471,6 +471,26 @@ def _probe_bm25_routing(spark, sf_dir, root) -> dict:
     }
 
 
+def _setup_ivf_q_index(spark, sf_dir, root):
+    """Build the int8-QUANTIZED fixed-nlists index (untimed)."""
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+
+    _, emb = _fixed_probes(spark, sf_dir)
+    S.ivf_build_index_quantized(emb, root, nlists=64)
+
+
+def _run_ivf_q_search_indexed(spark, sf_dir, root):
+    """Fixed-probe search against the QUANTIZED index: same pruning as
+    the float path, ~4x less vector payload per routed list, asymmetric
+    int8 scoring — the IO-bound serve variant."""
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+
+    probes, _ = _fixed_probes(spark, sf_dir)
+    S.ivf_topk_indexed_quantized(probes, root, k=3, nprobe=2).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+
 def _setup_lsh_index_full(spark, sf_dir, root):
     """Build the LSH index over EVERYTHING (including the fixed batch,
     so the delete op has something to remove), n_buckets ∝ corpus —
@@ -579,6 +599,12 @@ def action_ops():
             None,
             # NOT readonly: the delete mutates the index — re-seed per
             # rep (untimed), time only the delete
+        ),
+        "sim_ivf_q_search_indexed_fixed_probes": (
+            _setup_ivf_q_index,
+            _run_ivf_q_search_indexed,
+            None,
+            True,  # readonly: build once, rep the quantized search
         ),
     }
 

@@ -1560,3 +1560,49 @@ def test_stream_ivf_ingest_split_independent_and_replay_safe(spark, tmp_path):
     # replay: re-delivering an already-applied batch changes nothing
     ivf_ingest_batch(new.filter(F.col("vec_id") % 3 == 1), 0, root_split)
     assert search(root_split) == one
+
+
+def test_quantized_ivf_index_int8_contract(spark, tmp_path):
+    """The int8 path's arithmetic contract on a constructed fixture:
+    qv = floor(127·v/max|v| + 0.5) stays in [-127, 127] with the
+    extremes hit exactly, zero vectors are dropped, the persisted
+    payload carries NO scale (it cancels out of cosine), and the
+    asymmetric search ranks by cos(p, q) with large-gap fixtures
+    agreeing with full-precision ranking."""
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import snapshot_read
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),     # near probe 0
+        (2, [-0.5, 0.25, 0.0, 0.0]),   # extremes: -127 and 64 (63.5 rounds up)
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 0.0]),     # zero vector -> dropped
+        (5, [0.0, 0.95, 0.2, 0.0]),    # near probe 3
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    root = str(tmp_path / "ivfq")
+    S.ivf_build_index_quantized(emb, root, nlists=2)
+
+    q = {
+        r["vec_id"]: (list(r["qv"]), r["qnrm"])
+        for r in snapshot_read(spark, f"{root}/corpus_q").collect()
+    }
+    assert 4 not in q  # zero vector dropped
+    assert q[0][0] == [127, 0, 0, 0]
+    assert q[2][0] == [-127, 64, 0, 0]  # floor(63.5 + 0.5) = 64
+    assert all(max(abs(x) for x in qv) == 127 for qv, _ in q.values())
+    assert "qscale" not in snapshot_read(spark, f"{root}/corpus_q").columns
+
+    probes = emb.filter(F.col("vec_id").isin([0, 3]))
+    got = {
+        (r["probe_id"], r["rank"]): r["vec_id"]
+        for r in S.ivf_topk_indexed_quantized(
+            probes, root, k=1, nprobe=2
+        ).collect()
+    }
+    # large-gap fixture: int8 rounding cannot flip these ranks
+    assert got[(0, 1)] == 1 and got[(3, 1)] == 5
