@@ -1606,3 +1606,41 @@ def test_quantized_ivf_index_int8_contract(spark, tmp_path):
     }
     # large-gap fixture: int8 rounding cannot flip these ranks
     assert got[(0, 1)] == 1 and got[(3, 1)] == 5
+
+
+def test_bm25_batch_append_after_streamed_epochs_drops_stamp_safely(
+    spark, tmp_path
+):
+    """Meta schema back-compat both directions: a batch-mode append
+    (epoch_id=None) after streamed epochs reads the stamped meta fine
+    and commits WITHOUT the stamp; a later streamed epoch re-stamps
+    from scratch (last=None path) and stays exactly-once."""
+    from etl_pulumi_aws_snowflake_spark.operators import search as SR
+    from etl_pulumi_aws_snowflake_spark.streaming.bm25_ingest import (
+        bm25_ingest_batch,
+    )
+
+    base = spark.createDataFrame(
+        [(i, "w common") for i in range(10)], "doc_id long, text string"
+    )
+    root = str(tmp_path / "bm25")
+    SR.bm25_build_index(base, root, n_buckets=4)
+    bm25_ingest_batch(
+        spark.createDataFrame([(100, "w common x")], "doc_id long, text string"),
+        3,
+        root,
+    )
+    # batch append: reads stamped meta, advances, drops the stamp
+    SR.bm25_index_append(
+        spark.createDataFrame([(200, "w common y")], "doc_id long, text string"),
+        root,
+    )
+    assert SR._bm25_meta(spark, root) == (12, 20 + 3 + 3, 4)
+    # a fresh streamed epoch after the unstamped meta still applies
+    # exactly once on replay
+    batch = spark.createDataFrame(
+        [(300, "w common z")], "doc_id long, text string"
+    )
+    bm25_ingest_batch(batch, 0, root)
+    bm25_ingest_batch(batch, 0, root)  # replay
+    assert SR._bm25_meta(spark, root) == (13, 26 + 3, 4)

@@ -428,3 +428,19 @@ def test_hybrid_indexed_serving_plan(spark):
     for c in emb:
         schema = c.split("ReadSchema:")[1].split("\n")[0]
         assert "vec_id" in schema and "struct<vec_id" in schema, schema
+
+
+def test_quantized_ivf_serving_plan(spark):
+    """The int8 serve path keeps the float path's shape: the corpus
+    relation is the quantized index snapshot (embeddings.parquet only
+    as the narrow probe read), the candidate join is broadcast probes
+    x pruned lists, nothing sort-merges."""
+    plan = _plan(spark, "sim_ivf_topk_quantized")
+    assert "SortMergeJoin" not in plan
+    assert "ivf_index_q/corpus_q" in plan
+    assert "BroadcastHashJoin" in plan
+    chunks = plan.split("Scan parquet")[1:]
+    emb = [c for c in chunks if "embeddings.parquet" in c.split("ReadSchema")[0]]
+    for c in emb:
+        schema = c.split("ReadSchema:")[1].split("\n")[0]
+        assert "struct<vec_id" in schema, schema
