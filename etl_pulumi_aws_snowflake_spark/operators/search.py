@@ -175,6 +175,7 @@ def bm25_build_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     fs=None,
+    positions: bool = False,
 ) -> str:
     """Build the persisted inverted index; returns the postings
     snapshot version.
@@ -189,7 +190,13 @@ def bm25_build_index(
 
     Commits are each atomic but the pair is not — rebuild into a fresh
     root and swap above, the same immutable-artifact contract as
-    :func:`ivf_build_index` / :func:`lsh_build_index`."""
+    :func:`ivf_build_index` / :func:`lsh_build_index`.
+
+    ``positions=True`` builds a POSITIONAL index: each postings row
+    additionally carries the term's sorted 0-based token positions,
+    enabling exact phrase queries (:func:`phrase_search_indexed`) on
+    the same routed-bucket layout.  ~1 int per corpus token of extra
+    payload — the standard positional-postings trade."""
     import os
 
     from ..streaming.snapshot import snapshot_commit, snapshot_commit_partitioned
@@ -205,23 +212,120 @@ def bm25_build_index(
     )
     snapshot_commit(meta, os.path.join(root, "meta"), fs=fs)
     return snapshot_commit_partitioned(
-        _postings(toks, n_buckets, id_col),
+        _postings(toks, n_buckets, id_col, positions),
         os.path.join(root, "postings"),
         "tbucket",
         fs=fs,
     )
 
 
-def _postings(toks: DataFrame, n_buckets: int, id_col: str) -> DataFrame:
-    """(term, doc_id, dl, tf, tbucket) from a (id, ws) token frame —
-    shared by build and append so the two land identical rows."""
-    return (
-        toks.select(
-            F.col(id_col), F.size("ws").alias("dl"), F.explode("ws").alias("term")
+def _postings(
+    toks: DataFrame, n_buckets: int, id_col: str, positions: bool = False
+) -> DataFrame:
+    """(term, doc_id, dl, tf[, positions], tbucket) from a (id, ws)
+    token frame — shared by build and append so the two land identical
+    rows."""
+    if positions:
+        base = (
+            toks.select(
+                F.col(id_col),
+                F.size("ws").alias("dl"),
+                F.posexplode("ws").alias("pos", "term"),
+            )
+            .groupBy("term", id_col, "dl")
+            .agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+            )
         )
-        .groupBy("term", id_col, "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("tbucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    else:
+        base = (
+            toks.select(
+                F.col(id_col),
+                F.size("ws").alias("dl"),
+                F.explode("ws").alias("term"),
+            )
+            .groupBy("term", id_col, "dl")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+    return base.withColumn(
+        "tbucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    )
+
+
+def phrase_search_indexed(
+    spark,
+    root: str,
+    phrase: Sequence[str],
+    id_col: str = "doc_id",
+    fs=None,
+) -> DataFrame:
+    """Exact phrase search against a POSITIONAL index
+    (``bm25_build_index(positions=True)``): (doc_id, n_matches) for
+    every document containing the terms CONTIGUOUSLY in order,
+    n_matches = number of start positions.
+
+    The classic positional-intersection: the phrase's terms route to
+    ≤ |phrase| buckets (manifest-pruned read + in-bucket term
+    pushdown, the same serving shape as :func:`bm25_topk_indexed`),
+    one row per (term, doc) pivots its positions array per document,
+    and start positions are ``P₀ ∩ (P₁−1) ∩ … ∩ (Pₖ₋₁−(k−1))`` — all
+    array math inside codegen.  Work is O(the phrase terms' posting
+    lists); the corpus text is never read.  Repeated phrase terms and
+    overlapping matches both fall out of the intersection arithmetic
+    (property-tested)."""
+    import os
+
+    from ..cache import deferred_persist
+    from ..streaming.snapshot import snapshot_read
+
+    if not phrase:
+        raise ValueError("phrase_search_indexed needs at least one term")
+    _, _, n_buckets = _bm25_meta(spark, root, fs)
+    routed = (
+        spark.createDataFrame([(t,) for t in phrase], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("tb"))
+        .distinct()
+        .collect()
+    )
+    buckets = sorted(r["tb"] for r in routed)
+    cand = deferred_persist(
+        snapshot_read(
+            spark,
+            os.path.join(root, "postings"),
+            partition_values=buckets,
+            fs=fs,
+        ).filter(F.col("term").isin(list(phrase)))
+    )
+    if "positions" not in cand.columns:
+        raise ValueError(
+            f"index at {root!r} has no positions column — build it with "
+            "bm25_build_index(positions=True) for phrase queries"
+        )
+    per_doc = cand.groupBy(id_col).agg(
+        *[
+            F.first(
+                F.when(F.col("term") == t, F.col("positions")), True
+            ).alias(f"p_{i}")
+            for i, t in enumerate(phrase)
+        ]
+    )
+    starts = F.col("p_0")
+    for i in range(1, len(phrase)):
+        starts = F.array_intersect(
+            starts, F.expr(f"transform(p_{i}, x -> x - {i})")
+        )
+    return (
+        per_doc.filter(
+            F.expr(
+                " AND ".join(f"p_{i} IS NOT NULL" for i in range(len(phrase)))
+            )
+        )
+        .select(
+            F.col(id_col),
+            F.size(starts).cast("bigint").alias("n_matches"),
+        )
+        .filter(F.col("n_matches") > 0)
     )
 
 
@@ -287,10 +391,15 @@ def bm25_index_append(
         return _current_version(os.path.join(root, "postings"), fs or DEFAULT_FS)
     w = H.words(text_col)
     toks = new_docs.select(F.col(id_col), F.expr(w.spark).alias("ws"))
+    # match the index's layout: a positional index appends positional
+    # rows (schema read from the manifest — plan-only, no job)
+    pos = "positions" in snapshot_read(
+        spark, os.path.join(root, "postings"), fs=fs
+    ).columns
     version = merge_upsert_pruned(
         spark,
         os.path.join(root, "postings"),
-        _postings(toks, n_buckets, id_col),
+        _postings(toks, n_buckets, id_col, pos),
         key=["term", id_col],
         partition_col="tbucket",
         fs=fs,
@@ -523,10 +632,17 @@ def bm25_index_delete(
     n, sum_dl, n_buckets = _bm25_meta(spark, root, fs)
     w = H.words(text_col)
     toks = docs.select(F.col(id_col), F.expr(w.spark).alias("ws"))
+    from ..streaming.snapshot import snapshot_read
+
+    pos = "positions" in snapshot_read(
+        spark, os.path.join(root, "postings"), fs=fs
+    ).columns
     version = merge_upsert_pruned(
         spark,
         os.path.join(root, "postings"),
-        _postings(toks, n_buckets, id_col).withColumn("_del", F.lit(True)),
+        _postings(toks, n_buckets, id_col, pos).withColumn(
+            "_del", F.lit(True)
+        ),
         key=["term", id_col],
         partition_col="tbucket",
         delete_col="_del",

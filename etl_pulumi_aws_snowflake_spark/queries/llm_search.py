@@ -134,6 +134,53 @@ def search_bm25_appended(spark, sf_dir):
     )
 
 
+#: Fixed phrase for the positional-index entry — 3 contiguous tokens
+#: that occur in ~7 fixture documents, exercising the k-way positional
+#: intersection (a 2-term phrase would only test one intersect).
+_PHRASE = ("stream", "table", "hash")
+
+
+def _phrase_oracle() -> str:
+    k = len(_PHRASE)
+    conj = " AND ".join(
+        f"ws[i + {i}] = '{t}'" for i, t in enumerate(_PHRASE)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(list_filter(generate_series(1, len(ws) - {k - 1}),
+                   i -> {conj})) AS n_matches
+        FROM toks WHERE len(ws) >= {k}
+    )
+    SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches
+    FROM m WHERE n_matches > 0
+    """
+
+
+@query("search_phrase_indexed", oracle=_phrase_oracle())
+def search_phrase_indexed(spark, sf_dir):
+    """Exact PHRASE search against the positional inverted index:
+    (doc_id, n_matches) for every document containing the fixed
+    3-token phrase contiguously — the capability that separates a
+    keyword index from a search engine.  ``bm25_build_index(positions=
+    True)`` adds each term's sorted token positions to its postings
+    rows (same routed-bucket layout); the query reads ONLY the
+    phrase's ≤3 routed buckets and intersects position arrays
+    (P₀ ∩ P₁−1 ∩ P₂−2) entirely in codegen — the corpus text is never
+    read at query time.  The oracle counts contiguous-subsequence
+    starts by scanning the token arrays relationally, so the postings'
+    positions, the pivot, and the intersection arithmetic are all
+    hash-certified, match COUNTS included (overlapping matches
+    property-tested)."""
+    from .pipeline_e2e import _workdir
+
+    docs = t(spark, sf_dir, "documents")
+    root = _workdir(sf_dir, "bm25_index_pos")
+    SR.bm25_build_index(docs, root, n_buckets=16, positions=True)
+    return SR.phrase_search_indexed(spark, root, _PHRASE)
+
+
 @query("stream_bm25_ingest_e2e", oracle=_bm25_oracle())
 def stream_bm25_ingest_e2e(spark, sf_dir):
     """Streaming index-at-ingest end-to-end under the driver hash: the

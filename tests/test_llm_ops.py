@@ -1644,3 +1644,57 @@ def test_bm25_batch_append_after_streamed_epochs_drops_stamp_safely(
     bm25_ingest_batch(batch, 0, root)
     bm25_ingest_batch(batch, 0, root)  # replay
     assert SR._bm25_meta(spark, root) == (13, 26 + 3, 4)
+
+
+def test_phrase_search_positional_contract(spark, tmp_path):
+    """Positional-index phrase search: overlapping matches counted
+    ('a a a' contains 'a a' twice), repeated phrase terms resolved by
+    the same intersection arithmetic, order-sensitivity ('b a' is not
+    'a b'), non-positional index rejected loudly, and a positional
+    APPEND lands positional rows so streamed/appended docs are phrase-
+    searchable too."""
+    from etl_pulumi_aws_snowflake_spark.operators import search as SR
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x a b y a b z"),   # 'a b' twice, separated
+            (2, "a a a"),           # 'a a' overlaps: 2 matches
+            (3, "b a x"),           # reversed — no 'a b'
+            (4, "a c b"),           # gap — not contiguous
+        ],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "pos")
+    SR.bm25_build_index(docs, root, n_buckets=8, positions=True)
+
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in SR.phrase_search_indexed(spark, root, ("a", "b")).collect()
+    }
+    assert got == {1: 2}
+    rep = {
+        r["doc_id"]: r["n_matches"]
+        for r in SR.phrase_search_indexed(spark, root, ("a", "a")).collect()
+    }
+    assert rep == {2: 2}
+
+    # positional append: new doc becomes phrase-searchable
+    SR.bm25_index_append(
+        spark.createDataFrame([(10, "q a b q")], "doc_id long, text string"),
+        root,
+    )
+    got2 = {
+        r["doc_id"]: r["n_matches"]
+        for r in SR.phrase_search_indexed(spark, root, ("a", "b")).collect()
+    }
+    assert got2 == {1: 2, 10: 1}
+
+    # non-positional index fails loudly
+    flat = str(tmp_path / "flat")
+    SR.bm25_build_index(docs, flat, n_buckets=8)
+    with pytest.raises(ValueError, match="positions"):
+        SR.phrase_search_indexed(spark, flat, ("a", "b")).collect()
+    # and BM25 ranking over the positional index is unaffected by the
+    # extra column (same routed read, same score columns)
+    top = SR.bm25_topk_indexed(spark, root, ("a",), k=5).collect()
+    assert [r["doc_id"] for r in top]
