@@ -874,3 +874,66 @@ def test_zone_map_skipping_never_changes_results_property(spark, case):
         assert got_s == want_s
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@st.composite
+def _chunk_case(draw):
+    window = draw(st.integers(min_value=1, max_value=12))
+    stride = draw(st.integers(min_value=1, max_value=window))
+    docs = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=40),  # token counts
+            min_size=1,
+            max_size=6,
+        )
+    )
+    return window, stride, docs
+
+
+@PROP
+@given(_chunk_case())
+def test_chunk_windows_matches_python_reference(spark, case):
+    """chunk_windows vs a from-scratch reference: same chunk indices,
+    offsets, and reassembled text for random (window, stride, doc
+    lengths) — plus the coverage invariants (union of chunks = [0, n),
+    last window ends at n, no start beyond the rule's cap)."""
+    from etl_pulumi_aws_snowflake_spark.operators.packing import chunk_windows
+
+    window, stride, lens = case
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(n))) for i, n in enumerate(lens)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_ix"]): (
+            r["tok_start"], r["tok_end"], r["chunk_text"]
+        )
+        for r in chunk_windows(
+            docs, window=window, stride=stride
+        ).collect()
+    }
+
+    want = {}
+    for i, n in enumerate(lens):
+        if n == 0:
+            continue
+        toks = [f"w{i}_{j}" for j in range(n)]
+        max_ix = max(-(-(n - window) // stride), 0)  # ceil, clamped
+        for ix in range(max_ix + 1):
+            start = ix * stride
+            end = min(start + window, n)
+            want[(i, ix)] = (start, end, " ".join(toks[start:end]))
+    assert got == want
+
+    # coverage invariants
+    for i, n in enumerate(lens):
+        if n == 0:
+            continue
+        spans = sorted(
+            (v[0], v[1]) for (d, _), v in want.items() if d == i
+        )
+        assert spans[0][0] == 0 and spans[-1][1] == n
+        covered = set()
+        for a, b in spans:
+            covered.update(range(a, b))
+        assert covered == set(range(n))
