@@ -937,3 +937,68 @@ def test_chunk_windows_matches_python_reference(spark, case):
         for a, b in spans:
             covered.update(range(a, b))
         assert covered == set(range(n))
+
+
+@st.composite
+def _quant_case(draw):
+    dims = draw(st.integers(min_value=1, max_value=6))
+    vecs = draw(
+        st.lists(
+            st.lists(
+                st.floats(
+                    min_value=-4.0,
+                    max_value=4.0,
+                    allow_nan=False,
+                    allow_infinity=False,
+                    width=32,
+                ),
+                min_size=dims,
+                max_size=dims,
+            ),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    return vecs
+
+
+@PROP
+@given(_quant_case())
+def test_int8_quantization_matches_python_reference(spark, vecs):
+    """quantize_assigned vs a from-scratch reference: identical int8
+    values (floor(127·v/max|v| + 0.5) over the float32-rounded then
+    double-cast inputs — the exact pipeline the index runs), norms
+    equal, bounds hold, zero vectors dropped."""
+    import math
+
+    import numpy as np
+
+    from etl_pulumi_aws_snowflake_spark.operators.similarity import (
+        _prep,
+        quantize_assigned,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    assigned = _prep(emb).withColumn("list_id", F.lit(0))
+    got = {
+        r["vec_id"]: (list(r["qv"]), r["qnrm"])
+        for r in quantize_assigned(assigned).collect()
+    }
+
+    for i, v in enumerate(vecs):
+        vv = [float(np.float32(x)) for x in v]  # storage round-trip
+        m = max(abs(x) for x in vv)
+        if m == 0.0:
+            assert i not in got
+            continue
+        q = [int(math.floor(127.0 * x / m + 0.5)) for x in vv]
+        assert got[i][0] == q, (vv, got[i][0], q)
+        assert all(-127 <= x <= 127 for x in got[i][0])
+        ref_nrm = 0.0
+        for x in q:
+            ref_nrm = ref_nrm + float(x) * float(x)
+        assert got[i][1] == math.sqrt(ref_nrm)
