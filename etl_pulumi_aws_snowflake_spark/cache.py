@@ -44,7 +44,9 @@ import threading
 from pyspark.sql import DataFrame
 
 _LOCK = threading.RLock()
-_PENDING: list[DataFrame] = []
+#: (df, registering thread ident) — the thread tag is what lets
+#: scoped_release sweep only its OWN thread's registrations.
+_PENDING: list[tuple[DataFrame, int]] = []
 #: Persistent-RDD ids created by tracked_local_checkpoint — the ONLY
 #: raw-RDD storage release_deferred will sweep.
 _TRACKED_RDD_IDS: set[int] = set()
@@ -75,32 +77,44 @@ def deferred_persist(df: DataFrame, level=None) -> DataFrame:
     else:
         df.persist()
     with _LOCK:
-        _PENDING.append(df)
+        _PENDING.append((df, threading.get_ident()))
     return df
 
 
 class scoped_release:
     """Context manager releasing ONLY the deferred persists registered
-    inside its block — the per-microbatch form of the query-boundary
-    sweep (ADVICE r10: a continuous stream never crosses a registry
-    boundary, so its per-batch persists would otherwise accumulate
-    without bound).  Tracked localCheckpoint ids are left alone: a
-    checkpoint cannot recompute, and a batch body that needs one can
-    still rely on the eventual boundary sweep.
+    inside its block BY ITS OWN THREAD — the per-microbatch form of
+    the query-boundary sweep (ADVICE r10: a continuous stream never
+    crosses a registry boundary, so its per-batch persists would
+    otherwise accumulate without bound).  Tracked localCheckpoint ids
+    are left alone: a checkpoint cannot recompute, and a batch body
+    that needs one can still rely on the eventual boundary sweep.
 
-    Identity-based (not positional), so persists other threads
-    register concurrently — a host query, another stream — are
-    neither released nor dropped from the pool."""
+    Scoping is (identity snapshot ∩ registering-thread tag): each
+    pool entry records the thread that registered it, and exit sweeps
+    only entries that are new since ``__enter__`` AND were registered
+    by this same thread (ADVICE r11: the id-snapshot alone protected
+    pre-existing entries but swept anything ANY thread registered
+    during the block — a concurrent host query or second stream lost
+    its persists; now they stay pooled for the boundary sweep).  A
+    foreachBatch body enters and exits on the batch's own thread, so
+    the microbatch use is exactly covered."""
 
     def __enter__(self):
         with _LOCK:
-            self._before = {id(df) for df in _PENDING}
+            self._before = {id(df) for df, _ in _PENDING}
+        self._tid = threading.get_ident()
         return self
 
     def __exit__(self, *exc):
         with _LOCK:
-            mine = [df for df in _PENDING if id(df) not in self._before]
-            _PENDING[:] = [df for df in _PENDING if id(df) in self._before]
+            mine = [
+                df
+                for df, tid in _PENDING
+                if id(df) not in self._before and tid == self._tid
+            ]
+            keep_ids = {id(df) for df in mine}
+            _PENDING[:] = [e for e in _PENDING if id(e[0]) not in keep_ids]
         for df in mine:
             try:
                 df.unpersist(blocking=False)
@@ -169,7 +183,7 @@ def release_deferred(spark=None) -> int:
     the CacheManager), so a later sweeping call still reclaims them
     instead of the ids being dropped with the blocks left behind."""
     with _LOCK:
-        pending = _PENDING[:]
+        pending = [df for df, _ in _PENDING]
         _PENDING.clear()
         if spark is not None:
             tracked = set(_TRACKED_RDD_IDS)

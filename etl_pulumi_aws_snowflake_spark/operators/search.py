@@ -345,6 +345,7 @@ def bm25_index_append(
     id_col: str = "doc_id",
     fs=None,
     epoch_id: int | None = None,
+    stream_id: str | None = None,
 ) -> str:
     """Add NEW documents to the index without rebuild: their postings
     land via a partition-pruned MERGE (only the buckets the batch's
@@ -367,15 +368,33 @@ def bm25_index_append(
     corpus stats.  Serve from a higher-level swap when that window
     matters — same contract as the build.
 
-    ``epoch_id`` is the STREAMING ingest's exactly-once token
-    (streaming/bm25_ingest.py): the postings MERGE is idempotent on
-    its (term, doc_id) keys, but the meta advance is NOT — replaying a
-    crashed epoch would double-count (n, Σdl).  With ``epoch_id`` set,
-    the advanced meta commits WITH a ``last_epoch`` stamp (one atomic
-    pointer swap), and a replay whose epoch is already stamped returns
-    without touching anything.  Batch-mode appends (``epoch_id=None``)
-    drop the stamp on their next meta commit — harmless, since only
-    the stream's own checkpoint can replay an epoch."""
+    ``(stream_id, epoch_id)`` is the STREAMING ingest's exactly-once
+    token (streaming/bm25_ingest.py): the postings MERGE is idempotent
+    on its (term, doc_id) keys, but the meta advance is NOT — replaying
+    a crashed epoch would double-count (n, Σdl).  With ``epoch_id``
+    set, the advanced meta commits WITH a ``(last_stream, last_epoch)``
+    stamp (one atomic pointer swap), and the replay rules are exact
+    (ADVICE r11 — the old bare ``epoch <= last`` skip silently DROPPED
+    every append from a reset checkpoint, whose epochs restart at 0):
+
+    - same stream, ``epoch_id == last`` → the crash-replay; skipped
+      wholesale (Structured Streaming only ever re-delivers the LAST
+      uncommitted epoch — epochs within one checkpoint are monotonic).
+    - same stream, ``epoch_id < last`` → a RESET/recreated checkpoint
+      replaying history it no longer remembers; raises ``ValueError``
+      loudly instead of silently no-oping documents out of the index.
+      Recover by pointing the new checkpoint at a fresh ``stream_id``
+      (or rebuilding the index).
+    - different stream → a NEW ingest stream adopting the index; its
+      epochs start wherever they start, processed and re-stamped.
+      Concurrent writers remain out of contract (the snapshot layer's
+      single-writer rule) — the stamp protects one stream's replays,
+      not interleaved streams.
+
+    Batch-mode appends (``epoch_id=None``) CARRY the existing stamp
+    forward (ADVICE r11: dropping it opened a window where a batch
+    append between an epoch's meta commit and its checkpoint commit
+    made the replayed epoch undetectable — n/Σdl double-counted)."""
     import os
 
     from ..streaming.snapshot import snapshot_commit, snapshot_read
@@ -385,10 +404,24 @@ def bm25_index_append(
     row = snapshot_read(spark, os.path.join(root, "meta"), fs=fs).collect()[0]
     n, sum_dl, n_buckets = row["n"], row["sum_dl"], row["n_buckets"]
     last = row["last_epoch"] if "last_epoch" in row.__fields__ else None
-    if epoch_id is not None and last is not None and epoch_id <= last:
-        from ..streaming.snapshot import DEFAULT_FS, _current_version
+    last_stream = row["last_stream"] if "last_stream" in row.__fields__ else None
+    if epoch_id is not None and last is not None and stream_id == last_stream:
+        if epoch_id == last:
+            from ..streaming.snapshot import DEFAULT_FS, _current_version
 
-        return _current_version(os.path.join(root, "postings"), fs or DEFAULT_FS)
+            return _current_version(
+                os.path.join(root, "postings"), fs or DEFAULT_FS
+            )
+        if epoch_id < last:
+            raise ValueError(
+                f"bm25_index_append: epoch {epoch_id} of stream "
+                f"{stream_id!r} regressed below the index's stamped "
+                f"last_epoch={last} — this is a reset/recreated "
+                "checkpoint replaying history the index already holds; "
+                "silently skipping would DROP its future appends.  "
+                "Point the new checkpoint at a fresh stream_id, or "
+                "rebuild the index."
+            )
     w = H.words(text_col)
     toks = new_docs.select(F.col(id_col), F.expr(w.spark).alias("ws"))
     # match the index's layout: a positional index appends positional
@@ -413,10 +446,25 @@ def bm25_index_append(
         )
         .withColumn("n_buckets", F.lit(n_buckets))
     )
-    if epoch_id is not None:
-        meta = meta.withColumn("last_epoch", F.lit(int(epoch_id)))
+    meta = _stamp(meta, epoch_id, stream_id, last, last_stream)
     snapshot_commit(meta, os.path.join(root, "meta"), fs=fs)
     return version
+
+
+def _stamp(meta, epoch_id, stream_id, last, last_stream):
+    """Attach the exactly-once (stream, epoch) stamp to a meta commit:
+    a streamed epoch writes its own pair; a batch-mode commit CARRIES
+    the existing stamp forward unchanged (never drops it — the ADVICE
+    r11 crash window)."""
+    if epoch_id is not None:
+        return meta.withColumn("last_epoch", F.lit(int(epoch_id))).withColumn(
+            "last_stream", F.lit(stream_id).cast("string")
+        )
+    if last is not None:
+        return meta.withColumn("last_epoch", F.lit(int(last))).withColumn(
+            "last_stream", F.lit(last_stream).cast("string")
+        )
+    return meta
 
 
 def bm25_topk_indexed(
@@ -617,23 +665,49 @@ def bm25_index_delete(
     Contract (the inverse of append's id-disjointness): every doc in
     the batch IS currently indexed with THIS text.  Deleting with
     drifted text would leave the old text's terms stranded in buckets
-    this routing never opens, and deleting an id that was never
-    ingested would still retreat the corpus stats — both are the
-    delete+rebuild workload every index family here shares.
-    Property-tested: build+append+delete answers queries identically
-    to an index that never ingested the batch, stats included.
-    Returns the new postings snapshot version."""
+    this routing never opens — that is the delete+rebuild workload
+    every index family here shares.  Guards (ADVICE r11 — the contract
+    used to be docstring-only): duplicate ``id_col`` rows in the batch
+    are collapsed BEFORE the retreat is counted (a doc can only be
+    indexed once, so it can only retreat once), and a retreat that
+    would drive ``n`` or ``sum_dl`` negative — ids never ingested, or
+    already-deleted docs — raises loudly instead of committing garbage
+    corpus stats (``n <= 0`` makes ``avgdl`` a null/degenerate divisor
+    for every later search).  Property-tested: build+append+delete
+    answers queries identically to an index that never ingested the
+    batch, stats included.  Returns the new postings snapshot
+    version."""
     import os
 
-    from ..streaming.snapshot import snapshot_commit
+    from ..streaming.snapshot import snapshot_commit, snapshot_read
     from .warehouse import merge_upsert_pruned
 
     spark = docs.sparkSession
-    n, sum_dl, n_buckets = _bm25_meta(spark, root, fs)
+    row = snapshot_read(spark, os.path.join(root, "meta"), fs=fs).collect()[0]
+    n, sum_dl, n_buckets = row["n"], row["sum_dl"], row["n_buckets"]
+    last = row["last_epoch"] if "last_epoch" in row.__fields__ else None
+    last_stream = row["last_stream"] if "last_stream" in row.__fields__ else None
     w = H.words(text_col)
-    toks = docs.select(F.col(id_col), F.expr(w.spark).alias("ws"))
-    from ..streaming.snapshot import snapshot_read
-
+    toks = docs.dropDuplicates([id_col]).select(
+        F.col(id_col), F.expr(w.spark).alias("ws")
+    )
+    # The retreat is counted EAGERLY (one column-pruned agg job) so the
+    # guard fires before anything commits — after the postings MERGE
+    # would be too late to keep the pair consistent.
+    brow = toks.agg(
+        F.count(F.lit(1)).alias("bn"),
+        F.coalesce(F.sum(F.size("ws")), F.lit(0)).alias("bdl"),
+    ).collect()[0]
+    bn, bdl = brow["bn"], brow["bdl"]
+    if bn > n or bdl > sum_dl:
+        raise ValueError(
+            f"bm25_index_delete: retreating {bn} docs / {bdl} tokens "
+            f"would drive the index stats negative (currently n={n}, "
+            f"sum_dl={sum_dl}) — the batch contains ids that were never "
+            "ingested, were already deleted, or text that drifted from "
+            "what was indexed.  Deleting them would corrupt avgdl for "
+            "every later search; reconcile the batch or rebuild."
+        )
     pos = "positions" in snapshot_read(
         spark, os.path.join(root, "postings"), fs=fs
     ).columns
@@ -648,14 +722,10 @@ def bm25_index_delete(
         delete_col="_del",
         fs=fs,
     )
-    meta = (
-        toks.agg(
-            (F.lit(n) - F.count(F.lit(1))).alias("n"),
-            (F.lit(sum_dl) - F.coalesce(F.sum(F.size("ws")), F.lit(0))).alias(
-                "sum_dl"
-            ),
-        )
-        .withColumn("n_buckets", F.lit(n_buckets))
+    meta = spark.createDataFrame(
+        [(n - bn, sum_dl - bdl, n_buckets)],
+        "n bigint, sum_dl bigint, n_buckets int",
     )
+    meta = _stamp(meta, None, None, last, last_stream)
     snapshot_commit(meta, os.path.join(root, "meta"), fs=fs)
     return version

@@ -21,9 +21,12 @@ at once.
 Exactly-once: the file source + checkpoint feed each landing file to
 one ``foreachBatch`` call across restarts.  The postings MERGE is
 replay-idempotent by its keys, but the meta advance is NOT — so the
-append stamps ``last_epoch`` into the meta commit (one atomic pointer
-swap) and a replayed epoch that is already stamped is skipped wholesale
-(``bm25_index_append`` docstring has the crash-window argument).
+append stamps ``(last_stream, last_epoch)`` into the meta commit (one
+atomic pointer swap): a replayed epoch that is already stamped is
+skipped wholesale, while a RESET checkpoint — same stream identity,
+epochs restarted below the stamp — fails loudly instead of silently
+no-oping its appends (``bm25_index_append`` docstring has the full
+replay rules and the crash-window argument).
 """
 
 from __future__ import annotations
@@ -42,10 +45,16 @@ def bm25_ingest_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     fs=None,
+    stream_id: str | None = None,
 ) -> None:
     """One ingest epoch: append the batch's postings (pruned MERGE)
-    and advance the corpus stats, stamped with ``epoch_id`` so a
-    crash-replay of the same epoch is a no-op.  Module-level (not a
+    and advance the corpus stats, stamped with ``(stream_id,
+    epoch_id)`` so a crash-replay of the same epoch is a no-op while a
+    RESET checkpoint (same stream identity, regressed epoch) fails
+    loudly instead of silently dropping appends (ADVICE r11 —
+    ``bm25_index_append`` docstring has the full replay rules).
+    ``stream_id`` should be the stream's checkpoint location; the
+    stream wrapper passes it automatically.  Module-level (not a
     stream closure) so the replay contract is directly testable.
 
     Releases its own deferred persists on exit (``scoped_release``) —
@@ -53,7 +62,13 @@ def bm25_ingest_batch(
     same per-microbatch discipline as ``lsh_ingest_batch``."""
     with scoped_release():
         bm25_index_append(
-            batch_df, index_root, text_col, id_col, fs=fs, epoch_id=epoch_id
+            batch_df,
+            index_root,
+            text_col,
+            id_col,
+            fs=fs,
+            epoch_id=epoch_id,
+            stream_id=stream_id,
         )
 
 
@@ -86,7 +101,16 @@ def stream_bm25_ingest(
         if not batch_df.take(1):
             return
         bm25_ingest_batch(
-            batch_df, epoch_id, index_root, text_col, id_col, fs=fs
+            batch_df,
+            epoch_id,
+            index_root,
+            text_col,
+            id_col,
+            fs=fs,
+            # the checkpoint location IS the stream's replay identity:
+            # a recreated checkpoint at the same path that replays old
+            # epochs fails loudly; a new checkpoint path is a new stream
+            stream_id=checkpoint,
         )
 
     query = (

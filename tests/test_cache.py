@@ -154,9 +154,42 @@ def test_scoped_release_frees_only_in_scope_persists(spark):
     assert not inner.storageLevel.useMemory
     assert outer.storageLevel.useMemory
     with cache._LOCK:
-        assert [id(df) for df in cache._PENDING] == [id(outer)]
+        assert [id(df) for df, _ in cache._PENDING] == [id(outer)]
     cache.release_deferred(spark)
     assert not outer.storageLevel.useMemory
+
+
+def test_scoped_release_spares_other_threads_registrations(spark):
+    """A persist registered by ANOTHER thread while a scope is open is
+    neither released nor dropped from the pool (ADVICE r11: the old
+    id-snapshot swept anything any thread registered during the block
+    — a concurrent host query or second stream lost its persists).
+    The scope's own registration is still swept."""
+    import threading
+
+    spark.catalog.clearCache()
+    cache.release_deferred(spark)
+
+    other: list = []
+
+    def host_thread():
+        df = cache.deferred_persist(spark.range(40).toDF("h"))
+        df.count()
+        other.append(df)
+
+    with cache.scoped_release():
+        mine = cache.deferred_persist(spark.range(30).toDF("m"))
+        mine.count()
+        t = threading.Thread(target=host_thread)
+        t.start()
+        t.join()
+
+    assert not mine.storageLevel.useMemory  # own registration swept
+    assert other[0].storageLevel.useMemory  # other thread's spared...
+    with cache._LOCK:  # ...and still pooled for the boundary sweep
+        assert [id(df) for df, _ in cache._PENDING] == [id(other[0])]
+    cache.release_deferred(spark)
+    assert not other[0].storageLevel.useMemory
 
 
 def test_scoped_release_leaves_tracked_checkpoints_alone(spark):

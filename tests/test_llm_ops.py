@@ -1237,7 +1237,7 @@ def test_lsh_ingest_batch_releases_its_persists(spark, tmp_path):
     lsh_ingest_batch(batch, 0, root, str(tmp_path / "results"), threshold=0.5)
 
     with cache._LOCK:
-        assert [id(df) for df in cache._PENDING] == [id(host)]
+        assert [id(df) for df, _ in cache._PENDING] == [id(host)]
     assert host.storageLevel.useMemory
     cache.release_deferred(spark)
 
@@ -1608,42 +1608,100 @@ def test_quantized_ivf_index_int8_contract(spark, tmp_path):
     assert got[(0, 1)] == 1 and got[(3, 1)] == 5
 
 
-def test_bm25_batch_append_after_streamed_epochs_drops_stamp_safely(
-    spark, tmp_path
-):
-    """Meta schema back-compat both directions: a batch-mode append
-    (epoch_id=None) after streamed epochs reads the stamped meta fine
-    and commits WITHOUT the stamp; a later streamed epoch re-stamps
-    from scratch (last=None path) and stays exactly-once."""
+def test_bm25_stream_stamp_replay_rules(spark, tmp_path):
+    """The full (stream, epoch) replay matrix (ADVICE r11):
+
+    1. a batch-mode append CARRIES the stamp forward, so a crash-replay
+       interleaved with a batch append is STILL detected (the old
+       stamp-drop opened a double-count window);
+    2. a RESET checkpoint — same stream identity, epochs restarted
+       below the stamp — raises loudly instead of silently dropping
+       every future append;
+    3. a NEW stream (different identity) adopting the index applies
+       its epoch-0 batch normally and re-stamps."""
+    import os
+
+    import pytest
+
     from etl_pulumi_aws_snowflake_spark.operators import search as SR
     from etl_pulumi_aws_snowflake_spark.streaming.bm25_ingest import (
         bm25_ingest_batch,
     )
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import snapshot_read
 
     base = spark.createDataFrame(
         [(i, "w common") for i in range(10)], "doc_id long, text string"
     )
     root = str(tmp_path / "bm25")
     SR.bm25_build_index(base, root, n_buckets=4)
-    bm25_ingest_batch(
-        spark.createDataFrame([(100, "w common x")], "doc_id long, text string"),
-        3,
-        root,
+    epoch3 = spark.createDataFrame(
+        [(100, "w common x")], "doc_id long, text string"
     )
-    # batch append: reads stamped meta, advances, drops the stamp
+    bm25_ingest_batch(epoch3, 3, root, stream_id="ckpt-a")
+    # (1) batch append between the epoch's meta commit and its
+    # checkpoint commit: stamp carried forward...
     SR.bm25_index_append(
         spark.createDataFrame([(200, "w common y")], "doc_id long, text string"),
         root,
     )
+    meta = snapshot_read(spark, os.path.join(root, "meta")).collect()[0]
+    assert (meta["last_epoch"], meta["last_stream"]) == (3, "ckpt-a")
+    # ...so the crash-replay of epoch 3 is still a no-op
+    bm25_ingest_batch(epoch3, 3, root, stream_id="ckpt-a")
     assert SR._bm25_meta(spark, root) == (12, 20 + 3 + 3, 4)
-    # a fresh streamed epoch after the unstamped meta still applies
-    # exactly once on replay
+
+    # (2) reset checkpoint: same stream identity, epoch regressed
+    with pytest.raises(ValueError, match="reset/recreated checkpoint"):
+        bm25_ingest_batch(
+            spark.createDataFrame(
+                [(300, "w common z")], "doc_id long, text string"
+            ),
+            0,
+            root,
+            stream_id="ckpt-a",
+        )
+    assert SR._bm25_meta(spark, root) == (12, 26, 4)  # nothing committed
+
+    # (3) a NEW stream identity starting at epoch 0 applies + re-stamps
     batch = spark.createDataFrame(
         [(300, "w common z")], "doc_id long, text string"
     )
-    bm25_ingest_batch(batch, 0, root)
-    bm25_ingest_batch(batch, 0, root)  # replay
+    bm25_ingest_batch(batch, 0, root, stream_id="ckpt-b")
+    bm25_ingest_batch(batch, 0, root, stream_id="ckpt-b")  # replay
     assert SR._bm25_meta(spark, root) == (13, 26 + 3, 4)
+    meta = snapshot_read(spark, os.path.join(root, "meta")).collect()[0]
+    assert (meta["last_epoch"], meta["last_stream"]) == (0, "ckpt-b")
+
+
+def test_bm25_index_delete_over_retreat_rejected(spark, tmp_path):
+    """Deleting ids never ingested (or drifted text) would drive the
+    corpus stats negative and make avgdl a garbage divisor — rejected
+    loudly BEFORE anything commits (ADVICE r11); duplicate batch rows
+    collapse to one retreat instead of double-counting."""
+    import pytest
+
+    from etl_pulumi_aws_snowflake_spark.operators import search as SR
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a d")], "doc_id long, text string"
+    )
+    root = str(tmp_path / "bm25")
+    SR.bm25_build_index(docs, root, n_buckets=4)
+
+    # duplicate rows for one doc: retreat counted once, not twice
+    dup = spark.createDataFrame(
+        [(2, "a d"), (2, "a d")], "doc_id long, text string"
+    )
+    SR.bm25_index_delete(dup, root)
+    assert SR._bm25_meta(spark, root) == (1, 3, 4)
+
+    # over-retreat: 2 more docs than the index holds -> loud, no commit
+    over = spark.createDataFrame(
+        [(1, "a b c"), (7, "never ingested")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="drive the index stats negative"):
+        SR.bm25_index_delete(over, root)
+    assert SR._bm25_meta(spark, root) == (1, 3, 4)
 
 
 def test_phrase_search_positional_contract(spark, tmp_path):
