@@ -660,6 +660,31 @@ def ivf_build_index(
     )
 
 
+def _frozen_seeds(spark, root: str, fs, op: str) -> list:
+    """Collect a persisted index's FROZEN seed table as the
+    ``centroids=`` list (an index's centroids are fixed at build time —
+    the FAISS ``add()``/``remove_ids`` contract; re-seeding would
+    silently reassign the whole existing corpus).  Shared by every
+    incremental-maintenance path, float and quantized alike, so the
+    cap and the routing rule cannot drift between payload types."""
+    import os
+
+    from ..streaming.snapshot import snapshot_read
+
+    seeds = snapshot_read(spark, os.path.join(root, "seeds"), fs=fs)
+    cent = [
+        (r["seed_id"], r["v"])
+        for r in seeds.limit(MAX_CLOSURE_SEEDS + 1).collect()
+    ]
+    if len(cent) > MAX_CLOSURE_SEEDS:
+        raise ValueError(
+            f"index at {root!r} has more than MAX_CLOSURE_SEEDS="
+            f"{MAX_CLOSURE_SEEDS} seeds — {op} assigns against the "
+            "frozen seed table in-closure; rebuild with a bounded nlists"
+        )
+    return cent
+
+
 def ivf_index_append(new_rows: DataFrame, root: str, fs=None) -> str:
     """Append vectors to a persisted index WITHOUT rebuild: assign them
     against the index's FROZEN seed table (an index's centroids are
@@ -686,20 +711,9 @@ def ivf_index_append(new_rows: DataFrame, root: str, fs=None) -> str:
     import os
 
     from .warehouse import merge_upsert_pruned
-    from ..streaming.snapshot import snapshot_read
 
     spark = new_rows.sparkSession
-    seeds = snapshot_read(spark, os.path.join(root, "seeds"), fs=fs)
-    cent = [
-        (r["seed_id"], r["v"])
-        for r in seeds.limit(MAX_CLOSURE_SEEDS + 1).collect()
-    ]
-    if len(cent) > MAX_CLOSURE_SEEDS:
-        raise ValueError(
-            f"index at {root!r} has more than MAX_CLOSURE_SEEDS="
-            f"{MAX_CLOSURE_SEEDS} seeds — append assigns against the "
-            "frozen seed table in-closure; rebuild with a bounded nlists"
-        )
+    cent = _frozen_seeds(spark, root, fs, "append")
     assigned = ivf_assign(new_rows, centroids=cent)
     return merge_upsert_pruned(
         spark,
@@ -764,21 +778,10 @@ def ivf_index_delete(rows: DataFrame, root: str, fs=None) -> str:
     frozen seeds.  Returns the new corpus snapshot version."""
     import os
 
-    from ..streaming.snapshot import snapshot_read
     from .warehouse import merge_upsert_pruned
 
     spark = rows.sparkSession
-    seeds = snapshot_read(spark, os.path.join(root, "seeds"), fs=fs)
-    cent = [
-        (r["seed_id"], r["v"])
-        for r in seeds.limit(MAX_CLOSURE_SEEDS + 1).collect()
-    ]
-    if len(cent) > MAX_CLOSURE_SEEDS:
-        raise ValueError(
-            f"index at {root!r} has more than MAX_CLOSURE_SEEDS="
-            f"{MAX_CLOSURE_SEEDS} seeds — delete assigns against the "
-            "frozen seed table in-closure; rebuild with a bounded nlists"
-        )
+    cent = _frozen_seeds(spark, root, fs, "delete")
     assigned = ivf_assign(rows, centroids=cent)
     return merge_upsert_pruned(
         spark,
@@ -842,6 +845,7 @@ def ivf_build_index_quantized(
     seed_stride: int = 50,
     centroids: list | None = None,
     fs=None,
+    rerank_payload: bool = False,
 ) -> str:
     """Persist the QUANTIZED IVF index: full-precision seed table
     (routing quality is not worth quantizing — it is nlists rows) +
@@ -849,18 +853,125 @@ def ivf_build_index_quantized(
     full-precision vectors (build-time cost, paid once), so list
     membership is identical to :func:`ivf_build_index`'s — only the
     serving payload is quantized.  Same immutable-artifact commit
-    contract as the full-precision build."""
+    contract as the full-precision build.
+
+    ``rerank_payload=True`` additionally lands the FULL-PRECISION
+    assigned corpus beside the int8 one (``<root>/corpus``, identical
+    layout to :func:`ivf_build_index`) — the re-score tier of the
+    IVF-ADC serving shape (:func:`ivf_topk_indexed_quantized_rerank`):
+    the int8 payload does the candidate scan, the float payload is
+    touched only for the ``m·k`` survivors per probe (row-group-pruned
+    by a pushed ``vec_id IN`` filter), so routed IO stays ~int8-sized
+    while final scores are full-precision."""
     import os
 
     from ..streaming.snapshot import snapshot_commit, snapshot_commit_partitioned
 
     seeds = _seed_frame(corpus, seed_stride, centroids, nlists)
     assigned = ivf_assign(corpus, seed_stride, centroids, nlists)
+    if rerank_payload:
+        assigned = deferred_persist(assigned)
     snapshot_commit(seeds, os.path.join(root, "seeds"), fs=fs)
+    if rerank_payload:
+        snapshot_commit_partitioned(
+            assigned, os.path.join(root, "corpus"), "list_id", fs=fs
+        )
     return snapshot_commit_partitioned(
         quantize_assigned(assigned),
         os.path.join(root, "corpus_q"),
         "list_id",
+        fs=fs,
+    )
+
+
+def _has_member(root: str, name: str, fs) -> bool:
+    """True when the index root has a live ``<root>/<name>`` snapshot —
+    how the quantized lifecycle detects a rerank payload to maintain."""
+    import os
+
+    from ..streaming.snapshot import DEFAULT_FS, _current_version
+
+    return _current_version(os.path.join(root, name), fs or DEFAULT_FS) is not None
+
+
+def ivf_index_append_quantized(new_rows: DataFrame, root: str, fs=None) -> str:
+    """Append vectors to a persisted QUANTIZED index WITHOUT rebuild —
+    lifecycle parity with :func:`ivf_index_append` (VERDICT r11 #1):
+    assign against the index's FROZEN seed table, quantize the assigned
+    rows with the same max-abs rule the build used, then partition-
+    pruned MERGE into the int8 corpus — only the lists that actually
+    received new vectors rewrite.  A rerank-enabled index
+    (``rerank_payload=True`` at build) has its full-precision payload
+    MERGEd too, so both tiers stay in lockstep.  Same contracts as the
+    float path: upserts must be list-stable; cross-list re-embedding is
+    delete-with-old-embedding then append.  Zero vectors are dropped
+    (never indexed — the build's own rule).  Property-tested equal to
+    rebuild-over-the-union under the same frozen seeds.  Returns the
+    new int8-corpus snapshot version."""
+    import os
+
+    from .warehouse import merge_upsert_pruned
+
+    spark = new_rows.sparkSession
+    cent = _frozen_seeds(spark, root, fs, "append")
+    assigned = ivf_assign(new_rows, centroids=cent)
+    if _has_member(root, "corpus", fs):
+        assigned = deferred_persist(assigned)
+        merge_upsert_pruned(
+            spark,
+            os.path.join(root, "corpus"),
+            assigned,
+            key=["vec_id"],
+            partition_col="list_id",
+            fs=fs,
+        )
+    return merge_upsert_pruned(
+        spark,
+        os.path.join(root, "corpus_q"),
+        quantize_assigned(assigned),
+        key=["vec_id"],
+        partition_col="list_id",
+        fs=fs,
+    )
+
+
+def ivf_index_delete_quantized(rows: DataFrame, root: str, fs=None) -> str:
+    """Remove vectors from a persisted QUANTIZED index WITHOUT rebuild
+    — lifecycle parity with :func:`ivf_index_delete` (VERDICT r11 #1).
+    ``rows`` is (vec_id, embedding) EXACTLY as indexed: re-assigning
+    against the frozen seeds routes the pruned MERGE to the lists that
+    hold them (delete needs only the routing and the key, but the rows
+    go through the same :func:`quantize_assigned` as build/append so a
+    zero vector — never indexed — is a no-op here too).  A
+    rerank-enabled index has its full-precision payload pruned-MERGEd
+    in lockstep.  Property-tested: search over build+delete equals
+    search over an index built WITHOUT those vectors under the same
+    frozen seeds.  Returns the new int8-corpus snapshot version."""
+    import os
+
+    from .warehouse import merge_upsert_pruned
+
+    spark = rows.sparkSession
+    cent = _frozen_seeds(spark, root, fs, "delete")
+    assigned = ivf_assign(rows, centroids=cent)
+    if _has_member(root, "corpus", fs):
+        assigned = deferred_persist(assigned)
+        merge_upsert_pruned(
+            spark,
+            os.path.join(root, "corpus"),
+            assigned.withColumn("_del", F.lit(True)),
+            key=["vec_id"],
+            partition_col="list_id",
+            delete_col="_del",
+            fs=fs,
+        )
+    return merge_upsert_pruned(
+        spark,
+        os.path.join(root, "corpus_q"),
+        quantize_assigned(assigned).withColumn("_del", F.lit(True)),
+        key=["vec_id"],
+        partition_col="list_id",
+        delete_col="_del",
         fs=fs,
     )
 
@@ -881,6 +992,25 @@ def ivf_topk_indexed_quantized(
 
     from ..streaming.snapshot import snapshot_read
 
+    cand = _q_candidates(probes, root, nprobe, fs)
+    w = Window.partitionBy("probe_id").orderBy(F.desc("qcos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "rank", "vec_id", "qcos")
+    )
+
+
+def _q_candidates(probes: DataFrame, root: str, nprobe: int, fs) -> DataFrame:
+    """Quantized candidate scoring shared by the pure-int8 serve and
+    the re-rank tier: full-precision probe routing, partition-pruned
+    int8 corpus read, asymmetric cosine — (probe_id, v, nrm, vec_id,
+    qcos), probe vector and norm carried through for a re-score
+    phase."""
+    import os
+
+    from ..streaming.snapshot import snapshot_read
+
     spark = probes.sparkSession
     seeds = snapshot_read(spark, os.path.join(root, "seeds"), fs=fs)
     probe_lists = deferred_persist(_route_probes(probes, seeds, nprobe))
@@ -892,7 +1022,6 @@ def ivf_topk_indexed_quantized(
         spark, os.path.join(root, "corpus_q"), partition_values=wanted, fs=fs
     )
     pa, ca = probe_lists.alias("a"), qcorpus.alias("b")
-    w = Window.partitionBy("probe_id").orderBy(F.desc("qcos"), F.asc("vec_id"))
     return (
         F.broadcast(pa)
         .join(
@@ -902,12 +1031,106 @@ def ivf_topk_indexed_quantized(
         )
         .select(
             "probe_id",
+            F.col("a.v").alias("v"),
+            F.col("a.nrm").alias("nrm"),
             F.col("b.vec_id").alias("vec_id"),
+            F.col("b.list_id").alias("list_id"),
             (F.expr(_DOT_AQ) / (F.col("a.nrm") * F.col("b.qnrm"))).alias(
                 "qcos"
             ),
         )
+    )
+
+
+#: Hard cap on the re-rank survivor set collected to name the float
+#: read's pushed-down id filter: |probes|·m·k ids.  Far above any
+#: sane probe set; crossing it means someone passed a corpus as
+#: probes, which is cosine_topk's workload.
+MAX_RERANK_IDS = 100_000
+
+
+def ivf_topk_indexed_quantized_rerank(
+    probes: DataFrame,
+    root: str,
+    k: int = 3,
+    nprobe: int = 2,
+    m: int = 3,
+    fs=None,
+) -> DataFrame:
+    """ANN top-k via the IVF-ADC two-tier serve (VERDICT r11 #2):
+    the INT8 payload scans the routed lists and cuts candidates to the
+    per-probe top-``m·k`` by quantized score, then ONLY those survivors
+    re-score against the FULL-PRECISION payload — (probe_id, rank,
+    vec_id, cos) ranked by the exact cosine.  Requires a
+    ``rerank_payload=True`` build.
+
+    Why this holds recall at 100 TB where pure-int8 serving only
+    measures it: int8 rounding perturbs scores by ~1/127 of the vector
+    scale, so two candidates closer than that can swap ranks — at
+    fixture scale gaps are huge and recall is identically the float
+    path's, but nothing enforces that as corpora densify.  The re-rank
+    makes the mechanism structural: quantization now only has to get
+    the top-``m·k`` SET roughly right (a much looser ask than exact
+    order), and the final order is full-precision.
+
+    IO shape: the candidate scan — the volume term — reads the ~4x
+    smaller int8 lists; the float read is partition-pruned to the
+    routed lists AND filtered to the ``|probes|·m·k`` survivor ids
+    (collected — the same bounded-scalar class as the routing
+    collect, capped at :data:`MAX_RERANK_IDS`), which parquet prunes
+    at row-group granularity.  So routed IO stays ~int8-sized and the
+    float tier costs O(survivors), the classic ADC + refine split.
+
+    Determinism: both phases are strict-left-fold doubles (qcos over
+    exact-integer values, cos the same fold as :func:`cosine_topk`),
+    both tiebreaks by vec_id — the oracle replays phase 1's cut and
+    phase 2's re-rank exactly."""
+    import os
+
+    from ..streaming.snapshot import snapshot_read
+
+    spark = probes.sparkSession
+    wq = Window.partitionBy("probe_id").orderBy(F.desc("qcos"), F.asc("vec_id"))
+    cand = deferred_persist(
+        _q_candidates(probes, root, nprobe, fs)
+        .withColumn("qrank", F.row_number().over(wq))
+        .filter(F.col("qrank") <= m * k)
+        .select("probe_id", "v", "nrm", "vec_id", "list_id")
+    )
+    ids = [
+        r["vec_id"]
+        for r in cand.select("vec_id")
+        .distinct()
+        .limit(MAX_RERANK_IDS + 1)
+        .collect()
+    ]
+    if len(ids) > MAX_RERANK_IDS:
+        raise ValueError(
+            f"ivf_topk_indexed_quantized_rerank: more than "
+            f"{MAX_RERANK_IDS} re-rank survivors — the probe set is "
+            "corpus-sized; use cosine_topk (distributed join) instead"
+        )
+    if not ids:
+        return cand.select(
+            "probe_id", F.lit(1).alias("rank"), "vec_id", F.lit(0.0).alias("cos")
+        ).filter(F.lit(False))
+    # survivors carry their list_id from the int8 scan, so the float
+    # read prunes to exactly the lists that hold them (≤ the routed
+    # set) with zero extra IO; the id filter then pushes to parquet
+    # row-group stats inside those lists
+    lists = sorted(
+        r["list_id"] for r in cand.select("list_id").distinct().collect()
+    )
+    full = snapshot_read(
+        spark, os.path.join(root, "corpus"), partition_values=lists, fs=fs
+    ).filter(F.col("vec_id").isin(ids))
+    a, b = cand.alias("a"), full.alias("b")
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .select("probe_id", F.col("b.vec_id").alias("vec_id"), _cos_ab())
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("probe_id", "rank", "vec_id", "qcos")
+        .select("probe_id", "rank", "vec_id", "cos")
     )

@@ -589,18 +589,44 @@ def test_ivf_indexed_search_is_partition_pruned(spark, tmp_path):
     assert len(lists_read) == 2, lists_read
 
 
-def test_ivf_index_append_equals_rebuild_with_frozen_seeds(spark, tmp_path):
+#: (build, append, delete, search) per index payload type — the
+#: lifecycle property tests run over BOTH (VERDICT r11 #1: the int8
+#: index must hold the same add()/remove_ids contracts as the float
+#: one, not just build+serve).
+_IVF_PAYLOADS = {
+    "float": (
+        S.ivf_build_index,
+        S.ivf_index_append,
+        S.ivf_index_delete,
+        S.ivf_topk_indexed,
+    ),
+    "quantized": (
+        S.ivf_build_index_quantized,
+        S.ivf_index_append_quantized,
+        S.ivf_index_delete_quantized,
+        S.ivf_topk_indexed_quantized,
+    ),
+}
+
+
+@pytest.mark.parametrize("payload", sorted(_IVF_PAYLOADS))
+def test_ivf_index_append_equals_rebuild_with_frozen_seeds(
+    spark, tmp_path, payload
+):
     """Append must equal a full build over everything with the SAME
     centroids (the FAISS add() contract): assignment against the
-    frozen seed table, search results bit-identical."""
+    frozen seed table, search results bit-identical.  Holds for the
+    float AND the int8 payload (quantization is per-vector, so it
+    commutes with when the vector arrived)."""
+    build, append, _, search = _IVF_PAYLOADS[payload]
     corpus = _synthetic_corpus(spark, n=400)
     base = corpus.filter(F.col("vec_id") % 2 == 0)
     extra = corpus.filter(F.col("vec_id") % 2 == 1)
     probes = corpus.filter(F.col("vec_id") % 100 == 0)
 
     grown = str(tmp_path / "grown")
-    S.ivf_build_index(base, grown, nlists=8)
-    S.ivf_index_append(extra, grown)
+    build(base, grown, nlists=8)
+    append(extra, grown)
 
     # reference: one-shot build over the FULL corpus with the base
     # half's frozen centroids (collected from the grown index root)
@@ -611,10 +637,10 @@ def test_ivf_index_append_equals_rebuild_with_frozen_seeds(spark, tmp_path):
         for r in snapshot_read(spark, os.path.join(grown, "seeds")).collect()
     ]
     full = str(tmp_path / "full")
-    S.ivf_build_index(corpus, full, centroids=cent)
+    build(corpus, full, centroids=cent)
 
-    got = sorted(map(tuple, S.ivf_topk_indexed(probes, grown, k=3, nprobe=2).collect()))
-    want = sorted(map(tuple, S.ivf_topk_indexed(probes, full, k=3, nprobe=2).collect()))
+    got = sorted(map(tuple, search(probes, grown, k=3, nprobe=2).collect()))
+    want = sorted(map(tuple, search(probes, full, k=3, nprobe=2).collect()))
     assert got == want and got
     # appended vectors are actually findable: odd ids appear in results
     assert any(r[2] % 2 == 1 for r in got)
@@ -1336,22 +1362,22 @@ def test_lsh_index_delete_is_partition_pruned(spark, tmp_path, monkeypatch):
     assert seen["sets"] == [3], seen
 
 
-def test_ivf_index_delete_equals_never_ingested(spark):
+@pytest.mark.parametrize("payload", sorted(_IVF_PAYLOADS))
+def test_ivf_index_delete_equals_never_ingested(spark, payload):
     """IVF deletion: build on everything (seeds frozen over the full
     corpus), delete the odd half, search — must equal a search over an
     index built from the even half WITH THE SAME frozen centroids
-    (FAISS remove_ids semantics: centroids never move)."""
+    (FAISS remove_ids semantics: centroids never move).  Holds for the
+    float AND the int8 payload."""
     import tempfile
 
-    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
-    from etl_pulumi_aws_snowflake_spark.sources import load_table
-
+    build, _, delete, search = _IVF_PAYLOADS[payload]
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     probes = emb.filter(F.col("vec_id") % 100 == 0)
     with tempfile.TemporaryDirectory() as td:
         grown = f"{td}/grown"
-        S.ivf_build_index(emb, grown, nlists=8)
-        S.ivf_index_delete(emb.filter(F.col("vec_id") % 2 == 1), grown)
+        build(emb, grown, nlists=8)
+        delete(emb.filter(F.col("vec_id") % 2 == 1), grown)
 
         from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
             snapshot_read,
@@ -1362,22 +1388,105 @@ def test_ivf_index_delete_equals_never_ingested(spark):
             for r in snapshot_read(spark, f"{grown}/seeds").collect()
         ]
         fresh = f"{td}/fresh"
-        S.ivf_build_index(
-            emb.filter(F.col("vec_id") % 2 == 0), fresh, centroids=cent
-        )
+        build(emb.filter(F.col("vec_id") % 2 == 0), fresh, centroids=cent)
         got = [
             tuple(r)
-            for r in S.ivf_topk_indexed(probes, grown, k=3, nprobe=2)
+            for r in search(probes, grown, k=3, nprobe=2)
             .orderBy("probe_id", "rank")
             .collect()
         ]
         want = [
             tuple(r)
-            for r in S.ivf_topk_indexed(probes, fresh, k=3, nprobe=2)
+            for r in search(probes, fresh, k=3, nprobe=2)
             .orderBy("probe_id", "rank")
             .collect()
         ]
         assert got == want and got
+
+
+def test_quantized_rerank_recall_and_lockstep_lifecycle(spark, tmp_path):
+    """The IVF-ADC re-rank tier (VERDICT r11 #2), three claims:
+
+    1. recall(rerank) >= recall(pure int8) on the same index — the
+       structural guarantee the tier exists for;
+    2. the float read is partition-pruned to the survivors' lists
+       (never an unpruned corpus scan);
+    3. append/delete on a rerank-enabled index maintain BOTH payloads
+       in lockstep: post-maintenance rerank serves equal a fresh
+       rerank build under the same frozen seeds."""
+    import os
+
+    from etl_pulumi_aws_snowflake_spark.streaming import snapshot as SN
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    root = str(tmp_path / "adc")
+    S.ivf_build_index_quantized(emb, root, nlists=8, rerank_payload=True)
+
+    def hits(ann):
+        exact = S.cosine_topk(probes, emb, k=3).select("probe_id", "vec_id")
+        return (
+            ann.select("probe_id", "vec_id")
+            .join(exact, ["probe_id", "vec_id"])
+            .count()
+        )
+
+    # (2) spy the float-payload read while serving
+    seen = {}
+    orig = SN.snapshot_read
+
+    def spy(spark_, path, partition_values=None, **kw):
+        if path.endswith("/corpus"):
+            seen["pv"] = partition_values
+        return orig(spark_, path, partition_values=partition_values, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(SN, "snapshot_read", spy):
+        rr = S.ivf_topk_indexed_quantized_rerank(
+            probes, root, k=3, nprobe=2, m=3
+        )
+        h_rerank = hits(rr)
+    assert seen["pv"] is not None and len(seen["pv"]) <= 8
+    # (1) rerank recall >= pure-int8 recall
+    h_int8 = hits(S.ivf_topk_indexed_quantized(probes, root, k=3, nprobe=2))
+    assert h_rerank >= h_int8 > 0
+
+    # (3) lockstep maintenance: append odd-tail, delete a slice, then
+    # rerank serve == fresh rerank build with the same frozen seeds
+    grown = str(tmp_path / "grown")
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    S.ivf_build_index_quantized(base, grown, nlists=8, rerank_payload=True)
+    S.ivf_index_append_quantized(emb.filter(F.col("vec_id") % 4 == 3), grown)
+    S.ivf_index_delete_quantized(emb.filter(F.col("vec_id") % 4 == 1), grown)
+    cent = [
+        (r["seed_id"], r["v"])
+        for r in SN.snapshot_read(spark, os.path.join(grown, "seeds")).collect()
+    ]
+    fresh = str(tmp_path / "fresh")
+    S.ivf_build_index_quantized(
+        emb.filter(F.col("vec_id") % 4 != 1),
+        fresh,
+        centroids=cent,
+        rerank_payload=True,
+    )
+    got = sorted(
+        map(
+            tuple,
+            S.ivf_topk_indexed_quantized_rerank(
+                probes, grown, k=3, nprobe=2, m=3
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            S.ivf_topk_indexed_quantized_rerank(
+                probes, fresh, k=3, nprobe=2, m=3
+            ).collect(),
+        )
+    )
+    assert got == want and got
 
 
 def test_bm25_index_delete_equals_never_ingested(spark, tmp_path):
