@@ -57,6 +57,8 @@ HEADLINE: tuple[str, ...] = (
     "search_hybrid_rrf",
     "search_hybrid_rrf_indexed",
     "text_chunk_windows",
+    "curation_pipeline_indexed_e2e",
+    "sim_ivf_topk_quantized_rerank",
 )
 
 #: Rows whose registry callables time index CONSTRUCTION + the query
@@ -70,7 +72,21 @@ HEADLINE: tuple[str, ...] = (
 BUILD_INCLUSIVE: tuple[str, ...] = (
     "search_bm25_indexed",
     "search_hybrid_rrf_indexed",
+    "curation_pipeline_indexed_e2e",
+    "sim_ivf_topk_quantized_rerank",
 )
+
+#: Entries whose SCOPE changed in a named round — a round-over-round
+#: reader must compare against the rebaselined band, not the old one
+#: (VERDICT r11 #3: r11's curation number was misread as a 1.97x
+#: regression when it was a feature addition).
+REBASELINED: dict[str, str] = {
+    "curation_pipeline_e2e": (
+        "r11 added the near-dup keep-one stage (MinHash LSH over the "
+        "corpus inside the chain) — compare against BENCH_r11's 4.98 s "
+        "band, not BENCH_r10's 2.52 s"
+    ),
+}
 
 
 def _calibration(spark) -> list[float]:
@@ -148,6 +164,12 @@ def main() -> None:
                     "build_inclusive": [
                         n for n in BUILD_INCLUSIVE if n in timings
                     ],
+                    # Scope-change annotations: compare these entries
+                    # round-over-round against the named rebaselined
+                    # band, not an older one.
+                    "rebaselined": {
+                        n: why for n, why in REBASELINED.items() if n in timings
+                    },
                     "sf": float(sf),
                 }
             )

@@ -62,6 +62,15 @@ HASH_BITS = 60
 _H_MAX = 1 << HASH_BITS
 
 
+#: Driver-side cap on collected per-stratum scalars.  Strata are
+#: designed to be LANGUAGE/SOURCE-level groupings (tens to thousands);
+#: someone stratifying on a high-cardinality column (a doc id, a hash)
+#: would silently collect the corpus's key space to the driver — the
+#: same failure class max_pruned_partitions guards in
+#: operators/warehouse.py, closed the same loud way (VERDICT r11 #5).
+MAX_STRATA = 100_000
+
+
 def hash60_spark(key_expr: str) -> str:
     """The shared 60-bit md5-prefix integer (Spark SQL dialect)."""
     return (
@@ -76,6 +85,7 @@ def exact_quota_sample(
     key_col: str,
     k: int,
     oversample: float = 2.0,
+    max_strata: int = MAX_STRATA,
 ) -> DataFrame:
     """Exactly ``min(k, |stratum|)`` rows per stratum — the rows with
     the ``k`` smallest ``(hash60(key), key)`` pairs, so the sample is a
@@ -105,7 +115,9 @@ def exact_quota_sample(
     unchanged."""
     if k < 1:
         raise ValueError(f"quota k must be >= 1, got {k}")
-    counts = _stratum_counts(df, stratum_col, key_col, "exact_quota_sample")
+    counts = _stratum_counts(
+        df, stratum_col, key_col, "exact_quota_sample", max_strata
+    )
     quota_by = {r[stratum_col]: min(k, r["_n"]) for r in counts}
     return _take_exact(
         df, stratum_col, key_col, counts, quota_by, oversample,
@@ -120,6 +132,7 @@ def sample_temperature_mixture(
     budget: int,
     alpha: float = 0.5,
     oversample: float = 2.0,
+    max_strata: int = MAX_STRATA,
 ) -> DataFrame:
     """Temperature-reweighted corpus mixing — the multilingual-LM
     alpha-sampling rule (sample stratum ``s`` proportionally to
@@ -167,7 +180,7 @@ def sample_temperature_mixture(
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
     counts = _stratum_counts(
-        df, stratum_col, key_col, "sample_temperature_mixture"
+        df, stratum_col, key_col, "sample_temperature_mixture", max_strata
     )
     ordered = sorted(counts, key=lambda r: str(r[stratum_col]))
     weights = {}
@@ -211,11 +224,16 @@ def sample_temperature_mixture(
     )
 
 
-def _stratum_counts(df, stratum_col: str, key_col: str, opname: str):
+def _stratum_counts(
+    df, stratum_col: str, key_col: str, opname: str, max_strata: int = MAX_STRATA
+):
     """One column-pruned count pass: per-stratum row count, distinct
     keys, and NULL-key count (all in the same map-side-combined agg);
     NULL strata/keys rejected loudly — the gate join is an equi-join
-    and would silently drop them."""
+    and would silently drop them.  The collect is O(#strata) driver
+    rows, bounded by ``max_strata`` (the LIMIT caps what reaches the
+    driver BEFORE the guard fires, so an accidental id-column stratum
+    costs one truncated collect, not an OOM)."""
     counts = (
         df.groupBy(stratum_col)
         .agg(
@@ -226,8 +244,17 @@ def _stratum_counts(df, stratum_col: str, key_col: str, opname: str):
             # same pass (no extra scan) and rejected loudly below.
             F.sum(F.col(key_col).isNull().cast("long")).alias("_nulls"),
         )
+        .limit(max_strata + 1)
         .collect()
     )
+    if len(counts) > max_strata:
+        raise ValueError(
+            f"{opname}: more than max_strata={max_strata} distinct "
+            f"values in stratum column {stratum_col!r} — per-stratum "
+            "quotas are driver-side scalars, so strata must be a "
+            "bounded grouping (language, source), not a key-like "
+            "column.  Re-stratify on a coarser column."
+        )
     for r in counts:
         if r[stratum_col] is None:
             raise ValueError(

@@ -186,3 +186,153 @@ def curation_pipeline_e2e(spark, sf_dir):
     )
     toks = clean.select("doc_id", F.expr(_NTOK_SPARK).alias("n_tokens"))
     return P.pack_chunks(toks, _BUDGET, size_col="n_tokens", id_col="doc_id")
+
+
+#: The indexed variant's corpus/batch split: every 5th document is the
+#: arriving ingest batch; the rest is the already-curated corpus the
+#: persisted LSH index holds.
+_BATCH_WHERE = "doc_id % 5 = 0"
+
+_CURATION_IDX_ORACLE = f"""
+    WITH keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents
+        WHERE {_BATCH_WHERE} GROUP BY sha256(text)
+    ),
+    bd AS (
+        SELECT d.doc_id, d.text FROM documents d JOIN keepers USING (doc_id)
+    ),
+    corp AS (SELECT doc_id, text FROM documents WHERE NOT ({_BATCH_WHERE})),
+    nsets AS (SELECT doc_id, list_distinct({_SH3}) AS shingles FROM bd),
+    nsized AS (SELECT doc_id, shingles, len(shingles) AS n FROM nsets),
+    nnonempty AS (SELECT * FROM nsized WHERE n > 0),
+    nsig AS (SELECT doc_id, shingles, n, {_SIG} AS sig FROM nnonempty),
+    nkeys AS (SELECT doc_id, shingles, n, {_BANDS} AS bandkeys FROM nsig),
+    nbanded AS (
+        SELECT doc_id, g.j AS band, bandkeys[g.j + 1] AS key
+        FROM nkeys CROSS JOIN generate_series(0, 7) g(j)
+    ),
+    osets AS (SELECT doc_id, list_distinct({_SH3}) AS shingles FROM corp),
+    osized AS (SELECT doc_id, shingles, len(shingles) AS n FROM osets),
+    ononempty AS (SELECT * FROM osized WHERE n > 0),
+    osig AS (SELECT doc_id, shingles, n, {_SIG} AS sig FROM ononempty),
+    okeys AS (SELECT doc_id, shingles, n, {_BANDS} AS bandkeys FROM osig),
+    obanded AS (
+        SELECT doc_id, g.j AS band, bandkeys[g.j + 1] AS key
+        FROM okeys CROSS JOIN generate_series(0, 7) g(j)
+    ),
+    ncand AS (
+        SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+        FROM nbanded a
+        JOIN obanded b ON a.band = b.band AND a.key = b.key
+    ),
+    flaggednd AS (
+        SELECT DISTINCT doc_new
+        FROM ncand
+        JOIN nnonempty sa ON sa.doc_id = doc_new
+        JOIN ononempty sb ON sb.doc_id = doc_old
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                / CAST(sa.n + sb.n
+                       - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                >= 0.8
+    ),
+    nd AS (
+        SELECT doc_id, text FROM bd
+        WHERE doc_id NOT IN (SELECT doc_new FROM flaggednd)
+    ),
+    quality AS (
+        SELECT doc_id, text FROM nd
+        WHERE {_QUALITY_DUCK}
+    ),
+    bi AS (
+        SELECT doc_id AS bench_id, unnest(list_distinct({_SH5})) AS sh
+        FROM documents WHERE {hash_gate_duck('doc_id', 10)}
+    ),
+    ti AS (
+        SELECT doc_id, unnest(list_distinct({_SH5})) AS sh
+        FROM quality WHERE NOT {hash_gate_duck('doc_id', 10)}
+    ),
+    flagged AS (SELECT DISTINCT ti.doc_id FROM ti JOIN bi USING (sh)),
+    clean AS (
+        SELECT doc_id, text FROM quality
+        WHERE NOT {hash_gate_duck('doc_id', 10)}
+          AND doc_id NOT IN (SELECT doc_id FROM flagged)
+          AND {hash_gate_duck('doc_id', 80)}
+    ),
+    toks AS (SELECT doc_id, {_NTOK_DUCK} AS n_tokens FROM clean),
+    o AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS tok_off
+        FROM toks WHERE n_tokens > 0
+    ),
+    e AS (
+        SELECT doc_id, tok_off, n_tokens,
+               UNNEST(generate_series(tok_off // {_BUDGET},
+                   (tok_off + n_tokens - 1) // {_BUDGET})) AS chunk_id
+        FROM o
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(GREATEST(tok_off, chunk_id * {_BUDGET}) AS BIGINT) AS tok_start,
+           CAST(LEAST(tok_off + n_tokens, (chunk_id + 1) * {_BUDGET}) AS BIGINT)
+               AS tok_end
+    FROM e
+"""
+
+
+@query("curation_pipeline_indexed_e2e", oracle=_CURATION_IDX_ORACLE)
+def curation_pipeline_indexed_e2e(spark, sf_dir):
+    """The INGEST-shaped curation chain (VERDICT r11 #4) — the 100 TB
+    near-dup stage a continuously-growing corpus actually runs: the
+    already-curated corpus lives behind a PERSISTED LSH index
+    (``lsh_build_index``, built once), and each arriving batch is
+    checked against it with ``lsh_index_check`` — O(batch) pruned
+    reads of only the band/doc buckets the batch routes to — instead
+    of re-running all-pairs MinHash over everything per batch (the
+    ``curation_pipeline_e2e`` shape, right for one-shot curation,
+    quadratic-in-corpus for ingest).
+
+    Chain: exact dedup WITHIN the batch → drop batch docs near-dup to
+    the INDEXED corpus (Jaccard ≥ 0.8 on the same 3-gram/16-hash/
+    8-band parameterization, frozen in the index meta) → quality →
+    decontaminate vs the benchmark gate → train-split gate → pack.
+    Output is the packed context-window assignment of the surviving
+    BATCH documents — hash-judged, so any drift in the index build,
+    the routed check, or any downstream stage fails the hash.
+    Batch-internal near-dup pairs are out of scope here by design
+    (that is the e2e entry's keep-one stage; an ingest deployment runs
+    ``lsh_index_append`` after this check, which makes later batches
+    see this batch's survivors)."""
+    from ..operators.dedup import lsh_build_index, lsh_index_check
+    from .pipeline_e2e import _workdir
+
+    docs = t(spark, sf_dir, "documents")
+    gate10 = F.expr(hash_gate_spark("doc_id", 10))
+    batch = docs.filter(F.expr(_BATCH_WHERE))
+    corpus = docs.filter(~F.expr(_BATCH_WHERE))
+    root = _workdir(sf_dir, "curation_lsh_index")
+    lsh_build_index(corpus, root, k=3, num_hashes=16, bands=8)
+
+    keep = D.exact_dedup(batch).select(F.col("keep_id").alias("doc_id"))
+    deduped = batch.join(keep, "doc_id")
+    flagged_nd = (
+        lsh_index_check(deduped, root, threshold=0.8)
+        .select(F.col("doc_new").alias("doc_id"))
+        .distinct()
+    )
+    survivors = deduped.join(flagged_nd, "doc_id", "left_anti")
+    quality = survivors.filter(
+        (F.expr(T.n_words().spark) >= 20)
+        & (F.expr(T.stopword_ratio().spark) >= 0.05)
+        & (F.expr(T.distinct_ratio().spark) >= 0.3)
+        & (F.expr(T.punct_ratio().spark) <= 0.2)
+    )
+    bench = docs.filter(gate10)
+    train = quality.filter(~gate10)
+    flagged = contamination(train, bench, k=5).select("doc_id")
+    clean = train.join(flagged, "doc_id", "left_anti").filter(
+        F.expr(hash_gate_spark("doc_id", 80))
+    )
+    toks = clean.select("doc_id", F.expr(_NTOK_SPARK).alias("n_tokens"))
+    return P.pack_chunks(toks, _BUDGET, size_col="n_tokens", id_col="doc_id")

@@ -479,6 +479,111 @@ def _setup_ivf_q_index(spark, sf_dir, root):
     S.ivf_build_index_quantized(emb, root, nlists=64)
 
 
+def _setup_ivf_adc_index(spark, sf_dir, root):
+    """Build the two-tier (int8 + rerank payload) index (untimed)."""
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+
+    _, emb = _fixed_probes(spark, sf_dir)
+    S.ivf_build_index_quantized(emb, root, nlists=64, rerank_payload=True)
+
+
+def _run_ivf_q_rerank_indexed(spark, sf_dir, root):
+    """Fixed-probe IVF-ADC serve (VERDICT r11 #2's curve row): int8
+    candidate scan cut at m·k, full-precision re-score of survivors
+    only.  Expect ≈ the pure-int8 serve's time/growth — the float tier
+    reads O(survivors) rows through list pruning + a pushed id filter,
+    so routed IO stays ~int8-sized."""
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+
+    probes, _ = _fixed_probes(spark, sf_dir)
+    S.ivf_topk_indexed_quantized_rerank(
+        probes, root, k=3, nprobe=2, m=3
+    ).write.format("noop").mode("overwrite").save()
+
+
+def _curation_batch(spark, sf_dir):
+    """FIXED ~200-doc ingest batch (copy-0 ids ≡ 0 mod 25) at every
+    scale — the indexed-curation row measures the curate step vs INDEX
+    size, so the batch side must not scale."""
+    from pyspark.sql import functions as F
+
+    from etl_pulumi_aws_snowflake_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        (F.col("doc_id") < 10_000_000) & (F.col("doc_id") % 25 == 0)
+    )
+
+
+def _setup_curation_index(spark, sf_dir, root):
+    """Build the LSH index over everything except the fixed batch,
+    n_buckets ∝ corpus — the standing artifact the ingest-shaped
+    curation chain checks arriving batches against."""
+    from etl_pulumi_aws_snowflake_spark.operators import dedup as D
+    from etl_pulumi_aws_snowflake_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    index_side = docs.join(
+        _curation_batch(spark, sf_dir).select("doc_id"), "doc_id", "anti"
+    )
+    D.lsh_build_index(index_side, root, n_buckets=16 * _lsh_mult(spark, sf_dir))
+
+
+def _run_curation_indexed(spark, sf_dir, root):
+    """The COMPOSED ingest-curate step (VERDICT r11 #4's curve row):
+    exact dedup within the fixed batch → near-dup check against the
+    persisted index (pruned) → quality → decontaminate against a FIXED
+    benchmark suite (copy-0's gate — a real eval suite does not grow
+    with the corpus) → pack.  Expect FLAT at x10 corpus: every stage
+    is O(batch) except the index check, whose routed reads are the
+    flatness claim under test."""
+    from pyspark.sql import functions as F
+
+    from etl_pulumi_aws_snowflake_spark.operators import dedup as D
+    from etl_pulumi_aws_snowflake_spark.operators import packing as P
+    from etl_pulumi_aws_snowflake_spark.operators.decontam import contamination
+    from etl_pulumi_aws_snowflake_spark.functions import text as T
+    from etl_pulumi_aws_snowflake_spark.queries.llm_packing import (
+        _BUDGET,
+        _NTOK_SPARK,
+    )
+    from etl_pulumi_aws_snowflake_spark.queries.llm_sampling import (
+        hash_gate_spark,
+    )
+    from etl_pulumi_aws_snowflake_spark.sources import load_table
+
+    batch = _curation_batch(spark, sf_dir)
+    gate10 = F.expr(hash_gate_spark("doc_id", 10))
+    keep = D.exact_dedup(batch).select(F.col("keep_id").alias("doc_id"))
+    deduped = batch.join(keep, "doc_id")
+    flagged_nd = (
+        D.lsh_index_check(deduped, root, threshold=0.8)
+        .select(F.col("doc_new").alias("doc_id"))
+        .distinct()
+    )
+    survivors = deduped.join(flagged_nd, "doc_id", "left_anti")
+    quality = survivors.filter(
+        (F.expr(T.n_words().spark) >= 20)
+        & (F.expr(T.stopword_ratio().spark) >= 0.05)
+        & (F.expr(T.distinct_ratio().spark) >= 0.3)
+        & (F.expr(T.punct_ratio().spark) <= 0.2)
+    )
+    bench = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 10_000_000)
+        .filter(gate10)
+    )
+    train = quality.filter(~gate10)
+    flagged = contamination(train, bench, k=5).select("doc_id")
+    clean = train.join(flagged, "doc_id", "left_anti").filter(
+        F.expr(hash_gate_spark("doc_id", 80))
+    )
+    toks = clean.select("doc_id", F.expr(_NTOK_SPARK).alias("n_tokens"))
+    P.pack_chunks(
+        toks, _BUDGET, size_col="n_tokens", id_col="doc_id"
+    ).write.format("noop").mode("overwrite").save()
+
+
 def _run_ivf_q_search_indexed(spark, sf_dir, root):
     """Fixed-probe search against the QUANTIZED index: same pruning as
     the float path, ~4x less vector payload per routed list, asymmetric
@@ -605,6 +710,18 @@ def action_ops():
             _run_ivf_q_search_indexed,
             None,
             True,  # readonly: build once, rep the quantized search
+        ),
+        "sim_ivf_adc_rerank_indexed_fixed_probes": (
+            _setup_ivf_adc_index,
+            _run_ivf_q_rerank_indexed,
+            None,
+            True,  # readonly: build once, rep the two-tier serve
+        ),
+        "curation_indexed_fixed_batch": (
+            _setup_curation_index,
+            _run_curation_indexed,
+            None,
+            True,  # readonly: the check mutates nothing
         ),
     }
 

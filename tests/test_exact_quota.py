@@ -467,3 +467,33 @@ def test_all_map_columns_rejected_loudly(spark):
     )
     with pytest.raises(ValueError, match="MapType"):
         _take_exact(df, "m", "m", [], {}, 2.0, "test_op")
+
+
+def test_high_cardinality_strata_rejected_loudly(spark):
+    """VERDICT r11 #5: stratifying on a key-like column would collect
+    one driver row per distinct value — the guard caps the collect
+    (LIMIT max_strata+1, so the driver never holds more) and raises
+    the operator's own descriptive error instead of OOMing."""
+    from etl_pulumi_aws_snowflake_spark.operators.sampling import (
+        exact_quota_sample,
+        sample_temperature_mixture,
+    )
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("stratum")
+    )
+    with pytest.raises(ValueError, match="max_strata"):
+        exact_quota_sample(df, "stratum", "doc_id", 2, max_strata=10)
+    with pytest.raises(ValueError, match="max_strata"):
+        sample_temperature_mixture(
+            df, "stratum", "doc_id", 20, max_strata=10
+        )
+    # a bounded stratum column under the same cap still works
+    ok = exact_quota_sample(
+        df.withColumn("stratum", F.col("doc_id") % 5),
+        "stratum",
+        "doc_id",
+        2,
+        max_strata=10,
+    )
+    assert ok.count() == 10

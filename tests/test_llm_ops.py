@@ -218,14 +218,64 @@ def test_multimodal_stub_gating():
 def test_multimodal_capabilities(monkeypatch):
     """capabilities() is the single source of truth for codec presence
     — truthful in both the codec-absent (this container) and
-    codec-present deployments."""
-    assert M.capabilities() == {"image_decode": M._HAVE_PIL}
+    codec-present deployments; the from-scratch PNM tier is always
+    there."""
+    assert M.capabilities() == {
+        "image_decode": M._HAVE_PIL,
+        "pnm_decode": True,
+    }
     monkeypatch.setattr(M, "_HAVE_PIL", False)
-    assert M.capabilities() == {"image_decode": False}
+    assert M.capabilities()["image_decode"] is False
     with pytest.raises(NotImplementedError):
         M.decode_image(b"x")
     monkeypatch.setattr(M, "_HAVE_PIL", True)
-    assert M.capabilities() == {"image_decode": True}
+    assert M.capabilities()["image_decode"] is True
+
+
+def test_pnm_decode_real_pixels():
+    """The from-scratch Netpbm decoder (VERDICT r11 #6): P6 passes
+    raster bytes through exactly; header whitespace runs and # comments
+    parse per spec; P5 grayscale expands r=g=b; malformed headers,
+    16-bit maxval, and truncated rasters fail loudly — and the decode
+    works with NO codec library present."""
+    rgb = bytes(range(24))  # 4x2 RGB
+    assert M.decode_image(b"P6\n4 2\n255\n" + rgb) == rgb
+    # comments + arbitrary whitespace in the header
+    assert (
+        M.decode_image(b"P6 # c\n# full comment line\n 4\t2 #w\n255 " + rgb)
+        == rgb
+    )
+    # P5 grayscale expands to RGB the way PIL convert("RGB") does
+    assert M.decode_image(b"P5\n2 2\n255\n" + bytes([0, 7, 9, 255])) == bytes(
+        [0, 0, 0, 7, 7, 7, 9, 9, 9, 255, 255, 255]
+    )
+    # raster bytes that LOOK like whitespace/comments must not be eaten
+    tricky = b"\n# \x0b\t" + bytes(range(19))
+    assert M.decode_image(b"P6\n4 2\n255\n" + tricky) == tricky
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_image(b"P6\n4 2\n255\n" + rgb[:-1])
+    with pytest.raises(ValueError, match="maxval"):
+        M.decode_image(b"P6\n1 1\n65535\n" + b"\0" * 6)
+    with pytest.raises(ValueError, match="malformed"):
+        M.decode_image(b"P6\n4 x\n255\n" + rgb)
+    with pytest.raises(ValueError, match="degenerate"):
+        M.decode_image(b"P6\n0 2\n255\n")
+
+
+def test_as_ppm_payloads_decode_end_to_end(spark, sample_df):
+    """as_ppm builds REAL P6 payloads in codegen and the non-fake
+    extract_features path decodes them in the Python worker: checksum
+    == md5 of the sha256-hex raster the oracle replays."""
+    feats = {
+        r.doc_id: r
+        for r in M.extract_features(M.as_ppm(sample_df), fake=False).collect()
+    }
+    for i, s in enumerate(SAMPLES):
+        want = hashlib.sha256(s.encode()).hexdigest()[:24].encode()
+        assert feats[i].n_bytes == 24
+        assert feats[i].checksum == hashlib.md5(want).hexdigest()
+    with pytest.raises(ValueError, match="sha256"):
+        M.as_ppm(sample_df, width=11, height=2)  # 66 raster bytes > 64
 
 
 def test_multimodal_features_checksum(spark, sample_df):

@@ -360,6 +360,53 @@ def test_curation_pipeline_composed_plan_shape(spark):
             assert "_pack_pid" in line or "partitionBy" not in line, line
 
 
+def test_curation_indexed_check_reads_index_not_corpus(spark, tmp_path):
+    """The ingest-shaped curation chain's near-dup stage (VERDICT r11
+    #4) must get its evidence from the PERSISTED index's routed bucket
+    snapshots — /bands/ candidates and /sets/ shingle verify — never
+    by re-shingling the indexed corpus per batch.  (The chain's final
+    plan truncates at the packing checkpoint, so the guard explains
+    the check stage itself; decontamination's broadcast shape inside
+    the composition is test_curation_pipeline_composed_plan_shape's
+    job.)"""
+    from pyspark.sql import functions as F
+
+    from etl_pulumi_aws_snowflake_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    batch = docs.filter(F.expr("doc_id % 5 = 0"))
+    root = str(tmp_path / "lsh")
+    D.lsh_build_index(docs.filter(~F.expr("doc_id % 5 = 0")), root)
+    df = D.lsh_index_check(batch, root, threshold=0.8)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "/bands/" in plan and "/sets/" in plan
+    # the only documents.parquet reads are the BATCH side, its gate
+    # pushed to the scan — the indexed corpus text is never touched
+    chunks = plan.split("Scan parquet")[1:]
+    doc_chunks = [
+        c for c in chunks if "documents.parquet" in c.split("ReadSchema")[0]
+    ]
+    assert doc_chunks
+    for c in doc_chunks:
+        pushed = c.split("PushedFilters:")[1].split("\n")[0]
+        assert pushed.strip() != "[]", pushed
+
+
+def test_ivf_adc_rerank_float_tier_is_survivor_pruned(spark):
+    """The IVF-ADC serve (VERDICT r11 #2): the int8 snapshot does the
+    candidate scan; the full-precision tier must carry the survivor-id
+    filter pushed into its parquet read (row-group pruning inside the
+    already-list-pruned snapshot) — never a bare float-corpus scan."""
+    plan = _plan(spark, "sim_ivf_topk_quantized_rerank")
+    assert "corpus_q" in plan
+    assert "In(vec_id, [" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_bm25_zero_wide_shuffle_plan(spark):
     """BM25's scale contract: two column-pruned corpus scans, the 1-row
     stats frame broadcast back (never a shuffled join), and the global
