@@ -510,12 +510,19 @@ def lsh_build_index(
     fs=None,
 ) -> str:
     """Build the persisted LSH near-dup index from a corpus; returns
-    the band snapshot version.  Commits are each atomic but the trio
-    is not — build into a fresh root and swap at a higher level, the
-    same immutable-artifact contract as :func:`ivf_build_index`."""
+    the band snapshot version.  Member commits are each atomic, and
+    the TRIO is published as one root-level index version
+    (``snapshot.index_publish`` — VERDICT r11 #7): checks resolve the
+    pinned {meta, sets, bands} set once, so a concurrent
+    rebuild/append can never mix one member's new version with
+    another's old one."""
     import os
 
-    from ..streaming.snapshot import snapshot_commit, snapshot_commit_partitioned
+    from ..streaming.snapshot import (
+        index_publish,
+        snapshot_commit,
+        snapshot_commit_partitioned,
+    )
 
     if num_hashes % bands != 0:
         raise ValueError(
@@ -536,9 +543,9 @@ def lsh_build_index(
         [(k, num_hashes, bands, n_buckets)],
         "k int, num_hashes int, bands int, n_buckets int",
     )
-    snapshot_commit(meta, os.path.join(root, "meta"), fs=fs)
+    vm = snapshot_commit(meta, os.path.join(root, "meta"), fs=fs)
     sets = shingle_sets(docs, k, text_col, id_col).filter(F.col("n_shingles") > 0)
-    snapshot_commit_partitioned(
+    vs = snapshot_commit_partitioned(
         sets.withColumn("dbucket", F.pmod(F.col(id_col), F.lit(n_buckets))),
         os.path.join(root, "sets"),
         "dbucket",
@@ -547,17 +554,23 @@ def lsh_build_index(
     banded = _banded_keys(sets, num_hashes, bands, id_col).withColumn(
         "bucket", F.pmod(F.col("key"), F.lit(n_buckets))
     )
-    return snapshot_commit_partitioned(
+    vb = snapshot_commit_partitioned(
         banded, os.path.join(root, "bands"), "bucket", fs=fs
     )
+    index_publish(root, {"meta": vm, "sets": vs, "bands": vb}, fs=fs)
+    return vb
 
 
-def _lsh_meta(spark, root: str, fs=None) -> tuple[int, int, int, int]:
+def _lsh_meta(
+    spark, root: str, fs=None, version: str | None = None
+) -> tuple[int, int, int, int]:
     import os
 
     from ..streaming.snapshot import snapshot_read
 
-    r = snapshot_read(spark, os.path.join(root, "meta"), fs=fs).collect()[0]
+    r = snapshot_read(
+        spark, os.path.join(root, "meta"), fs=fs, version=version
+    ).collect()[0]
     return r["k"], r["num_hashes"], r["bands"], r["n_buckets"]
 
 
@@ -582,10 +595,13 @@ def lsh_index_check(
     constant — batch-size- and corpus-independent driver traffic."""
     import os
 
-    from ..streaming.snapshot import snapshot_read
+    from ..streaming.snapshot import index_current, snapshot_read
 
     spark = new_docs.sparkSession
-    k, num_hashes, bands, n_buckets = _lsh_meta(spark, root, fs)
+    pin = index_current(root, fs=fs) or {}
+    k, num_hashes, bands, n_buckets = _lsh_meta(
+        spark, root, fs, version=pin.get("meta")
+    )
     nsets = deferred_persist(
         shingle_sets(new_docs, k, text_col, id_col).filter(F.col("n_shingles") > 0)
     )
@@ -598,7 +614,11 @@ def lsh_index_check(
         r["bucket"] for r in nbanded.select("bucket").distinct().collect()
     )
     old_banded = snapshot_read(
-        spark, os.path.join(root, "bands"), partition_values=buckets, fs=fs
+        spark,
+        os.path.join(root, "bands"),
+        partition_values=buckets,
+        fs=fs,
+        version=pin.get("bands"),
     )
     cand = deferred_persist(
         nbanded.alias("n")
@@ -625,7 +645,11 @@ def lsh_index_check(
     if not dbuckets:
         return cand.withColumn("jaccard", F.lit(0.0)).filter(F.lit(False))
     old_sets = snapshot_read(
-        spark, os.path.join(root, "sets"), partition_values=dbuckets, fs=fs
+        spark,
+        os.path.join(root, "sets"),
+        partition_values=dbuckets,
+        fs=fs,
+        version=pin.get("sets"),
     )
     return (
         cand.join(
@@ -695,7 +719,7 @@ def lsh_index_append(
     nbanded = _banded_keys(nsets, num_hashes, bands, id_col).withColumn(
         "bucket", F.pmod(F.col("key"), F.lit(n_buckets))
     )
-    return merge_upsert_pruned(
+    version = merge_upsert_pruned(
         spark,
         os.path.join(root, "bands"),
         nbanded,
@@ -703,6 +727,10 @@ def lsh_index_append(
         partition_col="bucket",
         fs=fs,
     )
+    from ..streaming.snapshot import index_republish
+
+    index_republish(root, ("meta", "sets", "bands"), fs=fs)
+    return version
 
 
 def lsh_index_delete(
@@ -766,7 +794,7 @@ def lsh_index_delete(
     dbanded = _banded_keys(dsets, num_hashes, bands, id_col).withColumn(
         "bucket", F.pmod(F.col("key"), F.lit(n_buckets))
     )
-    return merge_upsert_pruned(
+    version = merge_upsert_pruned(
         spark,
         os.path.join(root, "bands"),
         dbanded.withColumn("_del", F.lit(True)),
@@ -775,3 +803,7 @@ def lsh_index_delete(
         delete_col="_del",
         fs=fs,
     )
+    from ..streaming.snapshot import index_republish
+
+    index_republish(root, ("meta", "sets", "bands"), fs=fs)
+    return version

@@ -188,9 +188,11 @@ def bm25_build_index(
     per-bucket volume stays constant and a bounded query's routed read
     is flat in index size.
 
-    Commits are each atomic but the pair is not — rebuild into a fresh
-    root and swap above, the same immutable-artifact contract as
-    :func:`ivf_build_index` / :func:`lsh_build_index`.
+    Member commits are each atomic, and the PAIR is published as one
+    root-level index version (``snapshot.index_publish`` — VERDICT r11
+    #7): serves resolve the pinned {postings, meta} set once, so a
+    search can never score one member's new version against the
+    other's old one (the old documented torn window).
 
     ``positions=True`` builds a POSITIONAL index: each postings row
     additionally carries the term's sorted 0-based token positions,
@@ -199,7 +201,11 @@ def bm25_build_index(
     payload — the standard positional-postings trade."""
     import os
 
-    from ..streaming.snapshot import snapshot_commit, snapshot_commit_partitioned
+    from ..streaming.snapshot import (
+        index_publish,
+        snapshot_commit,
+        snapshot_commit_partitioned,
+    )
 
     w = H.words(text_col)
     toks = docs.select(F.col(id_col), F.expr(w.spark).alias("ws"))
@@ -210,13 +216,15 @@ def bm25_build_index(
         )
         .withColumn("n_buckets", F.lit(n_buckets))
     )
-    snapshot_commit(meta, os.path.join(root, "meta"), fs=fs)
-    return snapshot_commit_partitioned(
+    vm = snapshot_commit(meta, os.path.join(root, "meta"), fs=fs)
+    vp = snapshot_commit_partitioned(
         _postings(toks, n_buckets, id_col, positions),
         os.path.join(root, "postings"),
         "tbucket",
         fs=fs,
     )
+    index_publish(root, {"meta": vm, "postings": vp}, fs=fs)
+    return vp
 
 
 def _postings(
@@ -277,11 +285,12 @@ def phrase_search_indexed(
     import os
 
     from ..cache import deferred_persist
-    from ..streaming.snapshot import snapshot_read
+    from ..streaming.snapshot import index_current, snapshot_read
 
     if not phrase:
         raise ValueError("phrase_search_indexed needs at least one term")
-    _, _, n_buckets = _bm25_meta(spark, root, fs)
+    pin = index_current(root, fs=fs) or {}
+    _, _, n_buckets = _bm25_meta(spark, root, fs, version=pin.get("meta"))
     routed = (
         spark.createDataFrame([(t,) for t in phrase], "term string")
         .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("tb"))
@@ -295,6 +304,7 @@ def phrase_search_indexed(
             os.path.join(root, "postings"),
             partition_values=buckets,
             fs=fs,
+            version=pin.get("postings"),
         ).filter(F.col("term").isin(list(phrase)))
     )
     if "positions" not in cand.columns:
@@ -329,12 +339,16 @@ def phrase_search_indexed(
     )
 
 
-def _bm25_meta(spark, root: str, fs=None) -> tuple[int, int, int]:
+def _bm25_meta(
+    spark, root: str, fs=None, version: str | None = None
+) -> tuple[int, int, int]:
     import os
 
     from ..streaming.snapshot import snapshot_read
 
-    r = snapshot_read(spark, os.path.join(root, "meta"), fs=fs).collect()[0]
+    r = snapshot_read(
+        spark, os.path.join(root, "meta"), fs=fs, version=version
+    ).collect()[0]
     return r["n"], r["sum_dl"], r["n_buckets"]
 
 
@@ -363,10 +377,11 @@ def bm25_index_append(
     append moves ``n``/``avgdl``/``df`` and therefore EVERY document's
     score — that is BM25's semantics, not an index artifact.
 
-    The two commits (postings, then meta) are each atomic but not a
-    pair: a search between them scores new candidates against the old
-    corpus stats.  Serve from a higher-level swap when that window
-    matters — same contract as the build.
+    The two member commits (postings, then meta) land first, then the
+    root-level index pointer re-pins the pair as ONE atomic publish
+    (VERDICT r11 #7) — a search never scores new candidates against
+    old corpus stats, because serves read the pinned set, not the
+    member pointers.
 
     ``(stream_id, epoch_id)`` is the STREAMING ingest's exactly-once
     token (streaming/bm25_ingest.py): the postings MERGE is idempotent
@@ -407,8 +422,16 @@ def bm25_index_append(
     last_stream = row["last_stream"] if "last_stream" in row.__fields__ else None
     if epoch_id is not None and last is not None and stream_id == last_stream:
         if epoch_id == last:
-            from ..streaming.snapshot import DEFAULT_FS, _current_version
+            from ..streaming.snapshot import (
+                DEFAULT_FS,
+                _current_version,
+                index_republish,
+            )
 
+            # heal the crash-between-meta-commit-and-publish window:
+            # the members are consistent (this epoch fully applied),
+            # re-pin them (idempotent when already pinned)
+            index_republish(root, ("postings", "meta"), fs=fs)
             return _current_version(
                 os.path.join(root, "postings"), fs or DEFAULT_FS
             )
@@ -448,6 +471,9 @@ def bm25_index_append(
     )
     meta = _stamp(meta, epoch_id, stream_id, last, last_stream)
     snapshot_commit(meta, os.path.join(root, "meta"), fs=fs)
+    from ..streaming.snapshot import index_republish
+
+    index_republish(root, ("postings", "meta"), fs=fs)
     return version
 
 
@@ -495,11 +521,12 @@ def bm25_topk_indexed(
     import os
 
     from ..cache import deferred_persist
-    from ..streaming.snapshot import snapshot_read
+    from ..streaming.snapshot import index_current, snapshot_read
 
     if not terms:
         raise ValueError("bm25_topk_indexed needs at least one query term")
-    n, sum_dl, n_buckets = _bm25_meta(spark, root, fs)
+    pin = index_current(root, fs=fs) or {}
+    n, sum_dl, n_buckets = _bm25_meta(spark, root, fs, version=pin.get("meta"))
     routed = (
         spark.createDataFrame([(t,) for t in terms], "term string")
         .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("tb"))
@@ -513,6 +540,7 @@ def bm25_topk_indexed(
             os.path.join(root, "postings"),
             partition_values=buckets,
             fs=fs,
+            version=pin.get("postings"),
         ).filter(F.col("term").isin(list(terms)))
     )
     stats = (
@@ -728,4 +756,7 @@ def bm25_index_delete(
     )
     meta = _stamp(meta, None, None, last, last_stream)
     snapshot_commit(meta, os.path.join(root, "meta"), fs=fs)
+    from ..streaming.snapshot import index_republish
+
+    index_republish(root, ("postings", "meta"), fs=fs)
     return version

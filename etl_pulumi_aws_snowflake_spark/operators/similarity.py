@@ -640,24 +640,28 @@ def ivf_build_index(
     query.  Pass ``nlists`` (the fixed-count seeding) so the index's
     list count — and each search's file count — is a constant knob.
 
-    Writes are each atomic (snapshot pointer swap) but the pair is
-    not: REBUILDING in place has a torn window between the two
-    commits.  Build into a fresh root and swap at a higher level —
-    an ANN index is an immutable artifact, same contract as FAISS
-    index files."""
+    Member writes are each atomic, and the PAIR is published as one
+    root-level index version (``snapshot.index_publish`` — VERDICT r11
+    #7): serves resolve the pinned {seeds, corpus} set once and read
+    both members at those exact versions, so a rebuild or append
+    landing mid-serve can never mix one member's new version with the
+    other's old one."""
     import os
 
     from ..streaming.snapshot import (
+        index_publish,
         snapshot_commit,
         snapshot_commit_partitioned,
     )
 
     seeds = _seed_frame(corpus, seed_stride, centroids, nlists)
     assigned = ivf_assign(corpus, seed_stride, centroids, nlists)
-    snapshot_commit(seeds, os.path.join(root, "seeds"), fs=fs)
-    return snapshot_commit_partitioned(
+    vs = snapshot_commit(seeds, os.path.join(root, "seeds"), fs=fs)
+    vc = snapshot_commit_partitioned(
         assigned, os.path.join(root, "corpus"), "list_id", fs=fs
     )
+    index_publish(root, {"seeds": vs, "corpus": vc}, fs=fs)
+    return vc
 
 
 def _frozen_seeds(spark, root: str, fs, op: str) -> list:
@@ -710,12 +714,13 @@ def ivf_index_append(new_rows: DataFrame, root: str, fs=None) -> str:
     — the same unit of work as the pruned CDC MERGE this reuses."""
     import os
 
+    from ..streaming.snapshot import index_republish
     from .warehouse import merge_upsert_pruned
 
     spark = new_rows.sparkSession
     cent = _frozen_seeds(spark, root, fs, "append")
     assigned = ivf_assign(new_rows, centroids=cent)
-    return merge_upsert_pruned(
+    version = merge_upsert_pruned(
         spark,
         os.path.join(root, "corpus"),
         assigned,
@@ -723,6 +728,8 @@ def ivf_index_append(new_rows: DataFrame, root: str, fs=None) -> str:
         partition_col="list_id",
         fs=fs,
     )
+    index_republish(root, ("seeds", "corpus"), fs=fs)
+    return version
 
 
 def ivf_topk_indexed(
@@ -740,20 +747,32 @@ def ivf_topk_indexed(
     corpus; the collect is the same scalar class as the exact-quota
     count pass).  At 100 TB this is the entire point: the scan
     relation is built over nprobe/nlists of the files, so pruning
-    happens before any task launches, not as a post-scan filter."""
+    happens before any task launches, not as a post-scan filter.
+
+    Both member reads are pinned to the root's published index version
+    (one ``index_current`` resolve), so a concurrent rebuild/append
+    landing mid-serve can never pair new seeds with an old corpus or
+    vice versa."""
     import os
 
-    from ..streaming.snapshot import snapshot_read
+    from ..streaming.snapshot import index_current, snapshot_read
 
     spark = probes.sparkSession
-    seeds = snapshot_read(spark, os.path.join(root, "seeds"), fs=fs)
+    pin = index_current(root, fs=fs) or {}
+    seeds = snapshot_read(
+        spark, os.path.join(root, "seeds"), fs=fs, version=pin.get("seeds")
+    )
     probe_lists = deferred_persist(_route_probes(probes, seeds, nprobe))
     wanted = sorted(
         r["list_id"]
         for r in probe_lists.select("list_id").distinct().collect()
     )
     assigned = snapshot_read(
-        spark, os.path.join(root, "corpus"), partition_values=wanted, fs=fs
+        spark,
+        os.path.join(root, "corpus"),
+        partition_values=wanted,
+        fs=fs,
+        version=pin.get("corpus"),
     )
     return _rank_candidates(probe_lists, assigned, k)
 
@@ -778,12 +797,13 @@ def ivf_index_delete(rows: DataFrame, root: str, fs=None) -> str:
     frozen seeds.  Returns the new corpus snapshot version."""
     import os
 
+    from ..streaming.snapshot import index_republish
     from .warehouse import merge_upsert_pruned
 
     spark = rows.sparkSession
     cent = _frozen_seeds(spark, root, fs, "delete")
     assigned = ivf_assign(rows, centroids=cent)
-    return merge_upsert_pruned(
+    version = merge_upsert_pruned(
         spark,
         os.path.join(root, "corpus"),
         assigned.withColumn("_del", F.lit(True)),
@@ -792,6 +812,8 @@ def ivf_index_delete(rows: DataFrame, root: str, fs=None) -> str:
         delete_col="_del",
         fs=fs,
     )
+    index_republish(root, ("seeds", "corpus"), fs=fs)
+    return version
 
 
 # ---------------------------------------------------------------------------
@@ -865,23 +887,31 @@ def ivf_build_index_quantized(
     while final scores are full-precision."""
     import os
 
-    from ..streaming.snapshot import snapshot_commit, snapshot_commit_partitioned
+    from ..streaming.snapshot import (
+        index_publish,
+        snapshot_commit,
+        snapshot_commit_partitioned,
+    )
 
     seeds = _seed_frame(corpus, seed_stride, centroids, nlists)
     assigned = ivf_assign(corpus, seed_stride, centroids, nlists)
     if rerank_payload:
         assigned = deferred_persist(assigned)
-    snapshot_commit(seeds, os.path.join(root, "seeds"), fs=fs)
+    members = {
+        "seeds": snapshot_commit(seeds, os.path.join(root, "seeds"), fs=fs)
+    }
     if rerank_payload:
-        snapshot_commit_partitioned(
+        members["corpus"] = snapshot_commit_partitioned(
             assigned, os.path.join(root, "corpus"), "list_id", fs=fs
         )
-    return snapshot_commit_partitioned(
+    members["corpus_q"] = snapshot_commit_partitioned(
         quantize_assigned(assigned),
         os.path.join(root, "corpus_q"),
         "list_id",
         fs=fs,
     )
+    index_publish(root, members, fs=fs)
+    return members["corpus_q"]
 
 
 def _has_member(root: str, name: str, fs) -> bool:
@@ -910,12 +940,15 @@ def ivf_index_append_quantized(new_rows: DataFrame, root: str, fs=None) -> str:
     new int8-corpus snapshot version."""
     import os
 
+    from ..streaming.snapshot import index_republish
     from .warehouse import merge_upsert_pruned
 
     spark = new_rows.sparkSession
     cent = _frozen_seeds(spark, root, fs, "append")
     assigned = ivf_assign(new_rows, centroids=cent)
+    members = ["seeds", "corpus_q"]
     if _has_member(root, "corpus", fs):
+        members.append("corpus")
         assigned = deferred_persist(assigned)
         merge_upsert_pruned(
             spark,
@@ -925,7 +958,7 @@ def ivf_index_append_quantized(new_rows: DataFrame, root: str, fs=None) -> str:
             partition_col="list_id",
             fs=fs,
         )
-    return merge_upsert_pruned(
+    version = merge_upsert_pruned(
         spark,
         os.path.join(root, "corpus_q"),
         quantize_assigned(assigned),
@@ -933,6 +966,8 @@ def ivf_index_append_quantized(new_rows: DataFrame, root: str, fs=None) -> str:
         partition_col="list_id",
         fs=fs,
     )
+    index_republish(root, members, fs=fs)
+    return version
 
 
 def ivf_index_delete_quantized(rows: DataFrame, root: str, fs=None) -> str:
@@ -949,12 +984,15 @@ def ivf_index_delete_quantized(rows: DataFrame, root: str, fs=None) -> str:
     frozen seeds.  Returns the new int8-corpus snapshot version."""
     import os
 
+    from ..streaming.snapshot import index_republish
     from .warehouse import merge_upsert_pruned
 
     spark = rows.sparkSession
     cent = _frozen_seeds(spark, root, fs, "delete")
     assigned = ivf_assign(rows, centroids=cent)
+    members = ["seeds", "corpus_q"]
     if _has_member(root, "corpus", fs):
+        members.append("corpus")
         assigned = deferred_persist(assigned)
         merge_upsert_pruned(
             spark,
@@ -965,7 +1003,7 @@ def ivf_index_delete_quantized(rows: DataFrame, root: str, fs=None) -> str:
             delete_col="_del",
             fs=fs,
         )
-    return merge_upsert_pruned(
+    version = merge_upsert_pruned(
         spark,
         os.path.join(root, "corpus_q"),
         quantize_assigned(assigned).withColumn("_del", F.lit(True)),
@@ -974,6 +1012,8 @@ def ivf_index_delete_quantized(rows: DataFrame, root: str, fs=None) -> str:
         delete_col="_del",
         fs=fs,
     )
+    index_republish(root, members, fs=fs)
+    return version
 
 
 def ivf_topk_indexed_quantized(
@@ -1001,25 +1041,36 @@ def ivf_topk_indexed_quantized(
     )
 
 
-def _q_candidates(probes: DataFrame, root: str, nprobe: int, fs) -> DataFrame:
+def _q_candidates(
+    probes: DataFrame, root: str, nprobe: int, fs, pin: dict | None = None
+) -> DataFrame:
     """Quantized candidate scoring shared by the pure-int8 serve and
     the re-rank tier: full-precision probe routing, partition-pruned
     int8 corpus read, asymmetric cosine — (probe_id, v, nrm, vec_id,
     qcos), probe vector and norm carried through for a re-score
-    phase."""
+    phase.  ``pin`` is the serve's resolved index version (member →
+    snapshot version), shared so every member read is consistent."""
     import os
 
-    from ..streaming.snapshot import snapshot_read
+    from ..streaming.snapshot import index_current, snapshot_read
 
     spark = probes.sparkSession
-    seeds = snapshot_read(spark, os.path.join(root, "seeds"), fs=fs)
+    if pin is None:
+        pin = index_current(root, fs=fs) or {}
+    seeds = snapshot_read(
+        spark, os.path.join(root, "seeds"), fs=fs, version=pin.get("seeds")
+    )
     probe_lists = deferred_persist(_route_probes(probes, seeds, nprobe))
     wanted = sorted(
         r["list_id"]
         for r in probe_lists.select("list_id").distinct().collect()
     )
     qcorpus = snapshot_read(
-        spark, os.path.join(root, "corpus_q"), partition_values=wanted, fs=fs
+        spark,
+        os.path.join(root, "corpus_q"),
+        partition_values=wanted,
+        fs=fs,
+        version=pin.get("corpus_q"),
     )
     pa, ca = probe_lists.alias("a"), qcorpus.alias("b")
     return (
@@ -1087,12 +1138,13 @@ def ivf_topk_indexed_quantized_rerank(
     phase 2's re-rank exactly."""
     import os
 
-    from ..streaming.snapshot import snapshot_read
+    from ..streaming.snapshot import index_current, snapshot_read
 
     spark = probes.sparkSession
+    pin = index_current(root, fs=fs) or {}
     wq = Window.partitionBy("probe_id").orderBy(F.desc("qcos"), F.asc("vec_id"))
     cand = deferred_persist(
-        _q_candidates(probes, root, nprobe, fs)
+        _q_candidates(probes, root, nprobe, fs, pin=pin)
         .withColumn("qrank", F.row_number().over(wq))
         .filter(F.col("qrank") <= m * k)
         .select("probe_id", "v", "nrm", "vec_id", "list_id")
@@ -1122,7 +1174,11 @@ def ivf_topk_indexed_quantized_rerank(
         r["list_id"] for r in cand.select("list_id").distinct().collect()
     )
     full = snapshot_read(
-        spark, os.path.join(root, "corpus"), partition_values=lists, fs=fs
+        spark,
+        os.path.join(root, "corpus"),
+        partition_values=lists,
+        fs=fs,
+        version=pin.get("corpus"),
     ).filter(F.col("vec_id").isin(ids))
     a, b = cand.alias("a"), full.alias("b")
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))

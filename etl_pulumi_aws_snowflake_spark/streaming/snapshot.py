@@ -812,6 +812,97 @@ def _gc(root: str, keep: int, fs: LocalFilesystem = DEFAULT_FS) -> None:
             _pointer_forget(root, old, fs)
 
 
+#: Member-pin file inside an index-root version dir.
+_INDEX_JSON = "_INDEX.json"
+
+
+def index_publish(
+    root: str,
+    members: dict[str, str],
+    keep: int = 2,
+    fs: LocalFilesystem | None = None,
+    expected_current=_CAPTURE,
+) -> str:
+    """Atomically publish a MULTI-SNAPSHOT index version (VERDICT r11
+    #7): one root-level pointer naming the exact ``{member name →
+    snapshot version}`` set a serve must read TOGETHER — e.g. an IVF
+    index's ``{"seeds": ..., "corpus": ...}`` or a BM25 index's
+    ``{"postings": ..., "meta": ...}``.  Member snapshots stay ordinary
+    versioned snapshots under ``<root>/<member>``; this promotes the
+    pointer one level so the PAIR swap is the atom, closing the
+    documented torn window between two member commits (a search
+    between them used to score new candidates against old stats).
+
+    Same protocol as :func:`snapshot_commit` minus the data write: the
+    new index version dir holds one tiny JSON pin-file, optimistic
+    conflict checks bracket it, the pointer swap is the publish, and
+    GC trims old pin dirs (no manifests, so nothing is
+    carried-forward).  Through a :class:`CommitLogPointer` fs the swap
+    is a true CAS — two writers racing to publish the same next index
+    version lose deterministically.  Returns the index version name.
+
+    Readers: :func:`index_current` resolves the pinned set once, then
+    every member read passes ``version=`` to :func:`snapshot_read` —
+    one consistent index no matter what publishes mid-serve.  Member
+    GC keeps ``keep`` versions per member and every maintenance op
+    republishes, so the pinned set is never more than one member
+    commit behind the member pointers."""
+    fs = fs or DEFAULT_FS
+    expected = (
+        _current_version(root, fs) if expected_current is _CAPTURE
+        else expected_current
+    )
+    _check_unchanged(root, expected, fs)
+    new = _next_version_after(expected)
+    fs.mkdirs(os.path.join(root, new))
+    fs.write_text(
+        os.path.join(root, new, _INDEX_JSON),
+        json.dumps(dict(members), sort_keys=True),
+    )
+    _check_unchanged(root, expected, fs, new=new)
+    _swap_pointer(root, new, fs)
+    _gc(root, keep, fs)
+    return new
+
+
+def index_republish(
+    root: str, member_names, fs: LocalFilesystem | None = None
+) -> str:
+    """Publish the index pointer at each named member's CURRENT live
+    version — the maintenance-op epilogue (build/append/delete commit
+    their members, then pin the set they left live).  Also the crash
+    healer: re-running a maintenance op that died between its member
+    commits and its publish re-pins the now-consistent live set."""
+    fs = fs or DEFAULT_FS
+    members = {}
+    for name in member_names:
+        v = _current_version(os.path.join(root, name), fs)
+        if v is None:
+            raise ValueError(
+                f"index root {root}: member {name!r} has no live "
+                "snapshot to pin — build the index before publishing"
+            )
+        members[name] = v
+    return index_publish(root, members, fs=fs)
+
+
+def index_current(
+    root: str, fs: LocalFilesystem | None = None
+) -> dict[str, str] | None:
+    """The live pinned ``{member → snapshot version}`` set of an index
+    root, or ``None`` for a root without an index pointer (pre-pointer
+    builds; serves fall back to each member's own live pointer — the
+    old, individually-atomic behavior)."""
+    fs = fs or DEFAULT_FS
+    v = _current_version(root, fs)
+    if v is None:
+        return None
+    try:
+        return json.loads(fs.read_text(os.path.join(root, v, _INDEX_JSON)))
+    except FileNotFoundError:
+        return None
+
+
 def snapshot_commit(
     df: DataFrame,
     root: str,
