@@ -186,6 +186,10 @@ def ops():
         "dedup_ngram_jaccard": q["dedup_ngram_jaccard"],
         "dedup_minhash_lsh": q["dedup_minhash_lsh"],
         "pack_sequences": q["pack_sequences"],
+        # grouped next-fit bin packing: expect linear in corpus at a
+        # fixed n_groups (the registry entry's shape); collect = the
+        # single oversize-guard max() scalar
+        "pack_bins": q["pack_bins"],
         "sample_temperature_mixture": q["sample_temperature_mixture"],
         "sim_cosine_topk_blas_fixed_probes": blas_fixed_probes,
         "sim_ivf_topk_stride_fixed_probes": ivf_stride_fixed_probes,

@@ -204,3 +204,92 @@ def test_chunk_windows_plan_is_shuffle_free(spark):
     )
     assert "Exchange" not in plan, plan
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def _pack_bins_reference(rows, budget, n_groups):
+    """From-scratch grouped next-fit: the pure-Python spelling of the
+    pack_bins contract, shared by the invariant and fuzz tests."""
+    out = {}
+    groups: dict[int, list] = {}
+    for doc_id, n in sorted(rows):
+        if n <= 0:
+            continue
+        groups.setdefault(doc_id % n_groups, []).append((doc_id, n))
+    for grp, docs in groups.items():
+        local_bin, fill = 0, 0
+        for doc_id, n in docs:
+            if fill + n > budget:
+                local_bin += 1
+                fill = 0
+            out[doc_id] = (local_bin * n_groups + grp, fill, n)
+            fill += n
+    return out
+
+
+def test_pack_bins_matches_reference_and_invariants(spark):
+    """pack_bins == the from-scratch grouped next-fit on a mixed-size
+    fixture, every bin's total fits the budget, no document is split,
+    every positive-size document is placed exactly once, and the
+    assignment is partition-invariant (pure function of ids/sizes)."""
+    rows = [(i, (i * 37) % 300 + 1) for i in range(200)] + [(500, 7), (501, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["bin_id"], r["tok_start"], r["n_tokens"])
+        for r in P.pack_bins(df, 512, n_groups=4).collect()
+    }
+    assert got == _pack_bins_reference(rows, 512, 4)
+    # bin capacity + intra-bin layout: docs in a bin tile contiguously
+    by_bin: dict[int, list] = {}
+    for doc_id, (b, s, n) in got.items():
+        by_bin.setdefault(b, []).append((s, n))
+    for b, spans in by_bin.items():
+        spans.sort()
+        assert sum(n for _, n in spans) <= 512
+        off = 0
+        for s, n in spans:
+            assert s == off
+            off += n
+    # partition-invariance: same result from a different layout
+    got2 = {
+        r["doc_id"]: (r["bin_id"], r["tok_start"], r["n_tokens"])
+        for r in P.pack_bins(df.repartition(13), 512, n_groups=4).collect()
+    }
+    assert got2 == got
+
+
+def test_pack_bins_fuzz_vs_reference(spark):
+    """Randomized (seeded) fuzz: grouped next-fit over irregular sizes
+    and sparse ids equals the pure-Python reference for several
+    (budget, n_groups) shapes."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (rnd.randrange(0, 100_000), rnd.randrange(1, 97))
+        for _ in range(300)
+    ]
+    rows = list({d: n for d, n in rows}.items())  # unique ids
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    for budget, groups in ((97, 1), (128, 3), (500, 16)):
+        got = {
+            r["doc_id"]: (r["bin_id"], r["tok_start"], r["n_tokens"])
+            for r in P.pack_bins(df, budget, n_groups=groups).collect()
+        }
+        assert got == _pack_bins_reference(rows, budget, groups), (budget, groups)
+
+
+def test_pack_bins_oversized_rejected_loudly(spark):
+    """Truncation-free means truncation-free: a document larger than
+    the budget fails fast with the documented error (before any
+    shuffle), pointing at the chunking composition."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 600)], "doc_id long, n_tokens long"
+    )
+    with pytest.raises(ValueError, match="truncation-free"):
+        P.pack_bins(df, 512)
+    with pytest.raises(ValueError, match="budget must be"):
+        P.pack_bins(df, 0)
+    with pytest.raises(ValueError, match="n_groups must be"):
+        P.pack_bins(df, 512, n_groups=0)
