@@ -59,6 +59,7 @@ HEADLINE: tuple[str, ...] = (
     "text_chunk_windows",
     "curation_pipeline_indexed_e2e",
     "sim_ivf_topk_quantized_rerank",
+    "pack_bins",
 )
 
 #: Rows whose registry callables time index CONSTRUCTION + the query

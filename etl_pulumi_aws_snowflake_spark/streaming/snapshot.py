@@ -886,6 +886,57 @@ def index_republish(
     return index_publish(root, members, fs=fs)
 
 
+def index_compact(
+    spark: SparkSession,
+    root: str,
+    members: dict | None = None,
+    fs: LocalFilesystem | None = None,
+    **compact_kwargs,
+) -> dict[str, str | None]:
+    """Maintenance for a PUBLISHED index: :func:`snapshot_compact` each
+    named member (``members`` maps member name → True for partitioned
+    members to compact, False to skip — e.g. a 1-row ``meta`` has
+    nothing to compact; default = compact every member named by the
+    live pin that HAS a manifest), then republish the pin at the
+    post-compaction member versions.
+
+    This is the lifecycle step that keeps the atomic pin and the
+    member GC horizon aligned: without the republish, repeated member
+    compaction/GC would eventually reclaim the version the pin still
+    names, and pinned serves would start raising time-travel errors —
+    compaction through THIS entry point can never strand the pin.
+    Returns {member: new version or None when that member's compaction
+    was a no-op}."""
+    fs = fs or DEFAULT_FS
+    pin = index_current(root, fs=fs)
+    if pin is None:
+        raise ValueError(
+            f"index root {root} has no published index version — "
+            "index_compact maintains the pin; for bare snapshots use "
+            "snapshot_compact directly"
+        )
+    if members is None:
+        members = {
+            name: _read_manifest(
+                os.path.join(root, name),
+                _current_version(os.path.join(root, name), fs),
+                fs,
+            )
+            is not None
+            for name in pin
+        }
+    out: dict[str, str | None] = {}
+    for name, do in members.items():
+        if not do:
+            out[name] = None
+            continue
+        out[name] = snapshot_compact(
+            spark, os.path.join(root, name), fs=fs, **compact_kwargs
+        )
+    index_republish(root, tuple(pin), fs=fs)
+    return out
+
+
 def index_current(
     root: str, fs: LocalFilesystem | None = None
 ) -> dict[str, str] | None:

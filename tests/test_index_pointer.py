@@ -215,3 +215,46 @@ def test_maintenance_republishes_and_prepointer_roots_still_serve(
     assert index_current(root) is None
     got = S.ivf_topk_indexed(probes, root, k=3, nprobe=2).collect()
     assert got
+
+
+def test_index_compact_republishes_and_serves_stay_identical(spark, tmp_path):
+    """Maintenance closure for published indexes: appends fragment the
+    corpus member; index_compact rewrites it AND republishes the pin,
+    so pinned serves (a) stay bit-identical and (b) never dangle on a
+    GC'd member version no matter how many maintenance cycles run.
+    Without the republish, the pin would keep naming pre-compaction
+    versions until member GC reclaimed them."""
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import index_compact
+
+    emb = _emb(spark)
+    probes = emb.filter(F.col("vec_id") % 40 == 0)
+    root = str(tmp_path / "ivf")
+    # a ONE-vector append touches one list; the other lists carry
+    # forward by reference -> the fragmented state compaction exists for
+    S.ivf_build_index(emb.filter(F.col("vec_id") < 119), root, nlists=8)
+    S.ivf_index_append(emb.filter(F.col("vec_id") == 119), root)
+    before = sorted(
+        map(tuple, S.ivf_topk_indexed(probes, root, k=3, nprobe=2).collect())
+    )
+    pin0 = index_current(root)
+
+    out = index_compact(spark, root, max_versions_referenced=1)
+    assert out["corpus"] is not None  # the fragmented member rewrote
+    assert out["seeds"] is None  # unpartitioned member skipped
+    pin1 = index_current(root)
+    assert pin1["corpus"] == out["corpus"] != pin0["corpus"]
+
+    # several more maintenance cycles: pinned serves keep working and
+    # stay bit-identical (the no-republish failure mode would be a
+    # time-travel ValueError here once GC reclaims pin0's version)
+    for _ in range(3):
+        S.ivf_index_append(emb.filter(F.col("vec_id") < 20), root)
+        index_compact(spark, root, max_versions_referenced=1)
+    after = sorted(
+        map(tuple, S.ivf_topk_indexed(probes, root, k=3, nprobe=2).collect())
+    )
+    assert after == before and after
+
+    # bare (unpublished) roots are snapshot_compact's job, loudly
+    with pytest.raises(ValueError, match="no published index version"):
+        index_compact(spark, str(tmp_path / "nothing"))
