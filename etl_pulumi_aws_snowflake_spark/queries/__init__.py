@@ -37,14 +37,14 @@ from . import streaming_e2e  # noqa: E402,F401
 # The external correctness driver checks the FIRST 50 dict entries per
 # round (CORRECTNESS_r01-r11 each recorded exactly queries()[:50] in
 # order).  Round 12 rotates the window onto entries NOT sampled in r11
-# (VERDICT r11 #8): (a) the SEVEN entries round 12 added lead
+# (VERDICT r11 #8): (a) the EIGHT entries round 12 added lead
 # (never-checked-entries-lead rule — the quantized-index
 # append/delete pair, the IVF-ADC rerank serve + its recall pair, the
-# real-PPM-decode entry, the ingest-shaped indexed curation e2e, and
-# truncation-free bin packing); then (b) the seven r08-stale
-# stragglers the r11 note deferred; then (c) 36 of the 50 r09-stale
-# entries, staleness-report order.  The 14 deferred r09 entries, with
-# why each can wait one more round:
+# real-PPM-decode entry, the ingest-shaped indexed curation e2e,
+# truncation-free bin packing, and the quantized streaming ingest);
+# then (b) the seven r08-stale stragglers the r11 note deferred; then
+# (c) 35 of the 50 r09-stale entries, staleness-report order.  The 15
+# deferred r09 entries, with why each can wait one more round:
 # sample_exact_quota_dupkeys / sample_exact_quota_fail_loud (variants
 # whose shared core is in-window via sample_exact_quota and fuzz-pinned
 # in tests/test_exact_quota.py), agg_groupby_basic / agg_distinct
@@ -55,10 +55,12 @@ from . import streaming_e2e  # noqa: E402,F401
 # demos whose expressions recur inside in-window entries), sql_api_q5
 # (same plan as r11-green q5_local_supplier_volume), text_langid /
 # text_token_stats (untouched single-projection text family;
-# text_quality + text_lm_score represent it in-window), and
+# text_quality + text_lm_score represent it in-window),
 # mm_frame_sample (its fake-decode passthrough is byte-identical to
 # in-window mm_binary_features' path and pytest-pinned; the module's
-# r12 change — real PNM decode — is in-window via mm_decode_ppm).
+# r12 change — real PNM decode — is in-window via mm_decode_ppm), and
+# scalar_json_typed (from_json/schema_of_json single projection;
+# scalar_json was r11-green and the typed form is pytest-pinned).
 # tests/test_docs.py::test_never_driver_checked_entries_lead_the_window
 # FAILS if a registry entry without any CORRECTNESS row sits outside
 # the first 50 — the r05 process miss cannot recur silently.
@@ -67,6 +69,7 @@ _DRIVER_FIRST = [
     "sim_ivf_topk_quantized_appended", "sim_ivf_topk_quantized_deleted",
     "sim_ivf_topk_quantized_rerank", "sim_ivf_recall_quantized_rerank",
     "mm_decode_ppm", "curation_pipeline_indexed_e2e", "pack_bins",
+    "stream_ivf_q_ingest_e2e",
     # (b) r08-stale stragglers (deferred by the r11 note — due now)
     "pivot_status_by_priority", "q17_small_qty_revenue",
     "scalar_conditional", "scalar_hilbert_key", "scalar_math",
@@ -82,7 +85,7 @@ _DRIVER_FIRST = [
     "mm_resize", "pack_sequences", "pipeline_batch_e2e",
     "pipeline_stream_e2e", "sample_exact_quota", "sample_hash_bernoulli",
     "sample_stratified_by_lang", "sample_temperature_mixture",
-    "scalar_json_typed", "set_distinct_rows", "sim_cosine_topk",
+    "set_distinct_rows", "sim_cosine_topk",
     "text_lm_score", "text_quality", "udf_grouped_map",
     "udf_table_function",
 ]

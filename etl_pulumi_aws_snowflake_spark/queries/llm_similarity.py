@@ -579,6 +579,63 @@ def sim_ivf_topk_quantized_rerank(spark, sf_dir):
     )
 
 
+@query(
+    "stream_ivf_q_ingest_e2e",
+    oracle=f"""
+    WITH {_ivf_q_ctes(_SEEDS_NLISTS_BASE)}{_ivf_q_rerank_tail(9)}
+    SELECT probe_id, rank, vec_id, cos FROM reranked WHERE rank <= 3
+    """,
+)
+def stream_ivf_q_ingest_e2e(spark, sf_dir):
+    """Streaming index-at-ingest for the QUANTIZED/ADC family, end to
+    end under the driver hash: the even half of the corpus seeds a
+    rerank-payload int8 index (frozen hash-rank seeds), the odd half
+    lands as THREE parquet files streamed one per microbatch
+    (maxFilesPerTrigger=1, AvailableNow, checkpointed), each assigned
+    against the frozen seeds, quantized with the build's own rule, and
+    pruned-MERGEd into BOTH payloads in lockstep — then the grown
+    index serves the two-tier IVF-ADC search.  Must equal a
+    build-over-everything with those seeds replayed through the
+    quantized cut + full-precision re-rank (the same oracle chain as
+    sim_ivf_topk_quantized_rerank with base-half seeds) — certifying
+    streamed growth, dual-payload lockstep, AND the rerank serve in
+    one hash.  No epoch bookkeeping: quantization is a per-vector pure
+    function and both MERGEs are keyed, so replays re-land identical
+    rows (streaming/ivf_ingest.py)."""
+    import os
+
+    from ..streaming.ivf_ingest import stream_ivf_ingest
+    from .pipeline_e2e import _workdir
+
+    probes, corpus = _probes(spark, sf_dir)
+    work = _workdir(sf_dir, "ivf_q_stream")
+    root = os.path.join(work, "index")
+    S.ivf_build_index_quantized(
+        corpus.filter(F.col("vec_id") % 2 == 0),
+        root,
+        nlists=_NLISTS,
+        rerank_payload=True,
+    )
+    landing = os.path.join(work, "landing")
+    new = corpus.filter(F.col("vec_id") % 2 == 1)
+    for part in range(3):
+        new.filter(F.expr(f"((vec_id - 1) div 2) % 3 = {part}")).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+    stream_ivf_ingest(
+        spark,
+        landing,
+        new.schema,
+        root,
+        os.path.join(work, "ckpt"),
+        max_files_per_trigger=1,
+        quantized=True,
+    )
+    return S.ivf_topk_indexed_quantized_rerank(
+        probes, root, k=3, nprobe=2, m=_RERANK_M
+    )
+
+
 @query("sim_ivf_recall", oracle=f"WITH {_IVF_CTES}{_RECALL_TAIL}")
 def sim_ivf_recall(spark, sf_dir):
     """Measured ANN quality: per-probe recall@3 of the IVF index

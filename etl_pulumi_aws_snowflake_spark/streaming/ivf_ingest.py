@@ -26,20 +26,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from ..cache import scoped_release
-from ..operators.similarity import ivf_index_append
+from ..operators.similarity import ivf_index_append, ivf_index_append_quantized
 
 
 def ivf_ingest_batch(
-    batch_df: DataFrame, epoch_id: int, index_root: str, fs=None
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_root: str,
+    fs=None,
+    quantized: bool = False,
 ) -> None:
     """One ingest epoch: assign the batch against the frozen seeds and
     MERGE into the routed lists.  ``epoch_id`` is accepted for the
     foreachBatch signature but needs no bookkeeping — the append is
-    replay-idempotent by its keys (module docstring).  Releases its
-    own deferred persists on exit, same per-microbatch discipline as
-    the other two ingest modules."""
+    replay-idempotent by its keys (module docstring).  ``quantized``
+    routes the batch through ``ivf_index_append_quantized`` instead —
+    the SAME idempotence argument holds for the int8 payload (max-abs
+    quantization is a per-vector pure function, the corpus_q MERGE is
+    keyed on vec_id) and extends to a rerank-payload index's float
+    member (also keyed), so the whole quantized/ADC family grows from
+    a stream with zero extra bookkeeping.  Releases its own deferred
+    persists on exit, same per-microbatch discipline as the other two
+    ingest modules."""
     with scoped_release():
-        ivf_index_append(batch_df, index_root, fs=fs)
+        if quantized:
+            ivf_index_append_quantized(batch_df, index_root, fs=fs)
+        else:
+            ivf_index_append(batch_df, index_root, fs=fs)
 
 
 def stream_ivf_ingest(
@@ -51,10 +64,12 @@ def stream_ivf_ingest(
     max_files_per_trigger: int | None = None,
     await_termination: bool = True,
     fs=None,
+    quantized: bool = False,
 ):
     """Watch ``landing_dir`` for parquet (vec_id, embedding) files and
-    append each batch into the IVF index at ``index_root``.  Returns
-    the StreamingQuery."""
+    append each batch into the IVF index at ``index_root``
+    (``quantized=True``: the int8/ADC index — see
+    :func:`ivf_ingest_batch`).  Returns the StreamingQuery."""
     reader = spark.readStream.schema(row_schema).option(
         "pathGlobFilter", "*.parquet"
     )
@@ -65,7 +80,7 @@ def stream_ivf_ingest(
     def ingest(batch_df, epoch_id: int) -> None:
         if not batch_df.take(1):
             return
-        ivf_ingest_batch(batch_df, epoch_id, index_root, fs=fs)
+        ivf_ingest_batch(batch_df, epoch_id, index_root, fs=fs, quantized=quantized)
 
     query = (
         stream.writeStream.foreachBatch(ingest)

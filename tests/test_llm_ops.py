@@ -1915,3 +1915,61 @@ def test_phrase_search_positional_contract(spark, tmp_path):
     # extra column (same routed read, same score columns)
     top = SR.bm25_topk_indexed(spark, root, ("a",), k=5).collect()
     assert [r["doc_id"] for r in top]
+
+
+def test_stream_ivf_q_ingest_split_independent_and_replay_safe(spark, tmp_path):
+    """The QUANTIZED/ADC streaming ingest inherits the float path's
+    no-bookkeeping idempotence: quantization is a per-vector pure
+    function and BOTH payload MERGEs are keyed, so the grown index is
+    batch-split-independent and a replayed batch is a serve-level
+    no-op — proven on the two-tier rerank search results."""
+    import os
+
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+    from etl_pulumi_aws_snowflake_spark.streaming.ivf_ingest import (
+        ivf_ingest_batch,
+        stream_ivf_ingest,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 60))
+
+    def search(root):
+        return [
+            tuple(r)
+            for r in S.ivf_topk_indexed_quantized_rerank(
+                probes, root, k=3, nprobe=2, m=3
+            )
+            .orderBy("probe_id", "rank")
+            .collect()
+        ]
+
+    def run(splits, leaf):
+        work = str(tmp_path / leaf)
+        root = os.path.join(work, "index")
+        S.ivf_build_index_quantized(base, root, nlists=8, rerank_payload=True)
+        landing = os.path.join(work, "landing")
+        for pred in splits:
+            new.filter(pred).coalesce(1).write.mode("append").parquet(landing)
+        stream_ivf_ingest(
+            spark, landing, new.schema, root,
+            os.path.join(work, "ckpt"), max_files_per_trigger=1,
+            quantized=True,
+        )
+        return root
+
+    one = search(run([F.lit(True)], "one"))
+    root_split = run(
+        [F.col("vec_id") % 3 == 0, F.col("vec_id") % 3 == 1,
+         F.col("vec_id") % 3 == 2],
+        "split",
+    )
+    assert search(root_split) == one and one
+
+    # replay: re-delivering an already-applied batch changes nothing
+    ivf_ingest_batch(
+        new.filter(F.col("vec_id") % 3 == 1), 0, root_split, quantized=True
+    )
+    assert search(root_split) == one

@@ -491,3 +491,22 @@ def test_quantized_ivf_serving_plan(spark):
     for c in emb:
         schema = c.split("ReadSchema:")[1].split("\n")[0]
         assert "struct<vec_id" in schema, schema
+
+
+def test_pack_bins_plan_shape(spark):
+    """pack_bins' only wide movement is the narrow (id, size, group)
+    shuffle into applyInPandas — the corpus body never crosses the
+    wire (the text column is projected away before the exchange), and
+    the oversize guard is a separate column-pruned aggregate, not a
+    second pass inside the packing plan."""
+    import re
+
+    plan = _plan(spark, "pack_bins")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan
+    blocks = re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert blocks, plan
+    for cols in blocks:
+        assert "text#" not in cols, cols
+    # column pruning reaches the scan: only (doc_id, text) read
+    assert "lang" not in plan and "source" not in plan
