@@ -874,8 +874,9 @@ def ivf_build_index_quantized(
     the int8 corpus partitioned by ``list_id``.  Assignment runs on
     full-precision vectors (build-time cost, paid once), so list
     membership is identical to :func:`ivf_build_index`'s — only the
-    serving payload is quantized.  Same immutable-artifact commit
-    contract as the full-precision build.
+    serving payload is quantized.  Same atomic-publish contract as the
+    full-precision build: all members land, then ONE root-level index
+    version pins them together.
 
     ``rerank_payload=True`` additionally lands the FULL-PRECISION
     assigned corpus beside the int8 one (``<root>/corpus``, identical
