@@ -107,14 +107,19 @@ class scoped_release:
         return self
 
     def __exit__(self, *exc):
+        def _mine(entry) -> bool:
+            df, tid = entry
+            return id(df) not in self._before and tid == self._tid
+
         with _LOCK:
-            mine = [
-                df
-                for df, tid in _PENDING
-                if id(df) not in self._before and tid == self._tid
-            ]
-            keep_ids = {id(df) for df in mine}
-            _PENDING[:] = [e for e in _PENDING if id(e[0]) not in keep_ids]
+            mine = [df for df, tid in _PENDING if _mine((df, tid))]
+            # Drop exactly the entries swept — another thread's
+            # registration of the SAME DataFrame object stays pooled
+            # for the boundary sweep (its cache entry is object-level
+            # and does get released below, but a released persist
+            # recomputes — the module's documented guarantee — whereas
+            # a dropped pool entry would leak the re-persist forever).
+            _PENDING[:] = [e for e in _PENDING if not _mine(e)]
         for df in mine:
             try:
                 df.unpersist(blocking=False)

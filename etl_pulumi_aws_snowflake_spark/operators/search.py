@@ -401,10 +401,21 @@ def bm25_index_append(
       Recover by pointing the new checkpoint at a fresh ``stream_id``
       (or rebuilding the index).
     - different stream → a NEW ingest stream adopting the index; its
-      epochs start wherever they start, processed and re-stamped.
-      Concurrent writers remain out of contract (the snapshot layer's
-      single-writer rule) — the stamp protects one stream's replays,
-      not interleaved streams.
+      epochs start wherever they start, processed and re-stamped —
+      UNDER the append's standing id-disjoint contract: the new
+      stream's batches must be documents the index does not hold
+      (point it at not-yet-ingested landing data).  Re-delivering
+      already-indexed documents under a new identity is not replay
+      protection's job to catch — the postings upsert no-ops but the
+      stats advance double-counts, same as any contract-violating
+      batch append.  Concurrent writers remain out of contract (the
+      snapshot layer's single-writer rule) — the stamp protects one
+      stream's replays, not interleaved streams.
+    - a meta stamped by the PRE-stream-identity code (bare
+      ``last_epoch``) matches any stream for its one transitional
+      replay window, so a library upgrade cannot turn a pending
+      crash-replay into a double-count; the next append rewrites the
+      stamp with both fields.
 
     Batch-mode appends (``epoch_id=None``) CARRY the existing stamp
     forward (ADVICE r11: dropping it opened a window where a batch
@@ -419,8 +430,18 @@ def bm25_index_append(
     row = snapshot_read(spark, os.path.join(root, "meta"), fs=fs).collect()[0]
     n, sum_dl, n_buckets = row["n"], row["sum_dl"], row["n_buckets"]
     last = row["last_epoch"] if "last_epoch" in row.__fields__ else None
-    last_stream = row["last_stream"] if "last_stream" in row.__fields__ else None
-    if epoch_id is not None and last is not None and stream_id == last_stream:
+    has_stream_col = "last_stream" in row.__fields__
+    last_stream = row["last_stream"] if has_stream_col else None
+    # A meta stamped by the pre-stream-identity code carries last_epoch
+    # but NO last_stream column.  For exactly that transitional window
+    # the stamp must match ANY stream (the legacy semantics), or the
+    # one crash-replay spanning a library upgrade would bypass the
+    # guard and double-count (n, Σdl) — review r12.  The first new-code
+    # append rewrites the meta with both columns.
+    legacy_stamp = last is not None and not has_stream_col
+    if epoch_id is not None and last is not None and (
+        legacy_stamp or stream_id == last_stream
+    ):
         if epoch_id == last:
             from ..streaming.snapshot import (
                 DEFAULT_FS,
@@ -442,8 +463,12 @@ def bm25_index_append(
                 f"last_epoch={last} — this is a reset/recreated "
                 "checkpoint replaying history the index already holds; "
                 "silently skipping would DROP its future appends.  "
-                "Point the new checkpoint at a fresh stream_id, or "
-                "rebuild the index."
+                "Recover by rebuilding the index, or by pointing a "
+                "NEW checkpoint (fresh stream_id) at ONLY the "
+                "not-yet-ingested landing data — re-delivering "
+                "already-indexed documents under a new identity "
+                "violates the id-disjoint append contract and "
+                "double-counts the corpus stats."
             )
     w = H.words(text_col)
     toks = new_docs.select(F.col(id_col), F.expr(w.spark).alias("ws"))

@@ -916,12 +916,21 @@ def ivf_build_index_quantized(
 
 
 def _has_member(root: str, name: str, fs) -> bool:
-    """True when the index root has a live ``<root>/<name>`` snapshot —
-    how the quantized lifecycle detects a rerank payload to maintain."""
+    """True when the PUBLISHED index version names member ``name`` —
+    how the quantized lifecycle detects a rerank payload to maintain.
+    The pin is authoritative, not raw member-dir liveness: a root
+    rebuilt in place without the member (e.g. float → non-rerank
+    quantized) can leave a STALE live member dir behind, and
+    dir-liveness detection would merge new batches into it and
+    republish pre-rebuild vectors into the index (review r12).  Only
+    a pre-pointer root (no pin at all) falls back to dir liveness."""
     import os
 
-    from ..streaming.snapshot import DEFAULT_FS, _current_version
+    from ..streaming.snapshot import DEFAULT_FS, _current_version, index_current
 
+    pin = index_current(root, fs=fs)
+    if pin is not None:
+        return name in pin
     return _current_version(os.path.join(root, name), fs or DEFAULT_FS) is not None
 
 
@@ -1150,30 +1159,29 @@ def ivf_topk_indexed_quantized_rerank(
         .filter(F.col("qrank") <= m * k)
         .select("probe_id", "v", "nrm", "vec_id", "list_id")
     )
-    ids = [
-        r["vec_id"]
-        for r in cand.select("vec_id")
+    # ONE driver job yields both routing scalars: the survivor ids
+    # (pushed-down filter) and their list_ids (partition pruning) —
+    # survivors carry list_id from the int8 scan, so the float read
+    # prunes to exactly the lists that hold them (≤ the routed set)
+    # with zero extra IO
+    rows = (
+        cand.select("vec_id", "list_id")
         .distinct()
         .limit(MAX_RERANK_IDS + 1)
         .collect()
-    ]
-    if len(ids) > MAX_RERANK_IDS:
+    )
+    if len(rows) > MAX_RERANK_IDS:
         raise ValueError(
             f"ivf_topk_indexed_quantized_rerank: more than "
             f"{MAX_RERANK_IDS} re-rank survivors — the probe set is "
             "corpus-sized; use cosine_topk (distributed join) instead"
         )
-    if not ids:
+    if not rows:
         return cand.select(
             "probe_id", F.lit(1).alias("rank"), "vec_id", F.lit(0.0).alias("cos")
         ).filter(F.lit(False))
-    # survivors carry their list_id from the int8 scan, so the float
-    # read prunes to exactly the lists that hold them (≤ the routed
-    # set) with zero extra IO; the id filter then pushes to parquet
-    # row-group stats inside those lists
-    lists = sorted(
-        r["list_id"] for r in cand.select("list_id").distinct().collect()
-    )
+    ids = sorted({r["vec_id"] for r in rows})
+    lists = sorted({r["list_id"] for r in rows})
     full = snapshot_read(
         spark,
         os.path.join(root, "corpus"),

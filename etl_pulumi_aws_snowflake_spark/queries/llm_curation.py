@@ -281,6 +281,43 @@ _CURATION_IDX_ORACLE = f"""
 """
 
 
+def indexed_curation_chain(batch, bench, root: str):
+    """The ingest-shaped curate step as ONE function — exact dedup
+    within the batch → drop batch docs near-dup to the PERSISTED LSH
+    index at ``root`` (``lsh_index_check``, threshold 0.8) → quality
+    filter → decontaminate ``train`` against ``bench`` → train-split
+    gate → pack — shared verbatim by the hash-certified registry entry
+    and the scale-curve op (review r12: the chain was duplicated in
+    scripts/scale_curve.py; a threshold tweak in one would silently
+    desynchronize what the curve measures from what the driver
+    certifies).  Returns the packed (doc_id, chunk_id, tok_start,
+    tok_end) assignment of the surviving batch documents."""
+    from ..operators.dedup import lsh_index_check
+
+    gate10 = F.expr(hash_gate_spark("doc_id", 10))
+    keep = D.exact_dedup(batch).select(F.col("keep_id").alias("doc_id"))
+    deduped = batch.join(keep, "doc_id")
+    flagged_nd = (
+        lsh_index_check(deduped, root, threshold=0.8)
+        .select(F.col("doc_new").alias("doc_id"))
+        .distinct()
+    )
+    survivors = deduped.join(flagged_nd, "doc_id", "left_anti")
+    quality = survivors.filter(
+        (F.expr(T.n_words().spark) >= 20)
+        & (F.expr(T.stopword_ratio().spark) >= 0.05)
+        & (F.expr(T.distinct_ratio().spark) >= 0.3)
+        & (F.expr(T.punct_ratio().spark) <= 0.2)
+    )
+    train = quality.filter(~gate10)
+    flagged = contamination(train, bench, k=5).select("doc_id")
+    clean = train.join(flagged, "doc_id", "left_anti").filter(
+        F.expr(hash_gate_spark("doc_id", 80))
+    )
+    toks = clean.select("doc_id", F.expr(_NTOK_SPARK).alias("n_tokens"))
+    return P.pack_chunks(toks, _BUDGET, size_col="n_tokens", id_col="doc_id")
+
+
 @query("curation_pipeline_indexed_e2e", oracle=_CURATION_IDX_ORACLE)
 def curation_pipeline_indexed_e2e(spark, sf_dir):
     """The INGEST-shaped curation chain (VERDICT r11 #4) — the 100 TB
@@ -304,35 +341,13 @@ def curation_pipeline_indexed_e2e(spark, sf_dir):
     (that is the e2e entry's keep-one stage; an ingest deployment runs
     ``lsh_index_append`` after this check, which makes later batches
     see this batch's survivors)."""
-    from ..operators.dedup import lsh_build_index, lsh_index_check
+    from ..operators.dedup import lsh_build_index
     from .pipeline_e2e import _workdir
 
     docs = t(spark, sf_dir, "documents")
-    gate10 = F.expr(hash_gate_spark("doc_id", 10))
     batch = docs.filter(F.expr(_BATCH_WHERE))
     corpus = docs.filter(~F.expr(_BATCH_WHERE))
     root = _workdir(sf_dir, "curation_lsh_index")
     lsh_build_index(corpus, root, k=3, num_hashes=16, bands=8)
-
-    keep = D.exact_dedup(batch).select(F.col("keep_id").alias("doc_id"))
-    deduped = batch.join(keep, "doc_id")
-    flagged_nd = (
-        lsh_index_check(deduped, root, threshold=0.8)
-        .select(F.col("doc_new").alias("doc_id"))
-        .distinct()
-    )
-    survivors = deduped.join(flagged_nd, "doc_id", "left_anti")
-    quality = survivors.filter(
-        (F.expr(T.n_words().spark) >= 20)
-        & (F.expr(T.stopword_ratio().spark) >= 0.05)
-        & (F.expr(T.distinct_ratio().spark) >= 0.3)
-        & (F.expr(T.punct_ratio().spark) <= 0.2)
-    )
-    bench = docs.filter(gate10)
-    train = quality.filter(~gate10)
-    flagged = contamination(train, bench, k=5).select("doc_id")
-    clean = train.join(flagged, "doc_id", "left_anti").filter(
-        F.expr(hash_gate_spark("doc_id", 80))
-    )
-    toks = clean.select("doc_id", F.expr(_NTOK_SPARK).alias("n_tokens"))
-    return P.pack_chunks(toks, _BUDGET, size_col="n_tokens", id_col="doc_id")
+    bench = docs.filter(F.expr(hash_gate_spark("doc_id", 10)))
+    return indexed_curation_chain(batch, bench, root)

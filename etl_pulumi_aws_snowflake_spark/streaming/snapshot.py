@@ -941,17 +941,39 @@ def index_current(
     root: str, fs: LocalFilesystem | None = None
 ) -> dict[str, str] | None:
     """The live pinned ``{member → snapshot version}`` set of an index
-    root, or ``None`` for a root without an index pointer (pre-pointer
+    root, or ``None`` for a root WITHOUT an index pointer (pre-pointer
     builds; serves fall back to each member's own live pointer — the
-    old, individually-atomic behavior)."""
+    old, individually-atomic behavior).
+
+    A missing pin FILE under a resolved pointer is NOT a fallback
+    case: swallowing it would silently degrade a pinned serve to
+    unpinned member reads mid-rebuild — reopening the torn window the
+    pin exists to close (review r12).  The only legitimate way to hit
+    it is the read racing a concurrent publish whose GC removed the
+    just-resolved version's dir; re-resolving the pointer recovers
+    (it has necessarily moved).  A STABLE pointer with no pin file is
+    a corrupt root and raises."""
     fs = fs or DEFAULT_FS
-    v = _current_version(root, fs)
-    if v is None:
-        return None
-    try:
-        return json.loads(fs.read_text(os.path.join(root, v, _INDEX_JSON)))
-    except FileNotFoundError:
-        return None
+    for _ in range(5):
+        v = _current_version(root, fs)
+        if v is None:
+            return None
+        try:
+            return json.loads(fs.read_text(os.path.join(root, v, _INDEX_JSON)))
+        except FileNotFoundError:
+            if _current_version(root, fs) == v:
+                raise ValueError(
+                    f"index root {root}: live version {v} has no "
+                    f"{_INDEX_JSON} — the root is corrupt (a publish "
+                    "crashed after the pointer swap?); refusing to "
+                    "silently fall back to unpinned member reads"
+                ) from None
+            # pointer moved between resolve and read (concurrent
+            # publish + GC) — re-resolve
+    raise SnapshotConflictError(
+        f"index root {root}: pointer kept moving across 5 pin reads — "
+        "a publish storm; retry the serve"
+    )
 
 
 def snapshot_commit(

@@ -573,46 +573,15 @@ def _run_curation_indexed(spark, sf_dir, root):
     regime (:func:`_curation_batch`)."""
     import os
 
-    from pyspark.sql import functions as F
-
-    from etl_pulumi_aws_snowflake_spark.operators import dedup as D
-    from etl_pulumi_aws_snowflake_spark.operators import packing as P
-    from etl_pulumi_aws_snowflake_spark.operators.decontam import contamination
-    from etl_pulumi_aws_snowflake_spark.functions import text as T
-    from etl_pulumi_aws_snowflake_spark.queries.llm_packing import (
-        _BUDGET,
-        _NTOK_SPARK,
-    )
-    from etl_pulumi_aws_snowflake_spark.queries.llm_sampling import (
-        hash_gate_spark,
+    from etl_pulumi_aws_snowflake_spark.queries.llm_curation import (
+        indexed_curation_chain,
     )
 
     batch = spark.read.parquet(os.path.join(root, "batch.parquet"))
     bench = spark.read.parquet(os.path.join(root, "bench.parquet"))
-    gate10 = F.expr(hash_gate_spark("doc_id", 10))
-    keep = D.exact_dedup(batch).select(F.col("keep_id").alias("doc_id"))
-    deduped = batch.join(keep, "doc_id")
-    flagged_nd = (
-        D.lsh_index_check(deduped, root, threshold=0.8)
-        .select(F.col("doc_new").alias("doc_id"))
-        .distinct()
-    )
-    survivors = deduped.join(flagged_nd, "doc_id", "left_anti")
-    quality = survivors.filter(
-        (F.expr(T.n_words().spark) >= 20)
-        & (F.expr(T.stopword_ratio().spark) >= 0.05)
-        & (F.expr(T.distinct_ratio().spark) >= 0.3)
-        & (F.expr(T.punct_ratio().spark) <= 0.2)
-    )
-    train = quality.filter(~gate10)
-    flagged = contamination(train, bench, k=5).select("doc_id")
-    clean = train.join(flagged, "doc_id", "left_anti").filter(
-        F.expr(hash_gate_spark("doc_id", 80))
-    )
-    toks = clean.select("doc_id", F.expr(_NTOK_SPARK).alias("n_tokens"))
-    P.pack_chunks(
-        toks, _BUDGET, size_col="n_tokens", id_col="doc_id"
-    ).write.format("noop").mode("overwrite").save()
+    indexed_curation_chain(batch, bench, root).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
 
 def _run_ivf_q_search_indexed(spark, sf_dir, root):

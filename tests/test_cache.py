@@ -210,3 +210,34 @@ def test_scoped_release_leaves_tracked_checkpoints_alone(spark):
         assert set(cache._TRACKED_RDD_IDS) == tracked
     assert df.count() == 70  # blocks still alive
     cache.release_deferred(spark)
+
+
+def test_scoped_release_shared_object_keeps_other_threads_pool_entry(spark):
+    """Review r12: when ANOTHER thread registers the SAME DataFrame
+    object during a scope, the scope's exit sweeps only ITS OWN entry
+    — the other thread's registration stays pooled for the boundary
+    sweep (the shared cache entry is object-level and does get
+    released, but a released persist recomputes; a dropped pool entry
+    would leak the re-persist forever)."""
+    import threading
+
+    spark.catalog.clearCache()
+    cache.release_deferred(spark)
+
+    shared = spark.range(25).toDF("s")
+
+    def host_thread():
+        cache.deferred_persist(shared)
+
+    with cache.scoped_release():
+        cache.deferred_persist(shared)
+        shared.count()
+        t = threading.Thread(target=host_thread)
+        t.start()
+        t.join()
+        with cache._LOCK:
+            assert len(cache._PENDING) == 2
+
+    with cache._LOCK:  # the other thread's entry survived the sweep
+        assert [id(df) for df, _ in cache._PENDING] == [id(shared)]
+    cache.release_deferred(spark)

@@ -258,3 +258,46 @@ def test_index_compact_republishes_and_serves_stay_identical(spark, tmp_path):
     # bare (unpublished) roots are snapshot_compact's job, loudly
     with pytest.raises(ValueError, match="no published index version"):
         index_compact(spark, str(tmp_path / "nothing"))
+
+
+def test_has_member_consults_pin_not_stale_dirs(spark, tmp_path):
+    """Review r12: an in-place rebuild float -> non-rerank-quantized
+    leaves a live-but-STALE <root>/corpus dir behind; the quantized
+    lifecycle must detect the rerank payload from the PUBLISHED pin
+    (which no longer names it), never from dir liveness — else appends
+    would merge into pre-rebuild vectors and republish them into the
+    index."""
+    emb = _emb(spark)
+    root = str(tmp_path / "ivf")
+    S.ivf_build_index(emb.filter(F.col("vec_id") < 100), root, nlists=4)
+    stale_corpus_v = SN._current_version(os.path.join(root, "corpus"), SN.DEFAULT_FS)
+    assert stale_corpus_v is not None
+    # rebuild in place WITHOUT the rerank payload
+    S.ivf_build_index_quantized(
+        emb.filter(F.col("vec_id") < 100), root, nlists=4
+    )
+    assert "corpus" not in index_current(root)
+    S.ivf_index_append_quantized(emb.filter(F.col("vec_id") >= 100), root)
+    # the stale float member was neither merged into nor re-pinned
+    assert (
+        SN._current_version(os.path.join(root, "corpus"), SN.DEFAULT_FS)
+        == stale_corpus_v
+    )
+    assert "corpus" not in index_current(root)
+
+
+def test_index_current_raises_on_corrupt_pin_never_degrades(tmp_path):
+    """Review r12: a resolved pointer whose pin file is missing must
+    RAISE, not return None — silently degrading a pinned serve to
+    unpinned member reads reopens the torn window the pin closes."""
+    import shutil
+
+    root = str(tmp_path / "ix")
+    index_publish(root, {"m": "v-00001"})
+    v = SN._current_version(root, SN.DEFAULT_FS)
+    os.remove(os.path.join(root, v, SN._INDEX_JSON))
+    with pytest.raises(ValueError, match="corrupt"):
+        index_current(root)
+    # a root with NO pointer at all still returns None (pre-pointer)
+    shutil.rmtree(root)
+    assert index_current(root) is None

@@ -1973,3 +1973,52 @@ def test_stream_ivf_q_ingest_split_independent_and_replay_safe(spark, tmp_path):
         new.filter(F.col("vec_id") % 3 == 1), 0, root_split, quantized=True
     )
     assert search(root_split) == one
+
+
+def test_bm25_legacy_stamp_still_suppresses_upgrade_replay(spark, tmp_path):
+    """Review r12: a meta stamped by the pre-stream-identity code
+    (bare last_epoch, no last_stream column) must match ANY incoming
+    stream identity for its pending crash-replay — otherwise the one
+    replay spanning a library upgrade double-counts (n, sum_dl)."""
+    import os
+
+    from etl_pulumi_aws_snowflake_spark.operators import search as SR
+    from etl_pulumi_aws_snowflake_spark.streaming.bm25_ingest import (
+        bm25_ingest_batch,
+    )
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    base = spark.createDataFrame(
+        [(i, "w common") for i in range(10)], "doc_id long, text string"
+    )
+    root = str(tmp_path / "bm25")
+    SR.bm25_build_index(base, root, n_buckets=4)
+    batch = spark.createDataFrame(
+        [(100, "w common x")], "doc_id long, text string"
+    )
+    bm25_ingest_batch(batch, 3, root, stream_id="ckpt-a")
+    meta_after = SR._bm25_meta(spark, root)
+    # simulate the pre-upgrade stamp: same stats, last_epoch only
+    legacy = spark.createDataFrame(
+        [(meta_after[0], meta_after[1], meta_after[2], 3)],
+        "n bigint, sum_dl bigint, n_buckets int, last_epoch bigint",
+    )
+    snapshot_commit(legacy, os.path.join(root, "meta"))
+    row = snapshot_read(spark, os.path.join(root, "meta")).collect()[0]
+    assert "last_stream" not in row.__fields__
+
+    # the upgrade-spanning crash-replay: same epoch, NEW-code identity
+    bm25_ingest_batch(batch, 3, root, stream_id="ckpt-a")
+    assert SR._bm25_meta(spark, root) == meta_after  # no double-count
+    # and a genuinely later epoch still applies + re-stamps both fields
+    bm25_ingest_batch(
+        spark.createDataFrame([(200, "w common y")], "doc_id long, text string"),
+        4,
+        root,
+        stream_id="ckpt-a",
+    )
+    row = snapshot_read(spark, os.path.join(root, "meta")).collect()[0]
+    assert (row["last_epoch"], row["last_stream"]) == (4, "ckpt-a")
