@@ -222,7 +222,13 @@ def pack_bins(
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col)
+        # Sort by (id, size), not id alone: sort_values' default
+        # quicksort is UNSTABLE, so duplicate ids with differing sizes
+        # would pack in partitioning-dependent order (ADVICE r12).
+        # With both keys any remaining ties are identical (id, size)
+        # rows, for which every order yields the same bin assignment —
+        # the packing is again a pure function of its inputs.
+        pdf = pdf.sort_values([id_col, size_col])
         grp = int(pdf["_grp"].iloc[0])
         ids = pdf[id_col].to_numpy()
         sizes = pdf[size_col].to_numpy()

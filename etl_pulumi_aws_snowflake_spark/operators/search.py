@@ -437,8 +437,15 @@ def bm25_index_append(
     # the stamp must match ANY stream (the legacy semantics), or the
     # one crash-replay spanning a library upgrade would bypass the
     # guard and double-count (n, Σdl) — review r12.  The first new-code
-    # append rewrites the meta with both columns.
-    legacy_stamp = last is not None and not has_stream_col
+    # append rewrites the meta with both columns.  A NULL last_stream
+    # WITH last_epoch set is the same transitional stamp one hop later
+    # (ADVICE r12: a batch-mode append carried the legacy epoch forward
+    # through _stamp, which writes last_stream=NULL) — it too must
+    # match any stream, or a replay spanning that batch append matches
+    # neither arm and double-counts.
+    legacy_stamp = last is not None and (
+        not has_stream_col or last_stream is None
+    )
     if epoch_id is not None and last is not None and (
         legacy_stamp or stream_id == last_stream
     ):

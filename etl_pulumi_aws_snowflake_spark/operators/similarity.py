@@ -1182,6 +1182,21 @@ def ivf_topk_indexed_quantized_rerank(
         ).filter(F.lit(False))
     ids = sorted({r["vec_id"] for r in rows})
     lists = sorted({r["list_id"] for r in rows})
+    # The pin is AUTHORITATIVE for the float tier too (ADVICE r12,
+    # medium): a published pin that lacks the 'corpus' member means the
+    # root was rebuilt WITHOUT rerank_payload — falling back to
+    # version=None would silently re-score survivors against whatever
+    # stale live member dir remains from an older build (wrong cos,
+    # silently dropped vec_ids), the exact hazard the pin exists to
+    # close.  Fail loudly instead.
+    if pin and "corpus" not in pin:
+        raise ValueError(
+            "ivf_topk_indexed_quantized_rerank: the index pin at "
+            f"{root!r} has no 'corpus' member — this is not a "
+            "rerank_payload=True build; rebuild with "
+            "rerank_payload=True or serve via "
+            "ivf_topk_indexed_quantized (int8-only)"
+        )
     full = snapshot_read(
         spark,
         os.path.join(root, "corpus"),

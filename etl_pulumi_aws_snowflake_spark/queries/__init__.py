@@ -74,7 +74,7 @@ _DRIVER_FIRST = [
     "pivot_status_by_priority", "q17_small_qty_revenue",
     "scalar_conditional", "scalar_hilbert_key", "scalar_math",
     "scalar_string", "win_range_frame",
-    # (c) r09-stale, staleness-report order (13 deferred, note above)
+    # (c) r09-stale, staleness-report order (15 deferred, note above)
     "agg_collect", "agg_cube", "agg_grouping_sets", "agg_rollup",
     "agg_stats", "align_by_name_ci", "cdc_merge_pruned_e2e",
     "corpus_quality_filter", "corpus_split", "decontaminate",

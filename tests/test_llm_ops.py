@@ -2022,3 +2022,90 @@ def test_bm25_legacy_stamp_still_suppresses_upgrade_replay(spark, tmp_path):
     )
     row = snapshot_read(spark, os.path.join(root, "meta")).collect()[0]
     assert (row["last_epoch"], row["last_stream"]) == (4, "ckpt-a")
+
+
+def test_rerank_refuses_pin_without_corpus_member(spark, tmp_path):
+    """ADVICE r12 (medium): when the published pin exists but lacks the
+    'corpus' member — the root was rebuilt in place WITHOUT
+    rerank_payload — the rerank serve must raise, not silently fall
+    back to version=None and re-score survivors against the STALE live
+    corpus dir left behind by the earlier rerank build."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    root = str(tmp_path / "adc")
+    S.ivf_build_index_quantized(emb, root, nlists=8, rerank_payload=True)
+    assert S.ivf_topk_indexed_quantized_rerank(
+        probes, root, k=3, nprobe=2, m=3
+    ).count() > 0
+    # in-place rebuild without the float payload: pin drops 'corpus',
+    # but the old build's live corpus dir is still on disk (the trap)
+    S.ivf_build_index_quantized(emb, root, nlists=8, rerank_payload=False)
+    with pytest.raises(ValueError, match="rerank_payload"):
+        S.ivf_topk_indexed_quantized_rerank(probes, root, k=3, nprobe=2, m=3)
+    # the int8-only serve the error points at still works
+    assert S.ivf_topk_indexed_quantized(
+        probes, root, k=3, nprobe=2
+    ).count() > 0
+
+
+def test_bm25_null_stream_stamp_still_suppresses_replay(spark, tmp_path):
+    """ADVICE r12: a batch-mode append/delete that carries a LEGACY
+    bare-last_epoch stamp forward writes last_stream=NULL via _stamp.
+    A later upgrade-spanning replay of that pending epoch must still
+    match the stamp (NULL stream == transitional == match-any), or the
+    guard is bypassed and (n, sum_dl) double-count."""
+    import os
+
+    from etl_pulumi_aws_snowflake_spark.operators import search as SR
+    from etl_pulumi_aws_snowflake_spark.streaming.bm25_ingest import (
+        bm25_ingest_batch,
+    )
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    base = spark.createDataFrame(
+        [(i, "w common") for i in range(10)], "doc_id long, text string"
+    )
+    root = str(tmp_path / "bm25")
+    SR.bm25_build_index(base, root, n_buckets=4)
+    batch = spark.createDataFrame(
+        [(100, "w common x")], "doc_id long, text string"
+    )
+    bm25_ingest_batch(batch, 3, root, stream_id="ckpt-a")
+    # simulate the pre-upgrade stamp: same stats, last_epoch only
+    m = SR._bm25_meta(spark, root)
+    snapshot_commit(
+        spark.createDataFrame(
+            [(m[0], m[1], m[2], 3)],
+            "n bigint, sum_dl bigint, n_buckets int, last_epoch bigint",
+        ),
+        os.path.join(root, "meta"),
+    )
+    # a batch-mode append carries the stamp forward -> last_stream=NULL
+    SR.bm25_index_append(
+        spark.createDataFrame(
+            [(200, "w common y")], "doc_id long, text string"
+        ),
+        root,
+    )
+    row = snapshot_read(spark, os.path.join(root, "meta")).collect()[0]
+    assert row["last_epoch"] == 3 and row["last_stream"] is None
+    meta_after = SR._bm25_meta(spark, root)
+
+    # the upgrade-spanning crash-replay of the pending epoch, under the
+    # NEW-code identity: must be suppressed (no (n, sum_dl) change)
+    bm25_ingest_batch(batch, 3, root, stream_id="ckpt-a")
+    assert SR._bm25_meta(spark, root) == meta_after
+    # and a genuinely later epoch still applies + re-stamps both fields
+    bm25_ingest_batch(
+        spark.createDataFrame(
+            [(300, "w common z")], "doc_id long, text string"
+        ),
+        4,
+        root,
+        stream_id="ckpt-a",
+    )
+    row = snapshot_read(spark, os.path.join(root, "meta")).collect()[0]
+    assert (row["last_epoch"], row["last_stream"]) == (4, "ckpt-a")

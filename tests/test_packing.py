@@ -293,3 +293,33 @@ def test_pack_bins_oversized_rejected_loudly(spark):
         P.pack_bins(df, 0)
     with pytest.raises(ValueError, match="n_groups must be"):
         P.pack_bins(df, 512, n_groups=0)
+
+
+def test_pack_bins_duplicate_ids_partitioning_invariant(spark):
+    """ADVICE r12: pandas sort_values on id alone is an UNSTABLE
+    quicksort, so duplicate ids with differing sizes packed in
+    partitioning-dependent order — contradicting the purity claim.
+    The (id, size) two-key sort makes the row order (and therefore
+    every bin boundary) fully deterministic; remaining ties are
+    identical rows, for which any order packs identically."""
+    rows = [(i % 5, s) for i, s in enumerate([300, 100, 250, 200, 50,
+                                              400, 150, 350, 120, 80])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    outs = []
+    for nparts in (1, 3, 7):
+        got = sorted(
+            tuple(r)
+            for r in P.pack_bins(
+                df.repartition(nparts), 512, n_groups=2
+            ).collect()
+        )
+        outs.append(got)
+    assert outs[0] == outs[1] == outs[2]
+    # every bin respects the budget and every doc appears exactly once
+    import collections
+
+    fills = collections.Counter()
+    for _id, _bin, _start, n in outs[0]:
+        fills[_bin] += n
+    assert all(v <= 512 for v in fills.values())
+    assert len(outs[0]) == len(rows)
