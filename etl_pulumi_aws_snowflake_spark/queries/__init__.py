@@ -65,7 +65,10 @@ from . import streaming_e2e  # noqa: E402,F401
 # FAILS if a registry entry without any CORRECTNESS row sits outside
 # the first 50 — the r05 process miss cannot recur silently.
 _DRIVER_FIRST = [
-    # (a) NEW this round — first-ever driver evidence
+    # (a0) NEW in r13 — first-ever driver evidence (full rotation
+    # rewrite happens once the round's registry additions are final)
+    "mm_decode_png",
+    # (a) NEW in r12 — first driver evidence recorded r12
     "sim_ivf_topk_quantized_appended", "sim_ivf_topk_quantized_deleted",
     "sim_ivf_topk_quantized_rerank", "sim_ivf_recall_quantized_rerank",
     "mm_decode_ppm", "curation_pipeline_indexed_e2e", "pack_bins",
@@ -87,7 +90,6 @@ _DRIVER_FIRST = [
     "sample_stratified_by_lang", "sample_temperature_mixture",
     "set_distinct_rows", "sim_cosine_topk",
     "text_lm_score", "text_quality", "udf_grouped_map",
-    "udf_table_function",
 ]
 
 def _driver_order(d: dict) -> dict:

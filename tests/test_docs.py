@@ -197,3 +197,42 @@ def test_driver_mirror_artifact_covers_registry():
     )
     not_ok = sorted(k for k, v in rep.items() if not v.get("ok"))
     assert not not_ok, f"mirror has failures: {not_ok}"
+
+
+def test_bench_report_committed_and_compact_line_fits_driver_tail():
+    """VERDICT r12 #1: the driver's BENCH_r{N}.json keeps only a
+    2000-char stdout tail, and r12's full bench doc overflowed it —
+    the round artifact lost the headline total.  The committed full
+    report must cover bench.HEADLINE against the live registry, and the
+    compact stdout line rebuilt from it must stay under the tail
+    window (with margin for timing-digit jitter)."""
+    import json
+
+    import bench
+
+    from etl_pulumi_aws_snowflake_spark.queries import all_queries
+
+    doc = json.loads((REPO / "scripts" / "bench_report.json").read_text())
+    # replicate bench.main()'s run order: shared first, builders last
+    present = [n for n in bench.HEADLINE if n in all_queries()]
+    expected = [n for n in present if n not in bench.BUILD_INCLUSIVE] + [
+        n for n in present if n in bench.BUILD_INCLUSIVE
+    ]
+    assert list(doc["queries"]) == expected, (
+        "scripts/bench_report.json does not match bench.HEADLINE over "
+        "the live registry — re-run `python bench.py` and commit the "
+        "refreshed report"
+    )
+    assert set(doc["queries_median"]) == set(doc["queries"])
+    for key in ("metric", "value", "unit", "calibration",
+                "build_inclusive", "rebaselined", "sf"):
+        assert key in doc, f"bench report missing {key!r}"
+    line = bench.compact_line(doc)
+    assert len(line) < 1900, (
+        f"bench compact stdout line is {len(line)} chars — the driver "
+        "records a 2000-char tail; trim the headline set or the line "
+        "format before this overflows the round artifact again"
+    )
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total"
+    assert set(parsed["queries"]) == set(doc["queries"])

@@ -210,19 +210,21 @@ def test_ivf_trained_centroids(spark, sf_smoke):
 
 
 def test_multimodal_stub_gating():
+    # a JPEG-shaped payload has no from-scratch tier: codec-gated
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG")
-    assert M.decode_image(b"\x89PNG", fake=True) == b"\x89PNG"
+        M.decode_image(b"\xff\xd8\xff\xe0jpeg-ish")
+    assert M.decode_image(b"\xff\xd8", fake=True) == b"\xff\xd8"
 
 
 def test_multimodal_capabilities(monkeypatch):
     """capabilities() is the single source of truth for codec presence
     — truthful in both the codec-absent (this container) and
-    codec-present deployments; the from-scratch PNM tier is always
-    there."""
+    codec-present deployments; the from-scratch PNM and PNG tiers are
+    always there."""
     assert M.capabilities() == {
         "image_decode": M._HAVE_PIL,
         "pnm_decode": True,
+        "png_decode": True,
     }
     monkeypatch.setattr(M, "_HAVE_PIL", False)
     assert M.capabilities()["image_decode"] is False
@@ -276,6 +278,177 @@ def test_as_ppm_payloads_decode_end_to_end(spark, sample_df):
         assert feats[i].checksum == hashlib.md5(want).hexdigest()
     with pytest.raises(ValueError, match="sha256"):
         M.as_ppm(sample_df, width=11, height=2)  # 66 raster bytes > 64
+
+
+def test_png_paeth_predictor_spec_vectors():
+    """The Paeth predictor against hand-computed RFC 2083 §6.6 values —
+    an EXTERNAL oracle (the spec's arithmetic worked by hand), so a
+    matched encoder/decoder bug cannot cancel here."""
+    # p = a+b-c; nearest of (a, b, c) to p, ties a then b then c
+    assert M._paeth(1, 2, 3) == 1      # p=0: pa=1 smallest -> a
+    assert M._paeth(100, 50, 0) == 100  # p=150: pa=50 smallest -> a
+    assert M._paeth(0, 0, 0) == 0      # all tie -> a
+    assert M._paeth(20, 10, 21) == 10  # p=9: pb=1 smallest -> b
+    assert M._paeth(8, 4, 6) == 6      # p=6: pc=0 smallest -> c
+    assert M._paeth(2, 4, 3) == 3      # p=3: pa=pb=1, pc=0 -> c
+    assert M._paeth(0, 255, 255) == 0  # p=0: pa=0 -> a
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    """Independent chunk builder for known-answer containers (the test
+    does NOT reuse encode_png, so decoder vectors aren't circular)."""
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _png(width, height, color_type, scanlines: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(
+            b"IHDR",
+            struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0),
+        )
+        + _chunk(b"IDAT", zlib.compress(scanlines))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_known_answer_vectors():
+    """Decoder against hand-unfiltered spec vectors for every filter
+    type — each expected raster is worked by hand from RFC 2083 §6
+    (Recon formulas), built with an independent container builder."""
+    # filter None: pixels pass through
+    px = bytes([1, 2, 3, 200, 100, 50])
+    assert M.decode_image(_png(2, 1, 2, b"\x00" + px)) == px
+    # Sub: Recon(x) = Filt(x) + Recon(x - bpp)
+    got = M.decode_image(_png(2, 1, 2, bytes([1, 10, 20, 30, 5, 5, 5])))
+    assert got == bytes([10, 20, 30, 15, 25, 35])
+    # Up: Recon(x) = Filt(x) + Prior(x); row0 None, row1 Up
+    got = M.decode_image(
+        _png(1, 2, 2, bytes([0, 10, 20, 30]) + bytes([2, 5, 6, 7]))
+    )
+    assert got == bytes([10, 20, 30, 15, 26, 37])
+    # Average: Recon(x) = Filt(x) + floor((left + prior)/2); prior=0 row
+    got = M.decode_image(_png(2, 1, 2, bytes([3, 10, 20, 30, 4, 4, 4])))
+    assert got == bytes([10, 20, 30, 9, 14, 19])
+    # Paeth on grayscale with a real prior row (hand-worked):
+    # row0 = [100, 200]; row1 filt = [10, 20]
+    #   x=0: a=0,b=100,c=0 -> pred 100 -> 110
+    #   x=1: a=110,b=200,c=100 -> p=210, pb=10 smallest -> 200 -> 220
+    got = M.decode_image(
+        _png(2, 2, 0, bytes([0, 100, 200]) + bytes([4, 10, 20]))
+    )
+    assert got == bytes([100] * 3 + [200] * 3 + [110] * 3 + [220] * 3)
+    # channel mapping: LA drops alpha + replicates; RGBA drops alpha
+    got = M.decode_image(_png(2, 1, 4, bytes([0, 9, 128, 250, 0])))
+    assert got == bytes([9, 9, 9, 250, 250, 250])
+    got = M.decode_image(
+        _png(1, 1, 6, bytes([0, 11, 22, 33, 44]))
+    )
+    assert got == bytes([11, 22, 33])
+
+
+def test_png_roundtrip_every_filter_and_color_type():
+    """encode_png -> decode round-trips seeded random rasters for each
+    color type x each fixed filter x the cycling mode; combined with
+    the hand vectors above this pins both directions of all five
+    filters without a codec library."""
+    import random
+
+    rng = random.Random(13)
+    for color_type, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        w, h = rng.randint(1, 9), rng.randint(5, 9)
+        raster = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        # the RGB24 projection of the raster (gray replicate, alpha drop)
+        want = bytearray()
+        for i in range(0, len(raster), ch):
+            px = raster[i : i + ch]
+            want += (
+                bytes([px[0]] * 3) if ch <= 2 else px[:3]
+            )
+        for choice in (0, 1, 2, 3, 4, None):
+            payload = M.encode_png(
+                raster, w, h, color_type=color_type, filter_choice=choice
+            )
+            assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+            assert M.decode_image(payload) == bytes(want), (
+                color_type,
+                choice,
+            )
+
+
+def test_png_decode_loud_errors():
+    """Out-of-scope and corrupt containers fail loudly with actionable
+    messages — never wrong pixels: 16-bit depth, Adam7 interlace,
+    palette color, CRC corruption, truncation, bad filter byte."""
+    import struct
+    import zlib
+
+    base_px = bytes([5, 6, 7, 8])
+    good = M.encode_png(base_px, 2, 2, color_type=0, filter_choice=0)
+    assert M.decode_image(good) == bytes(
+        b for g in base_px for b in (g, g, g)
+    )
+
+    def ihdr(depth=8, color=0, interlace=0):
+        return struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+
+    scan = zlib.compress(bytes([0, 5, 6]) + bytes([0, 7, 8]))
+    sig = b"\x89PNG\r\n\x1a\n"
+    with pytest.raises(ValueError, match="bit depth"):
+        M.decode_image(
+            sig + _chunk(b"IHDR", ihdr(depth=16)) + _chunk(b"IDAT", scan)
+            + _chunk(b"IEND", b"")
+        )
+    with pytest.raises(ValueError, match="interlaced"):
+        M.decode_image(
+            sig + _chunk(b"IHDR", ihdr(interlace=1)) + _chunk(b"IDAT", scan)
+            + _chunk(b"IEND", b"")
+        )
+    with pytest.raises(ValueError, match="color type"):
+        M.decode_image(
+            sig + _chunk(b"IHDR", ihdr(color=3)) + _chunk(b"IDAT", scan)
+            + _chunk(b"IEND", b"")
+        )
+    # CRC corruption: flip one raster-affecting byte inside IDAT
+    corrupt = bytearray(good)
+    idat_at = bytes(corrupt).index(b"IDAT")
+    corrupt[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        M.decode_image(bytes(corrupt))
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_image(good[:-8])
+    with pytest.raises(ValueError, match="filter type"):
+        M.decode_image(_png(2, 2, 0, bytes([9, 5, 6]) + bytes([0, 7, 8])))
+    with pytest.raises(ValueError, match="signature"):
+        M._decode_png(b"\x89PNG\r\n\x1a\x00 not quite")
+
+
+def test_as_png_payloads_decode_end_to_end(spark, sample_df):
+    """as_png builds REAL PNG containers in the Arrow worker and the
+    non-fake extract_features path decodes them: checksum == md5 of
+    the sha256-hex raster the oracle replays; the default 5-row shape
+    cycles through all five scanline filters on the judged path."""
+    feats = {
+        r.doc_id: r
+        for r in M.extract_features(M.as_png(sample_df), fake=False).collect()
+    }
+    for i, s in enumerate(SAMPLES):
+        want = hashlib.sha256(s.encode()).hexdigest()[:30].encode()
+        assert feats[i].n_bytes == 30
+        assert feats[i].checksum == hashlib.md5(want).hexdigest()
+    with pytest.raises(ValueError, match="sha256"):
+        M.as_png(sample_df, width=11, height=2)  # 66 raster bytes > 64
 
 
 def test_multimodal_features_checksum(spark, sample_df):

@@ -121,3 +121,51 @@ def test_warehouse_writer_seam(spark, workdir):
     b = spark.read.schema(a.schema).json(json_path)
     assert a.count() == b.count() == 847
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_warehouse_writer_contract_with_recording_fake(spark):
+    """The seam contract, proven with a recording fake (VERDICT r12 #4
+    — same discipline as the LocalFilesystem/CommitLogPointer seams):
+    load_warehouse hands the writer an ALREADY-ALIGNED typed frame
+    (by-name CI align + cast happen engine-side, never in the writer —
+    the reference's MATCH_BY_COLUMN_NAME=CASE_INSENSITIVE semantics,
+    modules/snowflake.py:150), passes the mode through verbatim, and
+    touches no filesystem path when an explicit writer is given."""
+    from etl_pulumi_aws_snowflake_spark.pipeline import load_warehouse
+
+    class RecordingWriter:
+        def __init__(self):
+            self.calls = []
+
+        def write(self, df, mode):
+            self.calls.append((df, mode))
+
+    # messy source: wrong column case, wrong order, string-typed ints
+    src = spark.createDataFrame(
+        [("9", "alice", "11"), ("8", "bob", "22")],
+        "INDEX string, Customer_Id string, zip_code string",
+    )
+    target = T.StructType(
+        [
+            T.StructField("index", T.LongType()),
+            T.StructField("customer_id", T.StringType()),
+            T.StructField("zip_code", T.LongType()),
+        ]
+    )
+    rec = RecordingWriter()
+    load_warehouse(src, target, mode="append", writer=rec)
+    assert len(rec.calls) == 1
+    df, mode = rec.calls[0]
+    assert mode == "append"
+    # the writer saw the aligned+cast frame, not the raw source
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in target.fields
+    ]
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [(8, "bob", 22), (9, "alice", 11)]
+    # mode passthrough is verbatim, not normalized
+    load_warehouse(src, target, mode="overwrite", writer=rec)
+    assert rec.calls[-1][1] == "overwrite"
+    # no writer and no path: loud error, not a silent default
+    with pytest.raises(ValueError, match="path or an explicit writer"):
+        load_warehouse(src, target)
