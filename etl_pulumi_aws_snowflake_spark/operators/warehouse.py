@@ -29,53 +29,20 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def merge_upsert(
+def merge_schema_check(
     target: DataFrame,
     source: DataFrame,
-    key: list[str],
     delete_col: str | None = None,
     allow_new_columns: bool = False,
-) -> DataFrame:
-    """MERGE semantics over immutable storage: rows of ``target``
-    matched by ``source`` (equi on ``key``) are replaced by the source
-    row (update), unmatched source rows are appended (insert), and
-    matched source rows with ``delete_col`` true are dropped (delete).
-    Unmatched target rows pass through.  Returns the new snapshot with
-    ``target``'s column set.
-
-    ``allow_new_columns=True`` is schema EVOLUTION (Delta
-    ``mergeSchema`` semantics): source columns with no target
-    counterpart are APPENDED to the result schema, in source order —
-    source-matched rows carry the source value, passthrough target
-    rows get a typed NULL.  The default (False) keeps evolution an
-    explicit decision: extra source columns (beyond ``delete_col``)
-    are simply not part of the target schema and are dropped, exactly
-    like warehouse ``MERGE ... UPDATE SET <target columns>``.  Widening
-    an EXISTING column's type is still a loud error either way — only
-    additive evolution is automatic, as in Delta.
-
-    Source must carry every target column (plus optionally
-    ``delete_col``); a source row's non-key values win wholesale —
-    per-column update expressions belong in the source query, keeping
-    the merge itself mechanical (exactly how warehouse MERGE ... UPDATE
-    SET is compiled).
-
-    Schema drift fails LOUDLY, before the join: a source missing target
-    columns raises (instead of an opaque unresolved-column analysis
-    error deep in the plan), and a source column whose dtype differs
-    from the target's raises (the ``when(matched, s.c).otherwise(t.c)``
-    coalesce would otherwise silently promote the SNAPSHOT's column
-    type — e.g. an int column becoming string because one CDC feed
-    drifted).  Name matching follows the session's analyzer mode
-    (``spark.sql.caseSensitive``, default false → case-INsensitive, so
-    a source differing only in column case merged fine before these
-    checks existed and still does); in the default mode two source
-    columns differing only in case are ambiguous and raise.  The
-    optional ``delete_col`` gets the same presence/ambiguity checks —
-    it is resolved through the same analyzer.  Intentional coercion
-    belongs upstream: cast in the source query or run it through
-    ``operators.align.align`` first.
-    """
+) -> list[tuple[str, str]]:
+    """The loud-before-the-join schema validation every MERGE flavor
+    shares (:func:`merge_upsert`'s docstring has the full rules):
+    source must carry every target column at the exact target dtype,
+    ``delete_col`` must resolve, case-variant ambiguity raises under
+    the analyzer's case-insensitive default.  Returns the additive
+    NEW columns ``[(name, dtype)]`` when ``allow_new_columns`` (empty
+    otherwise) — callers decide what evolution means for their
+    storage layout."""
     ci = (
         str(
             source.sparkSession.conf.get("spark.sql.caseSensitive", "false")
@@ -138,7 +105,59 @@ def merge_upsert(
                 )
             seen.add(fn)
             new_cols.append((name, dt))
+    return new_cols
 
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: list[str],
+    delete_col: str | None = None,
+    allow_new_columns: bool = False,
+) -> DataFrame:
+    """MERGE semantics over immutable storage: rows of ``target``
+    matched by ``source`` (equi on ``key``) are replaced by the source
+    row (update), unmatched source rows are appended (insert), and
+    matched source rows with ``delete_col`` true are dropped (delete).
+    Unmatched target rows pass through.  Returns the new snapshot with
+    ``target``'s column set.
+
+    ``allow_new_columns=True`` is schema EVOLUTION (Delta
+    ``mergeSchema`` semantics): source columns with no target
+    counterpart are APPENDED to the result schema, in source order —
+    source-matched rows carry the source value, passthrough target
+    rows get a typed NULL.  The default (False) keeps evolution an
+    explicit decision: extra source columns (beyond ``delete_col``)
+    are simply not part of the target schema and are dropped, exactly
+    like warehouse ``MERGE ... UPDATE SET <target columns>``.  Widening
+    an EXISTING column's type is still a loud error either way — only
+    additive evolution is automatic, as in Delta.
+
+    Source must carry every target column (plus optionally
+    ``delete_col``); a source row's non-key values win wholesale —
+    per-column update expressions belong in the source query, keeping
+    the merge itself mechanical (exactly how warehouse MERGE ... UPDATE
+    SET is compiled).
+
+    Schema drift fails LOUDLY, before the join: a source missing target
+    columns raises (instead of an opaque unresolved-column analysis
+    error deep in the plan), and a source column whose dtype differs
+    from the target's raises (the ``when(matched, s.c).otherwise(t.c)``
+    coalesce would otherwise silently promote the SNAPSHOT's column
+    type — e.g. an int column becoming string because one CDC feed
+    drifted).  Name matching follows the session's analyzer mode
+    (``spark.sql.caseSensitive``, default false → case-INsensitive, so
+    a source differing only in column case merged fine before these
+    checks existed and still does); in the default mode two source
+    columns differing only in case are ambiguous and raise.  The
+    optional ``delete_col`` gets the same presence/ambiguity checks —
+    it is resolved through the same analyzer.  Intentional coercion
+    belongs upstream: cast in the source query or run it through
+    ``operators.align.align`` first.
+    """
+    new_cols = merge_schema_check(
+        target, source, delete_col, allow_new_columns
+    )
     t = target.withColumn("_t_exists", F.lit(True)).alias("t")
     s = source.withColumn("_s_exists", F.lit(True)).alias("s")
     joined = t.join(s, on=key, how="full_outer")

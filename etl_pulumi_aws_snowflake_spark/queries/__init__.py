@@ -67,7 +67,7 @@ from . import streaming_e2e  # noqa: E402,F401
 _DRIVER_FIRST = [
     # (a0) NEW in r13 — first-ever driver evidence (full rotation
     # rewrite happens once the round's registry additions are final)
-    "mm_decode_png",
+    "mm_decode_png", "cdc_merge_mor_e2e", "cdc_merge_mor_compact_e2e",
     # (a) NEW in r12 — first driver evidence recorded r12
     "sim_ivf_topk_quantized_appended", "sim_ivf_topk_quantized_deleted",
     "sim_ivf_topk_quantized_rerank", "sim_ivf_recall_quantized_rerank",
@@ -88,8 +88,7 @@ _DRIVER_FIRST = [
     "mm_resize", "pack_sequences", "pipeline_batch_e2e",
     "pipeline_stream_e2e", "sample_exact_quota", "sample_hash_bernoulli",
     "sample_stratified_by_lang", "sample_temperature_mixture",
-    "set_distinct_rows", "sim_cosine_topk",
-    "text_lm_score", "text_quality", "udf_grouped_map",
+    "set_distinct_rows", "sim_cosine_topk", "text_quality",
 ]
 
 def _driver_order(d: dict) -> dict:

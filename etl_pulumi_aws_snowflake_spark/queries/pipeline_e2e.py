@@ -329,6 +329,84 @@ def cdc_merge_compact_e2e(spark, sf_dir):
     return snapshot_read(spark, snap)
 
 
+@query("cdc_merge_mor_e2e", oracle=_CDC_ORACLE)
+def cdc_merge_mor_e2e(spark, sf_dir):
+    """MERGE-ON-READ streaming CDC under the driver hash (VERDICT r12
+    #5): the same change stream as the copy-on-write entries, but each
+    batch lands as O(batch) sidecar partitions — equality-delete keys
+    (Iceberg's equality-delete form; a pure DataFrame engine has no
+    stable row ordinal for Delta-style positional bitmaps) plus upsert
+    rows — atomically pinned with the untouched base.  The read
+    reassembles base ANTI-JOIN deletes UNION surviving deltas (both
+    sidecars broadcast), and must hash-equal the SAME SQL MERGE
+    expansion the copy-on-write entries are judged against: the
+    write-amplification dial moves, the semantics do not.  The
+    100 TB case this closes: a hot partition updated every batch costs
+    per-batch O(batch rows), not O(partition) rewrites
+    (streaming/mor.py module docstring has the full design)."""
+    from ..streaming.mor import mor_init, mor_read, stream_cdc_merge_mor
+
+    work = _workdir(sf_dir, "cdc_mor")
+    cust = t(spark, sf_dir, "customer")
+    snap = os.path.join(work, "mor")
+    mor_init(cust, snap, "c_nationkey", key=["c_custkey"])
+
+    changes_dir = _write_cdc_changes(spark, cust, work)
+    stream_cdc_merge_mor(
+        spark,
+        changes_dir,
+        _CDC_CHANGE_SCHEMA,
+        snap,
+        ["c_custkey"],
+        os.path.join(work, "ckpt"),
+        delete_col="is_delete",
+    )
+    return mor_read(spark, snap)
+
+
+@query("cdc_merge_mor_compact_e2e", oracle=_CDC_ORACLE)
+def cdc_merge_mor_compact_e2e(spark, sf_dir):
+    """The merge-on-read maintenance cycle under the driver hash: the
+    same MoR CDC apply, then ``mor_compact`` folds the sidecar backlog
+    into the base with a partition-PRUNED copy-on-write rewrite
+    (untouched partitions carry forward by manifest reference) and
+    resets the sidecars — after which the read is a pure base scan.
+    Judged post-compaction against the same SQL MERGE expansion:
+    compaction changes layout, never content.  Guards assert the
+    backlog was non-empty before (the entry cannot silently no-op)
+    and empty after."""
+    from ..streaming.mor import (
+        mor_compact,
+        mor_init,
+        mor_pending_batches,
+        mor_read,
+        stream_cdc_merge_mor,
+    )
+
+    work = _workdir(sf_dir, "cdc_mor_compact")
+    cust = t(spark, sf_dir, "customer")
+    snap = os.path.join(work, "mor")
+    mor_init(cust, snap, "c_nationkey", key=["c_custkey"])
+
+    changes_dir = _write_cdc_changes(spark, cust, work)
+    stream_cdc_merge_mor(
+        spark,
+        changes_dir,
+        _CDC_CHANGE_SCHEMA,
+        snap,
+        ["c_custkey"],
+        os.path.join(work, "ckpt"),
+        delete_col="is_delete",
+    )
+    assert mor_pending_batches(snap), (
+        "MoR compact e2e staged no backlog — the compaction path is "
+        "not exercised"
+    )
+    mor_compact(spark, snap)
+    assert mor_pending_batches(snap) == []
+    return mor_read(spark, snap)
+
+
 # Bounds via INTEGER floor division on both sides: DuckDB CAST rounds
 # while Python int() truncates, so float arithmetic would diverge at
 # any fixture size not divisible by 10 (`n * 4 // 10` is exact in both).

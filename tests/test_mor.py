@@ -1,0 +1,225 @@
+"""Merge-on-read CDC tier (streaming/mor.py, VERDICT r12 #5):
+equivalence to copy-on-write MERGE, O(batch) write shape, replay
+idempotence, compaction, and the loud guards."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pulumi_aws_snowflake_spark.operators.warehouse import merge_upsert
+from etl_pulumi_aws_snowflake_spark.streaming import mor as MOR
+from etl_pulumi_aws_snowflake_spark.streaming.snapshot import index_current
+
+
+def _seed(spark, n=40):
+    return spark.createDataFrame(
+        [(i, i % 4, f"name{i}", float(i)) for i in range(n)],
+        "id long, part long, name string, bal double",
+    )
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, part long, name string, bal double, del boolean"
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.select("id", "part", "name", "bal").collect()))
+
+
+def test_mor_equals_copy_on_write_over_batches(spark, tmp_path):
+    """Three CDC batches (update / delete / re-insert + cross-batch
+    update of the same key) applied merge-on-read produce row-for-row
+    the sequential merge_upsert result — the semantics contract."""
+    seed = _seed(spark)
+    root = str(tmp_path / "mor")
+    MOR.mor_init(seed, root, "part", key=["id"])
+
+    batches = [
+        # update ids 0..3, delete id 10, insert id 100
+        [(0, 0, "upd0", 9.0, False), (1, 1, "upd1", 9.1, False),
+         (2, 2, "upd2", 9.2, False), (3, 3, "upd3", 9.3, False),
+         (10, 2, "x", 0.0, True), (100, 0, "new", 1.0, False)],
+        # update id 0 AGAIN (later batch must win), delete id 100
+        # (inserted by the previous batch), update id 5
+        [(0, 0, "upd0b", 8.0, False), (100, 0, "x", 0.0, True),
+         (5, 1, "upd5", 9.5, False)],
+        # re-insert id 10 after its deletion
+        [(10, 2, "back", 2.0, False)],
+    ]
+    cow = seed
+    for rows in batches:
+        b = _batch(spark, rows)
+        cow = merge_upsert(cow, b, key=["id"], delete_col="del")
+        # materialize so the next iteration doesn't stack plans
+        cow = spark.createDataFrame(cow.collect(), cow.schema)
+        MOR.mor_merge(spark, root, b, key=["id"], delete_col="del")
+
+    got = _rows(MOR.mor_read(spark, root))
+    assert got == _rows(cow)
+    # partition-pruned read: equals the full read filtered
+    pruned = _rows(MOR.mor_read(spark, root, partition_values=[0, 2]))
+    assert pruned == [r for r in got if r[1] in (0, 2)]
+
+
+def test_mor_merge_writes_only_the_batch_partition(spark, tmp_path):
+    """The write-amplification claim made structural: one merge's new
+    dv/data versions physically contain ONLY that batch's partition
+    (everything else is a manifest reference), and the base member's
+    pinned version does not move."""
+    root = str(tmp_path / "mor")
+    MOR.mor_init(_seed(spark), root, "part", key=["id"])
+    MOR.mor_merge(
+        spark, root,
+        _batch(spark, [(0, 0, "a", 1.0, False), (1, 1, "b", 2.0, False)]),
+        key=["id"], delete_col="del",
+    )
+    pin1 = index_current(root)
+    MOR.mor_merge(
+        spark, root, _batch(spark, [(2, 2, "c", 3.0, False)]),
+        key=["id"], delete_col="del",
+    )
+    pin2 = index_current(root)
+    assert pin2["base"] == pin1["base"]  # base untouched by merges
+    for member in ("dv", "data"):
+        ddir = os.path.join(root, member, pin2[member], "data")
+        written = [d for d in os.listdir(ddir) if d.startswith("_p=")]
+        assert written == ["_p=2"], (member, written)
+    # both batches still readable (batch 1 via manifest reference)
+    got = _rows(MOR.mor_read(spark, root))
+    assert (2, 2, "c", 3.0) in got and (0, 0, "a", 1.0) in got
+
+
+def test_mor_streamed_replay_is_idempotent(spark, tmp_path):
+    """A replayed epoch (same batch_id, same content) rewrites its own
+    partitions with identical content — the foreachBatch exactly-once
+    contract without bookkeeping."""
+    root = str(tmp_path / "mor")
+    MOR.mor_init(_seed(spark), root, "part", key=["id"])
+    b = _batch(spark, [(0, 0, "u", 5.0, False), (7, 3, "x", 0.0, True)])
+    MOR.mor_merge(spark, root, b, key=["id"], delete_col="del", batch_id=3)
+    want = _rows(MOR.mor_read(spark, root))
+    MOR.mor_merge(spark, root, b, key=["id"], delete_col="del", batch_id=3)
+    assert _rows(MOR.mor_read(spark, root)) == want
+    assert MOR.mor_pending_batches(root) == [3]
+
+
+def test_mor_heals_crash_between_member_commit_and_publish(
+    spark, tmp_path, monkeypatch
+):
+    """Crash after the member commits but before the pin republish:
+    readers stay on the old consistent pin; the epoch replay converges
+    instead of wedging on a conflict."""
+    root = str(tmp_path / "mor")
+    MOR.mor_init(_seed(spark), root, "part", key=["id"])
+    b = _batch(spark, [(0, 0, "u", 5.0, False)])
+
+    real_publish = MOR.index_publish
+    monkeypatch.setattr(
+        MOR, "index_publish",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        MOR.mor_merge(spark, root, b, key=["id"], delete_col="del", batch_id=1)
+    # torn state: members advanced, pin did not — reads stay consistent
+    assert _rows(MOR.mor_read(spark, root)) == _rows(_seed(spark))
+    monkeypatch.setattr(MOR, "index_publish", real_publish)
+    MOR.mor_merge(spark, root, b, key=["id"], delete_col="del", batch_id=1)
+    got = _rows(MOR.mor_read(spark, root))
+    assert (0, 0, "u", 5.0) in got and len(got) == 40
+
+
+def test_mor_compact_folds_backlog_and_preserves_content(spark, tmp_path):
+    root = str(tmp_path / "mor")
+    MOR.mor_init(_seed(spark), root, "part", key=["id"])
+    MOR.mor_merge(
+        spark, root,
+        _batch(spark, [(0, 0, "u", 5.0, False), (9, 1, "x", 0.0, True)]),
+        key=["id"], delete_col="del",
+    )
+    MOR.mor_merge(
+        spark, root, _batch(spark, [(200, 2, "new", 7.0, False)]),
+        key=["id"], delete_col="del",
+    )
+    want = _rows(MOR.mor_read(spark, root))
+    pin_before = index_current(root)
+    MOR.mor_compact(spark, root)
+    assert _rows(MOR.mor_read(spark, root)) == want
+    assert MOR.mor_pending_batches(root) == []
+    pin = index_current(root)
+    assert pin["base"] != pin_before["base"]
+    # untouched partition (part=3) carried forward by reference, not
+    # rewritten: its manifest entry still names the seed version
+    import json
+
+    man = json.loads(
+        open(
+            os.path.join(root, "base", pin["base"], "_MANIFEST.json")
+        ).read()
+    )
+    assert man["entries"]["3"] != pin["base"]
+    # a second compact with an empty backlog is a no-op (same pin)
+    assert MOR.mor_compact(spark, root) == pin
+    # and merging continues cleanly after compaction
+    MOR.mor_merge(
+        spark, root, _batch(spark, [(300, 3, "late", 1.0, False)]),
+        key=["id"], delete_col="del",
+    )
+    assert (300, 3, "late", 1.0) in _rows(MOR.mor_read(spark, root))
+
+
+def test_mor_loud_guards(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "mor")
+    with pytest.raises(ValueError, match="merge-on-read root"):
+        MOR.mor_read(spark, str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="reserved"):
+        MOR.mor_init(
+            _seed(spark).withColumn("_batch", F.lit(1)), root, "part",
+            key=["id"],
+        )
+    with pytest.raises(ValueError, match="key column"):
+        MOR.mor_init(_seed(spark), root, "part", key=["missing"])
+    MOR.mor_init(_seed(spark), root, "part", key=["id"])
+    with pytest.raises(ValueError, match="pinned merge key"):
+        MOR.mor_merge(
+            spark, root,
+            _batch(spark, [(0, 0, "u", 1.0, False)]),
+            key=["id", "part"], delete_col="del",
+        )
+    # schema drift fails loudly before any write (shared MERGE rules)
+    with pytest.raises(ValueError, match="missing target column"):
+        MOR.mor_merge(
+            spark, root,
+            spark.createDataFrame([(1, 2)], "id long, part long"),
+            key=["id"],
+        )
+    # backlog cap
+    monkeypatch.setattr(MOR, "MAX_PENDING_BATCHES", 1)
+    MOR.mor_merge(
+        spark, root, _batch(spark, [(0, 0, "u", 1.0, False)]), key=["id"],
+        delete_col="del",
+    )
+    with pytest.raises(ValueError, match="backlog"):
+        MOR.mor_merge(
+            spark, root, _batch(spark, [(1, 1, "v", 2.0, False)]),
+            key=["id"], delete_col="del",
+        )
+
+
+def test_mor_read_plan_is_broadcast_anti_joins(spark, tmp_path):
+    """Read-path plan guard: the base scan streams through BROADCAST
+    anti-joins (the sidecars are the broadcast side) — no sort-merge
+    join, no shuffle of the base table."""
+    root = str(tmp_path / "mor")
+    MOR.mor_init(_seed(spark), root, "part", key=["id"])
+    MOR.mor_merge(
+        spark, root, _batch(spark, [(0, 0, "u", 1.0, False)]), key=["id"],
+        delete_col="del",
+    )
+    plan = MOR.mor_read(spark, root)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftAnti, BuildRight") >= 2
+    assert "SortMergeJoin" not in plan

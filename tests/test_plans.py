@@ -510,3 +510,13 @@ def test_pack_bins_plan_shape(spark):
         assert "text#" not in cols, cols
     # column pruning reaches the scan: only (doc_id, text) read
     assert "lang" not in plan and "source" not in plan
+
+
+def test_cdc_merge_mor_read_plan(spark):
+    """The judged MoR entry's read plan: the base table streams through
+    BROADCAST anti-joins against the sidecars (dv keys + later-batch
+    suppression) — never a sort-merge join, so the 100 TB base is not
+    shuffled to apply a kilobyte of deletes."""
+    plan = _plan(spark, "cdc_merge_mor_e2e")
+    assert plan.count("BroadcastHashJoin LeftAnti BuildRight") >= 2
+    assert "SortMergeJoin" not in plan
