@@ -574,6 +574,16 @@ def _lsh_meta(
     return r["k"], r["num_hashes"], r["bands"], r["n_buckets"]
 
 
+class LshSaturationWarning(UserWarning):
+    """The batch's banded keys routed to EVERY bucket of the persisted
+    LSH index: bucket pruning — the thing that makes the check O(batch)
+    instead of O(index) — did no work, and the candidate join read the
+    whole band table.  SCALE.md documents the regime: pruning holds
+    while ``batch_size · bands < n_buckets``; a deployment seeing this
+    warning per batch should rebuild with more buckets or shrink the
+    ingest batch."""
+
+
 def lsh_index_check(
     new_docs: DataFrame,
     root: str,
@@ -581,6 +591,7 @@ def lsh_index_check(
     text_col: str = "text",
     id_col: str = "doc_id",
     fs=None,
+    max_bucket_coverage: float | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and the indexed corpus:
     (doc_new, doc_old, jaccard) with exact-Jaccard verification —
@@ -592,8 +603,18 @@ def lsh_index_check(
     the band buckets the batch's keys route to, and the verify join
     opens only the doc buckets holding candidate old docs.  Both
     collected routing lists are bounded by the index's ``n_buckets``
-    constant — batch-size- and corpus-independent driver traffic."""
+    constant — batch-size- and corpus-independent driver traffic.
+
+    **Saturation guard** (VERDICT r12 #6): the routed-bucket coverage
+    ``|routed| / n_buckets`` is computed every check.  At full
+    coverage the call emits :class:`LshSaturationWarning` — pruning
+    did no work and the check degraded to an index scan (the measured
+    ``batch·bands ≥ n_buckets`` cliff, a sizing rule until now only
+    documented in SCALE.md).  Pass ``max_bucket_coverage`` (0..1] to
+    make the cliff FAIL-LOUD instead — the ``max_strata`` pattern —
+    for pipelines whose latency budget assumes routed reads."""
     import os
+    import warnings
 
     from ..streaming.snapshot import index_current, snapshot_read
 
@@ -613,6 +634,24 @@ def lsh_index_check(
     buckets = sorted(
         r["bucket"] for r in nbanded.select("bucket").distinct().collect()
     )
+    coverage = len(buckets) / n_buckets
+    if max_bucket_coverage is not None and coverage > max_bucket_coverage:
+        raise ValueError(
+            f"lsh_index_check: batch routed to {len(buckets)}/{n_buckets} "
+            f"band buckets (coverage {coverage:.2f} > cap "
+            f"{max_bucket_coverage}) — bucket pruning is saturated and "
+            "the check would read O(index), not O(batch).  Shrink the "
+            "batch or rebuild the index with more buckets "
+            "(pruning holds while batch_size x bands < n_buckets)"
+        )
+    if coverage >= 1.0:
+        warnings.warn(
+            f"lsh_index_check batch routed to ALL {n_buckets} band "
+            "buckets — pruning did no work; this check read the whole "
+            "index (see LshSaturationWarning)",
+            LshSaturationWarning,
+            stacklevel=2,
+        )
     old_banded = snapshot_read(
         spark,
         os.path.join(root, "bands"),
