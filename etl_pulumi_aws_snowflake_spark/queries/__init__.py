@@ -28,6 +28,7 @@ from . import llm_multimodal  # noqa: E402,F401
 from . import llm_sampling  # noqa: E402,F401
 from . import llm_packing  # noqa: E402,F401
 from . import llm_curation  # noqa: E402,F401
+from . import llm_pq  # noqa: E402,F401
 from . import llm_search  # noqa: E402,F401
 from . import warehouse_ops  # noqa: E402,F401
 from . import pipeline_e2e  # noqa: E402,F401
@@ -68,6 +69,7 @@ _DRIVER_FIRST = [
     # (a0) NEW in r13 — first-ever driver evidence (full rotation
     # rewrite happens once the round's registry additions are final)
     "mm_decode_png", "cdc_merge_mor_e2e", "cdc_merge_mor_compact_e2e",
+    "sim_ivf_topk_pq", "sim_ivf_topk_pq_rerank", "sim_ivf_recall_pq_rerank",
     # (a) NEW in r12 — first driver evidence recorded r12
     "sim_ivf_topk_quantized_appended", "sim_ivf_topk_quantized_deleted",
     "sim_ivf_topk_quantized_rerank", "sim_ivf_recall_quantized_rerank",
@@ -88,7 +90,6 @@ _DRIVER_FIRST = [
     "mm_resize", "pack_sequences", "pipeline_batch_e2e",
     "pipeline_stream_e2e", "sample_exact_quota", "sample_hash_bernoulli",
     "sample_stratified_by_lang", "sample_temperature_mixture",
-    "set_distinct_rows", "sim_cosine_topk", "text_quality",
 ]
 
 def _driver_order(d: dict) -> dict:

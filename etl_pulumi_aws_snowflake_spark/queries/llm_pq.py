@@ -1,0 +1,243 @@
+"""IVF-PQ queries (SURVEY.md §2.10 similarity family, VERDICT r12
+#7).  The oracles re-derive EVERYTHING from the base table — hash-rank
+seed pick, coarse assignment, the hash-rank codebooks, per-subspace
+argmin encoding, and the ADC fold — with every double produced by the
+same strict left folds the engine uses, so ``pcos`` is judged EXACTLY
+(no tolerance), like the int8 family's ``qcos``.
+
+The judged build freezes hash-rank codebooks (deterministic, SQL-
+replayable); the Lloyd-trained path (``operators/pq.train_pq_codebooks``)
+is pytest-verified only — the same reproducibility split as IVF's
+seeded vs KMeans centroids."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import pq as PQ
+from ..operators.similarity import seed_rank_hash
+from ._util import t
+from .llm_similarity import (
+    _E,
+    _NLISTS,
+    _PROBE_STRIDE,
+    _SEEDS_NLISTS,
+    _cos,
+    _probes,
+    _recall_of,
+    _recall_tail,
+)
+from .registry import query
+
+#: PQ geometry for the judged entries: 64-dim embeddings → 8 subspaces
+#: of 8 dims, 32 codewords each (fixture-tuned so ADC approximation is
+#: meaningful on the synthetic near-random vectors; production dims
+#: use 256 codes = 1 byte).  Payload: 8 small ints + 1 norm vs 64
+#: int8s — the next ~8x IO rung below int8.
+_M, _CODES, _SD, _DIM = 8, 32, 8, 64
+
+#: Survivor multiplier for the judged re-rank serve: the PQ cut keeps
+#: m·k = 15 candidates per probe for the float re-score.  Wider than
+#: the int8 family's 3 because PQ's coarser estimate needs more slack
+#: to keep the true top-k in the survivor set (measured: recall@3
+#: reaches 5/6 of the nprobe routing ceiling at this setting on the
+#: fixture's random vectors; the ceiling itself is the float path's).
+_PQ_RERANK_M = 5
+
+
+def _dfold(products: str) -> str:
+    """DuckDB strict left fold from 0.0 — the dialect twin of Spark's
+    ``aggregate(..., 0D, (acc, x) -> acc + x)``."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {products}), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _ddot(a: str, b: str, n: int) -> str:
+    return _dfold(
+        f"list_transform(generate_series(1, {n}), i -> ({a})[i] * ({b})[i])"
+    )
+
+
+def _dd2(a: str, b: str, n: int) -> str:
+    return _dfold(
+        f"list_transform(generate_series(1, {n}), "
+        f"i -> (({a})[i] - ({b})[i]) * (({a})[i] - ({b})[i]))"
+    )
+
+
+def _pq_ctes(seeds_sql: str, corpus_where: str = "TRUE") -> str:
+    """The IVF-PQ pipeline as DuckDB CTEs mirroring operators/pq.py
+    exactly: seeded assignment, hash-rank codebooks, per-subspace
+    argmin-L2² encoding (ties to the smallest code id — the engine's
+    array_sort struct rule == ORDER BY d2, code_id), and ADC scoring
+    as an ascending-subspace strict fold of strict-fold subvector
+    dots.  Ends with ``ranked`` carrying (probe_id, vec_id, pcos,
+    rank); ``lists`` holds the full-precision vectors for the re-rank
+    tail."""
+    psub = f"list_slice(pv, (w.sub_id-1)*{_SD}+1, w.sub_id*{_SD})"
+    return f"""{_E},
+    seeds AS ({seeds_sql}),
+    assign AS (
+        SELECT e.vec_id, e.v, seed_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos('sv', 'v')} DESC, seed_id) AS rn
+        FROM e CROSS JOIN seeds
+    ),
+    lists AS (SELECT vec_id, v, seed_id AS list_id FROM assign
+              WHERE rn = 1 AND ({corpus_where})),
+    nz AS (
+        SELECT vec_id, v, list_id, sqrt({_ddot('v', 'v', _DIM)}) AS vnrm
+        FROM lists
+        WHERE sqrt({_ddot('v', 'v', _DIM)}) > 0
+    ),
+    cbpick AS (
+        SELECT v, ROW_NUMBER() OVER (
+            ORDER BY {seed_rank_hash('vec_id')}, vec_id) AS code_id
+        FROM e
+    ),
+    cb AS (
+        SELECT js.sub_id, code_id,
+               list_slice(v, (js.sub_id-1)*{_SD}+1, js.sub_id*{_SD}) AS cv
+        FROM cbpick CROSS JOIN generate_series(1, {_M}) AS js(sub_id)
+        WHERE code_id <= {_CODES}
+    ),
+    subs AS (
+        SELECT vec_id, js.sub_id,
+               list_slice(v, (js.sub_id-1)*{_SD}+1, js.sub_id*{_SD}) AS sv2
+        FROM nz CROSS JOIN generate_series(1, {_M}) AS js(sub_id)
+    ),
+    enc AS (
+        SELECT vec_id, sub_id, cv,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                                  ORDER BY {_dd2('sv2', 'cv', _SD)}, code_id) AS rn2
+        FROM subs JOIN cb USING (sub_id)
+    ),
+    win AS (SELECT vec_id, sub_id, cv FROM enc WHERE rn2 = 1),
+    p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+          WHERE vec_id % {_PROBE_STRIDE} = 0),
+    plists AS (
+        SELECT probe_id, pv, list_id FROM (
+            SELECT probe_id, pv, seed_id AS list_id,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY {_cos('pv', 'sv')} DESC, seed_id) AS lr
+            FROM p CROSS JOIN seeds
+        ) WHERE lr <= 2
+    ),
+    cand AS (
+        SELECT probe_id, pv, nz.vec_id AS vec_id, w.sub_id, nz.vnrm,
+               {_ddot(psub, 'w.cv', _SD)} AS dsub
+        FROM plists
+        JOIN nz ON plists.list_id = nz.list_id AND probe_id != nz.vec_id
+        JOIN win w ON w.vec_id = nz.vec_id
+    ),
+    scored AS (
+        SELECT probe_id, vec_id, MAX(vnrm) AS vnrm,
+               {_dfold('list(dsub ORDER BY sub_id)')} AS adc
+        FROM cand GROUP BY probe_id, vec_id
+    ),
+    ranked AS (
+        SELECT probe_id, vec_id,
+               adc / (sqrt({_ddot('pv', 'pv', _DIM)}) * vnrm) AS pcos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY adc / (sqrt({_ddot('pv', 'pv', _DIM)}) * vnrm)
+                            DESC, vec_id) AS rank
+        FROM scored JOIN p USING (probe_id)
+    )"""
+
+
+def _pq_rerank_tail(mk: int) -> str:
+    """Refine phase after :func:`_pq_ctes`'s ``ranked``: cut at ``mk``
+    per probe, full-precision re-score, re-rank — ends with
+    ``reranked`` (identical shape to the int8 family's tail)."""
+    return f""",
+    cut AS (SELECT probe_id, vec_id FROM ranked WHERE rank <= {mk}),
+    rescore AS (
+        SELECT cut.probe_id, cut.vec_id, {_cos('pv', 'v')} AS cos
+        FROM cut
+        JOIN p ON cut.probe_id = p.probe_id
+        JOIN nz l ON cut.vec_id = l.vec_id
+    ),
+    reranked AS (
+        SELECT probe_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM rescore
+    )"""
+
+
+@query(
+    "sim_ivf_topk_pq",
+    oracle=f"""
+    WITH {_pq_ctes(_SEEDS_NLISTS)}
+    SELECT probe_id, rank, vec_id, pcos FROM ranked WHERE rank <= 3
+    """,
+)
+def sim_ivf_topk_pq(spark, sf_dir):
+    """ANN top-3 against the PRODUCT-QUANTIZED persisted index — the
+    compression rung below int8: the routed lists' payload is m=8
+    codeword ids + a norm per vector instead of 64 int8s (~8x less
+    routed IO; d/m in general).  Scoring is ADC — the probe stays
+    full-precision and the dot assembles per subspace against the
+    codeword via deterministic strict folds, so ``pcos`` is judged
+    EXACTLY.  Approximation quality is the paired recall entry;
+    serving-grade recall is the re-rank entry's job."""
+    from .pipeline_e2e import _workdir
+
+    probes, corpus = _probes(spark, sf_dir)
+    root = _workdir(sf_dir, "ivf_index_pq")
+    PQ.ivf_build_index_pq(corpus, root, nlists=_NLISTS, m=_M, codes=_CODES)
+    return PQ.ivf_topk_indexed_pq(probes, root, k=3, nprobe=2)
+
+
+@query(
+    "sim_ivf_topk_pq_rerank",
+    oracle=f"""
+    WITH {_pq_ctes(_SEEDS_NLISTS)}{_pq_rerank_tail(_PQ_RERANK_M * 3)}
+    SELECT probe_id, rank, vec_id, cos FROM reranked WHERE rank <= 3
+    """,
+)
+def sim_ivf_topk_pq_rerank(spark, sf_dir):
+    """PQ-ADC two-tier serving: the PQ payload cuts candidates to the
+    per-probe top-15 by ADC estimate; only those survivors re-score
+    at full precision (pruned to the survivors' lists + pushed
+    ``vec_id IN`` filter), final top-3 by EXACT cosine.  The wider
+    survivor cut (m=5 vs int8's 3) is what buys back PQ's coarser
+    estimate — the oracle replays both phases."""
+    from .pipeline_e2e import _workdir
+
+    probes, corpus = _probes(spark, sf_dir)
+    root = _workdir(sf_dir, "ivf_index_pq_rerank")
+    PQ.ivf_build_index_pq(
+        corpus, root, nlists=_NLISTS, m=_M, codes=_CODES, rerank_payload=True
+    )
+    return PQ.ivf_topk_indexed_pq_rerank(
+        probes, root, k=3, nprobe=2, m=_PQ_RERANK_M
+    )
+
+
+@query(
+    "sim_ivf_recall_pq_rerank",
+    oracle=f"""WITH {_pq_ctes(_SEEDS_NLISTS)}"""
+    f"""{_pq_rerank_tail(_PQ_RERANK_M * 3)}{_recall_tail('reranked')}""",
+)
+def sim_ivf_recall_pq_rerank(spark, sf_dir):
+    """Per-probe recall@3 of the PQ re-rank serve against the exact
+    brute-force top-3 — the recall pair VERDICT r12 #7 asks for:
+    tests/test_pq.py asserts this frame against the int8 rerank
+    entry's (PQ's wider survivor cut must keep it within the same
+    routing-ceiling band) and against the exact baseline.  Same
+    intersection protocol as every recall entry."""
+    from .pipeline_e2e import _workdir
+
+    probes, corpus = _probes(spark, sf_dir)
+    root = _workdir(sf_dir, "ivf_index_pq_recall")
+    PQ.ivf_build_index_pq(
+        corpus, root, nlists=_NLISTS, m=_M, codes=_CODES, rerank_payload=True
+    )
+    ann = PQ.ivf_topk_indexed_pq_rerank(
+        probes, root, k=3, nprobe=2, m=_PQ_RERANK_M
+    )
+    return _recall_of(ann, probes, corpus)

@@ -520,3 +520,19 @@ def test_cdc_merge_mor_read_plan(spark):
     plan = _plan(spark, "cdc_merge_mor_e2e")
     assert plan.count("BroadcastHashJoin LeftAnti BuildRight") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_pq_ivf_serving_plan(spark):
+    """The PQ serve keeps the indexed-serve shape: the corpus relation
+    is the PQ index snapshot (embeddings.parquet only as the narrow
+    probe read), candidates are broadcast probes x pruned lists, the
+    codebooks enter as ONE broadcast row, nothing sort-merges."""
+    plan = _plan(spark, "sim_ivf_topk_pq")
+    assert "SortMergeJoin" not in plan
+    assert "ivf_index_pq/corpus_pq" in plan
+    assert "BroadcastHashJoin" in plan
+    chunks = plan.split("Scan parquet")[1:]
+    emb = [c for c in chunks if "embeddings.parquet" in c.split("ReadSchema")[0]]
+    for c in emb:
+        schema = c.split("ReadSchema:")[1].split("\n")[0]
+        assert "struct<vec_id" in schema, schema
