@@ -60,6 +60,9 @@ HEADLINE: tuple[str, ...] = (
     "curation_pipeline_indexed_e2e",
     "sim_ivf_topk_quantized_rerank",
     "pack_bins",
+    # r13 families
+    "cdc_merge_mor_e2e",
+    "sim_ivf_topk_pq_rerank",
 )
 
 #: Rows whose registry callables time index CONSTRUCTION + the query
@@ -75,6 +78,12 @@ BUILD_INCLUSIVE: tuple[str, ...] = (
     "search_hybrid_rrf_indexed",
     "curation_pipeline_indexed_e2e",
     "sim_ivf_topk_quantized_rerank",
+    # r13: the MoR e2e seeds its snapshot + streams the change files
+    # in-entry; the PQ rerank builds its dual-payload index in-entry.
+    # Serve-only / per-batch costs ride the SCALE.md curve rows
+    # (cdc_merge_mor_fixed_batch, sim_ivf_pq_rerank_indexed_fixed_probes).
+    "cdc_merge_mor_e2e",
+    "sim_ivf_topk_pq_rerank",
 )
 
 #: Entries whose SCOPE changed in a named round — a round-over-round

@@ -36,60 +36,56 @@ from . import streaming_e2e  # noqa: E402,F401
 
 
 # The external correctness driver checks the FIRST 50 dict entries per
-# round (CORRECTNESS_r01-r11 each recorded exactly queries()[:50] in
-# order).  Round 12 rotates the window onto entries NOT sampled in r11
-# (VERDICT r11 #8): (a) the EIGHT entries round 12 added lead
-# (never-checked-entries-lead rule — the quantized-index
-# append/delete pair, the IVF-ADC rerank serve + its recall pair, the
-# real-PPM-decode entry, the ingest-shaped indexed curation e2e,
-# truncation-free bin packing, and the quantized streaming ingest);
-# then (b) the seven r08-stale stragglers the r11 note deferred; then
-# (c) 35 of the 50 r09-stale entries, staleness-report order.  The 15
-# deferred r09 entries, with why each can wait one more round:
-# sample_exact_quota_dupkeys / sample_exact_quota_fail_loud (variants
-# whose shared core is in-window via sample_exact_quota and fuzz-pinned
-# in tests/test_exact_quota.py), agg_groupby_basic / agg_distinct
-# (their surfaces recur inside the five in-window agg entries),
-# join_cross / join_semi / join_right_outer (shape-mirrors of
-# r11-green join entries with plan guards in test_plans.py),
-# scalar_map / scalar_array_explode / udf_row_scalar (single-projection
-# demos whose expressions recur inside in-window entries), sql_api_q5
-# (same plan as r11-green q5_local_supplier_volume), text_langid /
-# text_token_stats (untouched single-projection text family;
-# text_quality + text_lm_score represent it in-window),
-# mm_frame_sample (its fake-decode passthrough is byte-identical to
-# in-window mm_binary_features' path and pytest-pinned; the module's
-# r12 change — real PNM decode — is in-window via mm_decode_ppm), and
-# scalar_json_typed (from_json/schema_of_json single projection;
-# scalar_json was r11-green and the typed form is pytest-pinned).
+# round (CORRECTNESS_r01-r12 each recorded exactly queries()[:50] in
+# order).  Round 13 rotates the window onto the stalest evidence
+# (scripts/driver_staleness.py order): (a) the SIX entries round 13
+# added lead (never-checked-entries-lead rule — the from-scratch PNG
+# decode, the merge-on-read CDC pair, and the IVF-PQ family's serve/
+# rerank/recall trio); then (b) the 15 r09-stale entries the r12 note
+# deferred — all due now; then (c) 29 of the 49 r10-stale entries in
+# staleness-report order.  The 20 deferred r10 entries, with why each
+# can wait one more round (they lead r14's window):
+# sim_ivf_recall_nlists / sim_ivf_topk / sim_ivf_topk_appended /
+# sim_ivf_topk_indexed / sim_ivf_topk_nlists (the float-IVF family —
+# untouched this round, shares _ivf_ctes with in-window
+# sim_ivf_recall; the similarity surface that DID change is the PQ
+# family, which leads the window), snapshot_conflict_e2e /
+# snapshot_skipping_e2e / snapshot_time_travel_e2e (the snapshot
+# layer's r13 change is the MoR tier, in-window via both MoR entries;
+# these exercise untouched paths with dedicated pytest suites),
+# sql_api_q3 / sql_api_window (verbatim-SQL twins of mirror-green
+# DataFrame plans), stream_interval_join_e2e / stream_lsh_ingest_e2e
+# (streaming paths untouched; the lsh module's r13 change is a
+# warning-only saturation guard, pytest-pinned), text_fingerprint /
+# text_pii_redact / text_repetition (untouched single-projection text
+# family), udf_grouped_agg / udf_pandas_scalar (untouched UDF demos),
+# win_session / win_sliding / win_tumbling (streaming windows
+# untouched; stream==batch parity pytest-pinned).
 # tests/test_docs.py::test_never_driver_checked_entries_lead_the_window
 # FAILS if a registry entry without any CORRECTNESS row sits outside
 # the first 50 — the r05 process miss cannot recur silently.
 _DRIVER_FIRST = [
-    # (a0) NEW in r13 — first-ever driver evidence (full rotation
-    # rewrite happens once the round's registry additions are final)
+    # (a) NEW in r13 — first-ever driver evidence
     "mm_decode_png", "cdc_merge_mor_e2e", "cdc_merge_mor_compact_e2e",
     "sim_ivf_topk_pq", "sim_ivf_topk_pq_rerank", "sim_ivf_recall_pq_rerank",
-    # (a) NEW in r12 — first driver evidence recorded r12
-    "sim_ivf_topk_quantized_appended", "sim_ivf_topk_quantized_deleted",
-    "sim_ivf_topk_quantized_rerank", "sim_ivf_recall_quantized_rerank",
-    "mm_decode_ppm", "curation_pipeline_indexed_e2e", "pack_bins",
-    "stream_ivf_q_ingest_e2e",
-    # (b) r08-stale stragglers (deferred by the r11 note — due now)
-    "pivot_status_by_priority", "q17_small_qty_revenue",
-    "scalar_conditional", "scalar_hilbert_key", "scalar_math",
-    "scalar_string", "win_range_frame",
-    # (c) r09-stale, staleness-report order (15 deferred, note above)
-    "agg_collect", "agg_cube", "agg_grouping_sets", "agg_rollup",
-    "agg_stats", "align_by_name_ci", "cdc_merge_pruned_e2e",
-    "corpus_quality_filter", "corpus_split", "decontaminate",
-    "dedup_exact", "dedup_fingerprint_groups", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_simhash", "dq_audit", "join_salted",
-    "layout_cluster_key", "merge_schema_evolution",
-    "merge_upsert_customers", "mm_binary_features",
-    "mm_resize", "pack_sequences", "pipeline_batch_e2e",
-    "pipeline_stream_e2e", "sample_exact_quota", "sample_hash_bernoulli",
-    "sample_stratified_by_lang", "sample_temperature_mixture",
+    # (b) the 15 r09-stale entries deferred by the r12 note — due now
+    "agg_distinct", "agg_groupby_basic", "join_cross", "join_right_outer",
+    "join_semi", "mm_frame_sample", "sample_exact_quota_dupkeys",
+    "sample_exact_quota_fail_loud", "scalar_array_explode",
+    "scalar_json_typed", "scalar_map", "sql_api_q5", "text_langid",
+    "text_token_stats", "udf_row_scalar",
+    # (c) r10-stale, staleness-report order (20 deferred, note above)
+    "cdc_merge_stream_e2e", "dedup_lsh_appended", "dedup_lsh_incremental",
+    "dedup_spans", "q11_important_parts", "q12_late_shipment_priority",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_count", "q19_disjunctive_revenue",
+    "q20_excess_shippers", "q21_waiting_suppliers",
+    "q22_global_sales_opportunity", "q2_min_cost_supplier",
+    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "scalar_zorder_key",
+    "scd2_user_state", "search_bm25_appended", "search_bm25_indexed",
+    "search_bm25_topk", "search_hybrid_rrf", "sim_cosine_near_pairs",
+    "sim_cosine_topk_blas", "sim_ivf_recall",
 ]
 
 def _driver_order(d: dict) -> dict:

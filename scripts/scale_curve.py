@@ -666,9 +666,170 @@ def _run_hybrid_indexed(spark, sf_dir, root):
     ).save()
 
 
+def _write_fixed_merge_batch(spark, sf_dir, root):
+    """FIXED ~1k-row change batch (copy-0 click events ≡ 0 mod 100) at
+    every scale, MATERIALIZED as its own parquet (the r12 curve trap:
+    a 'fixed batch' derived by filtering the scaled table times a
+    linear fixture scan)."""
+    from pyspark.sql import functions as F
+
+    (
+        _events(spark, sf_dir)
+        .filter(
+            (F.col("event_type") == _MERGE_TYPE)
+            & (F.col("event_id") % 100 == 0)
+            & (F.col("event_id") < 100_000)
+        )
+        .withColumn("value", F.col("value") + F.lit(1.0))
+        .coalesce(1)
+        .write.parquet(os.path.join(root, "batch"))
+    )
+
+
+def _setup_cow_fixed_batch(spark, sf_dir, root):
+    """Copy-on-write arm of the r13 MoR comparison: seed the
+    partitioned snapshot + the fixed batch."""
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_commit_partitioned,
+    )
+
+    snapshot_commit_partitioned(
+        _events(spark, sf_dir), os.path.join(root, "snap"), "event_type"
+    )
+    _write_fixed_merge_batch(spark, sf_dir, root)
+
+
+def _run_cow_fixed_batch(spark, sf_dir, root):
+    """Pruned copy-on-write MERGE of the FIXED batch: rewrites the
+    whole (growing) 'click' partition — expect time ∝ partition size,
+    i.e. ∝ scale.  This is the write amplification the MoR tier
+    exists to bound."""
+    from etl_pulumi_aws_snowflake_spark.operators.warehouse import (
+        merge_upsert_pruned,
+    )
+
+    batch = spark.read.parquet(os.path.join(root, "batch"))
+    merge_upsert_pruned(
+        spark,
+        os.path.join(root, "snap"),
+        batch,
+        key=["event_id"],
+        partition_col="event_type",
+    )
+
+
+def _setup_mor_fixed_batch(spark, sf_dir, root):
+    from etl_pulumi_aws_snowflake_spark.streaming.mor import mor_init
+
+    mor_init(
+        _events(spark, sf_dir),
+        os.path.join(root, "snap"),
+        "event_type",
+        key=["event_id"],
+    )
+    _write_fixed_merge_batch(spark, sf_dir, root)
+
+
+def _run_mor_fixed_batch(spark, sf_dir, root):
+    """Merge-on-read apply of the SAME fixed batch: two O(batch)
+    sidecar partitions + manifest references — expect FLAT in scale
+    (the base partition is never rewritten between compactions)."""
+    from etl_pulumi_aws_snowflake_spark.streaming.mor import mor_merge
+
+    batch = spark.read.parquet(os.path.join(root, "batch"))
+    mor_merge(spark, os.path.join(root, "snap"), batch, key=["event_id"])
+
+
+def _setup_ivf_pq_index(spark, sf_dir, root):
+    """Build the IVF-PQ index (rerank payload for the two-tier row)
+    AND an int8 twin over the same corpus — the twin exists only for
+    the routed-payload byte probe (untimed)."""
+    from etl_pulumi_aws_snowflake_spark.operators import pq as PQ
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+
+    _, emb = _fixed_probes(spark, sf_dir)
+    PQ.ivf_build_index_pq(
+        emb, os.path.join(root, "pq"), nlists=64, m=8, codes=32,
+        rerank_payload=True,
+    )
+    S.ivf_build_index_quantized(emb, os.path.join(root, "int8"), nlists=64)
+
+
+def _run_ivf_pq_indexed(spark, sf_dir, root):
+    """Fixed-probe PQ-ADC serve — expect the int8 serve's flat growth
+    with a smaller routed payload (the probe below measures it)."""
+    from etl_pulumi_aws_snowflake_spark.operators import pq as PQ
+
+    probes, _ = _fixed_probes(spark, sf_dir)
+    PQ.ivf_topk_indexed_pq(probes, os.path.join(root, "pq"), k=3, nprobe=2)\
+        .write.format("noop").mode("overwrite").save()
+
+
+def _run_ivf_pq_rerank_indexed(spark, sf_dir, root):
+    """Fixed-probe PQ two-tier serve (ADC cut at m·k=15, float
+    re-score of survivors only)."""
+    from etl_pulumi_aws_snowflake_spark.operators import pq as PQ
+
+    probes, _ = _fixed_probes(spark, sf_dir)
+    PQ.ivf_topk_indexed_pq_rerank(
+        probes, os.path.join(root, "pq"), k=3, nprobe=2, m=5
+    ).write.format("noop").mode("overwrite").save()
+
+
+def _probe_pq_bytes(spark, sf_dir, root) -> dict:
+    """Structural routed-IO evidence (VERDICT r12 #7): total parquet
+    bytes of the PQ payload member vs the int8 twin's over the SAME
+    corpus — the ratio IS the per-list IO ratio, since both partition
+    by the same list assignment."""
+
+    def member_bytes(base, member):
+        total = 0
+        for dirpath, _dirs, files in os.walk(os.path.join(root, base, member)):
+            total += sum(
+                os.path.getsize(os.path.join(dirpath, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return total
+
+    pq_b = member_bytes("pq", "corpus_pq")
+    q_b = member_bytes("int8", "corpus_q")
+    return {
+        "pq_payload_bytes": pq_b,
+        "int8_payload_bytes": q_b,
+        "pq_over_int8": round(pq_b / q_b, 3) if q_b else None,
+    }
+
+
 def action_ops():
     return {
         "cdc_merge_pruned_batch": (_setup_seed_snapshot, _run_merge_pruned, None),
+        # r13 MoR comparison pair: the SAME fixed batch applied
+        # copy-on-write (expect ∝ partition size, i.e. ∝ scale) vs
+        # merge-on-read (expect FLAT — O(batch) sidecar writes).
+        # Neither is readonly: both merges mutate their snapshot.
+        "cdc_merge_cow_fixed_batch": (
+            _setup_cow_fixed_batch,
+            _run_cow_fixed_batch,
+            None,
+        ),
+        "cdc_merge_mor_fixed_batch": (
+            _setup_mor_fixed_batch,
+            _run_mor_fixed_batch,
+            None,
+        ),
+        "sim_ivf_pq_search_indexed_fixed_probes": (
+            _setup_ivf_pq_index,
+            _run_ivf_pq_indexed,
+            _probe_pq_bytes,
+            True,  # readonly: build once, rep the ADC serve
+        ),
+        "sim_ivf_pq_rerank_indexed_fixed_probes": (
+            _setup_ivf_pq_index,
+            _run_ivf_pq_rerank_indexed,
+            None,
+            True,  # readonly: build once, rep the two-tier serve
+        ),
         "snapshot_compact_clustered": (
             _setup_fragmented_snapshot,
             _run_compact_clustered,
