@@ -70,11 +70,16 @@ def pq_codebooks_hashrank(corpus: DataFrame, m: int, codes: int) -> DataFrame:
     subvectors: (sub_id, code_id, cv), both ids 1-based, code_id in
     hash-rank order.  Oracle-replayable verbatim; constant cardinality
     in corpus size (m·codes rows)."""
+    # TakeOrderedAndProject pick (the _seed_frame pattern — per-partition
+    # partial top-`codes`, never a global sort/window over the corpus),
+    # THEN rank the tiny surviving set; the trailing window exchanges
+    # `codes` rows, not the table.
     w = Window.orderBy(F.expr(seed_rank_hash("vec_id")), F.col("vec_id"))
     picked = (
         _prep(corpus)
+        .orderBy(F.expr(seed_rank_hash("vec_id")), F.col("vec_id"))
+        .limit(codes)
         .withColumn("code_id", F.row_number().over(w))
-        .filter(F.col("code_id") <= codes)
     )
     dim = len(picked.select("v").first()["v"])
     sd = _subdim(dim, m)
@@ -181,7 +186,6 @@ def pq_encode(assigned: DataFrame, cb: DataFrame, m: int, codes: int) -> DataFra
     of the cosine estimate; quantizing it would add error for 8 bytes
     saved).  Zero vectors are dropped (no cosine), matching the int8
     rule."""
-    sd = None
     dim = len(assigned.select("v").first()["v"])
     sd = _subdim(dim, m)
     return (

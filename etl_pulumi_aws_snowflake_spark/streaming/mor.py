@@ -52,7 +52,6 @@ write amplification.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -61,7 +60,6 @@ from pyspark.sql import functions as F
 from ..operators.warehouse import merge_schema_check
 from .snapshot import (
     DEFAULT_FS,
-    _current_version,
     _read_manifest,
     index_current,
     index_publish,
@@ -173,7 +171,13 @@ def mor_merge(
 
     Contract (same as every MERGE here): batch keys are unique per
     batch; ``merge_schema_check`` enforces the column/dtype rules
-    loudly before any write."""
+    loudly before any write.  ONE maintainer per root (the snapshot
+    layer's single-writer rule): a root is fed EITHER by one stream
+    (epoch-derived ids via :func:`stream_cdc_merge_mor`) or by
+    batch-mode calls — interleaving them could collide a batch-mode id
+    with a stream epoch's and rewrite that batch's partitions with
+    foreign content, which no stamp here detects (the same
+    out-of-contract case as interleaved streams on a BM25 index)."""
     fs = fs or DEFAULT_FS
     pin = _require_pin(root, fs)
     base = snapshot_read(
