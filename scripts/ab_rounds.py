@@ -40,6 +40,17 @@ def ensure_worktree() -> None:
     )
 
 
+def remove_worktree() -> None:
+    """Remove the A-arm worktree after the session — leaving it would
+    double-count the repo's own files in any tool that walks the tree
+    (LoC diagnostics, copy scanners)."""
+    subprocess.run(
+        ["git", "worktree", "remove", "--force", str(WT)],
+        cwd=REPO,
+        check=False,
+    )
+
+
 def run_bench(cwd: Path) -> dict:
     """One full bench in a fresh process/JVM; returns the parsed JSON
     line (the last stdout line that parses)."""
@@ -121,6 +132,7 @@ def main() -> None:
     }
     out = REPO / "scripts" / "ab_rounds_report.json"
     out.write_text(json.dumps(report, indent=1) + "\n")
+    remove_worktree()
     print(json.dumps({k: report[k] for k in (
         "b_over_a_common_sum", "within_a_spread", "within_b_spread",
         "common_sum_a", "common_sum_b")}))
