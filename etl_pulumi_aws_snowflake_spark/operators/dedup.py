@@ -635,10 +635,14 @@ def lsh_index_check(
         r["bucket"] for r in nbanded.select("bucket").distinct().collect()
     )
     coverage = len(buckets) / n_buckets
-    if max_bucket_coverage is not None and coverage > max_bucket_coverage:
+    # >= not >: the cap's documented range is (0..1], and a cap of
+    # exactly 1.0 must fire at full saturation — with a strict
+    # comparison coverage == 1.0 would only warn, which is precisely
+    # the degradation the caller set the cap to prevent (review r13).
+    if max_bucket_coverage is not None and coverage >= max_bucket_coverage:
         raise ValueError(
             f"lsh_index_check: batch routed to {len(buckets)}/{n_buckets} "
-            f"band buckets (coverage {coverage:.2f} > cap "
+            f"band buckets (coverage {coverage:.2f} >= cap "
             f"{max_bucket_coverage}) — bucket pruning is saturated and "
             "the check would read O(index), not O(batch).  Shrink the "
             "batch or rebuild the index with more buckets "

@@ -453,7 +453,16 @@ def decode_image(payload: bytes, fake: bool = False) -> bytes:
     if payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
     if payload[:8] == _PNG_SIG:
-        return _decode_png(payload)
+        try:
+            return _decode_png(payload)
+        except ValueError:
+            # A PNG the from-scratch tier rejects (palette, 16-bit,
+            # interlaced, corrupt) falls THROUGH to PIL when present —
+            # a codec-present deployment must not LOSE formats it
+            # could decode before this tier existed (review r13).
+            # Without PIL the specific ValueError is the right signal.
+            if not _HAVE_PIL:
+                raise
     if _HAVE_PIL:
         import io
 

@@ -128,11 +128,36 @@ def train_pq_codebooks(
 
 def _cb_frame(corpus: DataFrame, m: int, codes: int, codebooks) -> DataFrame:
     if codebooks is None:
-        return pq_codebooks_hashrank(corpus, m, codes)
-    spark = corpus.sparkSession
-    rows = [(int(j), int(c), [float(x) for x in cv]) for j, c, cv in codebooks]
-    return spark.createDataFrame(
-        rows, "sub_id int, code_id int, cv array<double>"
+        cb = pq_codebooks_hashrank(corpus, m, codes)
+    else:
+        spark = corpus.sparkSession
+        rows = [
+            (int(j), int(c), [float(x) for x in cv]) for j, c, cv in codebooks
+        ]
+        cb = spark.createDataFrame(
+            rows, "sub_id int, code_id int, cv array<double>"
+        )
+    # _cbv_one_row indexes flat[(j-1)*codes + c]: anything but EXACTLY
+    # one entry per (sub_id 1..m, code_id 1..codes) silently misaligns
+    # the lookup table — e.g. a corpus smaller than `codes` yields a
+    # short pick whose positions mostly resolve to the WRONG subspace's
+    # codewords with no error (review r13).  Validate loudly; the
+    # collected rows (m·codes, bounded) also become a LOCAL frame so
+    # the build's three codebook consumers (this check, the member
+    # commit, the encode) run the hash-rank corpus pick exactly once.
+    rows = cb.collect()
+    got = {(r["sub_id"], r["code_id"]) for r in rows}
+    want = {(j, c) for j in range(1, m + 1) for c in range(1, codes + 1)}
+    if got != want:
+        raise ValueError(
+            f"PQ codebooks must hold exactly one entry per (sub_id 1..{m}, "
+            f"code_id 1..{codes}); got {len(got)} of {len(want)} — a corpus "
+            "smaller than `codes` cannot seed hash-rank codebooks (lower "
+            "`codes`), and custom codebooks must be complete"
+        )
+    return corpus.sparkSession.createDataFrame(
+        [(r["sub_id"], r["code_id"], r["cv"]) for r in rows],
+        "sub_id int, code_id int, cv array<double>",
     )
 
 
@@ -180,18 +205,26 @@ def _adc_expr(m: int, sd: int, vcol: str, pqcol: str) -> str:
     )
 
 
-def pq_encode(assigned: DataFrame, cb: DataFrame, m: int, codes: int) -> DataFrame:
+def pq_encode(
+    assigned: DataFrame,
+    cb: DataFrame,
+    m: int,
+    codes: int,
+    sub_dim: int | None = None,
+) -> DataFrame:
     """(vec_id, v, nrm, list_id) → (vec_id, pq, nrm, list_id): the PQ
     payload — m codeword ids + the TRUE vector norm (the denominator
     of the cosine estimate; quantizing it would add error for 8 bytes
     saved).  Zero vectors are dropped (no cosine), matching the int8
-    rule."""
-    dim = len(assigned.select("v").first()["v"])
-    sd = _subdim(dim, m)
+    rule.  ``sub_dim`` skips the 1-row dim probe when the caller
+    already knows it (build/append/delete all do — review r13: the
+    probe re-ran part of the assignment pipeline per call)."""
+    if sub_dim is None:
+        sub_dim = _subdim(len(assigned.select("v").first()["v"]), m)
     return (
         assigned.filter(F.col("nrm") > 0)
         .crossJoin(F.broadcast(_cbv_one_row(cb, m, codes)))
-        .withColumn("pq", F.expr(_encode_expr(m, codes, sd)))
+        .withColumn("pq", F.expr(_encode_expr(m, codes, sub_dim)))
         .select("vec_id", "pq", "nrm", "list_id")
     )
 
@@ -225,8 +258,19 @@ def ivf_build_index_pq(
     seeds = _seed_frame(corpus, seed_stride, centroids, nlists)
     assigned = ivf_assign(corpus, seed_stride, centroids, nlists)
     cb = _cb_frame(corpus, m, codes, codebooks)
-    dim = len(_prep(corpus).select("v").first()["v"])
-    sd = _subdim(dim, m)
+    # sub_dim from the validated LOCAL codebook frame — no extra
+    # corpus scan (cb subvectors are dim/m long by construction)
+    sd = len(cb.first()["cv"])
+    if codebooks is not None:
+        # custom codebooks: their subvector length must tile the
+        # corpus dim exactly, or encode's slice/zip_with would
+        # silently truncate against mis-sized codewords
+        dim = len(_prep(corpus).select("v").first()["v"])
+        if sd * m != dim:
+            raise ValueError(
+                f"custom PQ codebooks have sub_dim={sd} over m={m} "
+                f"subspaces ({sd * m} dims) but the corpus is {dim}-dim"
+            )
     if rerank_payload:
         assigned = deferred_persist(assigned)
     members = {
@@ -247,7 +291,7 @@ def ivf_build_index_pq(
             assigned, os.path.join(root, "corpus"), "list_id", fs=fs
         )
     members["corpus_pq"] = snapshot_commit_partitioned(
-        pq_encode(assigned, cb, m, codes),
+        pq_encode(assigned, cb, m, codes, sub_dim=sd),
         os.path.join(root, "corpus_pq"),
         "list_id",
         fs=fs,
@@ -359,6 +403,17 @@ def ivf_topk_indexed_pq_rerank(
 
     spark = probes.sparkSession
     pin = index_current(root, fs=fs) or {}
+    # The build-shape guard comes FIRST (pure metadata): an ADC-only
+    # build must raise even when the probe set routes to empty lists —
+    # the empty-survivors early return below must never mask it
+    # (review r13).
+    if pin and "corpus" not in pin:
+        raise ValueError(
+            f"ivf_topk_indexed_pq_rerank: the index pin at {root!r} has "
+            "no 'corpus' member — this is not a rerank_payload=True "
+            "build; rebuild with rerank_payload=True or serve via "
+            "ivf_topk_indexed_pq (ADC-only)"
+        )
     wq = Window.partitionBy("probe_id").orderBy(F.desc("pcos"), F.asc("vec_id"))
     cand = deferred_persist(
         _pq_candidates(probes, root, nprobe, fs, pin=pin)
@@ -382,13 +437,6 @@ def ivf_topk_indexed_pq_rerank(
         return cand.select(
             "probe_id", F.lit(1).alias("rank"), "vec_id", F.lit(0.0).alias("cos")
         ).filter(F.lit(False))
-    if pin and "corpus" not in pin:
-        raise ValueError(
-            f"ivf_topk_indexed_pq_rerank: the index pin at {root!r} has "
-            "no 'corpus' member — this is not a rerank_payload=True "
-            "build; rebuild with rerank_payload=True or serve via "
-            "ivf_topk_indexed_pq (ADC-only)"
-        )
     ids = sorted({r["vec_id"] for r in rows})
     lists = sorted({r["list_id"] for r in rows})
     full = snapshot_read(
@@ -425,7 +473,7 @@ def ivf_index_append_pq(new_rows: DataFrame, root: str, fs=None) -> str:
     spark = new_rows.sparkSession
     pin = index_current(root, fs=fs) or {}
     cent = _frozen_seeds(spark, root, fs, "append")
-    m, codes, _sd = _pq_meta(spark, root, fs, pin)
+    m, codes, sd = _pq_meta(spark, root, fs, pin)
     cb = snapshot_read(
         spark,
         os.path.join(root, "pq_codebooks"),
@@ -448,7 +496,7 @@ def ivf_index_append_pq(new_rows: DataFrame, root: str, fs=None) -> str:
     version = merge_upsert_pruned(
         spark,
         os.path.join(root, "corpus_pq"),
-        pq_encode(assigned, cb, m, codes),
+        pq_encode(assigned, cb, m, codes, sub_dim=sd),
         key=["vec_id"],
         partition_col="list_id",
         fs=fs,
@@ -469,7 +517,7 @@ def ivf_index_delete_pq(rows: DataFrame, root: str, fs=None) -> str:
     spark = rows.sparkSession
     pin = index_current(root, fs=fs) or {}
     cent = _frozen_seeds(spark, root, fs, "delete")
-    m, codes, _sd = _pq_meta(spark, root, fs, pin)
+    m, codes, sd = _pq_meta(spark, root, fs, pin)
     cb = snapshot_read(
         spark,
         os.path.join(root, "pq_codebooks"),
@@ -493,7 +541,7 @@ def ivf_index_delete_pq(rows: DataFrame, root: str, fs=None) -> str:
     version = merge_upsert_pruned(
         spark,
         os.path.join(root, "corpus_pq"),
-        pq_encode(assigned, cb, m, codes).withColumn("_del", F.lit(True)),
+        pq_encode(assigned, cb, m, codes, sub_dim=sd).withColumn("_del", F.lit(True)),
         key=["vec_id"],
         partition_col="list_id",
         delete_col="_del",

@@ -1152,6 +1152,19 @@ def ivf_topk_indexed_quantized_rerank(
 
     spark = probes.sparkSession
     pin = index_current(root, fs=fs) or {}
+    # The build-shape guard comes FIRST (pure metadata): an int8-only
+    # build must raise even when the probe set routes to empty lists —
+    # the empty-survivors early return below must never mask it
+    # (review r13; the pin-authority rationale is with the float read
+    # below).
+    if pin and "corpus" not in pin:
+        raise ValueError(
+            "ivf_topk_indexed_quantized_rerank: the index pin at "
+            f"{root!r} has no 'corpus' member — this is not a "
+            "rerank_payload=True build; rebuild with "
+            "rerank_payload=True or serve via "
+            "ivf_topk_indexed_quantized (int8-only)"
+        )
     wq = Window.partitionBy("probe_id").orderBy(F.desc("qcos"), F.asc("vec_id"))
     cand = deferred_persist(
         _q_candidates(probes, root, nprobe, fs, pin=pin)
@@ -1183,20 +1196,12 @@ def ivf_topk_indexed_quantized_rerank(
     ids = sorted({r["vec_id"] for r in rows})
     lists = sorted({r["list_id"] for r in rows})
     # The pin is AUTHORITATIVE for the float tier too (ADVICE r12,
-    # medium): a published pin that lacks the 'corpus' member means the
-    # root was rebuilt WITHOUT rerank_payload — falling back to
-    # version=None would silently re-score survivors against whatever
-    # stale live member dir remains from an older build (wrong cos,
-    # silently dropped vec_ids), the exact hazard the pin exists to
-    # close.  Fail loudly instead.
-    if pin and "corpus" not in pin:
-        raise ValueError(
-            "ivf_topk_indexed_quantized_rerank: the index pin at "
-            f"{root!r} has no 'corpus' member — this is not a "
-            "rerank_payload=True build; rebuild with "
-            "rerank_payload=True or serve via "
-            "ivf_topk_indexed_quantized (int8-only)"
-        )
+    # medium — guard raised above, before any job): a published pin
+    # that lacks the 'corpus' member means the root was rebuilt
+    # WITHOUT rerank_payload — falling back to version=None would
+    # silently re-score survivors against whatever stale live member
+    # dir remains from an older build (wrong cos, silently dropped
+    # vec_ids), the exact hazard the pin exists to close.
     full = snapshot_read(
         spark,
         os.path.join(root, "corpus"),

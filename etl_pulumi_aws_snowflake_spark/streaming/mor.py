@@ -289,12 +289,29 @@ def mor_compact(
     forward by reference), reset ``dv``/``data`` to empty, republish
     the pin.  This is where the write amplification actually happens —
     once per compaction cadence instead of once per batch.  Returns
-    the new pinned set."""
+    the new pinned set.
+
+    An EMPTY backlog is the only no-op; a backlog whose deletes hit no
+    live row (tombstone replays of absent keys) touches no base
+    partition but MUST still reset the sidecars — otherwise the dead
+    batches would accumulate toward MAX_PENDING_BATCHES with
+    compaction advertised as the remedy yet never clearing them
+    (review r13).  All commits use live-captured optimistic tokens,
+    like :func:`mor_merge`: a retry after a crash between the base
+    commit and the pin republish recomputes the same content from the
+    still-pinned consistent state and converges, instead of wedging on
+    a conflict against its own orphaned commit (review r13)."""
     fs = fs or DEFAULT_FS
     pin = _require_pin(root, fs)
     base_root = _member(root, "base")
     man = _read_manifest(base_root, pin["base"], fs)
     pcol = man["partition_col"]
+    dv_man = _read_manifest(_member(root, "dv"), pin["dv"], fs)
+    data_man = _read_manifest(_member(root, "data"), pin["data"], fs)
+    if not (dv_man or {}).get("entries") and not (data_man or {}).get(
+        "entries"
+    ):
+        return pin  # nothing pending — the only true no-op
     dv = snapshot_read(spark, _member(root, "dv"), fs=fs, version=pin["dv"])
     data = snapshot_read(
         spark, _member(root, "data"), fs=fs, version=pin["data"]
@@ -318,20 +335,19 @@ def mor_compact(
         .distinct()
         .collect()
     }
-    if not touched:
-        return pin
-    merged_touched = mor_read(
-        spark, root, partition_values=sorted(touched), fs=fs
-    )
-    vb = snapshot_commit_partitioned(
-        merged_touched,
-        base_root,
-        pcol,
-        changed_values=sorted(touched),
-        keep=keep,
-        fs=fs,
-        expected_current=pin["base"],
-    )
+    vb = pin["base"]
+    if touched:
+        merged_touched = mor_read(
+            spark, root, partition_values=sorted(touched), fs=fs
+        )
+        vb = snapshot_commit_partitioned(
+            merged_touched,
+            base_root,
+            pcol,
+            changed_values=sorted(touched),
+            keep=keep,
+            fs=fs,
+        )
     empty_dv = spark.createDataFrame([], dv.schema)
     empty_data = spark.createDataFrame([], data.schema)
     vv = snapshot_commit_partitioned(

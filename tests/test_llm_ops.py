@@ -2317,3 +2317,74 @@ def test_lsh_index_check_saturation_guard(spark, tmp_path):
             batch, wide, max_bucket_coverage=0.75
         ).collect()
     assert got  # planted near-dups are still found through the guard
+
+
+def test_rerank_int8_guard_fires_before_empty_early_return(spark, tmp_path):
+    """Review r13 (int8 twin of the PQ ordering fix): the ADC-only
+    guard is pure metadata and must precede the survivor collect."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    root = str(tmp_path / "adc_only")
+    S.ivf_build_index_quantized(emb, root, nlists=8, rerank_payload=False)
+    empty_probes = emb.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="rerank_payload"):
+        S.ivf_topk_indexed_quantized_rerank(empty_probes, root, k=3, nprobe=2)
+
+
+def test_lsh_saturation_cap_of_one_fires_at_full_coverage(spark, tmp_path):
+    """Review r13: the documented cap range is (0..1] — a cap of
+    exactly 1.0 must FAIL at full saturation, not merely warn."""
+    corpus = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3} pad pad pad") for i in range(40)],
+        "doc_id long, text string",
+    )
+    narrow = str(tmp_path / "narrow")
+    D.lsh_build_index(corpus, narrow, n_buckets=2)
+    batch = spark.createDataFrame(
+        [(900 + i, f"tok{i} tok{i+1} tok{i+2} tok{i+3} pad pad pad") for i in range(20)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="saturated"):
+        D.lsh_index_check(batch, narrow, max_bucket_coverage=1.0)
+
+
+def test_png_unsupported_features_fall_through_to_pil(monkeypatch, tmp_path):
+    """Review r13: a codec-present deployment must not LOSE formats —
+    a palette/interlaced PNG the from-scratch tier rejects falls
+    through to PIL when importable (faked here: the container has no
+    codec), while without PIL the specific ValueError survives."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    palette_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes([255, 0, 0]))
+        + chunk(b"IDAT", zlib.compress(bytes([0, 0])))
+        + chunk(b"IEND", b"")
+    )
+    # without PIL: the loud tier error
+    monkeypatch.setattr(M, "_HAVE_PIL", False)
+    with pytest.raises(ValueError, match="color type 3"):
+        M.decode_image(palette_png)
+
+    # with (fake) PIL: decode_image must reach the PIL tier
+    class FakeImg:
+        def convert(self, mode):
+            import numpy as np
+
+            return np.array([[[255, 0, 0]]], dtype=np.uint8)
+
+    class FakePIL:
+        @staticmethod
+        def open(buf):
+            return FakeImg()
+
+    monkeypatch.setattr(M, "_HAVE_PIL", True)
+    monkeypatch.setattr(M, "_PILImage", FakePIL)
+    assert M.decode_image(palette_png) == bytes([255, 0, 0])

@@ -223,3 +223,53 @@ def test_mor_read_plan_is_broadcast_anti_joins(spark, tmp_path):
     plan = MOR.mor_read(spark, root)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("LeftAnti, BuildRight") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_mor_compact_heals_crash_before_publish(spark, tmp_path, monkeypatch):
+    """Review r13: a crash between the base commit and the pin
+    republish must not wedge compaction — the retry recomputes from
+    the still-pinned consistent state and converges (live-captured
+    tokens, the mor_merge discipline)."""
+    root = str(tmp_path / "mor")
+    MOR.mor_init(_seed(spark), root, "part", key=["id"])
+    MOR.mor_merge(
+        spark, root, _batch(spark, [(0, 0, "u", 5.0, False)]),
+        key=["id"], delete_col="del",
+    )
+    want = _rows(MOR.mor_read(spark, root))
+
+    real_publish = MOR.index_publish
+    monkeypatch.setattr(
+        MOR, "index_publish",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        MOR.mor_compact(spark, root)
+    # readers still consistent on the old pin
+    assert _rows(MOR.mor_read(spark, root)) == want
+    monkeypatch.setattr(MOR, "index_publish", real_publish)
+    MOR.mor_compact(spark, root)  # must NOT raise SnapshotConflictError
+    assert _rows(MOR.mor_read(spark, root)) == want
+    assert MOR.mor_pending_batches(root) == []
+
+
+def test_mor_compact_clears_dead_tombstone_backlog(spark, tmp_path):
+    """Review r13: delete-only batches for keys absent everywhere
+    touch no base partition, but compaction must still clear them —
+    otherwise the backlog grows toward the cap with compaction
+    advertised as the remedy yet a permanent no-op."""
+    root = str(tmp_path / "mor")
+    MOR.mor_init(_seed(spark), root, "part", key=["id"])
+    MOR.mor_merge(
+        spark, root,
+        _batch(spark, [(7777, 1, "x", 0.0, True), (8888, 2, "x", 0.0, True)]),
+        key=["id"], delete_col="del",
+    )
+    assert MOR.mor_pending_batches(root) == [1]
+    want = _rows(MOR.mor_read(spark, root))
+    pin_before = index_current(root)
+    MOR.mor_compact(spark, root)
+    assert MOR.mor_pending_batches(root) == []
+    assert _rows(MOR.mor_read(spark, root)) == want
+    # base untouched (no partition was affected), sidecars reset
+    assert index_current(root)["base"] == pin_before["base"]

@@ -148,3 +148,40 @@ def test_pq_loud_guards(spark, tmp_path):
     PQ.ivf_index_append_pq(z, root)
     served = PQ.ivf_topk_indexed_pq(probes, root, k=3, nprobe=8)
     assert served.filter(F.col("vec_id") == 999999).count() == 0
+
+
+def test_pq_codebook_cardinality_guards(spark, tmp_path):
+    """Review r13: _cbv_one_row indexes flat[(j-1)*codes + c], so an
+    incomplete codebook grid silently misaligns lookups to the WRONG
+    subspace's codewords — the build must validate loudly instead."""
+    _, emb = _emb(spark)
+    # corpus smaller than `codes`: the hash-rank pick comes up short
+    tiny = emb.limit(10)
+    with pytest.raises(ValueError, match="exactly one entry"):
+        PQ.ivf_build_index_pq(tiny, str(tmp_path / "a"), nlists=4, m=8,
+                              codes=32)
+    # custom codebooks with a missing cell
+    cbs = PQ.train_pq_codebooks(emb, m=8, codes=4, max_iter=2)
+    with pytest.raises(ValueError, match="exactly one entry"):
+        PQ.ivf_build_index_pq(
+            emb, str(tmp_path / "b"), nlists=4, m=8, codes=4,
+            codebooks=cbs[:-1],
+        )
+    # custom codebooks whose sub_dim does not tile the corpus dim
+    bad = [(j, c, cv[:4]) for j, c, cv in cbs]
+    with pytest.raises(ValueError, match="corpus is 64-dim"):
+        PQ.ivf_build_index_pq(
+            emb, str(tmp_path / "c"), nlists=4, m=8, codes=4, codebooks=bad
+        )
+
+
+def test_pq_rerank_guard_fires_before_empty_early_return(spark, tmp_path):
+    """Review r13: an ADC-only build must raise the loud
+    not-a-rerank-build error even when the probe set produces zero
+    survivors — the empty early-return must not mask it."""
+    probes, emb = _emb(spark)
+    root = str(tmp_path / "adc_only")
+    PQ.ivf_build_index_pq(emb, root, nlists=8, m=8, codes=16)
+    empty_probes = probes.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="rerank_payload"):
+        PQ.ivf_topk_indexed_pq_rerank(empty_probes, root, k=3, nprobe=2)
