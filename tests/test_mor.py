@@ -273,3 +273,53 @@ def test_mor_compact_clears_dead_tombstone_backlog(spark, tmp_path):
     assert _rows(MOR.mor_read(spark, root)) == want
     # base untouched (no partition was affected), sidecars reset
     assert index_current(root)["base"] == pin_before["base"]
+
+
+def test_mor_fuzz_random_batch_sequences_match_cow(spark, tmp_path):
+    """Seeded fuzz over random CDC histories: any interleaving of
+    updates / deletes / re-inserts / new keys across batches — with
+    compaction injected mid-stream — must read exactly like the
+    sequential copy-on-write merge of the same batches."""
+    import random
+
+    rng = random.Random(29)
+    for trial in range(3):
+        seed = _seed(spark, n=30)
+        root = str(tmp_path / f"mor{trial}")
+        MOR.mor_init(seed, root, "part", key=["id"])
+        cow = seed
+        live_ids = set(range(30))
+        next_new = 1000
+        for b in range(4):
+            rows, used = [], set()
+            for _ in range(rng.randint(1, 8)):
+                op = rng.choice(["upd", "del", "ins"])
+                if op == "ins" or not live_ids:
+                    i = next_new
+                    next_new += 1
+                elif op == "del":
+                    i = rng.choice(sorted(live_ids))
+                else:
+                    i = rng.choice(sorted(live_ids))
+                if i in used:
+                    continue  # batch keys unique per contract
+                used.add(i)
+                if op == "del" and i in live_ids:
+                    rows.append((i, i % 4, "x", 0.0, True))
+                    live_ids.discard(i)
+                else:
+                    rows.append(
+                        (i, i % 4, f"v{b}_{i}", float(b * 100 + i), False)
+                    )
+                    live_ids.add(i)
+            if not rows:
+                continue
+            batch = _batch(spark, rows)
+            cow = spark.createDataFrame(
+                merge_upsert(cow, batch, key=["id"], delete_col="del").collect(),
+                cow.schema,
+            )
+            MOR.mor_merge(spark, root, batch, key=["id"], delete_col="del")
+            if b == 1:  # compaction mid-history must be transparent
+                MOR.mor_compact(spark, root)
+        assert _rows(MOR.mor_read(spark, root)) == _rows(cow), trial
