@@ -38,18 +38,18 @@ from . import streaming_e2e  # noqa: E402,F401
 # The external correctness driver checks the FIRST 50 dict entries per
 # round (CORRECTNESS_r01-r12 each recorded exactly queries()[:50] in
 # order).  Round 13 rotates the window onto the stalest evidence
-# (scripts/driver_staleness.py order): (a) the SIX entries round 13
+# (scripts/driver_staleness.py order): (a) the SEVEN entries round 13
 # added lead (never-checked-entries-lead rule — the from-scratch PNG
-# decode, the merge-on-read CDC pair, and the IVF-PQ family's serve/
-# rerank/recall trio); then (b) the 15 r09-stale entries the r12 note
-# deferred — all due now; then (c) 29 of the 49 r10-stale entries in
-# staleness-report order.  The 20 deferred r10 entries, with why each
+# decode, the merge-on-read CDC pair, and the IVF-PQ
+# family's serve / rerank / recall / streamed-ingest quartet); then (b) the 15 r09-stale entries the r12 note
+# deferred — all due now; then (c) 28 of the 49 r10-stale entries in
+# staleness-report order.  The 21 deferred r10 entries, with why each
 # can wait one more round (they lead r14's window):
-# sim_ivf_recall_nlists / sim_ivf_topk / sim_ivf_topk_appended /
-# sim_ivf_topk_indexed / sim_ivf_topk_nlists (the float-IVF family —
-# untouched this round, shares _ivf_ctes with in-window
-# sim_ivf_recall; the similarity surface that DID change is the PQ
-# family, which leads the window), snapshot_conflict_e2e /
+# sim_ivf_recall / sim_ivf_recall_nlists / sim_ivf_topk /
+# sim_ivf_topk_appended / sim_ivf_topk_indexed / sim_ivf_topk_nlists
+# (the float-IVF family — untouched this round; the similarity
+# surface that DID change is the PQ family, which leads the window
+# with all four of its entries), snapshot_conflict_e2e /
 # snapshot_skipping_e2e / snapshot_time_travel_e2e (the snapshot
 # layer's r13 change is the MoR tier, in-window via both MoR entries;
 # these exercise untouched paths with dedicated pytest suites),
@@ -68,13 +68,14 @@ _DRIVER_FIRST = [
     # (a) NEW in r13 — first-ever driver evidence
     "mm_decode_png", "cdc_merge_mor_e2e", "cdc_merge_mor_compact_e2e",
     "sim_ivf_topk_pq", "sim_ivf_topk_pq_rerank", "sim_ivf_recall_pq_rerank",
+    "stream_ivf_pq_ingest_e2e",
     # (b) the 15 r09-stale entries deferred by the r12 note — due now
     "agg_distinct", "agg_groupby_basic", "join_cross", "join_right_outer",
     "join_semi", "mm_frame_sample", "sample_exact_quota_dupkeys",
     "sample_exact_quota_fail_loud", "scalar_array_explode",
     "scalar_json_typed", "scalar_map", "sql_api_q5", "text_langid",
     "text_token_stats", "udf_row_scalar",
-    # (c) r10-stale, staleness-report order (20 deferred, note above)
+    # (c) r10-stale, staleness-report order (21 deferred, note above)
     "cdc_merge_stream_e2e", "dedup_lsh_appended", "dedup_lsh_incremental",
     "dedup_spans", "q11_important_parts", "q12_late_shipment_priority",
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
@@ -85,7 +86,7 @@ _DRIVER_FIRST = [
     "q8_market_share", "q9_product_profit", "scalar_zorder_key",
     "scd2_user_state", "search_bm25_appended", "search_bm25_indexed",
     "search_bm25_topk", "search_hybrid_rrf", "sim_cosine_near_pairs",
-    "sim_cosine_topk_blas", "sim_ivf_recall",
+    "sim_cosine_topk_blas",
 ]
 
 def _driver_order(d: dict) -> dict:

@@ -67,7 +67,9 @@ def _dd2(a: str, b: str, n: int) -> str:
     )
 
 
-def _pq_ctes(seeds_sql: str, corpus_where: str = "TRUE") -> str:
+def _pq_ctes(
+    seeds_sql: str, corpus_where: str = "TRUE", cb_where: str = "TRUE"
+) -> str:
     """The IVF-PQ pipeline as DuckDB CTEs mirroring operators/pq.py
     exactly: seeded assignment, hash-rank codebooks, per-subspace
     argmin-L2² encoding (ties to the smallest code id — the engine's
@@ -75,7 +77,9 @@ def _pq_ctes(seeds_sql: str, corpus_where: str = "TRUE") -> str:
     as an ascending-subspace strict fold of strict-fold subvector
     dots.  Ends with ``ranked`` carrying (probe_id, vec_id, pcos,
     rank); ``lists`` holds the full-precision vectors for the re-rank
-    tail."""
+    tail.  ``cb_where`` restricts WHICH vectors the hash-rank
+    codebook pick ranks over (a base-half build freezes codebooks
+    from the base half, like its seeds)."""
     psub = f"list_slice(pv, (w.sub_id-1)*{_SD}+1, w.sub_id*{_SD})"
     return f"""{_E},
     seeds AS ({seeds_sql}),
@@ -95,7 +99,7 @@ def _pq_ctes(seeds_sql: str, corpus_where: str = "TRUE") -> str:
     cbpick AS (
         SELECT v, ROW_NUMBER() OVER (
             ORDER BY {seed_rank_hash('vec_id')}, vec_id) AS code_id
-        FROM e
+        FROM e WHERE ({cb_where})
     ),
     cb AS (
         SELECT js.sub_id, code_id,
@@ -212,6 +216,71 @@ def sim_ivf_topk_pq_rerank(spark, sf_dir):
     root = _workdir(sf_dir, "ivf_index_pq_rerank")
     PQ.ivf_build_index_pq(
         corpus, root, nlists=_NLISTS, m=_M, codes=_CODES, rerank_payload=True
+    )
+    return PQ.ivf_topk_indexed_pq_rerank(
+        probes, root, k=3, nprobe=2, m=_PQ_RERANK_M
+    )
+
+
+_SEEDS_NLISTS_BASE_PQ = (
+    f"SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id % 2 = 0 "
+    f"ORDER BY {seed_rank_hash('vec_id')}, vec_id LIMIT {_NLISTS}"
+)
+
+
+@query(
+    "stream_ivf_pq_ingest_e2e",
+    oracle=f"""
+    WITH {_pq_ctes(_SEEDS_NLISTS_BASE_PQ, cb_where="vec_id % 2 = 0")}
+    {_pq_rerank_tail(_PQ_RERANK_M * 3)}
+    SELECT probe_id, rank, vec_id, cos FROM reranked WHERE rank <= 3
+    """,
+)
+def stream_ivf_pq_ingest_e2e(spark, sf_dir):
+    """Streaming index-at-ingest for the IVF-PQ family, end to end
+    under the driver hash (r13 — lifecycle parity with the float and
+    int8/ADC families): the even half of the corpus seeds a
+    rerank-payload PQ index (hash-rank seeds AND codebooks frozen from
+    the base half), the odd half lands as THREE parquet files streamed
+    one per microbatch (maxFilesPerTrigger=1, AvailableNow,
+    checkpointed), each assigned against the frozen seeds, ENCODED
+    with the frozen codebooks, and pruned-MERGEd into BOTH payloads in
+    lockstep — then the grown index serves the two-tier PQ-ADC
+    search.  Must equal a build-over-everything with those freezes,
+    replayed through the PQ cut + full-precision re-rank.  No epoch
+    bookkeeping: codebook encoding is a per-vector pure function and
+    both MERGEs are keyed, the same replay-idempotence argument as
+    the int8 stream (streaming/ivf_ingest.py)."""
+    import os
+
+    from ..streaming.ivf_ingest import stream_ivf_ingest
+    from .pipeline_e2e import _workdir
+
+    probes, corpus = _probes(spark, sf_dir)
+    work = _workdir(sf_dir, "ivf_pq_stream")
+    root = os.path.join(work, "index")
+    PQ.ivf_build_index_pq(
+        corpus.filter(F.col("vec_id") % 2 == 0),
+        root,
+        nlists=_NLISTS,
+        m=_M,
+        codes=_CODES,
+        rerank_payload=True,
+    )
+    landing = os.path.join(work, "landing")
+    new = corpus.filter(F.col("vec_id") % 2 == 1)
+    for part in range(3):
+        new.filter(F.expr(f"((vec_id - 1) div 2) % 3 = {part}")).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+    stream_ivf_ingest(
+        spark,
+        landing,
+        new.schema,
+        root,
+        os.path.join(work, "ckpt"),
+        max_files_per_trigger=1,
+        pq=True,
     )
     return PQ.ivf_topk_indexed_pq_rerank(
         probes, root, k=3, nprobe=2, m=_PQ_RERANK_M

@@ -35,6 +35,7 @@ def ivf_ingest_batch(
     index_root: str,
     fs=None,
     quantized: bool = False,
+    pq: bool = False,
 ) -> None:
     """One ingest epoch: assign the batch against the frozen seeds and
     MERGE into the routed lists.  ``epoch_id`` is accepted for the
@@ -45,11 +46,21 @@ def ivf_ingest_batch(
     quantization is a per-vector pure function, the corpus_q MERGE is
     keyed on vec_id) and extends to a rerank-payload index's float
     member (also keyed), so the whole quantized/ADC family grows from
-    a stream with zero extra bookkeeping.  Releases its own deferred
-    persists on exit, same per-microbatch discipline as the other two
-    ingest modules."""
+    a stream with zero extra bookkeeping.  ``pq`` routes through
+    ``ivf_index_append_pq`` (r13): encoding against the FROZEN
+    codebooks is a per-vector pure function exactly like max-abs
+    quantization, and the corpus_pq MERGE is keyed on vec_id — so the
+    fourth serving tier inherits the same no-bookkeeping idempotence.
+    Releases its own deferred persists on exit, same per-microbatch
+    discipline as the other two ingest modules."""
+    if quantized and pq:
+        raise ValueError("ivf_ingest_batch: pick ONE of quantized / pq")
     with scoped_release():
-        if quantized:
+        if pq:
+            from ..operators.pq import ivf_index_append_pq
+
+            ivf_index_append_pq(batch_df, index_root, fs=fs)
+        elif quantized:
             ivf_index_append_quantized(batch_df, index_root, fs=fs)
         else:
             ivf_index_append(batch_df, index_root, fs=fs)
@@ -65,11 +76,13 @@ def stream_ivf_ingest(
     await_termination: bool = True,
     fs=None,
     quantized: bool = False,
+    pq: bool = False,
 ):
     """Watch ``landing_dir`` for parquet (vec_id, embedding) files and
     append each batch into the IVF index at ``index_root``
-    (``quantized=True``: the int8/ADC index — see
-    :func:`ivf_ingest_batch`).  Returns the StreamingQuery."""
+    (``quantized=True``: the int8/ADC index; ``pq=True``: the IVF-PQ
+    index — see :func:`ivf_ingest_batch`).  Returns the
+    StreamingQuery."""
     reader = spark.readStream.schema(row_schema).option(
         "pathGlobFilter", "*.parquet"
     )
@@ -80,7 +93,9 @@ def stream_ivf_ingest(
     def ingest(batch_df, epoch_id: int) -> None:
         if not batch_df.take(1):
             return
-        ivf_ingest_batch(batch_df, epoch_id, index_root, fs=fs, quantized=quantized)
+        ivf_ingest_batch(
+            batch_df, epoch_id, index_root, fs=fs, quantized=quantized, pq=pq
+        )
 
     query = (
         stream.writeStream.foreachBatch(ingest)

@@ -185,3 +185,53 @@ def test_pq_rerank_guard_fires_before_empty_early_return(spark, tmp_path):
     empty_probes = probes.filter(F.col("vec_id") < 0)
     with pytest.raises(ValueError, match="rerank_payload"):
         PQ.ivf_topk_indexed_pq_rerank(empty_probes, root, k=3, nprobe=2)
+
+
+def test_stream_ivf_pq_ingest_split_independent_and_replay_safe(
+    spark, tmp_path
+):
+    """The PQ stream's idempotence argument, pinned: (a) the grown
+    index serves identically whatever the batch split (frozen seeds +
+    frozen codebooks + keyed MERGEs); (b) replaying a batch is a
+    wholesale no-op on search results (pure per-vector encoding, no
+    stats to double-count)."""
+    from etl_pulumi_aws_snowflake_spark.streaming.ivf_ingest import (
+        ivf_ingest_batch,
+    )
+
+    probes, emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+
+    def serve(root):
+        return sorted(
+            map(
+                tuple,
+                PQ.ivf_topk_indexed_pq_rerank(
+                    probes, root, k=3, nprobe=2, m=5
+                ).collect(),
+            )
+        )
+
+    # one-shot vs three-way split
+    one = str(tmp_path / "one")
+    PQ.ivf_build_index_pq(base, one, nlists=8, m=8, codes=16,
+                          rerank_payload=True)
+    ivf_ingest_batch(new, 0, one, pq=True)
+
+    split = str(tmp_path / "split")
+    PQ.ivf_build_index_pq(base, split, nlists=8, m=8, codes=16,
+                          rerank_payload=True)
+    parts = [new.filter(F.expr(f"((vec_id - 1) div 2) % 3 = {i}"))
+             for i in range(3)]
+    for i, p in enumerate(parts):
+        ivf_ingest_batch(p, i, split, pq=True)
+    want = serve(one)
+    assert serve(split) == want and want
+
+    # crash-replay of the middle batch: search results unchanged
+    ivf_ingest_batch(parts[1], 1, split, pq=True)
+    assert serve(split) == want
+    # mode exclusivity guard
+    with pytest.raises(ValueError, match="ONE of"):
+        ivf_ingest_batch(parts[0], 0, split, quantized=True, pq=True)
