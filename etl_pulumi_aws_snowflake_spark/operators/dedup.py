@@ -618,6 +618,16 @@ def lsh_index_check(
 
     from ..streaming.snapshot import index_current, snapshot_read
 
+    if max_bucket_coverage is not None and not (
+        0.0 < max_bucket_coverage <= 1.0
+    ):
+        # Coverage is always in (0..1], so a cap > 1 could never fire
+        # (silently disabling the fail-loud guard) and a cap <= 0
+        # would always fire; both are caller bugs (ADVICE r13).
+        raise ValueError(
+            f"max_bucket_coverage must be in (0..1], got "
+            f"{max_bucket_coverage}"
+        )
     spark = new_docs.sparkSession
     pin = index_current(root, fs=fs) or {}
     k, num_hashes, bands, n_buckets = _lsh_meta(

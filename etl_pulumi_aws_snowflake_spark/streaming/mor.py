@@ -60,6 +60,8 @@ from pyspark.sql import functions as F
 from ..operators.warehouse import merge_schema_check
 from .snapshot import (
     DEFAULT_FS,
+    SnapshotConflictError,
+    _current_version,
     _read_manifest,
     index_current,
     index_publish,
@@ -277,6 +279,57 @@ def mor_read(
     return live_base.unionByName(live_delta)
 
 
+def _reset_sidecar(
+    empty_df: DataFrame,
+    member_root: str,
+    pinned_version: str,
+    keep: int,
+    fs,
+) -> str:
+    """Reset a dv/data sidecar to empty with the PINNED version as the
+    optimistic token (ADVICE r13): a ``mor_merge`` batch landing
+    between compaction's pin read and this reset advances the live
+    pointer past the pin, so the commit raises
+    :class:`SnapshotConflictError` instead of silently wiping the
+    unfolded batch — the caller retries ``mor_compact``, which reads
+    the merge's republished pin and folds the new batch too.
+
+    The one live-past-pin state that is NOT a lost batch is this
+    compaction's own orphaned reset (crash between a reset commit and
+    the pin republish): its manifest holds no batch outside the pinned
+    set, so adopting the live token and recommitting converges exactly
+    as before.  Any live entry outside the pinned set re-raises."""
+    try:
+        return snapshot_commit_partitioned(
+            empty_df,
+            member_root,
+            BATCH_COL,
+            keep=keep,
+            fs=fs,
+            expected_current=pinned_version,
+        )
+    except SnapshotConflictError:
+        live = _current_version(member_root, fs)
+        live_entries = set(
+            (_read_manifest(member_root, live, fs) or {}).get("entries", {})
+        )
+        pinned_entries = set(
+            (_read_manifest(member_root, pinned_version, fs) or {}).get(
+                "entries", {}
+            )
+        )
+        if live_entries - pinned_entries:
+            raise
+        return snapshot_commit_partitioned(
+            empty_df,
+            member_root,
+            BATCH_COL,
+            keep=keep,
+            fs=fs,
+            expected_current=live,
+        )
+
+
 def mor_compact(
     spark: SparkSession,
     root: str,
@@ -296,11 +349,17 @@ def mor_compact(
     partition but MUST still reset the sidecars — otherwise the dead
     batches would accumulate toward MAX_PENDING_BATCHES with
     compaction advertised as the remedy yet never clearing them
-    (review r13).  All commits use live-captured optimistic tokens,
-    like :func:`mor_merge`: a retry after a crash between the base
-    commit and the pin republish recomputes the same content from the
-    still-pinned consistent state and converges, instead of wedging on
-    a conflict against its own orphaned commit (review r13)."""
+    (review r13).  The BASE commit uses a live-captured optimistic
+    token, like :func:`mor_merge`: a retry after a crash between the
+    base commit and the pin republish recomputes the same content from
+    the still-pinned consistent state and converges, instead of
+    wedging on a conflict against its own orphaned commit (review
+    r13).  The dv/data RESETS pass the PINNED versions as their tokens
+    (ADVICE r13): a concurrent ``mor_merge`` that lands after the pin
+    read surfaces as :class:`SnapshotConflictError` — retry folds it —
+    instead of being silently wiped by the reset; the compaction's own
+    orphaned reset (no live batch outside the pin) still self-heals
+    (see :func:`_reset_sidecar`)."""
     fs = fs or DEFAULT_FS
     pin = _require_pin(root, fs)
     base_root = _member(root, "base")
@@ -350,11 +409,11 @@ def mor_compact(
         )
     empty_dv = spark.createDataFrame([], dv.schema)
     empty_data = spark.createDataFrame([], data.schema)
-    vv = snapshot_commit_partitioned(
-        empty_dv, _member(root, "dv"), BATCH_COL, keep=keep, fs=fs
+    vv = _reset_sidecar(
+        empty_dv, _member(root, "dv"), pin["dv"], keep=keep, fs=fs
     )
-    vd = snapshot_commit_partitioned(
-        empty_data, _member(root, "data"), BATCH_COL, keep=keep, fs=fs
+    vd = _reset_sidecar(
+        empty_data, _member(root, "data"), pin["data"], keep=keep, fs=fs
     )
     index_publish(root, {"base": vb, "dv": vv, "data": vd}, keep=keep, fs=fs)
     return {"base": vb, "dv": vv, "data": vd}

@@ -73,7 +73,17 @@ def run_bench(cwd: Path) -> dict:
 
 
 def main() -> None:
+    # try/finally so a bench timeout/failure still removes the A-arm
+    # worktree — the double-counting hazard remove_worktree() exists
+    # to prevent (ADVICE r13).
     ensure_worktree()
+    try:
+        _run_session()
+    finally:
+        remove_worktree()
+
+
+def _run_session() -> None:
     seq = [("A_r11", WT), ("B_head", REPO), ("A_r11", WT), ("B_head", REPO)]
     runs: list[dict] = []
     for arm, cwd in seq:
@@ -132,7 +142,6 @@ def main() -> None:
     }
     out = REPO / "scripts" / "ab_rounds_report.json"
     out.write_text(json.dumps(report, indent=1) + "\n")
-    remove_worktree()
     print(json.dumps({k: report[k] for k in (
         "b_over_a_common_sum", "within_a_spread", "within_b_spread",
         "common_sum_a", "common_sum_b")}))

@@ -2388,3 +2388,46 @@ def test_png_unsupported_features_fall_through_to_pil(monkeypatch, tmp_path):
     monkeypatch.setattr(M, "_HAVE_PIL", True)
     monkeypatch.setattr(M, "_PILImage", FakePIL)
     assert M.decode_image(palette_png) == bytes([255, 0, 0])
+
+
+def test_png_invalid_deflate_is_a_loud_valueerror(monkeypatch):
+    """ADVICE r13: a chunk-CRC-valid PNG with a truncated/invalid
+    DEFLATE stream must raise ValueError (the documented loud
+    contract / the PIL fall-through trigger), not escape as
+    zlib.error."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", b"\x01\x02notdeflate")  # CRC fine, stream junk
+        + chunk(b"IEND", b"")
+    )
+    monkeypatch.setattr(M, "_HAVE_PIL", False)
+    with pytest.raises(ValueError, match="inflate failed"):
+        M.decode_image(bad)
+
+
+def test_lsh_index_check_validates_coverage_cap_range(spark, tmp_path):
+    """ADVICE r13: a cap > 1.0 can never fire (coverage <= 1.0) and a
+    cap <= 0 always fires — both are caller bugs rejected at entry."""
+    docs = spark.createDataFrame(
+        [(1, "some text to shingle and route")], "doc_id long, text string"
+    )
+    root = str(tmp_path / "lshguard")
+    D.lsh_build_index(
+        spark.createDataFrame(
+            [(2, "an indexed corpus document")], "doc_id long, text string"
+        ),
+        root,
+    )
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="must be in"):
+            D.lsh_index_check(docs, root, max_bucket_coverage=bad)

@@ -323,3 +323,46 @@ def test_mor_fuzz_random_batch_sequences_match_cow(spark, tmp_path):
             if b == 1:  # compaction mid-history must be transparent
                 MOR.mor_compact(spark, root)
         assert _rows(MOR.mor_read(spark, root)) == _rows(cow), trial
+
+
+def test_mor_compact_detects_concurrent_merge_instead_of_wiping_it(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r13: a mor_merge landing between compaction's pin read
+    and its sidecar reset must surface as SnapshotConflictError — with
+    live-captured reset tokens it was silently wiped (a lost batch).
+    The retry reads the merge's republished pin and folds BOTH
+    batches."""
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        SnapshotConflictError,
+    )
+
+    root = str(tmp_path / "mor")
+    seed = _seed(spark)
+    MOR.mor_init(seed, root, "part", key=["id"])
+    b1 = _batch(spark, [(0, 0, "first", 5.0, False)])
+    b2 = _batch(spark, [(1, 1, "second", 6.0, False), (2, 2, "x", 0.0, True)])
+    MOR.mor_merge(spark, root, b1, key=["id"], delete_col="del")
+
+    cow = merge_upsert(seed, b1, key=["id"], delete_col="del")
+    cow = merge_upsert(cow, b2, key=["id"], delete_col="del")
+    want = sorted(map(tuple, cow.select("id", "part", "name", "bal").collect()))
+
+    real_reset = MOR._reset_sidecar
+    fired = {"done": False}
+
+    def racy(empty_df, member_root, pinned_version, keep, fs):
+        if not fired["done"]:
+            fired["done"] = True
+            MOR.mor_merge(spark, root, b2, key=["id"], delete_col="del")
+        return real_reset(empty_df, member_root, pinned_version, keep, fs)
+
+    monkeypatch.setattr(MOR, "_reset_sidecar", racy)
+    with pytest.raises(SnapshotConflictError):
+        MOR.mor_compact(spark, root)
+    # the concurrent batch survived: readers see BOTH batches
+    assert _rows(MOR.mor_read(spark, root)) == want
+    monkeypatch.setattr(MOR, "_reset_sidecar", real_reset)
+    MOR.mor_compact(spark, root)  # retry folds both
+    assert _rows(MOR.mor_read(spark, root)) == want
+    assert MOR.mor_pending_batches(root) == []
