@@ -29,9 +29,19 @@ pushed ``vec_id IN`` filter included).
 
 Judged entries freeze DETERMINISTIC codebooks (the same hash-rank pick
 as the coarse seeds, truncated per subspace) so the oracle can replay
-them; :func:`train_pq_codebooks` is the quality-over-reproducibility
-alternative (per-subspace Lloyd, pytest-verified — the same split as
-``train_ivf_centroids`` vs seeded assignment).
+them.  Two trained alternatives: :func:`train_pq_codebooks`
+(pyspark.ml per-subspace KMeans — quality-over-reproducibility,
+pytest-verified) and :func:`train_pq_codebooks_fold` (r14 — hash-rank
+init + Lloyd steps whose member means are strict folds over
+vec_id-SORTED members, making the float means bit-exact on any
+partitioning and SQL-replayable, so the trained path is ALSO
+driver-judged).
+
+``residual=True`` (r14) adds the FAISS-default residual form: codes
+quantize ``v − centroid(list)`` and serving adds the exact
+probe·centroid dot — see :func:`ivf_build_index_pq` for when it wins
+(clustered corpora) and when raw measures better (this repo's
+near-uniform fixture), both regimes test-pinned.
 
 Reference anchor: none (pure EXT, BASELINE.json:6 — the ANN family the
 reference's warehouse lacks entirely).
@@ -63,6 +73,36 @@ def _subdim(dim: int, m: int) -> int:
     return dim // m
 
 
+def _codebooks_hashrank_from(
+    frame: DataFrame, m: int, codes: int, vcol: str
+) -> DataFrame:
+    """Hash-rank codebook pick over an already-prepped frame: the
+    ``codes`` rows with the smallest :func:`seed_rank_hash` (ties by
+    vec_id), ``vcol`` split into ``m`` subvectors — (sub_id, code_id,
+    cv), ids 1-based, code_id in hash-rank order."""
+    # TakeOrderedAndProject pick (the _seed_frame pattern — per-partition
+    # partial top-`codes`, never a global sort/window over the corpus),
+    # THEN rank the tiny surviving set; the trailing window exchanges
+    # `codes` rows, not the table.
+    w = Window.orderBy(F.expr(seed_rank_hash("vec_id")), F.col("vec_id"))
+    picked = (
+        frame.orderBy(F.expr(seed_rank_hash("vec_id")), F.col("vec_id"))
+        .limit(codes)
+        .withColumn("code_id", F.row_number().over(w))
+    )
+    dim = len(picked.select(vcol).first()[vcol])
+    sd = _subdim(dim, m)
+    return picked.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, {m}), j -> "
+                f"named_struct('sub_id', j, 'cv', slice({vcol}, (j-1)*{sd}+1, {sd})))"
+            )
+        ).alias("s"),
+        "code_id",
+    ).select(F.col("s.sub_id").alias("sub_id"), "code_id", F.col("s.cv").alias("cv"))
+
+
 def pq_codebooks_hashrank(corpus: DataFrame, m: int, codes: int) -> DataFrame:
     """Deterministic codebooks for the judged path: the ``codes``
     corpus vectors with the smallest :func:`seed_rank_hash` (ties by
@@ -70,28 +110,25 @@ def pq_codebooks_hashrank(corpus: DataFrame, m: int, codes: int) -> DataFrame:
     subvectors: (sub_id, code_id, cv), both ids 1-based, code_id in
     hash-rank order.  Oracle-replayable verbatim; constant cardinality
     in corpus size (m·codes rows)."""
-    # TakeOrderedAndProject pick (the _seed_frame pattern — per-partition
-    # partial top-`codes`, never a global sort/window over the corpus),
-    # THEN rank the tiny surviving set; the trailing window exchanges
-    # `codes` rows, not the table.
-    w = Window.orderBy(F.expr(seed_rank_hash("vec_id")), F.col("vec_id"))
-    picked = (
-        _prep(corpus)
-        .orderBy(F.expr(seed_rank_hash("vec_id")), F.col("vec_id"))
-        .limit(codes)
-        .withColumn("code_id", F.row_number().over(w))
+    return _codebooks_hashrank_from(_prep(corpus), m, codes, "v")
+
+
+def _residualize(assigned: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Add ``rv = v − centroid(list_id)`` to an assigned frame — the
+    FAISS-default residual the PQ codebooks then quantize.  Seeds are
+    the coarse centroid table (nlists rows, broadcast); the
+    subtraction is an exact per-element double op, so residual folds
+    stay oracle-replayable."""
+    sv = seeds.select(
+        F.col("seed_id").alias("_rl"), F.col("v").alias("_sv")
     )
-    dim = len(picked.select("v").first()["v"])
-    sd = _subdim(dim, m)
-    return picked.select(
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, {m}), j -> "
-                f"named_struct('sub_id', j, 'cv', slice(v, (j-1)*{sd}+1, {sd})))"
-            )
-        ).alias("s"),
-        "code_id",
-    ).select(F.col("s.sub_id").alias("sub_id"), "code_id", F.col("s.cv").alias("cv"))
+    return (
+        assigned.join(
+            F.broadcast(sv), F.col("list_id") == F.col("_rl"), "inner"
+        )
+        .withColumn("rv", F.expr("zip_with(v, _sv, (x, y) -> x - y)"))
+        .drop("_rl", "_sv")
+    )
 
 
 def train_pq_codebooks(
@@ -126,17 +163,120 @@ def train_pq_codebooks(
     return out
 
 
-def _cb_frame(corpus: DataFrame, m: int, codes: int, codebooks) -> DataFrame:
-    if codebooks is None:
-        cb = pq_codebooks_hashrank(corpus, m, codes)
-    else:
-        spark = corpus.sparkSession
-        rows = [
-            (int(j), int(c), [float(x) for x in cv]) for j, c, cv in codebooks
-        ]
-        cb = spark.createDataFrame(
-            rows, "sub_id int, code_id int, cv array<double>"
+def train_pq_codebooks_fold(
+    corpus: DataFrame, m: int, codes: int, n_iter: int = 2
+) -> list[tuple[int, int, list[float]]]:
+    """Deterministic, ORACLE-REPLAYABLE per-subspace Lloyd training
+    (r14, VERDICT r13 #6): hash-rank init (the judged pick), then
+    ``n_iter`` Lloyd steps — reassign every subvector to its nearest
+    codeword (argmin-L2², ties to the smallest code_id: the engine's
+    array_sort struct rule), move each codeword to its member MEAN
+    computed as a strict fold over members sorted by vec_id, divided
+    by the count.  Pinning the summation order makes the mean
+    bit-exact on any partitioning AND replayable as the same
+    vec_id-ordered fold in SQL — the property ``pyspark.ml`` KMeans
+    (:func:`train_pq_codebooks`, k-means|| init, unordered
+    aggregation) cannot give.  Empty codewords keep their previous
+    position.  Each iteration is one Spark job collecting m·codes
+    rows; the corpus never leaves the executors.  Returns
+    [(sub_id, code_id, [float, ...])], ids 1-based."""
+    spark = corpus.sparkSession
+    prepped = deferred_persist(_prep(corpus))
+    dim = len(prepped.select("v").first()["v"])
+    sd = _subdim(dim, m)
+    cb_rows = [
+        (r["sub_id"], r["code_id"], r["cv"])
+        for r in _cb_frame_validate(
+            _codebooks_hashrank_from(prepped, m, codes, "v"), spark, m, codes
+        ).collect()
+    ]
+    subs = prepped.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, {m}), j -> "
+                f"named_struct('sub_id', j, 'sv2', slice(v, (j-1)*{sd}+1, {sd})))"
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.sub_id").alias("sub_id"), F.col("s.sv2").alias("sv2"))
+    subs = deferred_persist(subs)
+    d2 = (
+        f"aggregate(zip_with(sv2, element_at(element_at(cbv, sub_id), c), "
+        f"(x, y) -> (x-y)*(x-y)), 0D, (acc, e) -> acc + e)"
+    )
+    argmin = (
+        f"element_at(array_sort(zip_with("
+        f"transform(sequence(1, {codes}), c -> {d2}), "
+        f"sequence(1, {codes}), (d, c) -> named_struct('d', d, 'c', c))"
+        f"), 1).c"
+    )
+    for _ in range(n_iter):
+        cbdf = spark.createDataFrame(
+            cb_rows, "sub_id int, code_id int, cv array<double>"
         )
+        moved = (
+            subs.crossJoin(F.broadcast(_cbv_one_row(cbdf, m, codes)))
+            .withColumn("code_id", F.expr(argmin))
+            .groupBy("sub_id", "code_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("vec_id", "sv2"))).alias(
+                    "mem"
+                )
+            )
+            .select(
+                "sub_id",
+                "code_id",
+                F.expr(
+                    f"transform(aggregate(mem, array_repeat(0D, {sd}), "
+                    f"(acc, e) -> zip_with(acc, e.sv2, (x, y) -> x + y)), "
+                    f"x -> x / cast(size(mem) as double))"
+                ).alias("cv"),
+            )
+            .collect()
+        )
+        new = {(r["sub_id"], r["code_id"]): list(r["cv"]) for r in moved}
+        cb_rows = [
+            (j, c, new.get((j, c), cv)) for j, c, cv in cb_rows
+        ]
+    return [(j, c, [float(x) for x in cv]) for j, c, cv in cb_rows]
+
+
+def pq_distortion(
+    frame: DataFrame, cb: DataFrame, m: int, codes: int, vec_col: str = "v"
+) -> float:
+    """Mean PQ reconstruction error ``E[‖x − codeword(x)‖²]`` over the
+    frame — THE quality metric a PQ variant is chosen by (recall@k on
+    a small probe set is noisier).  Codegen folds end-to-end; returns
+    one driver double.
+
+    Measured context for the r14 residual tier (tests/test_pq.py pins
+    both regimes): on a CLUSTERED corpus residual serving wins recall
+    at identical geometry — the probe·centroid term carries the
+    cluster identity EXACTLY and quantization error is confined to the
+    small residual — while on a near-uniform corpus (this repo's
+    synthetic embeddings) with sample-picked centroids the residual
+    ``v − c`` is a difference of two ~independent draws (~2x the raw
+    variance), distortion comes out WORSE than raw, and raw encoding
+    is the right pick.  Choose per corpus by measuring, not by
+    default."""
+    sd = len(cb.select("cv").first()["cv"])
+    err = (
+        frame.crossJoin(F.broadcast(_cbv_one_row(cb, m, codes)))
+        .withColumn("pq", F.expr(_encode_expr(m, codes, sd, vec_col)))
+        .withColumn(
+            "err",
+            F.expr(
+                f"aggregate(sequence(1, {m}), 0D, (acc, j) -> acc + "
+                f"aggregate(zip_with(slice({vec_col}, (j-1)*{sd}+1, {sd}), "
+                f"element_at(element_at(cbv, j), element_at(pq, j)), "
+                f"(x, y) -> (x-y)*(x-y)), 0D, (a, e) -> a + e))"
+            ),
+        )
+    )
+    return float(err.agg(F.avg("err")).first()[0])
+
+
+def _cb_frame_validate(cb: DataFrame, spark, m: int, codes: int) -> DataFrame:
     # _cbv_one_row indexes flat[(j-1)*codes + c]: anything but EXACTLY
     # one entry per (sub_id 1..m, code_id 1..codes) silently misaligns
     # the lookup table — e.g. a corpus smaller than `codes` yields a
@@ -155,10 +295,24 @@ def _cb_frame(corpus: DataFrame, m: int, codes: int, codebooks) -> DataFrame:
             "smaller than `codes` cannot seed hash-rank codebooks (lower "
             "`codes`), and custom codebooks must be complete"
         )
-    return corpus.sparkSession.createDataFrame(
+    return spark.createDataFrame(
         [(r["sub_id"], r["code_id"], r["cv"]) for r in rows],
         "sub_id int, code_id int, cv array<double>",
     )
+
+
+def _cb_frame(corpus: DataFrame, m: int, codes: int, codebooks) -> DataFrame:
+    if codebooks is None:
+        cb = pq_codebooks_hashrank(corpus, m, codes)
+    else:
+        spark = corpus.sparkSession
+        rows = [
+            (int(j), int(c), [float(x) for x in cv]) for j, c, cv in codebooks
+        ]
+        cb = spark.createDataFrame(
+            rows, "sub_id int, code_id int, cv array<double>"
+        )
+    return _cb_frame_validate(cb, corpus.sparkSession, m, codes)
 
 
 def _cbv_one_row(cb: DataFrame, m: int, codes: int) -> DataFrame:
@@ -211,6 +365,7 @@ def pq_encode(
     m: int,
     codes: int,
     sub_dim: int | None = None,
+    vec_col: str = "v",
 ) -> DataFrame:
     """(vec_id, v, nrm, list_id) → (vec_id, pq, nrm, list_id): the PQ
     payload — m codeword ids + the TRUE vector norm (the denominator
@@ -218,13 +373,16 @@ def pq_encode(
     saved).  Zero vectors are dropped (no cosine), matching the int8
     rule.  ``sub_dim`` skips the 1-row dim probe when the caller
     already knows it (build/append/delete all do — review r13: the
-    probe re-ran part of the assignment pipeline per call)."""
+    probe re-ran part of the assignment pipeline per call).
+    ``vec_col`` is what gets quantized: ``v`` for raw encoding, ``rv``
+    for the residual tier (the codebooks must have been built over the
+    same choice)."""
     if sub_dim is None:
-        sub_dim = _subdim(len(assigned.select("v").first()["v"]), m)
+        sub_dim = _subdim(len(assigned.select(vec_col).first()[vec_col]), m)
     return (
         assigned.filter(F.col("nrm") > 0)
         .crossJoin(F.broadcast(_cbv_one_row(cb, m, codes)))
-        .withColumn("pq", F.expr(_encode_expr(m, codes, sub_dim)))
+        .withColumn("pq", F.expr(_encode_expr(m, codes, sub_dim, vec_col)))
         .select("vec_id", "pq", "nrm", "list_id")
     )
 
@@ -239,15 +397,32 @@ def ivf_build_index_pq(
     centroids: list | None = None,
     codebooks: list | None = None,
     rerank_payload: bool = False,
+    residual: bool = False,
     fs=None,
 ) -> str:
     """Persist the IVF-PQ index: full-precision coarse seeds (routing),
-    the frozen per-subspace codebooks, a 1-row meta (m, codes,
-    sub_dim), and the PQ-encoded corpus partitioned by ``list_id`` —
+    the frozen per-subspace codebooks, a 1-row meta (m, codes, sub_dim,
+    residual), and the PQ-encoded corpus partitioned by ``list_id`` —
     all pinned as ONE atomic index version.  ``rerank_payload=True``
     additionally lands the full-precision assigned corpus for the
-    ADC+refine serve, identical layout to the int8 family's.  Returns
-    the PQ-corpus snapshot version."""
+    ADC+refine serve, identical layout to the int8 family's.
+
+    ``residual=True`` is the FAISS-default IVF-PQ form (r14, VERDICT
+    r13 #3): codebooks are built over (and codes encode) the residual
+    ``v − centroid(list)`` instead of the raw vector.  When the coarse
+    centroids capture real cluster structure this wins recall at the
+    same (m, codes) budget — the probe·centroid term is EXACT and only
+    the small residual is quantized (tests pin the win on a clustered
+    corpus); on a corpus WITHOUT that structure the residual is a
+    difference of two ~independent draws (~2x the variance) and raw
+    encoding measures better (tests pin the inverse on the uniform
+    fixture via :func:`pq_distortion`) — pick per corpus by measuring.
+    Serving adds the exact probe·centroid dot per routed
+    list (nlists-bounded, already broadcast for routing): ``pcos =
+    (dot(p, cent) + adc) / norms`` — still a pure codegen fold chain
+    the oracle replays bit-for-bit.  Custom ``codebooks`` with
+    ``residual=True`` must have been trained over residuals against
+    THESE seeds.  Returns the PQ-corpus snapshot version."""
     from ..streaming.snapshot import (
         index_publish,
         snapshot_commit,
@@ -257,7 +432,19 @@ def ivf_build_index_pq(
     spark = corpus.sparkSession
     seeds = _seed_frame(corpus, seed_stride, centroids, nlists)
     assigned = ivf_assign(corpus, seed_stride, centroids, nlists)
-    cb = _cb_frame(corpus, m, codes, codebooks)
+    enc_col = "v"
+    if residual:
+        assigned = _residualize(assigned, seeds)
+        enc_col = "rv"
+    if codebooks is None and residual:
+        cb = _cb_frame_validate(
+            _codebooks_hashrank_from(assigned, m, codes, "rv"),
+            corpus.sparkSession,
+            m,
+            codes,
+        )
+    else:
+        cb = _cb_frame(corpus, m, codes, codebooks)
     # sub_dim from the validated LOCAL codebook frame — no extra
     # corpus scan (cb subvectors are dim/m long by construction)
     sd = len(cb.first()["cv"])
@@ -277,7 +464,8 @@ def ivf_build_index_pq(
         "seeds": snapshot_commit(seeds, os.path.join(root, "seeds"), fs=fs),
         "pq_meta": snapshot_commit(
             spark.createDataFrame(
-                [(m, codes, sd)], "m int, codes int, sub_dim int"
+                [(m, codes, sd, bool(residual))],
+                "m int, codes int, sub_dim int, residual boolean",
             ),
             os.path.join(root, "pq_meta"),
             fs=fs,
@@ -288,10 +476,13 @@ def ivf_build_index_pq(
     }
     if rerank_payload:
         members["corpus"] = snapshot_commit_partitioned(
-            assigned, os.path.join(root, "corpus"), "list_id", fs=fs
+            assigned.select("vec_id", "v", "nrm", "list_id"),
+            os.path.join(root, "corpus"),
+            "list_id",
+            fs=fs,
         )
     members["corpus_pq"] = snapshot_commit_partitioned(
-        pq_encode(assigned, cb, m, codes, sub_dim=sd),
+        pq_encode(assigned, cb, m, codes, sub_dim=sd, vec_col=enc_col),
         os.path.join(root, "corpus_pq"),
         "list_id",
         fs=fs,
@@ -300,13 +491,14 @@ def ivf_build_index_pq(
     return members["corpus_pq"]
 
 
-def _pq_meta(spark, root: str, fs, pin: dict) -> tuple[int, int, int]:
+def _pq_meta(spark, root: str, fs, pin: dict) -> tuple[int, int, int, bool]:
     from ..streaming.snapshot import snapshot_read
 
     r = snapshot_read(
         spark, os.path.join(root, "pq_meta"), fs=fs, version=pin.get("pq_meta")
     ).collect()[0]
-    return r["m"], r["codes"], r["sub_dim"]
+    d = r.asDict()
+    return r["m"], r["codes"], r["sub_dim"], bool(d.get("residual", False))
 
 
 def _pq_candidates(
@@ -321,7 +513,7 @@ def _pq_candidates(
     spark = probes.sparkSession
     if pin is None:
         pin = index_current(root, fs=fs) or {}
-    m, codes, sd = _pq_meta(spark, root, fs, pin)
+    m, codes, sd, residual = _pq_meta(spark, root, fs, pin)
     seeds = snapshot_read(
         spark, os.path.join(root, "seeds"), fs=fs, version=pin.get("seeds")
     )
@@ -344,25 +536,36 @@ def _pq_candidates(
         version=pin.get("corpus_pq"),
     )
     pa, ca = probe_lists.alias("a"), pq_corpus.alias("b")
-    return (
-        F.broadcast(pa)
-        .join(
-            ca,
-            (F.col("a.list_id") == F.col("b.list_id"))
-            & (F.col("a.probe_id") != F.col("b.vec_id")),
+    joined = F.broadcast(pa).join(
+        ca,
+        (F.col("a.list_id") == F.col("b.list_id"))
+        & (F.col("a.probe_id") != F.col("b.vec_id")),
+    )
+    # Residual tier: codes reconstruct v̂ = centroid + Σ codewords, so
+    # the dot estimate gains the exact probe·centroid term — seeds are
+    # already here (routing), nlists-bounded and broadcast.
+    dot = F.expr(_adc_expr(m, sd, "a.v", "b.pq"))
+    if residual:
+        cents = seeds.select(
+            F.col("seed_id").alias("_cl"), F.col("v").alias("_cv2")
         )
-        .crossJoin(F.broadcast(_cbv_one_row(cb, m, codes)))
-        .select(
-            "probe_id",
-            F.col("a.v").alias("v"),
-            F.col("a.nrm").alias("nrm"),
-            F.col("b.vec_id").alias("vec_id"),
-            F.col("b.list_id").alias("list_id"),
-            (
-                F.expr(_adc_expr(m, sd, "a.v", "b.pq"))
-                / (F.col("a.nrm") * F.col("b.nrm"))
-            ).alias("pcos"),
+        joined = joined.join(
+            F.broadcast(cents), F.col("b.list_id") == F.col("_cl")
         )
+        dot = (
+            F.expr(
+                "aggregate(zip_with(a.v, _cv2, (x, y) -> x * y), 0D, "
+                "(acc, e) -> acc + e)"
+            )
+            + dot
+        )
+    return joined.crossJoin(F.broadcast(_cbv_one_row(cb, m, codes))).select(
+        "probe_id",
+        F.col("a.v").alias("v"),
+        F.col("a.nrm").alias("nrm"),
+        F.col("b.vec_id").alias("vec_id"),
+        F.col("b.list_id").alias("list_id"),
+        (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("pcos"),
     )
 
 
@@ -473,7 +676,7 @@ def ivf_index_append_pq(new_rows: DataFrame, root: str, fs=None) -> str:
     spark = new_rows.sparkSession
     pin = index_current(root, fs=fs) or {}
     cent = _frozen_seeds(spark, root, fs, "append")
-    m, codes, sd = _pq_meta(spark, root, fs, pin)
+    m, codes, sd, residual = _pq_meta(spark, root, fs, pin)
     cb = snapshot_read(
         spark,
         os.path.join(root, "pq_codebooks"),
@@ -481,6 +684,16 @@ def ivf_index_append_pq(new_rows: DataFrame, root: str, fs=None) -> str:
         version=pin.get("pq_codebooks"),
     )
     assigned = ivf_assign(new_rows, centroids=cent)
+    enc_col = "v"
+    if residual:
+        # residualize against the PINNED seeds — encoding stays the
+        # same pure per-vector function the build used, so
+        # append-then-serve equals rebuild-over-the-union
+        seeds = snapshot_read(
+            spark, os.path.join(root, "seeds"), fs=fs, version=pin.get("seeds")
+        )
+        assigned = _residualize(assigned, seeds)
+        enc_col = "rv"
     members = ["seeds", "pq_meta", "pq_codebooks", "corpus_pq"]
     if pin and "corpus" in pin:
         members.append("corpus")
@@ -488,7 +701,7 @@ def ivf_index_append_pq(new_rows: DataFrame, root: str, fs=None) -> str:
         merge_upsert_pruned(
             spark,
             os.path.join(root, "corpus"),
-            assigned,
+            assigned.select("vec_id", "v", "nrm", "list_id"),
             key=["vec_id"],
             partition_col="list_id",
             fs=fs,
@@ -496,7 +709,7 @@ def ivf_index_append_pq(new_rows: DataFrame, root: str, fs=None) -> str:
     version = merge_upsert_pruned(
         spark,
         os.path.join(root, "corpus_pq"),
-        pq_encode(assigned, cb, m, codes, sub_dim=sd),
+        pq_encode(assigned, cb, m, codes, sub_dim=sd, vec_col=enc_col),
         key=["vec_id"],
         partition_col="list_id",
         fs=fs,
@@ -517,7 +730,7 @@ def ivf_index_delete_pq(rows: DataFrame, root: str, fs=None) -> str:
     spark = rows.sparkSession
     pin = index_current(root, fs=fs) or {}
     cent = _frozen_seeds(spark, root, fs, "delete")
-    m, codes, sd = _pq_meta(spark, root, fs, pin)
+    m, codes, sd, residual = _pq_meta(spark, root, fs, pin)
     cb = snapshot_read(
         spark,
         os.path.join(root, "pq_codebooks"),
@@ -525,6 +738,13 @@ def ivf_index_delete_pq(rows: DataFrame, root: str, fs=None) -> str:
         version=pin.get("pq_codebooks"),
     )
     assigned = ivf_assign(rows, centroids=cent)
+    enc_col = "v"
+    if residual:
+        seeds = snapshot_read(
+            spark, os.path.join(root, "seeds"), fs=fs, version=pin.get("seeds")
+        )
+        assigned = _residualize(assigned, seeds)
+        enc_col = "rv"
     members = ["seeds", "pq_meta", "pq_codebooks", "corpus_pq"]
     if pin and "corpus" in pin:
         members.append("corpus")
@@ -532,7 +752,9 @@ def ivf_index_delete_pq(rows: DataFrame, root: str, fs=None) -> str:
         merge_upsert_pruned(
             spark,
             os.path.join(root, "corpus"),
-            assigned.withColumn("_del", F.lit(True)),
+            assigned.select("vec_id", "v", "nrm", "list_id").withColumn(
+                "_del", F.lit(True)
+            ),
             key=["vec_id"],
             partition_col="list_id",
             delete_col="_del",
@@ -541,7 +763,9 @@ def ivf_index_delete_pq(rows: DataFrame, root: str, fs=None) -> str:
     version = merge_upsert_pruned(
         spark,
         os.path.join(root, "corpus_pq"),
-        pq_encode(assigned, cb, m, codes, sub_dim=sd).withColumn("_del", F.lit(True)),
+        pq_encode(assigned, cb, m, codes, sub_dim=sd, vec_col=enc_col).withColumn(
+            "_del", F.lit(True)
+        ),
         key=["vec_id"],
         partition_col="list_id",
         delete_col="_del",

@@ -536,3 +536,30 @@ def test_pq_ivf_serving_plan(spark):
     for c in emb:
         schema = c.split("ReadSchema:")[1].split("\n")[0]
         assert "struct<vec_id" in schema, schema
+
+
+def test_pq_residual_serving_plan(spark):
+    """The residual PQ serve keeps the indexed-serve shape and pays
+    for the exact probe·centroid term with ONE extra broadcast join
+    of the nlists-row seed table — never a shuffle of the corpus:
+    no sort-merge join, PQ snapshot as the corpus relation, codebooks
+    still one broadcast row."""
+    plan = _plan(spark, "sim_ivf_topk_pq_residual")
+    assert "SortMergeJoin" not in plan
+    assert "ivf_index_pq_res/corpus_pq" in plan
+    assert "BroadcastHashJoin" in plan
+    chunks = plan.split("Scan parquet")[1:]
+    emb = [c for c in chunks if "embeddings.parquet" in c.split("ReadSchema")[0]]
+    for c in emb:
+        schema = c.split("ReadSchema:")[1].split("\n")[0]
+        assert "struct<vec_id" in schema, schema
+
+
+def test_pq_trained_serving_plan(spark):
+    """The Lloyd-trained entry serves through the identical indexed
+    plan as the hash-rank entry (training happens at build time and
+    freezes into the pin; the serve must not pay for it)."""
+    plan = _plan(spark, "sim_ivf_topk_pq_trained")
+    assert "SortMergeJoin" not in plan
+    assert "ivf_index_pq_trained/corpus_pq" in plan
+    assert "BroadcastHashJoin" in plan

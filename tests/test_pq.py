@@ -235,3 +235,181 @@ def test_stream_ivf_pq_ingest_split_independent_and_replay_safe(
     # mode exclusivity guard
     with pytest.raises(ValueError, match="ONE of"):
         ivf_ingest_batch(parts[0], 0, split, quantized=True, pq=True)
+
+
+def _clustered(spark, dim=64, nc=10, n=400, noise=0.05):
+    """A corpus WITH real cluster structure: nc tight gaussian blobs —
+    the regime residual encoding (FAISS default) is built for."""
+    import random
+
+    rng = random.Random(42)
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(nc)]
+    rows = [
+        (
+            i,
+            [
+                centers[i % nc][d] + rng.gauss(0, noise)
+                for d in range(dim)
+            ],
+        )
+        for i in range(1, n + 1)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_residual_wins_recall_on_clustered_corpus(spark, tmp_path):
+    """The residual tier's quality claim, pinned where it holds (r14,
+    VERDICT r13 #3): on a clustered corpus at IDENTICAL geometry,
+    residual encoding recalls at least as many exact-top-3 hits as raw
+    — for the ADC-only serve AND the rerank serve — because the
+    probe·centroid term is exact and quantization error is confined to
+    the small intra-cluster residual."""
+    emb = _clustered(spark)
+    probes = emb.filter(F.col("vec_id") % 20 == 0)
+    exact = S.cosine_topk(probes, emb, k=3).select("probe_id", "vec_id")
+
+    def hits(ann):
+        return (
+            ann.select("probe_id", "vec_id")
+            .join(exact, ["probe_id", "vec_id"])
+            .count()
+        )
+
+    raw_root, res_root = str(tmp_path / "raw"), str(tmp_path / "res")
+    for root, res in ((raw_root, False), (res_root, True)):
+        PQ.ivf_build_index_pq(
+            emb, root, nlists=10, m=8, codes=16,
+            residual=res, rerank_payload=True,
+        )
+    h_raw_adc = hits(PQ.ivf_topk_indexed_pq(probes, raw_root, k=3, nprobe=2))
+    h_res_adc = hits(PQ.ivf_topk_indexed_pq(probes, res_root, k=3, nprobe=2))
+    h_raw_rr = hits(
+        PQ.ivf_topk_indexed_pq_rerank(probes, raw_root, k=3, nprobe=2, m=5)
+    )
+    h_res_rr = hits(
+        PQ.ivf_topk_indexed_pq_rerank(probes, res_root, k=3, nprobe=2, m=5)
+    )
+    assert h_res_adc >= h_raw_adc > 0, (h_res_adc, h_raw_adc)
+    assert h_res_rr >= h_raw_rr > 0, (h_res_rr, h_raw_rr)
+    # and strictly better somewhere — the structure is actually used
+    assert h_res_adc + h_res_rr > h_raw_adc + h_raw_rr
+
+
+def test_pq_residual_distortion_inverse_on_uniform_corpus(spark):
+    """The OTHER regime, pinned so the docs stay honest: on the
+    near-uniform synthetic embeddings with sample-picked centroids the
+    residual is a difference of two ~independent draws (~2x the
+    variance), so residual reconstruction distortion measures WORSE
+    than raw — the tier is chosen per corpus by pq_distortion, not by
+    default."""
+    from etl_pulumi_aws_snowflake_spark.operators.pq import (
+        _cb_frame_validate,
+        _codebooks_hashrank_from,
+        _residualize,
+    )
+    from etl_pulumi_aws_snowflake_spark.operators.similarity import (
+        _seed_frame,
+        ivf_assign,
+    )
+
+    _, emb = _emb(spark)
+    assigned = ivf_assign(emb, nlists=8)
+    seeds = _seed_frame(emb, 50, None, 8)
+    resd = _residualize(assigned, seeds)
+    cb_raw = _cb_frame_validate(
+        _codebooks_hashrank_from(assigned, 8, 16, "v"), spark, 8, 16
+    )
+    cb_res = _cb_frame_validate(
+        _codebooks_hashrank_from(resd, 8, 16, "rv"), spark, 8, 16
+    )
+    d_raw = PQ.pq_distortion(assigned, cb_raw, 8, 16, "v")
+    d_res = PQ.pq_distortion(resd, cb_res, 8, 16, "rv")
+    assert d_res > d_raw > 0, (d_res, d_raw)
+
+
+def test_pq_residual_lifecycle_parity(spark, tmp_path):
+    """Append + delete on a RESIDUAL rerank-enabled index serve exactly
+    like a fresh residual build over the survivors under the same
+    frozen seeds and codebooks — residualize-then-encode is still a
+    pure per-vector function of the freezes (VERDICT r13 #3's
+    lockstep requirement)."""
+    probes, emb = _emb(spark)
+    grown = str(tmp_path / "grown")
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    PQ.ivf_build_index_pq(
+        base, grown, nlists=8, m=8, codes=16,
+        residual=True, rerank_payload=True,
+    )
+    PQ.ivf_index_append_pq(emb.filter(F.col("vec_id") % 4 == 3), grown)
+    PQ.ivf_index_delete_pq(emb.filter(F.col("vec_id") % 4 == 1), grown)
+    cent = [
+        (r["seed_id"], r["v"])
+        for r in snapshot_read(spark, os.path.join(grown, "seeds")).collect()
+    ]
+    cbs = [
+        (r["sub_id"], r["code_id"], r["cv"])
+        for r in snapshot_read(
+            spark, os.path.join(grown, "pq_codebooks")
+        ).collect()
+    ]
+    fresh = str(tmp_path / "fresh")
+    PQ.ivf_build_index_pq(
+        emb.filter(F.col("vec_id") % 4 != 1),
+        fresh,
+        centroids=cent,
+        codebooks=cbs,
+        m=8,
+        codes=16,
+        residual=True,
+        rerank_payload=True,
+    )
+    for serve in (
+        lambda r: PQ.ivf_topk_indexed_pq(probes, r, k=3, nprobe=2),
+        lambda r: PQ.ivf_topk_indexed_pq_rerank(probes, r, k=3, nprobe=2, m=5),
+    ):
+        got = sorted(map(tuple, serve(grown).collect()))
+        want = sorted(map(tuple, serve(fresh).collect()))
+        assert got == want and got
+
+
+def test_pq_fold_trainer_monotone_and_partition_invariant(spark):
+    """train_pq_codebooks_fold (r14, VERDICT r13 #6): (a) Lloyd steps
+    never increase reconstruction distortion (assign-then-mean each
+    weakly improves); (b) the vec_id-ordered strict-fold mean makes
+    the result BIT-EXACT across different input partitionings — the
+    property that lets the trained path be oracle-judged, and that
+    pyspark.ml KMeans does not have."""
+    from etl_pulumi_aws_snowflake_spark.operators.similarity import ivf_assign
+
+    _, emb = _emb(spark)
+    assigned = ivf_assign(emb, nlists=8)
+
+    def dist(cbrows):
+        cb = spark.createDataFrame(
+            cbrows, "sub_id int, code_id int, cv array<double>"
+        )
+        return PQ.pq_distortion(assigned, cb, 8, 16, "v")
+
+    cb0 = PQ.train_pq_codebooks_fold(emb, 8, 16, n_iter=0)
+    cb1 = PQ.train_pq_codebooks_fold(emb, 8, 16, n_iter=1)
+    cb2 = PQ.train_pq_codebooks_fold(emb, 8, 16, n_iter=2)
+    d0, d1, d2 = dist(cb0), dist(cb1), dist(cb2)
+    assert d1 <= d0 and d2 <= d1, (d0, d1, d2)
+    assert d1 < d0  # the first step actually moves on this corpus
+
+    cb1_rep = PQ.train_pq_codebooks_fold(emb.repartition(13), 8, 16, n_iter=1)
+    assert cb1 == cb1_rep  # bit-exact, not approximately equal
+
+
+def test_pq_trained_entry_serves_and_differs_from_hashrank(spark, tmp_path):
+    """The judged trained entry's engine side: one fold-Lloyd step
+    produces codebooks that differ from the init and serve a valid
+    ADC ranking."""
+    probes, emb = _emb(spark)
+    cb1 = PQ.train_pq_codebooks_fold(emb, 8, 16, n_iter=1)
+    cb0 = PQ.train_pq_codebooks_fold(emb, 8, 16, n_iter=0)
+    assert cb1 != cb0
+    root = str(tmp_path / "tr")
+    PQ.ivf_build_index_pq(emb, root, nlists=8, m=8, codes=16, codebooks=cb1)
+    out = PQ.ivf_topk_indexed_pq(probes, root, k=3, nprobe=2).collect()
+    assert out and all(r["rank"] in (1, 2, 3) for r in out)
