@@ -184,11 +184,15 @@ def test_mor_loud_guards(spark, tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="key column"):
         MOR.mor_init(_seed(spark), root, "part", key=["missing"])
     MOR.mor_init(_seed(spark), root, "part", key=["id"])
+    # a genuinely different identity raises; including the partition
+    # column is NOT a different identity (pcol is functionally
+    # determined by the key under the stable-partition contract, and
+    # dv rows carry it since r14), so ["id", "part"] is accepted
     with pytest.raises(ValueError, match="pinned merge key"):
         MOR.mor_merge(
             spark, root,
             _batch(spark, [(0, 0, "u", 1.0, False)]),
-            key=["id", "part"], delete_col="del",
+            key=["id", "name"], delete_col="del",
         )
     # schema drift fails loudly before any write (shared MERGE rules)
     with pytest.raises(ValueError, match="missing target column"):
@@ -366,3 +370,86 @@ def test_mor_compact_detects_concurrent_merge_instead_of_wiping_it(
     MOR.mor_compact(spark, root)  # retry folds both
     assert _rows(MOR.mor_read(spark, root)) == want
     assert MOR.mor_pending_batches(root) == []
+
+
+def test_mor_compact_discovery_reads_only_candidate_partitions(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r13 #4: a 1-partition backlog against a many-partition
+    base must not anti-probe the FULL base to discover what to rewrite
+    — dv rows carry the partition column, so the liveness probe reads
+    ONLY the candidate partitions the sidecar names.  Spied via the
+    snapshot_read seam: every base read during compaction must be
+    partition-pruned, never a full-table read."""
+    seed = spark.createDataFrame(
+        [(i, i % 16, f"n{i}", float(i)) for i in range(64)],
+        "id long, part long, name string, bal double",
+    )
+    root = str(tmp_path / "mor")
+    MOR.mor_init(seed, root, "part", key=["id"])
+    # delete-only batch touching ONE of the 16 partitions
+    MOR.mor_merge(
+        spark, root, _batch(spark, [(3, 3, "x", 0.0, True)]),
+        key=["id"], delete_col="del",
+    )
+    want = _rows(MOR.mor_read(spark, root))
+
+    base_root = os.path.join(root, "base")
+    real_read = MOR.snapshot_read
+    base_reads = []
+
+    def spy(spark_, r, partition_values=None, **kw):
+        if r == base_root:
+            base_reads.append(partition_values)
+        return real_read(spark_, r, partition_values=partition_values, **kw)
+
+    monkeypatch.setattr(MOR, "snapshot_read", spy)
+    MOR.mor_compact(spark, root)
+    monkeypatch.setattr(MOR, "snapshot_read", real_read)
+    assert base_reads, "compaction never read base?"
+    for pv in base_reads:
+        assert pv is not None, "full-base read during compaction discovery"
+        assert set(pv) <= {"3", 3}, pv
+    assert _rows(MOR.mor_read(spark, root)) == want
+    assert MOR.mor_pending_batches(root) == []
+
+
+def test_mor_pruned_read_shrinks_the_dv_broadcast(spark, tmp_path):
+    """VERDICT r13 #5: mor_read(partition_values=...) filters the
+    delete-key broadcast by the carried partition column along with
+    base and data — the dv side of the plan carries the pcol filter,
+    and the pruned read equals the full read restricted to those
+    partitions."""
+    seed = _seed(spark)  # parts 0..3
+    root = str(tmp_path / "mor")
+    MOR.mor_init(seed, root, "part", key=["id"])
+    MOR.mor_merge(
+        spark, root,
+        _batch(spark, [(0, 0, "u0", 9.0, False), (1, 1, "x", 0.0, True),
+                       (2, 2, "u2", 7.0, False)]),
+        key=["id"], delete_col="del",
+    )
+    full = MOR.mor_read(spark, root)
+    pruned = MOR.mor_read(spark, root, partition_values=[1])
+    want = sorted(
+        map(tuple, full.filter(F.col("part") == 1)
+            .select("id", "part", "name", "bal").collect())
+    )
+    assert _rows(pruned) == want
+    # the dv relation enters the plan behind a pcol filter: the plan
+    # must filter on part BEFORE both broadcast anti-joins
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert plan.count("BroadcastHashJoin LeftAnti BuildRight") >= 2
+    # THREE pcol filters: the data member's, and one per dv usage
+    # (anti-join key build + later-batch suppression side) — the base
+    # member is manifest-pruned (no filter needed).
+    pcol_filters = [
+        ln
+        for ln in plan.splitlines()
+        if "cast(part" in ln and "as string) = 1" in ln
+    ]
+    assert len(pcol_filters) >= 3, plan
