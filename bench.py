@@ -63,6 +63,10 @@ HEADLINE: tuple[str, ...] = (
     # r13 families
     "cdc_merge_mor_e2e",
     "sim_ivf_topk_pq_rerank",
+    # r14 families: real-pixel JPEG decode through the Arrow worker;
+    # residual PQ build + ADC serve
+    "mm_decode_jpeg",
+    "sim_ivf_topk_pq_residual",
 )
 
 #: Rows whose registry callables time index CONSTRUCTION + the query
@@ -84,6 +88,8 @@ BUILD_INCLUSIVE: tuple[str, ...] = (
     # (cdc_merge_mor_fixed_batch, sim_ivf_pq_rerank_indexed_fixed_probes).
     "cdc_merge_mor_e2e",
     "sim_ivf_topk_pq_rerank",
+    # r14: the residual entry builds its PQ index in-entry too.
+    "sim_ivf_topk_pq_residual",
 )
 
 #: Entries whose SCOPE changed in a named round — a round-over-round
@@ -144,6 +150,7 @@ def compact_line(doc: dict) -> str:
         {
             "metric": doc["metric"],
             "value": doc["value"],
+            "serve_only_total": doc["serve_only_total"],
             "unit": doc["unit"],
             "queries": {n: round(v, 3) for n, v in doc["queries"].items()},
             "calibration": doc["calibration"],
@@ -202,6 +209,15 @@ def main() -> None:
         doc = {
             "metric": "headline_queries_total",
             "value": round(sum(timings.values()), 4),
+            # The round-over-round comparison number (r14, VERDICT r13
+            # #7): headline total MINUS the build-inclusive rows, whose
+            # per-rep index builds grow as rounds add tiers — serve
+            # regressions read directly off this field without needing
+            # the curve.
+            "serve_only_total": round(
+                sum(v for n, v in timings.items() if n not in BUILD_INCLUSIVE),
+                4,
+            ),
             "unit": "sec",
             "queries": timings,
             "queries_median": medians,

@@ -512,7 +512,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     Scope: 8-bit baseline Huffman, 1 or 3 components, any sampling
     factors in 1..2 (4:4:4, 4:2:0, 4:2:2, 4:4:0), restart intervals.
     Everything else raises ``ValueError`` naming the feature — never a
-    silent wrong-pixels decode."""
+    silent wrong-pixels decode.  Structurally malformed segments
+    (short bodies hitting struct/index errors) also surface as
+    ValueError, keeping the loud contract AND the PIL fall-through in
+    ``decode_image`` reachable (review r14)."""
+    try:
+        return _decode_jpeg_checked(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed JPEG segment: {exc}") from exc
+
+
+def _decode_jpeg_checked(payload: bytes) -> tuple[int, int, bytes]:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -656,6 +666,14 @@ def _decode_scan(
     restart_interval: int,
 ) -> tuple[int, int, bytes]:
     width, height, comps = frame["width"], frame["height"], frame["comps"]
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — the
+        # MCU is one 8x8 data unit in raster order and the frame
+        # header's sampling factors do not shape the scan.  Without
+        # this, a grayscale stream declaring h=v=2 (legal, some
+        # encoders emit it) would be walked as 16x16 MCUs — wrong
+        # block count and order (review r14).
+        comps[0]["h"] = comps[0]["v"] = 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
@@ -740,20 +758,24 @@ def _decode_scan(
         if sy > 1 or sx > 1:
             samp = np.repeat(np.repeat(samp, sy, axis=0), sx, axis=1)
         full.append(samp[:height, :width])
-    out = bytearray()
+    # Vectorized plane→RGB24 (review r14: per-pixel Python calls were
+    # the hot path on real-sized images).  The numpy elementwise
+    # expressions are the SAME IEEE-double ops as ycbcr_to_rgb — same
+    # constants, same association, floor(+0.5), clamp — so the bytes
+    # are bit-identical to the scalar form (pinned by a test).
     if len(comps) == 1:
-        g = full[0]
-        for yy in range(height):
-            for xx in range(width):
-                v = int(g[yy, xx])
-                out += bytes((v, v, v))
+        rgb = np.repeat(full[0].astype(np.uint8)[:, :, None], 3, axis=2)
     else:
-        yp, cbp, crp = full
-        for yy in range(height):
-            for xx in range(width):
-                out += bytes(
-                    ycbcr_to_rgb(
-                        int(yp[yy, xx]), int(cbp[yy, xx]), int(crp[yy, xx])
-                    )
-                )
-    return width, height, bytes(out)
+        yp = full[0].astype(np.float64)
+        cb = full[1].astype(np.float64) - 128.0
+        cr = full[2].astype(np.float64) - 128.0
+        rgb = np.stack(
+            [
+                np.floor(yp + 1.402 * cr + 0.5),
+                np.floor(yp - 0.344136 * cb - 0.714136 * cr + 0.5),
+                np.floor(yp + 1.772 * cb + 0.5),
+            ],
+            axis=2,
+        )
+        rgb = np.clip(rgb, 0.0, 255.0).astype(np.uint8)
+    return width, height, rgb.tobytes()

@@ -587,13 +587,14 @@ def decode_image(payload: bytes, fake: bool = False) -> bytes:
     """Decode an image payload to raw RGB pixel bytes.
 
     Tiers: binary PPM/PGM payloads decode through the from-scratch
-    :func:`_decode_pnm` parser and PNG payloads through the
-    from-scratch :func:`_decode_png` zlib+unfilter decoder (both
-    always available — the REAL pixel paths in codec-free deployments
-    like this container); other formats (JPEG, ...) use PIL when
-    importable (guarded import); ``fake=True`` returns the payload
-    unchanged as a deterministic stand-in so the distributed plumbing
-    stays testable with arbitrary payloads."""
+    :func:`_decode_pnm` parser, PNG through the from-scratch
+    :func:`_decode_png` zlib+unfilter decoder, and baseline JPEG
+    through :mod:`.jpeg`'s from-scratch SOF0 decoder (all three always
+    available — the REAL pixel paths in codec-free deployments like
+    this container); remaining formats (GIF, TIFF, WebP, progressive
+    JPEG, ...) use PIL when importable (guarded import); ``fake=True``
+    returns the payload unchanged as a deterministic stand-in so the
+    distributed plumbing stays testable with arbitrary payloads."""
     if fake:
         return payload
     if payload[:2] in (b"P6", b"P5"):

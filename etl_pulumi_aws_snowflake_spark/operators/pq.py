@@ -184,12 +184,20 @@ def train_pq_codebooks_fold(
     prepped = deferred_persist(_prep(corpus))
     dim = len(prepped.select("v").first()["v"])
     sd = _subdim(dim, m)
-    cb_rows = [
-        (r["sub_id"], r["code_id"], r["cv"])
-        for r in _cb_frame_validate(
-            _codebooks_hashrank_from(prepped, m, codes, "v"), spark, m, codes
-        ).collect()
-    ]
+    # One collect, validated locally (review r14: routing the init
+    # through _cb_frame_validate re-wrapped already-local rows in a
+    # throwaway frame just to collect them again).
+    init_rows = _codebooks_hashrank_from(prepped, m, codes, "v").collect()
+    got = {(r["sub_id"], r["code_id"]) for r in init_rows}
+    want = {(j, c) for j in range(1, m + 1) for c in range(1, codes + 1)}
+    if got != want:
+        raise ValueError(
+            f"PQ codebooks must hold exactly one entry per (sub_id 1..{m}, "
+            f"code_id 1..{codes}); got {len(got)} of {len(want)} — a corpus "
+            "smaller than `codes` cannot seed hash-rank codebooks (lower "
+            "`codes`)"
+        )
+    cb_rows = [(r["sub_id"], r["code_id"], list(r["cv"])) for r in init_rows]
     subs = prepped.select(
         "vec_id",
         F.explode(
@@ -535,30 +543,38 @@ def _pq_candidates(
         fs=fs,
         version=pin.get("corpus_pq"),
     )
+    # Residual tier: codes reconstruct v̂ = centroid + Σ codewords, so
+    # the dot estimate gains the exact probe·centroid term.  It
+    # depends only on (probe_id, list_id), so it is computed ONCE per
+    # routed (probe, list) pair on the tiny broadcast side — never per
+    # corpus candidate (review r14) — seeds are already here
+    # (routing), nlists-bounded and broadcast.
+    if residual:
+        cents = seeds.select(
+            F.col("seed_id").alias("_cl"), F.col("v").alias("_cv2")
+        )
+        probe_lists = (
+            probe_lists.join(
+                F.broadcast(cents), F.col("list_id") == F.col("_cl")
+            )
+            .withColumn(
+                "_cdot",
+                F.expr(
+                    "aggregate(zip_with(v, _cv2, (x, y) -> x * y), 0D, "
+                    "(acc, e) -> acc + e)"
+                ),
+            )
+            .drop("_cl", "_cv2")
+        )
     pa, ca = probe_lists.alias("a"), pq_corpus.alias("b")
     joined = F.broadcast(pa).join(
         ca,
         (F.col("a.list_id") == F.col("b.list_id"))
         & (F.col("a.probe_id") != F.col("b.vec_id")),
     )
-    # Residual tier: codes reconstruct v̂ = centroid + Σ codewords, so
-    # the dot estimate gains the exact probe·centroid term — seeds are
-    # already here (routing), nlists-bounded and broadcast.
     dot = F.expr(_adc_expr(m, sd, "a.v", "b.pq"))
     if residual:
-        cents = seeds.select(
-            F.col("seed_id").alias("_cl"), F.col("v").alias("_cv2")
-        )
-        joined = joined.join(
-            F.broadcast(cents), F.col("b.list_id") == F.col("_cl")
-        )
-        dot = (
-            F.expr(
-                "aggregate(zip_with(a.v, _cv2, (x, y) -> x * y), 0D, "
-                "(acc, e) -> acc + e)"
-            )
-            + dot
-        )
+        dot = F.col("a._cdot") + dot
     return joined.crossJoin(F.broadcast(_cbv_one_row(cb, m, codes))).select(
         "probe_id",
         F.col("a.v").alias("v"),

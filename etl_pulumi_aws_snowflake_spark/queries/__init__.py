@@ -36,57 +36,56 @@ from . import streaming_e2e  # noqa: E402,F401
 
 
 # The external correctness driver checks the FIRST 50 dict entries per
-# round (CORRECTNESS_r01-r12 each recorded exactly queries()[:50] in
-# order).  Round 13 rotates the window onto the stalest evidence
-# (scripts/driver_staleness.py order): (a) the SEVEN entries round 13
-# added lead (never-checked-entries-lead rule — the from-scratch PNG
-# decode, the merge-on-read CDC pair, and the IVF-PQ
-# family's serve / rerank / recall / streamed-ingest quartet); then (b) the 15 r09-stale entries the r12 note
-# deferred — all due now; then (c) 28 of the 49 r10-stale entries in
-# staleness-report order.  The 21 deferred r10 entries, with why each
-# can wait one more round (they lead r14's window):
-# sim_ivf_recall / sim_ivf_recall_nlists / sim_ivf_topk /
-# sim_ivf_topk_appended / sim_ivf_topk_indexed / sim_ivf_topk_nlists
-# (the float-IVF family — untouched this round; the similarity
-# surface that DID change is the PQ family, which leads the window
-# with all four of its entries), snapshot_conflict_e2e /
-# snapshot_skipping_e2e / snapshot_time_travel_e2e (the snapshot
-# layer's r13 change is the MoR tier, in-window via both MoR entries;
-# these exercise untouched paths with dedicated pytest suites),
-# sql_api_q3 / sql_api_window (verbatim-SQL twins of mirror-green
-# DataFrame plans), stream_interval_join_e2e / stream_lsh_ingest_e2e
-# (streaming paths untouched; the lsh module's r13 change is a
-# warning-only saturation guard, pytest-pinned), text_fingerprint /
-# text_pii_redact / text_repetition (untouched single-projection text
-# family), udf_grouped_agg / udf_pandas_scalar (untouched UDF demos),
-# win_session / win_sliding / win_tumbling (streaming windows
-# untouched; stream==batch parity pytest-pinned).
+# round (CORRECTNESS_r01-r13 each recorded exactly queries()[:50] in
+# order).  Round 14 rotates the window per the staleness rule
+# (scripts/driver_staleness.py order): (a) the SIX entries round 14
+# added lead (never-checked-entries-lead rule — the SQL DDL/DML twin,
+# the two from-scratch JPEG decode entries, and the PQ residual pair +
+# Lloyd-trained entry); then (b) ALL 21 r10-stale entries the r13 note
+# deferred — due now, exactly as promised (the float-IVF six, the
+# snapshot e2e trio, the sql_api twins, the two streaming e2es, the
+# text trio, the UDF pair, the streaming-window trio); then (c) the
+# first 23 r11-stale entries in staleness-report order.  The 27
+# deferred r11 entries (they lead r15's window), grouped with why each
+# can wait one more round: q5_local_supplier_volume / q10 / q18 / q1 /
+# q3 siblings beyond the 23 cut plus scalar_array / scalar_datetime /
+# scalar_json / set_* (untouched single-shape relational/scalar
+# families with r11 evidence AND green r13/r14 mirror+smoke sweeps),
+# search_bm25_deleted / search_phrase_indexed /
+# search_hybrid_rrf_indexed (search family untouched in r14; its
+# freshest members were window-checked in r13),
+# sim_ivf_recall_quantized / sim_ivf_topk_deleted /
+# sim_ivf_topk_quantized* (int8 family untouched in r14 — the
+# similarity surface that DID change is the PQ family, which leads
+# this window), stream_* e2es with r11 evidence (streaming engine
+# untouched in r14 beyond MoR, whose entries were r13-window-green and
+# re-verified this round), udf_* remainder (untouched demos).
 # tests/test_docs.py::test_never_driver_checked_entries_lead_the_window
 # FAILS if a registry entry without any CORRECTNESS row sits outside
 # the first 50 — the r05 process miss cannot recur silently.
 _DRIVER_FIRST = [
-    # (a) NEW in r13 — first-ever driver evidence
-    "mm_decode_png", "cdc_merge_mor_e2e", "cdc_merge_mor_compact_e2e",
-    "sim_ivf_topk_pq", "sim_ivf_topk_pq_rerank", "sim_ivf_recall_pq_rerank",
-    "stream_ivf_pq_ingest_e2e",
-    # (b) the 15 r09-stale entries deferred by the r12 note — due now
-    "agg_distinct", "agg_groupby_basic", "join_cross", "join_right_outer",
-    "join_semi", "mm_frame_sample", "sample_exact_quota_dupkeys",
-    "sample_exact_quota_fail_loud", "scalar_array_explode",
-    "scalar_json_typed", "scalar_map", "sql_api_q5", "text_langid",
-    "text_token_stats", "udf_row_scalar",
-    # (c) r10-stale, staleness-report order (21 deferred, note above)
-    "cdc_merge_stream_e2e", "dedup_lsh_appended", "dedup_lsh_incremental",
-    "dedup_spans", "q11_important_parts", "q12_late_shipment_priority",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_part_count", "q19_disjunctive_revenue",
-    "q20_excess_shippers", "q21_waiting_suppliers",
-    "q22_global_sales_opportunity", "q2_min_cost_supplier",
-    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "scalar_zorder_key",
-    "scd2_user_state", "search_bm25_appended", "search_bm25_indexed",
-    "search_bm25_topk", "search_hybrid_rrf", "sim_cosine_near_pairs",
-    "sim_cosine_topk_blas",
+    # (a) NEW in r14 — first-ever driver evidence
+    "sql_api_ddl_dml", "mm_decode_jpeg", "mm_decode_jpeg_color",
+    "sim_ivf_topk_pq_residual", "sim_ivf_recall_pq_residual",
+    "sim_ivf_topk_pq_trained",
+    # (b) the 21 r10-stale entries deferred by the r13 note — due now
+    "sim_ivf_recall", "sim_ivf_recall_nlists", "sim_ivf_topk",
+    "sim_ivf_topk_appended", "sim_ivf_topk_indexed", "sim_ivf_topk_nlists",
+    "snapshot_conflict_e2e", "snapshot_skipping_e2e",
+    "snapshot_time_travel_e2e", "sql_api_q3", "sql_api_window",
+    "stream_interval_join_e2e", "stream_lsh_ingest_e2e",
+    "text_fingerprint", "text_pii_redact", "text_repetition",
+    "udf_grouped_agg", "udf_pandas_scalar", "win_session",
+    "win_sliding", "win_tumbling",
+    # (c) r11-stale, staleness-report order (27 deferred, note above)
+    "agg_approx_distinct", "agg_approx_quantile", "agg_conditional",
+    "agg_median", "agg_salted_groupby", "cdc_merge_compact_e2e",
+    "curation_pipeline_e2e", "dedup_embedding_survivors",
+    "dedup_embedding_survivors_multi", "dedup_lsh_deleted",
+    "dedup_survivors", "join_anti", "join_asof", "join_broadcast",
+    "join_full_outer", "join_inner", "join_left_outer", "join_range",
+    "join_theta", "q10_returned_items", "q18_large_volume_customer",
+    "q1_pricing_summary", "q3_shipping_priority",
 ]
 
 def _driver_order(d: dict) -> dict:

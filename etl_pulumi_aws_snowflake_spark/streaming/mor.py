@@ -100,6 +100,17 @@ def _require_pin(root: str, fs) -> dict[str, str]:
     return pin
 
 
+def _pin_token(root: str, fs) -> str | None:
+    """The index POINTER version at pin-read time — the CAS token a
+    maintenance op's final publish passes as ``expected_current`` so a
+    concurrent pin advance (review r14: a merge landing between
+    compaction's sidecar resets and its republish — after the window
+    the _reset_sidecar tokens close) surfaces as
+    :class:`SnapshotConflictError` instead of a silent overwrite; a
+    crash-retry re-reads the unmoved pointer and converges."""
+    return _current_version(root, fs)
+
+
 def mor_init(
     df: DataFrame,
     root: str,
@@ -165,6 +176,63 @@ def _next_batch_id(root: str, pin: dict[str, str], fs) -> int:
     return (max(ids) + 1) if ids else 1
 
 
+def _commit_batch_member(
+    df: DataFrame,
+    member_root: str,
+    pinned_version: str,
+    batch_id: int,
+    keep: int,
+    fs,
+) -> str:
+    """Commit one batch partition into a dv/data member with the
+    PINNED version as the optimistic token (review r14): the batch
+    must extend the pinned history — its carry-forward references come
+    from the pinned manifest, and a live pointer that moved past the
+    pin (a concurrent compaction's reset, or any foreign write)
+    surfaces as :class:`SnapshotConflictError` instead of the batch
+    silently building on state the pin does not reference (the
+    lost-batch variant where a merge between compaction's resets and
+    its republish paired the OLD base with the RESET sidecars).
+
+    The one live-past-pin state that IS safe is this merge's own
+    orphaned commit — a crash/replay after this member committed but
+    before the pin republished — recognized EXACTLY: the live manifest
+    holds precisely the pinned batches plus ``batch_id``.  Then the
+    retry adopts the live token and deterministically rewrites the
+    same partition (converges).  Anything else re-raises."""
+    try:
+        return snapshot_commit_partitioned(
+            df,
+            member_root,
+            BATCH_COL,
+            changed_values=[batch_id],
+            keep=keep,
+            fs=fs,
+            expected_current=pinned_version,
+        )
+    except SnapshotConflictError:
+        live = _current_version(member_root, fs)
+        live_entries = set(
+            (_read_manifest(member_root, live, fs) or {}).get("entries", {})
+        )
+        pinned_entries = set(
+            (_read_manifest(member_root, pinned_version, fs) or {}).get(
+                "entries", {}
+            )
+        )
+        if live_entries != pinned_entries | {str(batch_id)}:
+            raise
+        return snapshot_commit_partitioned(
+            df,
+            member_root,
+            BATCH_COL,
+            changed_values=[batch_id],
+            keep=keep,
+            fs=fs,
+            expected_current=live,
+        )
+
+
 def mor_merge(
     spark: SparkSession,
     root: str,
@@ -186,9 +254,14 @@ def mor_merge(
     epoch id when streaming (a replayed epoch deterministically
     rewrites its own partition — idempotent); batch-mode calls leave
     it ``None`` and the next id comes from the pinned dv manifest
-    (metadata-only, no job).  Member commits use live-captured
-    optimistic tokens, so a crash between a member commit and the pin
-    republish heals on replay instead of wedging on a conflict.
+    (metadata-only, no job).  Member commits and the pin republish all
+    carry PINNED optimistic tokens (review r14): the batch must extend
+    the pinned history, so any foreign pin/pointer advance (e.g. a
+    concurrent compaction's sidecar reset) surfaces as
+    :class:`SnapshotConflictError` instead of the batch pairing the
+    old base with reset sidecars; the merge's OWN crash-replay is
+    recognized exactly (live = pinned + this batch) and converges
+    (:func:`_commit_batch_member`).
 
     Contract (same as every MERGE here): batch keys are unique per
     batch; ``merge_schema_check`` enforces the column/dtype rules
@@ -200,6 +273,7 @@ def mor_merge(
     foreign content, which no stamp here detects (the same
     out-of-contract case as interleaved streams on a BM25 index)."""
     fs = fs or DEFAULT_FS
+    pin_token = _pin_token(root, fs)
     pin = _require_pin(root, fs)
     base = snapshot_read(
         spark, _member(root, "base"), fs=fs, version=pin["base"]
@@ -251,14 +325,18 @@ def mor_merge(
     data_b = rows_b.select(*base.columns).withColumn(
         BATCH_COL, F.lit(b).cast("long")
     )
-    vv = snapshot_commit_partitioned(
-        dv_b, dv_root, BATCH_COL, changed_values=[b], keep=keep, fs=fs
+    vv = _commit_batch_member(
+        dv_b, dv_root, pin["dv"], b, keep=keep, fs=fs
     )
-    vd = snapshot_commit_partitioned(
-        data_b, data_root, BATCH_COL, changed_values=[b], keep=keep, fs=fs
+    vd = _commit_batch_member(
+        data_b, data_root, pin["data"], b, keep=keep, fs=fs
     )
     index_publish(
-        root, {"base": pin["base"], "dv": vv, "data": vd}, keep=keep, fs=fs
+        root,
+        {"base": pin["base"], "dv": vv, "data": vd},
+        keep=keep,
+        fs=fs,
+        expected_current=pin_token,
     )
     return {"base": pin["base"], "dv": vv, "data": vd}
 
@@ -296,11 +374,13 @@ def mor_read(
         pcol = man["partition_col"]
         vals = [str(v) for v in partition_values]
         data = data.filter(F.col(pcol).cast("string").isin(vals))
-        # dv rows carry pcol (mor_init), so the delete-key broadcast
-        # shrinks with the read under the stable-partition contract: a
-        # key pinned to partition P can only suppress rows in P
-        # (VERDICT r13 #5).
-        dv = dv.filter(F.col(pcol).cast("string").isin(vals))
+        # dv rows carry pcol (mor_init since r14), so the delete-key
+        # broadcast shrinks with the read under the stable-partition
+        # contract: a key pinned to partition P can only suppress rows
+        # in P (VERDICT r13 #5).  A pre-r14 root's dv lacks the column
+        # — broadcast it whole, exactly as before (review r14).
+        if pcol in dv.columns:
+            dv = dv.filter(F.col(pcol).cast("string").isin(vals))
     # Suppression joins use every non-batch dv column — the key plus
     # the carried pcol, which the contract makes functionally
     # determined by the key, so the join semantics equal key-only.
@@ -400,6 +480,7 @@ def mor_compact(
     orphaned reset (no live batch outside the pin) still self-heals
     (see :func:`_reset_sidecar`)."""
     fs = fs or DEFAULT_FS
+    pin_token = _pin_token(root, fs)
     pin = _require_pin(root, fs)
     base_root = _member(root, "base")
     man = _read_manifest(base_root, pin["base"], fs)
@@ -429,14 +510,25 @@ def mor_compact(
     # tombstone must not force a content-identical rewrite) reads ONLY
     # those candidate partitions — never the full base.  A base
     # partition outside the candidate list cannot hold a suppressed
-    # row under the stable-partition contract.
-    dv_candidates = sorted(
-        {
-            str(r[0])
-            for r in dv.select(F.col(pcol).cast("string")).distinct().collect()
-        }
-        - touched
-    )
+    # row under the stable-partition contract.  A pre-r14 root's dv
+    # lacks the column — fall back to probing every base partition,
+    # exactly the pre-r14 discovery (review r14).
+    if pcol in dv.columns:
+        dv_candidates = sorted(
+            {
+                str(r[0])
+                for r in dv.select(F.col(pcol).cast("string"))
+                .distinct()
+                .collect()
+            }
+            - touched
+        )
+    else:
+        dv_candidates = sorted(
+            set((_read_manifest(base_root, pin["base"], fs) or {})
+                .get("entries", {}))
+            - touched
+        )
     if dv_candidates:
         base_cand = snapshot_read(
             spark,
@@ -475,7 +567,13 @@ def mor_compact(
     vd = _reset_sidecar(
         empty_data, _member(root, "data"), pin["data"], keep=keep, fs=fs
     )
-    index_publish(root, {"base": vb, "dv": vv, "data": vd}, keep=keep, fs=fs)
+    index_publish(
+        root,
+        {"base": vb, "dv": vv, "data": vd},
+        keep=keep,
+        fs=fs,
+        expected_current=pin_token,
+    )
     return {"base": vb, "dv": vv, "data": vd}
 
 

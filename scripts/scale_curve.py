@@ -776,6 +776,29 @@ def _run_ivf_pq_rerank_indexed(spark, sf_dir, root):
     ).write.format("noop").mode("overwrite").save()
 
 
+def _setup_ivf_pq_res_index(spark, sf_dir, root):
+    """Build the RESIDUAL IVF-PQ index (r14): codes quantize
+    v − centroid(list); the serve adds one broadcast centroid dot."""
+    from etl_pulumi_aws_snowflake_spark.operators import pq as PQ
+
+    _, emb = _fixed_probes(spark, sf_dir)
+    PQ.ivf_build_index_pq(
+        emb, os.path.join(root, "pq"), nlists=64, m=8, codes=32,
+        residual=True,
+    )
+
+
+def _run_ivf_pq_res_indexed(spark, sf_dir, root):
+    """Fixed-probe RESIDUAL PQ-ADC serve — expect the raw PQ serve's
+    flat growth plus a constant nlists-bounded broadcast join (the
+    probe·centroid term)."""
+    from etl_pulumi_aws_snowflake_spark.operators import pq as PQ
+
+    probes, _ = _fixed_probes(spark, sf_dir)
+    PQ.ivf_topk_indexed_pq(probes, os.path.join(root, "pq"), k=3, nprobe=2)\
+        .write.format("noop").mode("overwrite").save()
+
+
 def _probe_pq_bytes(spark, sf_dir, root) -> dict:
     """Structural routed-IO evidence (VERDICT r12 #7): total parquet
     bytes of the PQ payload member vs the int8 twin's over the SAME
@@ -829,6 +852,12 @@ def action_ops():
             _run_ivf_pq_rerank_indexed,
             None,
             True,  # readonly: build once, rep the two-tier serve
+        ),
+        "sim_ivf_pq_res_search_indexed_fixed_probes": (
+            _setup_ivf_pq_res_index,
+            _run_ivf_pq_res_indexed,
+            None,
+            True,  # readonly: build once, rep the residual ADC serve
         ),
         "snapshot_compact_clustered": (
             _setup_fragmented_snapshot,

@@ -224,9 +224,18 @@ def test_bench_report_committed_and_compact_line_fits_driver_tail():
         "refreshed report"
     )
     assert set(doc["queries_median"]) == set(doc["queries"])
-    for key in ("metric", "value", "unit", "calibration",
-                "build_inclusive", "rebaselined", "sf"):
+    for key in ("metric", "value", "serve_only_total", "unit",
+                "calibration", "build_inclusive", "rebaselined", "sf"):
         assert key in doc, f"bench report missing {key!r}"
+    # serve_only_total (VERDICT r13 #7) = headline minus the
+    # build-inclusive rows, recomputable from the committed doc
+    assert doc["serve_only_total"] == round(
+        sum(
+            v for n, v in doc["queries"].items()
+            if n not in doc["build_inclusive"]
+        ),
+        4,
+    )
     line = bench.compact_line(doc)
     assert len(line) < 1900, (
         f"bench compact stdout line is {len(line)} chars — the driver "

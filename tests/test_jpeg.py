@@ -459,3 +459,60 @@ def test_jpeg_mcu_colors_end_to_end(spark, docs_df):
             )
             r = by_key[(i, m)]
             assert (r["r"], r["g"], r["b"]) == (er, eg, eb), (i, m)
+
+
+def test_single_component_scan_ignores_sampling_factors():
+    """T.81 A.2 (review r14): a one-component scan is NON-interleaved —
+    MCU = one 8x8 block in raster order, whatever the frame header's
+    sampling factors say.  A grayscale stream re-declared as h=v=2 must
+    decode identically to its 1x1 form (before the fix it walked 16x16
+    MCUs and died with a truncation error or wrong pixels)."""
+    pix = bytes((i * 7 + 3) % 256 for i in range(24 * 16))
+    plain = J.encode_jpeg(pix, 24, 16)
+    idx = plain.index(b"\xff\xc0")
+    # SOF0 body: len(2) prec(1) h(2) w(2) ncomp(1) then cid, hv, tq
+    patched = bytearray(plain)
+    assert patched[idx + 11] == 0x11
+    patched[idx + 11] = 0x22
+    assert J.decode_jpeg(bytes(patched)) == J.decode_jpeg(plain)
+
+
+def test_malformed_segments_raise_valueerror_not_struct_error():
+    """Review r14: short segment bodies must surface as the documented
+    loud ValueError (also what decode_image's PIL fall-through
+    catches), never an escaping struct.error/IndexError."""
+    # DRI with a 1-byte body (declared length 3)
+    bad_dri = b"\xff\xd8" + b"\xff\xdd\x00\x03\x01" + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        J.decode_jpeg(bad_dri)
+    # SOF0 with a truncated body
+    bad_sof = b"\xff\xd8" + b"\xff\xc0\x00\x04\x08\x00" + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        J.decode_jpeg(bad_sof)
+
+
+def test_vectorized_color_conversion_matches_scalar():
+    """The numpy plane conversion in _decode_scan must be bit-identical
+    to ycbcr_to_rgb (same constants, association, floor(+0.5), clamp) —
+    pinned over a deterministic sweep of the YCbCr cube."""
+    import numpy as np
+
+    vals = list(range(0, 256, 15)) + [255]
+    trip = [(y, cb, cr) for y in vals for cb in vals for cr in vals]
+    yp = np.array([t[0] for t in trip], dtype=np.float64)
+    cb = np.array([t[1] for t in trip], dtype=np.float64) - 128.0
+    cr = np.array([t[2] for t in trip], dtype=np.float64) - 128.0
+    vec = np.clip(
+        np.stack(
+            [
+                np.floor(yp + 1.402 * cr + 0.5),
+                np.floor(yp - 0.344136 * cb - 0.714136 * cr + 0.5),
+                np.floor(yp + 1.772 * cb + 0.5),
+            ],
+            axis=1,
+        ),
+        0.0,
+        255.0,
+    ).astype(int)
+    for i, (y, b_, r_) in enumerate(trip):
+        assert tuple(vec[i]) == J.ycbcr_to_rgb(y, b_, r_), (y, b_, r_)

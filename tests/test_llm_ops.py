@@ -210,9 +210,13 @@ def test_ivf_trained_centroids(spark, sf_smoke):
 
 
 def test_multimodal_stub_gating():
-    # a JPEG-shaped payload has no from-scratch tier: codec-gated
-    with pytest.raises(NotImplementedError):
+    # JPEG gained a from-scratch tier in r14: a malformed JPEG-shaped
+    # payload is now a loud ValueError from that tier (not a codec
+    # gate); a format with NO from-scratch tier (GIF) stays codec-gated
+    with pytest.raises(ValueError):
         M.decode_image(b"\xff\xd8\xff\xe0jpeg-ish")
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"GIF89a not decodable here")
     assert M.decode_image(b"\xff\xd8", fake=True) == b"\xff\xd8"
 
 
@@ -225,6 +229,7 @@ def test_multimodal_capabilities(monkeypatch):
         "image_decode": M._HAVE_PIL,
         "pnm_decode": True,
         "png_decode": True,
+        "jpeg_decode": True,
     }
     monkeypatch.setattr(M, "_HAVE_PIL", False)
     assert M.capabilities()["image_decode"] is False

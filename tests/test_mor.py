@@ -453,3 +453,56 @@ def test_mor_pruned_read_shrinks_the_dv_broadcast(spark, tmp_path):
         if "cast(part" in ln and "as string) = 1" in ln
     ]
     assert len(pcol_filters) >= 3, plan
+
+
+def test_mor_merge_between_resets_and_republish_conflicts_loudly(
+    spark, tmp_path, monkeypatch
+):
+    """Review r14: a merge landing BETWEEN compaction's sidecar resets
+    and its pin republish used to pair the OLD base with the RESET
+    sidecars and publish — silently losing every pre-compaction batch.
+    Member commits now carry PINNED tokens, so that merge conflicts
+    LOUDLY (live dv moved past the pin and is not the merge's own
+    orphan); compaction completes, and the failed batch re-applies
+    cleanly on the folded pin."""
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        SnapshotConflictError,
+    )
+
+    root = str(tmp_path / "mor")
+    seed = _seed(spark)
+    MOR.mor_init(seed, root, "part", key=["id"])
+    b1 = _batch(spark, [(0, 0, "first", 5.0, False)])
+    b2 = _batch(spark, [(1, 1, "second", 6.0, False)])
+    MOR.mor_merge(spark, root, b1, key=["id"], delete_col="del")
+    cow = merge_upsert(seed, b1, key=["id"], delete_col="del")
+    after_b1 = sorted(
+        map(tuple, cow.select("id", "part", "name", "bal").collect())
+    )
+    cow = merge_upsert(cow, b2, key=["id"], delete_col="del")
+    want = sorted(map(tuple, cow.select("id", "part", "name", "bal").collect()))
+
+    real_publish = MOR.index_publish
+    state = {"fired": False, "merge_error": None}
+
+    def racy_publish(r, members, **kw):
+        # fire the merge just before COMPACTION's publish (identified
+        # by its CAS token — merges inside this hook delegate normally)
+        if not state["fired"] and kw.get("expected_current") is not None:
+            state["fired"] = True
+            try:
+                MOR.mor_merge(spark, root, b2, key=["id"], delete_col="del")
+            except SnapshotConflictError as exc:
+                state["merge_error"] = exc
+        return real_publish(r, members, **kw)
+
+    monkeypatch.setattr(MOR, "index_publish", racy_publish)
+    MOR.mor_compact(spark, root)  # completes: the merge failed, not us
+    monkeypatch.setattr(MOR, "index_publish", real_publish)
+    assert isinstance(state["merge_error"], SnapshotConflictError)
+    # nothing lost: the folded table equals the pre-race content
+    assert _rows(MOR.mor_read(spark, root)) == after_b1
+    assert MOR.mor_pending_batches(root) == []
+    # the failed batch re-applies cleanly on the folded pin
+    MOR.mor_merge(spark, root, b2, key=["id"], delete_col="del")
+    assert _rows(MOR.mor_read(spark, root)) == want
