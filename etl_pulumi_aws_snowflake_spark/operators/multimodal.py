@@ -140,6 +140,121 @@ def as_png(
     return docs.select("doc_id", text_col).mapInPandas(run, MEDIA_SCHEMA)
 
 
+def as_wav(
+    docs: DataFrame, text_col: str = "text", n_samples: int = 32
+) -> DataFrame:
+    """Documents → REAL RIFF/WAVE payloads: 8-bit unsigned mono PCM at
+    8 kHz whose ``n_samples`` sample bytes are the first ``n_samples``
+    hex characters of ``sha256(text)`` — pure ASCII, so (exactly like
+    :func:`as_ppm`) the payload is built in codegen and the DECODED
+    PCM is byte-exact replayable in SQL.  The container is genuine: a
+    constant-per-geometry header that includes a ``LIST``/``INFO``
+    metadata chunk between ``fmt `` and ``data``, so the decoder's
+    unknown-chunk skip + word-alignment walk sits on the judged path
+    (a walker that can't skip LIST mis-reads every payload)."""
+    if not 0 < n_samples <= 64 or n_samples % 2:
+        raise ValueError(
+            f"as_wav: n_samples {n_samples} must be even and <= 64 "
+            "(one sha256 hex string, whole 16-bit words)"
+        )
+    from .audio import _chunk, encode_wav
+
+    container = encode_wav(
+        b"\x00" * n_samples,
+        sample_rate=8000,
+        bits_per_sample=8,
+        channels=1,
+        extra_chunks=(
+            (b"LIST", b"INFO" + _chunk(b"ISFT", b"spark-graft\x00")),
+        ),
+    )
+    header = container[: len(container) - n_samples]
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(header),
+            F.encode(
+                F.substring(F.sha2(F.col(text_col), 256), 1, n_samples),
+                "UTF-8",
+            ),
+        ).alias("content"),
+        F.lit("audio/wav").alias("mime"),
+        F.lit(len(header) + n_samples).cast("long").alias("n_bytes"),
+    )
+
+
+def as_wav16(
+    docs: DataFrame, text_col: str = "text", n_frames: int = 8
+) -> DataFrame:
+    """Documents → REAL 16-bit signed-LE STEREO RIFF/WAVE payloads at
+    16 kHz: frame ``j`` channel ``c``'s sample has little-endian bytes
+    (hex char ``4j+2c+1``, hex char ``4j+2c+2``) of ``sha256(text)``,
+    i.e. value ``ascii(lo) + 256·ascii(hi)`` — hex chars are 0x30–0x66
+    so every sample is positive and the signed decode is still
+    SQL-replayable exactly.  4 payload bytes per frame → ``n_frames``
+    <= 16 per sha256."""
+    if not 0 < n_frames <= 16:
+        raise ValueError(
+            f"as_wav16: n_frames {n_frames} must be in 1..16 "
+            "(4 hex chars per stereo frame, one sha256 provides 64)"
+        )
+    from .audio import encode_wav
+
+    n = n_frames * 4
+    container = encode_wav(
+        b"\x00" * n, sample_rate=16000, bits_per_sample=16, channels=2
+    )
+    header = container[: len(container) - n]
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(header),
+            F.encode(
+                F.substring(F.sha2(F.col(text_col), 256), 1, n), "UTF-8"
+            ),
+        ).alias("content"),
+        F.lit("audio/wav").alias("mime"),
+        F.lit(len(header) + n).cast("long").alias("n_bytes"),
+    )
+
+
+def as_y4m(
+    docs: DataFrame,
+    text_col: str = "text",
+    width: int = 2,
+    height: int = 3,
+    n_frames: int = 4,
+) -> DataFrame:
+    """Documents → REAL YUV4MPEG2 video payloads: ``n_frames`` mono
+    frames at 25 fps whose raw plane bytes are consecutive slices of
+    the sha256-hex of the text — the whole container (ASCII stream
+    header, interleaved ``FRAME`` markers, raster) is pure ASCII, so
+    it is built entirely in codegen AND the decoded frames are
+    byte-exact replayable in SQL, exactly the :func:`as_ppm` trick
+    extended to a multi-record container format."""
+    per = width * height
+    if per * n_frames > 64:
+        raise ValueError(
+            f"as_y4m: {n_frames} frames of {width}x{height} mono need "
+            f"{per * n_frames} raster bytes, more than one sha256 hex "
+            "string provides (64)"
+        )
+    header = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 Cmono\n"
+    parts = [F.lit(header)]
+    for j in range(n_frames):
+        parts.append(F.lit("FRAME\n"))
+        parts.append(
+            F.substring(F.sha2(F.col(text_col), 256), j * per + 1, per)
+        )
+    total = len(header) + n_frames * (6 + per)
+    return docs.select(
+        "doc_id",
+        F.encode(F.concat(*parts), "UTF-8").alias("content"),
+        F.lit("video/x-yuv4mpeg").alias("mime"),
+        F.lit(total).cast("long").alias("n_bytes"),
+    )
+
+
 def as_jpeg_gray(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Documents → REAL baseline JPEG payloads: a 16x16 grayscale
     image of four constant 8x8 blocks whose values are the ASCII codes
@@ -286,13 +401,17 @@ def capabilities() -> dict[str, bool]:
     only when PIL imported at module load; ``pnm_decode`` (binary
     PPM/PGM), ``png_decode`` (the from-scratch zlib+unfilter decoder
     below), and ``jpeg_decode`` (the from-scratch baseline SOF0
-    decoder in :mod:`.jpeg`) are always True.  The fake/plumbing path
-    is always available."""
+    decoder in :mod:`.jpeg`) are always True, as are ``wav_decode``
+    (the from-scratch RIFF/PCM tier in :mod:`.audio`) and
+    ``y4m_decode`` (the from-scratch YUV4MPEG2 tier in :mod:`.video`).
+    The fake/plumbing path is always available."""
     return {
         "image_decode": _HAVE_PIL,
         "pnm_decode": True,
         "png_decode": True,
         "jpeg_decode": True,
+        "wav_decode": True,
+        "y4m_decode": True,
     }
 
 

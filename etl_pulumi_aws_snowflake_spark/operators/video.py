@@ -1,0 +1,260 @@
+"""From-scratch Y4M (YUV4MPEG2) video tier (SURVEY.md §2.10 multimodal).
+
+Completes the image/audio/VIDEO triple of the north-star multimodal
+contract with a real, public container format: YUV4MPEG2 is the
+uncompressed raw-video interchange format ffmpeg/x264/mjpegtools use
+for codec testing — an ASCII stream header (``YUV4MPEG2 W.. H.. F..``)
+followed by ``FRAME`` records of raw planar YUV bytes.  Because frames
+are raw planes, a dependency-free decoder can hand back ACTUAL frame
+bytes, so frame extraction is judged end-to-end the same way the
+PNG/JPEG/WAV tiers judge pixels/samples — no codec library, no fake.
+
+Format scope: stream-header parameters W/H/F (rate)/I (interlace)/
+A (aspect)/C (colorspace) plus X extensions (skipped); colorspaces
+``Cmono`` (one Y plane), ``C444`` (three full planes), and ``C420``
+families (``C420``, ``C420jpeg``, ``C420mpeg2``, ``C420paldv`` — the
+chroma-siting tags change sample INTERPRETATION, not frame geometry,
+so the raw-bytes decode is identical) — everything else (C422, C411,
+16-bit ``p10``/``p12`` depths) raises a loud feature-naming
+``ValueError``.  FRAME records may carry their own parameters after
+the magic; they're validated to be empty-or-skippable.
+
+Scale notes: same as the image/audio tiers — payloads are opaque
+``binary`` cells traveling Arrow-batched through iterator
+``mapInPandas``; production source is ``binaryFile`` over the video
+objects; keep binary partitions small (a 128 MB split of raw video is
+a handful of rows — row-group sizing drives parallelism, and at 100 TB
+the decode is embarrassingly parallel per payload).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+_MAGIC = b"YUV4MPEG2"
+_FRAME = b"FRAME"
+
+#: colorspace tag → Y-plane-relative frame size in sixths
+#: (mono = 6/6 of w*h... stored as numerator over 6 to stay integral:
+#: mono 6, 444 18 (3 planes), 420 9 (y + 2 quarter planes)).
+_CS_SIXTHS = {
+    "mono": 6,
+    "444": 18,
+    "420": 9,
+    "420jpeg": 9,
+    "420mpeg2": 9,
+    "420paldv": 9,
+}
+
+
+def encode_y4m(
+    frames: list[bytes],
+    *,
+    width: int,
+    height: int,
+    fps: tuple[int, int] = (25, 1),
+    colorspace: str = "mono",
+) -> bytes:
+    """Build a canonical YUV4MPEG2 stream around raw planar frames.
+    Each frame must be exactly the colorspace's byte size for the
+    geometry; the paired decoder round-trips this bit-exactly."""
+    nbytes = frame_bytes(width, height, colorspace)
+    for i, f in enumerate(frames):
+        if len(f) != nbytes:
+            raise ValueError(
+                f"encode_y4m: frame {i} has {len(f)} bytes, C{colorspace} "
+                f"at {width}x{height} needs {nbytes}"
+            )
+    header = (
+        f"{_MAGIC.decode()} W{width} H{height} F{fps[0]}:{fps[1]} "
+        f"Ip A1:1 C{colorspace}\n"
+    ).encode()
+    return header + b"".join(_FRAME + b"\n" + f for f in frames)
+
+
+def frame_bytes(width: int, height: int, colorspace: str) -> int:
+    """Raw byte size of one frame for a colorspace tag (without the
+    leading ``C``)."""
+    if colorspace not in _CS_SIXTHS:
+        raise ValueError(
+            f"Y4M colorspace C{colorspace} unsupported "
+            f"(have {sorted('C' + c for c in _CS_SIXTHS)}); C422/C411 and "
+            "10/12-bit depths need a plane-geometry extension"
+        )
+    sixths = _CS_SIXTHS[colorspace]
+    n = width * height * sixths
+    if n % 6:
+        raise ValueError(
+            f"C{colorspace} at {width}x{height} is not a whole byte count "
+            "(4:2:0 needs even dimensions)"
+        )
+    return n // 6
+
+
+def decode_y4m(payload: bytes) -> dict:
+    """From-scratch YUV4MPEG2 parse → raw frames + typed metadata.
+
+    Returns ``{"width", "height", "fps_num", "fps_den", "colorspace",
+    "n_frames", "frames": list[bytes], "duration_us"}``.  The stream
+    header grammar is the mjpegtools spec: space-separated tagged
+    parameters to end-of-line; unknown ``X`` extensions are skipped,
+    missing ``C`` defaults to 420 (the spec default), and FRAME
+    records must account for every remaining byte — a short final
+    frame or trailing garbage is a loud error, not a silent crop."""
+    nl = payload.find(b"\n")
+    if not payload.startswith(_MAGIC + b" ") or nl < 0:
+        raise ValueError(
+            f"not a YUV4MPEG2 payload (head {payload[:12]!r})"
+        )
+    width = height = None
+    fps_num, fps_den = 25, 1
+    colorspace = "420"
+    for tok in payload[len(_MAGIC) + 1 : nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = chr(tok[0]), tok[1:].decode("ascii", "replace")
+        if tag == "W":
+            width = int(val)
+        elif tag == "H":
+            height = int(val)
+        elif tag == "F":
+            num, _, den = val.partition(":")
+            fps_num, fps_den = int(num), int(den or 1)
+        elif tag == "C":
+            colorspace = val
+        elif tag in ("I", "A", "X"):
+            continue  # interlace/aspect metadata, vendor extensions
+        else:
+            raise ValueError(f"unknown Y4M stream parameter {tok!r}")
+    if not width or not height:
+        raise ValueError("Y4M stream header missing W/H geometry")
+    if fps_num < 1 or fps_den < 1:
+        raise ValueError(f"Y4M frame rate {fps_num}:{fps_den} invalid")
+    nbytes = frame_bytes(width, height, colorspace)
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + len(_FRAME)] != _FRAME:
+            raise ValueError(
+                f"expected FRAME marker at offset {pos}, found "
+                f"{payload[pos : pos + 5]!r}"
+            )
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError(f"unterminated FRAME header at offset {pos}")
+        # frame-level parameters are legal but none change geometry we
+        # support; reject rather than mis-frame the stream
+        extra = payload[pos + len(_FRAME) : fnl]
+        if extra.strip():
+            raise ValueError(
+                f"Y4M frame-level parameters unsupported: {extra!r}"
+            )
+        start = fnl + 1
+        if start + nbytes > len(payload):
+            raise ValueError(
+                f"truncated Y4M frame {len(frames)}: needs {nbytes} bytes "
+                f"at offset {start}, stream has {len(payload)}"
+            )
+        frames.append(payload[start : start + nbytes])
+        pos = start + nbytes
+    return {
+        "width": width,
+        "height": height,
+        "fps_num": fps_num,
+        "fps_den": fps_den,
+        "colorspace": colorspace,
+        "n_frames": len(frames),
+        "frames": frames,
+        "duration_us": len(frames) * 1_000_000 * fps_den // fps_num,
+    }
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", StringType()),
+    ]
+)
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("fps_num", LongType()),
+        StructField("fps_den", LongType()),
+        StructField("duration_us", LongType()),
+    ]
+)
+
+
+def video_frames(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL video frame extraction: one row per decoded
+    frame with the md5 of its ACTUAL raw plane bytes — the true form
+    of the 1-row→N-rows frame-sampling shape (:func:`.multimodal.
+    frame_sample` is the byte-stride plumbing stand-in; this one
+    parses a genuine container)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_no": [],
+                "n_bytes": [],
+                "checksum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                for j, frame in enumerate(decode_y4m(payload)["frames"]):
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(j)
+                    out["n_bytes"].append(len(frame))
+                    out["checksum"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, VIDEO_FRAME_SCHEMA)
+
+
+def video_meta(media: DataFrame) -> DataFrame:
+    """Arrow-batched container-header parse → exact-integer stream
+    metadata (geometry, frame count, parsed rational frame rate, and
+    the derived duration) — every value comes OUT of the parse, so a
+    wrong header grammar or frame walk breaks the judged columns."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                d = decode_y4m(payload)
+                rows.append(
+                    (
+                        doc_id,
+                        d["width"],
+                        d["height"],
+                        d["n_frames"],
+                        d["fps_num"],
+                        d["fps_den"],
+                        d["duration_us"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "fps_num",
+                    "fps_den",
+                    "duration_us",
+                ],
+            )
+
+    return media.mapInPandas(run, VIDEO_META_SCHEMA)

@@ -1,0 +1,273 @@
+"""From-scratch WAV (RIFF/PCM) codec tests (r14 — the audio leg of the
+north-star multimodal contract).
+
+Strategy mirrors the PNG/JPEG suites: hand-built known-answer
+containers that do NOT reuse encode_wav (so decoder vectors aren't
+circular), encoder→decoder round-trips (bit-exact — PCM is lossless),
+loud-error paths for every out-of-scope format, and the Arrow-worker
+end-to-end through the judged entries' builders."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import pytest
+
+from etl_pulumi_aws_snowflake_spark.operators import audio as A
+from etl_pulumi_aws_snowflake_spark.operators import multimodal as M
+
+
+def _hand_wav(
+    pcm: bytes,
+    *,
+    rate: int = 8000,
+    bits: int = 8,
+    channels: int = 1,
+    fmt_code: int = 1,
+    mid_chunks: bytes = b"",
+    block_align: int | None = None,
+    byte_rate: int | None = None,
+) -> bytes:
+    """Build a container byte-by-byte WITHOUT encode_wav so decoder
+    vectors are independent of the encoder's choices."""
+    ba = block_align if block_align is not None else channels * bits // 8
+    br = byte_rate if byte_rate is not None else rate * ba
+    fmt = struct.pack("<HHIIHH", fmt_code, channels, rate, br, ba, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + mid_chunks
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+        + (b"\x00" if len(pcm) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# --------------------------------------------------------------------
+# known-answer decode
+
+
+def test_decode_known_answer_8bit_mono():
+    d = A.decode_wav(_hand_wav(bytes([0, 128, 255, 7])))
+    assert d["pcm"] == bytes([0, 128, 255, 7])
+    assert (d["channels"], d["bits_per_sample"]) == (1, 8)
+    assert (d["sample_rate"], d["n_frames"]) == (8000, 4)
+    assert d["duration_us"] == 4 * 1_000_000 // 8000
+    assert A.wav_samples(d) == [(0,), (128,), (255,), (7,)]
+
+
+def test_decode_known_answer_16bit_stereo_signed_le():
+    # frames: (1, -1), (-32768, 32767) — the signed-16-LE convention
+    pcm = struct.pack("<4h", 1, -1, -32768, 32767)
+    d = A.decode_wav(_hand_wav(pcm, rate=44100, bits=16, channels=2))
+    assert d["n_frames"] == 2
+    assert A.wav_samples(d) == [(1, -1), (-32768, 32767)]
+    assert d["duration_us"] == 2 * 1_000_000 // 44100
+
+
+def test_decode_skips_unknown_chunks_with_word_alignment():
+    """A LIST chunk with an ODD payload size: the walker must step over
+    the pad byte the size field doesn't count, or the data chunk tag
+    lands off-by-one and everything breaks."""
+    odd = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    even = b"fake" + struct.pack("<I", 4) + b"abcd"
+    d = A.decode_wav(_hand_wav(bytes([9, 9]), mid_chunks=odd + even))
+    assert d["pcm"] == bytes([9, 9])
+
+
+def test_decode_trailing_chunk_after_data_is_fine():
+    raw = _hand_wav(bytes([1, 2]))  # decode stops at data; suffix unused
+    assert A.decode_wav(raw)["pcm"] == bytes([1, 2])
+
+
+# --------------------------------------------------------------------
+# loud errors — every rejected format names itself
+
+
+@pytest.mark.parametrize(
+    "code,name",
+    [(2, "ADPCM"), (3, "IEEE float"), (6, "A-law"), (7, "mu-law"),
+     (0x11, "ADPCM"), (0xFFFE, "EXTENSIBLE"), (0x1234, "0x1234")],
+)
+def test_non_pcm_formats_raise_with_name(code, name):
+    with pytest.raises(ValueError, match=name):
+        A.decode_wav(_hand_wav(bytes([0, 0]), fmt_code=code))
+
+
+def test_not_riff_raises():
+    with pytest.raises(ValueError, match="RIFF"):
+        A.decode_wav(b"OggS" + b"\x00" * 40)
+
+
+def test_riff_but_not_wave_raises():
+    raw = bytearray(_hand_wav(bytes([0, 0])))
+    raw[8:12] = b"AVI "
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        A.decode_wav(bytes(raw))
+
+
+def test_truncated_container_raises():
+    raw = _hand_wav(bytes(range(10)))
+    with pytest.raises(ValueError, match="truncated"):
+        A.decode_wav(raw[:-4])
+
+
+def test_data_before_fmt_raises():
+    body = (
+        b"WAVE" + b"data" + struct.pack("<I", 2) + b"\x01\x02"
+    )
+    raw = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="precedes fmt"):
+        A.decode_wav(raw)
+
+
+def test_missing_data_chunk_raises():
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 1, 8000, 8000, 1, 8
+    )
+    raw = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="no data chunk"):
+        A.decode_wav(raw)
+
+
+def test_24bit_pcm_raises():
+    with pytest.raises(ValueError, match="24-bit"):
+        A.decode_wav(_hand_wav(b"\x00" * 6, bits=24))
+
+
+def test_inconsistent_block_align_raises():
+    """A lying header (block_align disagreeing with channels × width)
+    must fail loudly — silently trusting either field mis-frames the
+    whole stream."""
+    with pytest.raises(ValueError, match="inconsistent"):
+        A.decode_wav(_hand_wav(bytes([0, 0]), block_align=2))
+    with pytest.raises(ValueError, match="inconsistent"):
+        A.decode_wav(_hand_wav(bytes([0, 0]), byte_rate=4000))
+
+
+def test_partial_trailing_frame_raises():
+    pcm = struct.pack("<3h", 1, 2, 3)  # 6 bytes, stereo-16 frame = 4
+    with pytest.raises(ValueError, match="whole number"):
+        A.decode_wav(_hand_wav(pcm, bits=16, channels=2))
+
+
+def test_wav_frames_rejects_mono(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(Exception, match="stereo"):
+        A.wav_frames(M.as_wav(docs)).collect()
+
+
+# --------------------------------------------------------------------
+# encoder round-trips (PCM is lossless — bit-exact, unlike JPEG)
+
+
+@pytest.mark.parametrize("bits,channels", [(8, 1), (8, 3), (16, 1), (16, 2)])
+def test_encode_decode_roundtrip_bit_exact(bits, channels):
+    import random
+
+    rng = random.Random(bits * 100 + channels)
+    width = bits // 8
+    n = 17 * channels * width  # odd frame count → odd data size at 8-bit
+    pcm = bytes(rng.randrange(256) for _ in range(n))
+    raw = A.encode_wav(
+        pcm, sample_rate=22050, bits_per_sample=bits, channels=channels,
+        extra_chunks=((b"LIST", b"INFO"),),
+    )
+    d = A.decode_wav(raw)
+    assert d["pcm"] == pcm
+    assert d["channels"] == channels and d["bits_per_sample"] == bits
+    assert d["n_frames"] == 17
+
+
+def test_encode_rejects_partial_frames_and_bad_geometry():
+    with pytest.raises(ValueError, match="whole number"):
+        A.encode_wav(b"\x00\x01\x02", bits_per_sample=16)
+    with pytest.raises(ValueError, match="unsupported"):
+        A.encode_wav(b"\x00", bits_per_sample=12)
+    with pytest.raises(ValueError, match="channel count"):
+        A.encode_wav(b"", channels=0)
+
+
+def test_encoder_output_is_stdlib_wave_readable():
+    """Cross-check against the stdlib ``wave`` module (an independent
+    implementation that ships in this container): our container parses
+    there with identical metadata and frames."""
+    import io
+    import wave
+
+    pcm = struct.pack("<6h", 0, 1, -1, 100, -100, 32767)
+    raw = A.encode_wav(pcm, sample_rate=16000, bits_per_sample=16, channels=2)
+    with wave.open(io.BytesIO(raw)) as w:
+        assert w.getnchannels() == 2
+        assert w.getsampwidth() == 2
+        assert w.getframerate() == 16000
+        assert w.getnframes() == 3
+        assert w.readframes(3) == pcm
+
+
+def test_decoder_reads_stdlib_wave_output():
+    import io
+    import wave
+
+    pcm = bytes([0, 10, 255, 128])
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(pcm)
+    d = A.decode_wav(buf.getvalue())
+    assert d["pcm"] == pcm and d["sample_rate"] == 8000
+
+
+# --------------------------------------------------------------------
+# Arrow-worker end-to-end through the judged builders
+
+
+def test_as_wav_payload_decodes_to_hex_prefix(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "world")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in A.extract_pcm_features(M.as_wav(docs)).collect()
+    }
+    for doc_id, text in [(1, "hello"), (2, "world")]:
+        expect = hashlib.sha256(text.encode()).hexdigest()[:32].encode()
+        assert rows[doc_id]["n_bytes"] == 32
+        assert rows[doc_id]["checksum"] == hashlib.md5(expect).hexdigest()
+
+
+def test_audio_features_match_python_truth(spark):
+    docs = spark.createDataFrame([(7, "abc")], "doc_id long, text string")
+    vals = hashlib.sha256(b"abc").hexdigest()[:32].encode()
+    row = A.extract_audio_features(M.as_wav(docs)).collect()[0]
+    assert row["n_frames"] == 32 and row["sample_rate"] == 8000
+    assert row["duration_us"] == 4000
+    assert row["peak"] == max(vals) and row["amp_sum"] == sum(vals)
+
+
+def test_wav_frames_match_python_truth(spark):
+    docs = spark.createDataFrame([(3, "xyz")], "doc_id long, text string")
+    h = hashlib.sha256(b"xyz").hexdigest()
+    rows = sorted(
+        A.wav_frames(M.as_wav16(docs)).collect(), key=lambda r: r["frame_no"]
+    )
+    assert len(rows) == 8
+    for j, r in enumerate(rows):
+        assert r["ch0"] == ord(h[4 * j]) + 256 * ord(h[4 * j + 1])
+        assert r["ch1"] == ord(h[4 * j + 2]) + 256 * ord(h[4 * j + 3])
+
+
+def test_as_wav_geometry_guards():
+    with pytest.raises(ValueError, match="n_samples"):
+        M.as_wav(None, n_samples=65)
+    with pytest.raises(ValueError, match="n_samples"):
+        M.as_wav(None, n_samples=31)  # odd → container needs a pad byte
+    with pytest.raises(ValueError, match="n_frames"):
+        M.as_wav16(None, n_frames=17)
+
+
+def test_capabilities_report_wav():
+    assert M.capabilities()["wav_decode"] is True
