@@ -218,6 +218,36 @@ def as_wav16(
     )
 
 
+def as_g711(
+    docs: DataFrame, law: str, text_col: str = "text", n_codes: int = 16
+) -> DataFrame:
+    """Documents → REAL G.711 telephony WAV payloads (format code 6 =
+    A-law, 7 = mu-law) whose ``n_codes`` companded code bytes are the
+    first ``n_codes`` sha256-hex chars of the text — the :func:`as_wav`
+    constant-header trick, so the EXPANDED linear samples are exactly
+    SQL-replayable through the ITU arithmetic."""
+    if not 0 < n_codes <= 64 or n_codes % 2:
+        raise ValueError(
+            f"as_g711: n_codes {n_codes} must be even and <= 64"
+        )
+    from .audio import encode_g711
+
+    container = encode_g711(b"\x00" * n_codes, law=law)
+    header = container[: len(container) - n_codes]
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(header),
+            F.encode(
+                F.substring(F.sha2(F.col(text_col), 256), 1, n_codes),
+                "UTF-8",
+            ),
+        ).alias("content"),
+        F.lit(f"audio/{law}").alias("mime"),
+        F.lit(len(header) + n_codes).cast("long").alias("n_bytes"),
+    )
+
+
 def as_y4m(
     docs: DataFrame,
     text_col: str = "text",
@@ -410,6 +440,7 @@ def capabilities() -> dict[str, bool]:
         "pnm_decode": True,
         "png_decode": True,
         "jpeg_decode": True,
+        "bmp_decode": True,
         "wav_decode": True,
         "y4m_decode": True,
     }
@@ -650,6 +681,114 @@ def _decode_png(payload: bytes) -> bytes:
     return bytes(out)
 
 
+def encode_bmp(rgb: bytes, width: int, height: int) -> bytes:
+    """Build a canonical 24-bpp BI_RGB Windows BMP (BITMAPINFOHEADER)
+    around top-down RGB24 pixels: rows are stored BOTTOM-UP in BGR
+    order with each row zero-padded to a 4-byte boundary — the three
+    classic BMP gotchas, all of which the paired decoder must undo."""
+    import struct
+
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"encode_bmp: {width}x{height} RGB needs {width * height * 3} "
+            f"bytes, got {len(rgb)}"
+        )
+    stride = (width * 3 + 3) // 4 * 4
+    raster = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            i = (y * width + x) * 3
+            row += bytes((rgb[i + 2], rgb[i + 1], rgb[i]))  # BGR
+        raster += row + b"\x00" * (stride - len(row))
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(raster),
+        2835, 2835, 0, 0,
+    )
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0, 54)
+    return head + dib + bytes(raster)
+
+
+def _decode_bmp(payload: bytes) -> bytes:
+    """From-scratch 24-bpp BI_RGB BMP decoder to top-down RGB24 pixel
+    bytes: file header (pixel-array offset honored, so gap bytes or an
+    unexpected palette block are skipped, not misread), 40-byte
+    BITMAPINFOHEADER, bottom-up row order (negative height = top-down
+    per the spec), BGR→RGB swizzle, 4-byte row padding discarded.
+    Loud feature-naming errors on core/v4/v5 header sizes, RLE and
+    bitfields compression, and non-24 bit depths (paletted BMPs need
+    the color table — rejected rather than half-supported)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError(f"not a BMP payload (magic {payload[:2]!r})")
+    if len(payload) < 54:
+        raise ValueError(f"truncated BMP header: {len(payload)} bytes")
+    pix_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size != 40:
+        raise ValueError(
+            f"BMP DIB header size {hdr_size} unsupported (40-byte "
+            "BITMAPINFOHEADER only; core/v4/v5 headers out of scope)"
+        )
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if width < 1 or height == 0:
+        raise ValueError(f"degenerate BMP dimensions {width}x{height}")
+    if planes != 1:
+        raise ValueError(f"BMP planes {planes} invalid (must be 1)")
+    if compression != 0:
+        name = {1: "BI_RLE8", 2: "BI_RLE4", 3: "BI_BITFIELDS"}.get(
+            compression, f"compression {compression}"
+        )
+        raise ValueError(f"BMP {name} unsupported (BI_RGB only)")
+    if bpp != 24:
+        raise ValueError(
+            f"{bpp}-bpp BMP unsupported (24-bpp only; paletted depths "
+            "need the color table)"
+        )
+    top_down = height < 0
+    height = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    if pix_off + stride * height > len(payload):
+        raise ValueError(
+            f"truncated BMP raster: need {stride * height} bytes at "
+            f"offset {pix_off}, have {len(payload)}"
+        )
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src = pix_off + (y if top_down else height - 1 - y) * stride
+        for x in range(width):
+            b, g, r = payload[src + x * 3 : src + x * 3 + 3]
+            i = (y * width + x) * 3
+            out[i], out[i + 1], out[i + 2] = r, g, b
+    return bytes(out)
+
+
+def as_bmp(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Documents → REAL 24-bpp BMP payloads: a 2x2 image whose STORED
+    raster (two 8-byte rows: 6 BGR bytes + 2 padding bytes each,
+    bottom-up) is the first 16 sha256-hex chars of the text.  The
+    container is constant-header + ASCII raster, so it's built in
+    codegen and the DECODED pixels (row-flipped, BGR→RGB-swizzled,
+    padding dropped) are byte-exact replayable in SQL as a fixed
+    permutation of hex-char positions."""
+    container = encode_bmp(b"\x00" * 12, 2, 2)
+    header = container[:-16]
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(header),
+            F.encode(
+                F.substring(F.sha2(F.col(text_col), 256), 1, 16), "UTF-8"
+            ),
+        ).alias("content"),
+        F.lit("image/bmp").alias("mime"),
+        F.lit(len(header) + 16).cast("long").alias("n_bytes"),
+    )
+
+
 def _decode_pnm(payload: bytes) -> bytes:
     """From-scratch binary PPM (P6, RGB) / PGM (P5, grayscale) decoder
     to raw RGB24 pixel bytes — the dependency-free real-decode tier
@@ -718,6 +857,8 @@ def decode_image(payload: bytes, fake: bool = False) -> bytes:
         return payload
     if payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         try:
             return _decode_png(payload)

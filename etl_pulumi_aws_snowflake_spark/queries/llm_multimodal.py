@@ -259,6 +259,106 @@ def mm_wav_frames(spark, sf_dir):
 
 
 @query(
+    "mm_decode_bmp",
+    oracle="""
+    WITH hx AS (SELECT doc_id, sha256(text) AS h FROM documents)
+    SELECT doc_id,
+           CAST(12 AS BIGINT) AS n_bytes,
+           md5(substr(h,11,1) || substr(h,10,1) || substr(h,9,1)
+            || substr(h,14,1) || substr(h,13,1) || substr(h,12,1)
+            || substr(h,3,1)  || substr(h,2,1)  || substr(h,1,1)
+            || substr(h,6,1)  || substr(h,5,1)  || substr(h,4,1))
+             AS checksum
+    FROM hx
+    """,
+)
+def mm_decode_bmp(spark, sf_dir):
+    """REAL BMP decode end-to-end (r14 — completing the
+    dependency-free image set PNM/PNG/JPEG/BMP): each document becomes
+    a genuine 24-bpp BI_RGB container — a 2x2 image whose STORED
+    raster is the first 16 sha256-hex chars (two 8-byte rows: 6 BGR
+    bytes + 2 padding bytes, bottom-up) — and
+    ``extract_features(fake=False)`` runs the from-scratch decoder in
+    the Python worker: header parse, pixel-offset honor, bottom-up row
+    flip, BGR→RGB swizzle, padding discard, md5 over the DECODED
+    top-down RGB bytes.  The decode is therefore a FIXED PERMUTATION
+    of hex-char positions, which the oracle spells out literally —
+    mixing up the row flip, the channel swizzle, or the stride
+    arithmetic lands on the wrong permutation and fails every hash.
+    RLE/bitfields/paletted/core-header BMPs stay loud errors."""
+    return M.extract_features(
+        M.as_bmp(t(spark, sf_dir, "documents")), fake=False
+    )
+
+
+@query(
+    "mm_decode_mulaw",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, s.i AS idx,
+               255 - ascii(substr(sha256(text), s.i + 1, 1)) AS u
+        FROM documents
+        CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) s
+    )
+    SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+           CAST(CASE WHEN u >= 128
+                THEN 132 - (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)))
+                ELSE (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))) - 132
+           END AS BIGINT) AS linear
+    FROM c
+    """,
+)
+def mm_decode_mulaw(spark, sf_dir):
+    """REAL G.711 mu-law expansion end-to-end (r14 — the telephony
+    format the strict PCM tier rejects by name): each document becomes
+    a genuine format-code-7 WAV whose 16 companded code bytes are
+    sha256-hex chars, and ``g711_samples`` expands every byte to its
+    16-bit linear value in the Python worker — cross-validated against
+    stdlib ``audioop``'s C tables over all 256 codes in pytest, and
+    VALUE-judged per sample here: the oracle replays the ITU
+    complement/shift/sign arithmetic in SQL, so a wrong exponent mask
+    or sign branch fails on the exact byte that triggers it."""
+    from ..operators import audio as A
+
+    return A.g711_samples(M.as_g711(t(spark, sf_dir, "documents"), "ulaw"))
+
+
+@query(
+    "mm_decode_alaw",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, s.i AS idx,
+               xor(ascii(substr(sha256(text), s.i + 1, 1)), 85) AS a
+        FROM documents
+        CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) s
+    ),
+    m AS (
+        SELECT doc_id, idx, a,
+               CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+                    WHEN (a // 16) % 8 = 1 THEN (a % 16) * 16 + 264
+                    ELSE ((a % 16) * 16 + 264) * (1 << ((a // 16) % 8 - 1))
+               END AS mag
+        FROM c
+    )
+    SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+           CAST(CASE WHEN a >= 128 THEN mag ELSE -mag END AS BIGINT) AS linear
+    FROM m
+    """,
+)
+def mm_decode_alaw(spark, sf_dir):
+    """REAL G.711 A-law expansion end-to-end: format code 6, the
+    even-bit-inversion XOR 0x55, per-segment magnitude (segment 0
+    linear, higher segments shifted), and A-law's INVERTED sign
+    convention (bit 0x80 = positive) — the branch structure that makes
+    A-law the easy law to get subtly wrong.  Same judging discipline
+    as mu-law: audioop cross-validation over all 256 codes in pytest,
+    per-sample value judging against the SQL replay here."""
+    from ..operators import audio as A
+
+    return A.g711_samples(M.as_g711(t(spark, sf_dir, "documents"), "alaw"))
+
+
+@query(
     "mm_video_frames",
     oracle="""
     WITH f AS (

@@ -159,6 +159,57 @@ def stream_stateful_dedup_e2e(spark, sf_dir):
     return spark.read.parquet(outdir).select(*_EVENT_COLS)
 
 
+_MEDIA_ORACLE = """
+    SELECT doc_id,
+           CAST(32 AS BIGINT) AS n_bytes,
+           md5(substr(sha256(text), 1, 32)) AS checksum
+    FROM documents
+"""
+
+
+@query("stream_media_features_e2e", oracle=_MEDIA_ORACLE)
+def stream_media_features_e2e(spark, sf_dir):
+    """Multimodal decode AT INGEST under the driver hash (r14): the
+    documents corpus lands as two files → two microbatches
+    (``maxFilesPerTrigger=1``), each batch is turned into REAL binary
+    WAV payloads (``as_wav`` — pure codegen, so it composes with a
+    streaming DataFrame) and pushed through the from-scratch RIFF
+    decoder via Arrow-batched ``mapInPandas`` inside the live
+    StreamingQuery; the sink must equal the batch decode — md5 over
+    the DECODED PCM of every document, exactly once.
+
+    Determinism: the whole chain is a stateless per-row map, so the
+    output set is a pure function of the input set however the files
+    are batched — the thing this entry pins is that the codec tier
+    (binary payload synthesis + worker-side decode) runs unmodified
+    under streaming semantics with checkpointed exactly-once file
+    ingestion, which is how a 100 TB corpus would actually be decoded:
+    at ingest, incrementally, not as a monolithic batch rescan."""
+    from ..operators.audio import extract_pcm_features
+
+    work = _workdir(sf_dir, "media_features")
+    landing = os.path.join(work, "arrivals")
+    docs = t(spark, sf_dir, "documents")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    docs.subtract(half).coalesce(1).write.parquet(landing)
+    half.coalesce(1).write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.schema(schemas.DOCUMENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    from ..operators.multimodal import as_wav
+
+    outdir = os.path.join(work, "out")
+    _run_to_parquet(
+        extract_pcm_features(as_wav(stream)),
+        outdir,
+        os.path.join(work, "ckpt"),
+    )
+    return spark.read.parquet(outdir)
+
+
 _SSJOIN_ORACLE = """
     SELECT l.user_id,
            l.event_id AS l_event_id,

@@ -222,6 +222,73 @@ def test_decoder_reads_stdlib_wave_output():
 
 
 # --------------------------------------------------------------------
+# G.711 A-law / mu-law expansion
+
+
+def test_g711_laws_match_audioop_exhaustively():
+    """Cross-validate both expansion laws against stdlib audioop's C
+    tables (an independent implementation) over ALL 256 code bytes —
+    gated on import since audioop leaves the stdlib in 3.13."""
+    audioop = pytest.importorskip("audioop")
+
+    for b in range(256):
+        assert A.mulaw_to_linear(b) == struct.unpack(
+            "<h", audioop.ulaw2lin(bytes([b]), 2)
+        )[0], f"mu-law byte {b:#04x}"
+        assert A.alaw_to_linear(b) == struct.unpack(
+            "<h", audioop.alaw2lin(bytes([b]), 2)
+        )[0], f"A-law byte {b:#04x}"
+
+
+def test_g711_spec_extremes():
+    # ITU G.711 maxima: mu-law ±32124, A-law ±32256; mu 0xFF is zero
+    assert A.mulaw_to_linear(0x80) == 32124
+    assert A.mulaw_to_linear(0x00) == -32124
+    assert A.mulaw_to_linear(0xFF) == 0
+    assert A.alaw_to_linear(0xAA) == 32256
+    assert A.alaw_to_linear(0x2A) == -32256
+
+
+def test_decode_g711_container_roundtrip():
+    codes = bytes(range(0, 256, 16))
+    d = A.decode_g711(A.encode_g711(codes, law="ulaw", sample_rate=8000))
+    assert d["law"] == "ulaw" and d["n_frames"] == len(codes)
+    assert d["linear"] == [A.mulaw_to_linear(b) for b in codes]
+    d = A.decode_g711(A.encode_g711(codes, law="alaw", channels=2))
+    assert d["law"] == "alaw" and d["n_frames"] == len(codes) // 2
+    assert d["linear"] == [A.alaw_to_linear(b) for b in codes]
+
+
+def test_decode_g711_rejects_pcm_and_vice_versa():
+    pcm = A.encode_wav(bytes([1, 2]))
+    with pytest.raises(ValueError, match="format code 1"):
+        A.decode_g711(pcm)
+    g711 = A.encode_g711(bytes([1, 2]), law="ulaw")
+    with pytest.raises(ValueError, match="mu-law"):
+        A.decode_wav(g711)
+
+
+def test_encode_g711_guards():
+    with pytest.raises(ValueError, match="law"):
+        A.encode_g711(b"\x00", law="pcm")
+    with pytest.raises(ValueError, match="whole number"):
+        A.encode_g711(b"\x00\x01\x02", law="alaw", channels=2)
+
+
+def test_g711_samples_worker_matches_python_truth(spark):
+    import hashlib as _h
+
+    docs = spark.createDataFrame([(4, "tone")], "doc_id long, text string")
+    h = _h.sha256(b"tone").hexdigest()
+    for law, fn in [("ulaw", A.mulaw_to_linear), ("alaw", A.alaw_to_linear)]:
+        rows = sorted(
+            A.g711_samples(M.as_g711(docs, law)).collect(),
+            key=lambda r: r["idx"],
+        )
+        assert [r["linear"] for r in rows] == [fn(ord(c)) for c in h[:16]]
+
+
+# --------------------------------------------------------------------
 # Arrow-worker end-to-end through the judged builders
 
 

@@ -1,0 +1,124 @@
+"""From-scratch 24-bpp BMP codec tests (r14 — completes the
+dependency-free image set PNM/PNG/JPEG/BMP).  Same discipline as the
+sibling codec suites: hand-built known-answer containers independent
+of encode_bmp, loud-error paths, bit-exact round-trips, Arrow-worker
+end-to-end through the judged builder."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import pytest
+
+from etl_pulumi_aws_snowflake_spark.operators import multimodal as M
+
+
+def _hand_bmp(
+    raster: bytes,
+    width: int,
+    height: int,
+    *,
+    bpp: int = 24,
+    compression: int = 0,
+    hdr_size: int = 40,
+    pix_off: int = 54,
+    gap: bytes = b"",
+) -> bytes:
+    """Byte-by-byte container independent of encode_bmp; ``gap``
+    inserts bytes between the headers and the raster (pix_off must
+    account for them)."""
+    dib = struct.pack(
+        "<IiiHHIIiiII", hdr_size, width, height, 1, bpp, compression,
+        len(raster), 2835, 2835, 0, 0,
+    )
+    head = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(gap) + len(raster), 0, 0, pix_off
+    )
+    return head + dib + gap + raster
+
+
+def test_decode_known_answer_bottom_up_bgr_padded():
+    # 2x1 image: stored row = B G R | B G R | pad pad
+    raster = bytes([1, 2, 3, 4, 5, 6, 0, 0])
+    # top-down RGB out: pixel0 = (3,2,1), pixel1 = (6,5,4)
+    assert M._decode_bmp(_hand_bmp(raster, 2, 1)) == bytes(
+        [3, 2, 1, 6, 5, 4]
+    )
+
+
+def test_decode_row_flip_two_rows():
+    # 1x2: stored first row = IMAGE BOTTOM row
+    raster = bytes([10, 11, 12, 0]) + bytes([20, 21, 22, 0])
+    out = M._decode_bmp(_hand_bmp(raster, 1, 2))
+    assert out == bytes([22, 21, 20, 12, 11, 10])
+
+
+def test_decode_negative_height_is_top_down():
+    raster = bytes([10, 11, 12, 0]) + bytes([20, 21, 22, 0])
+    out = M._decode_bmp(_hand_bmp(raster, 1, -2))
+    assert out == bytes([12, 11, 10, 22, 21, 20])
+
+
+def test_decode_honors_pixel_offset_gap():
+    raster = bytes([1, 2, 3, 0])
+    raw = _hand_bmp(raster, 1, 1, pix_off=54 + 4, gap=b"JUNK")
+    assert M._decode_bmp(raw) == bytes([3, 2, 1])
+
+
+@pytest.mark.parametrize(
+    "kw,msg",
+    [
+        (dict(compression=1), "BI_RLE8"),
+        (dict(compression=3), "BI_BITFIELDS"),
+        (dict(bpp=8), "8-bpp"),
+        (dict(hdr_size=124), "header size 124"),
+    ],
+)
+def test_loud_errors_name_the_feature(kw, msg):
+    raw = _hand_bmp(bytes([1, 2, 3, 0]), 1, 1, **kw)
+    with pytest.raises(ValueError, match=msg):
+        M._decode_bmp(raw)
+
+
+def test_not_bmp_and_truncations_raise():
+    with pytest.raises(ValueError, match="not a BMP"):
+        M._decode_bmp(b"PNG....")
+    with pytest.raises(ValueError, match="truncated BMP header"):
+        M._decode_bmp(b"BM" + b"\x00" * 20)
+    raw = _hand_bmp(bytes([1, 2, 3, 0]), 1, 2)  # claims 2 rows, has 1
+    with pytest.raises(ValueError, match="truncated BMP raster"):
+        M._decode_bmp(raw)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (2, 2), (3, 3), (5, 2)])
+def test_encode_decode_roundtrip_bit_exact(w, h):
+    import random
+
+    rng = random.Random(w * 100 + h)
+    rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    assert M._decode_bmp(M.encode_bmp(rgb, w, h)) == rgb
+
+
+def test_encode_rejects_wrong_size():
+    with pytest.raises(ValueError, match="needs"):
+        M.encode_bmp(b"abc", 2, 2)
+
+
+def test_decode_image_dispatches_bmp():
+    rgb = bytes([9, 8, 7])
+    assert M.decode_image(M.encode_bmp(rgb, 1, 1)) == rgb
+
+
+def test_as_bmp_worker_decode_matches_permutation(spark):
+    docs = spark.createDataFrame([(1, "pix")], "doc_id long, text string")
+    h = hashlib.sha256(b"pix").hexdigest()
+    perm = [11, 10, 9, 14, 13, 12, 3, 2, 1, 6, 5, 4]  # 1-indexed
+    expect = "".join(h[p - 1] for p in perm).encode()
+    row = M.extract_features(M.as_bmp(docs), fake=False).collect()[0]
+    assert row["n_bytes"] == 12
+    assert row["checksum"] == hashlib.md5(expect).hexdigest()
+
+
+def test_capabilities_report_bmp():
+    assert M.capabilities()["bmp_decode"] is True

@@ -223,13 +223,16 @@ def test_multimodal_stub_gating():
 def test_multimodal_capabilities(monkeypatch):
     """capabilities() is the single source of truth for codec presence
     — truthful in both the codec-absent (this container) and
-    codec-present deployments; the from-scratch PNM and PNG tiers are
-    always there."""
+    codec-present deployments; the from-scratch tiers (PNM, PNG, JPEG,
+    BMP, WAV, Y4M) are always there."""
     assert M.capabilities() == {
         "image_decode": M._HAVE_PIL,
         "pnm_decode": True,
         "png_decode": True,
         "jpeg_decode": True,
+        "bmp_decode": True,
+        "wav_decode": True,
+        "y4m_decode": True,
     }
     monkeypatch.setattr(M, "_HAVE_PIL", False)
     assert M.capabilities()["image_decode"] is False
