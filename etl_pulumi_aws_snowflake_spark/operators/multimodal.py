@@ -218,6 +218,90 @@ def as_wav16(
     )
 
 
+#: The constant 256-entry PLTE used by the judged palette entry:
+#: entry i = (i, 255−i, i xor 0x55) — three independent arithmetic
+#: channels, each exactly replayable in SQL, so a palette lookup that
+#: lands one entry off breaks all three judged columns.
+PNG_TEST_PALETTE = bytes(
+    b for i in range(256) for b in (i, 255 - i, i ^ 0x55)
+)
+
+
+def as_png_palette(
+    docs: DataFrame, text_col: str = "text", width: int = 2, height: int = 5
+) -> DataFrame:
+    """Documents → REAL PALETTE (color type 3) PNG payloads: the
+    ``width``×``height`` index raster is the first ``w·h`` hex chars
+    of ``sha256(text)``, looked up in :data:`PNG_TEST_PALETTE`;
+    scanline filters cycle 0–4 like :func:`as_png`, so every
+    unfiltering algorithm ALSO runs on the 1-byte-per-pixel stride."""
+    n = width * height
+    if n > 64:
+        raise ValueError(
+            f"as_png_palette: {width}x{height} needs {n} index bytes, "
+            "more than one sha256 hex string provides (64)"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_png(
+                    hashlib.sha256(t.encode("utf-8")).hexdigest()[:n].encode(),
+                    width,
+                    height,
+                    color_type=3,
+                    filter_choice=None,
+                    palette=PNG_TEST_PALETTE,
+                )
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": payloads,
+                    "mime": "image/png",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(run, MEDIA_SCHEMA)
+
+
+PIXEL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("px", LongType()),
+        StructField("r", LongType()),
+        StructField("g", LongType()),
+        StructField("b", LongType()),
+    ]
+)
+
+
+def image_pixels(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL image decode → one row per pixel
+    (doc_id, px, r, g, b): the relational pixel view, so an entry can
+    VALUE-judge the decoded channels directly instead of hiding them
+    under an md5 (the same discipline as ``jpeg_mcu_colors``)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list[int]] = {
+                k: [] for k in ("doc_id", "px", "r", "g", "b")
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                rgb = decode_image(bytes(payload))
+                for px in range(len(rgb) // 3):
+                    out["doc_id"].append(doc_id)
+                    out["px"].append(px)
+                    out["r"].append(rgb[px * 3])
+                    out["g"].append(rgb[px * 3 + 1])
+                    out["b"].append(rgb[px * 3 + 2])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, PIXEL_SCHEMA)
+
+
 def as_g711(
     docs: DataFrame, law: str, text_col: str = "text", n_codes: int = 16
 ) -> DataFrame:
@@ -449,8 +533,8 @@ def capabilities() -> dict[str, bool]:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 #: PNG color type → sample channels (8-bit depth).  Palette (type 3)
-#: is deliberately absent: it needs the PLTE table and is rejected
-#: loudly rather than half-supported.
+#: is handled separately (1 index byte per pixel + the PLTE table,
+#: r14) rather than through this map.
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
@@ -485,20 +569,39 @@ def encode_png(
     height: int,
     color_type: int = 2,
     filter_choice: int | None = None,
+    palette: bytes | None = None,
 ) -> bytes:
     """Minimal standards-correct PNG encoder (stdlib only) — exists so
     the judged decode entry and the tests can synthesize REAL PNG
     containers with every scanline filter type exercised.  ``pixels``
     is the raw raster (``width*height*channels`` bytes, rows
-    top-to-bottom); ``filter_choice`` fixes one filter type for every
-    scanline, or ``None`` cycles row_index % 5 so a multi-row image
-    forces the decoder through all five unfiltering algorithms."""
+    top-to-bottom; for palette color type 3 one PLTE index byte per
+    pixel with ``palette`` the RGB-triple table); ``filter_choice``
+    fixes one filter type for every scanline, or ``None`` cycles
+    row_index % 5 so a multi-row image forces the decoder through all
+    five unfiltering algorithms."""
     import struct
     import zlib as _z
 
-    if color_type not in _PNG_CHANNELS:
+    if color_type not in _PNG_CHANNELS and color_type != 3:
         raise ValueError(f"encode_png: unsupported color type {color_type}")
-    bpp = _PNG_CHANNELS[color_type]
+    if (palette is not None) != (color_type == 3):
+        raise ValueError(
+            "encode_png: palette must be given exactly when color_type=3"
+        )
+    if palette is not None:
+        if len(palette) % 3 or not 0 < len(palette) <= 768:
+            raise ValueError(
+                f"encode_png: palette length {len(palette)} is not "
+                "1..256 RGB triples"
+            )
+        bad = [b for b in pixels if b * 3 >= len(palette)]
+        if bad:
+            raise ValueError(
+                f"encode_png: raster index {bad[0]} out of range for a "
+                f"{len(palette) // 3}-entry palette"
+            )
+    bpp = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
     stride = width * bpp
     if len(pixels) != stride * height:
         raise ValueError(
@@ -548,6 +651,7 @@ def encode_png(
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + (_png_chunk(b"PLTE", palette) if palette is not None else b"")
         + _png_chunk(b"IDAT", _z.compress(bytes(filtered)))
         + _png_chunk(b"IEND", b"")
     )
@@ -558,18 +662,19 @@ def _decode_png(payload: bytes) -> bytes:
     #3 — closes the most common real-image format without a codec
     library): stdlib ``zlib`` inflate + per-scanline unfiltering
     (None/Sub/Up/Average/Paeth per RFC 2083 §6), 8-bit grayscale /
-    RGB / grayscale+alpha / RGBA.  Chunk CRCs are verified (a corrupt
-    container fails loudly, never decodes to wrong pixels).  Out of
-    scope, rejected loudly: 16-bit depth (two-byte samples), palette
-    (needs PLTE), interlace (Adam7 reordering).  Alpha drops and gray
-    replicates to r=g=b — the same channel mapping
-    ``PIL.convert("RGB")`` applies."""
+    RGB / grayscale+alpha / RGBA / palette (color type 3 via the PLTE
+    table, r14 — indices out of palette range fail loudly).  Chunk
+    CRCs are verified (a corrupt container fails loudly, never decodes
+    to wrong pixels).  Out of scope, rejected loudly: 16-bit depth
+    (two-byte samples), sub-byte palette depths (1/2/4-bit packing),
+    interlace (Adam7 reordering).  Alpha drops and gray replicates to
+    r=g=b — the same channel mapping ``PIL.convert("RGB")`` applies."""
     import struct
     import zlib as _z
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload (bad signature)")
-    pos, ihdr, idat, ended = 8, None, bytearray(), False
+    pos, ihdr, idat, plte, ended = 8, None, bytearray(), None, False
     while pos < len(payload):
         if pos + 8 > len(payload):
             raise ValueError("truncated PNG: chunk header cut off")
@@ -591,7 +696,12 @@ def _decode_png(payload: bytes) -> bytes:
             ended = True
             break
         elif tag == b"PLTE":
-            pass  # validated by CRC; only meaningful for color type 3
+            if len(body) % 3 or not body:
+                raise ValueError(
+                    f"PNG PLTE length {len(body)} is not a whole number "
+                    "of RGB triples"
+                )
+            plte = body
         pos += 12 + length
     if ihdr is None:
         raise ValueError("PNG missing IHDR chunk")
@@ -606,11 +716,13 @@ def _decode_png(payload: bytes) -> bytes:
             "16-bit rasters are big-endian two-byte samples — out of "
             "scope for the from-scratch tier)"
         )
-    if color_type not in _PNG_CHANNELS:
+    if color_type not in _PNG_CHANNELS and color_type != 3:
         raise ValueError(
-            f"PNG color type {color_type} unsupported (palette images "
-            "need the PLTE table; grayscale/RGB/LA/RGBA supported)"
+            f"PNG color type {color_type} unsupported "
+            "(grayscale/RGB/LA/RGBA/palette supported)"
         )
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG (color type 3) missing PLTE chunk")
     if comp != 0 or filt != 0:
         raise ValueError(
             f"PNG compression/filter method ({comp},{filt}) unknown"
@@ -620,7 +732,7 @@ def _decode_png(payload: bytes) -> bytes:
             "interlaced (Adam7) PNG unsupported by the from-scratch "
             "tier — re-encode without interlacing"
         )
-    bpp = _PNG_CHANNELS[color_type]
+    bpp = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
     stride = width * bpp
     try:
         raw = _z.decompress(bytes(idat))
@@ -672,6 +784,14 @@ def _decode_png(payload: bytes) -> bytes:
                 out += bytes((g, g, g))
             elif color_type == 2:
                 out += line[px * 3 : px * 3 + 3]
+            elif color_type == 3:  # palette lookup
+                idx = line[px]
+                if idx * 3 + 3 > len(plte):
+                    raise ValueError(
+                        f"PNG palette index {idx} out of range for a "
+                        f"{len(plte) // 3}-entry PLTE"
+                    )
+                out += plte[idx * 3 : idx * 3 + 3]
             elif color_type == 4:
                 g = line[px * 2]
                 out += bytes((g, g, g))

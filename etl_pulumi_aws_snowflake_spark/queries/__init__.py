@@ -38,21 +38,22 @@ from . import streaming_e2e  # noqa: E402,F401
 # The external correctness driver checks the FIRST 50 dict entries per
 # round (CORRECTNESS_r01-r13 each recorded exactly queries()[:50] in
 # order).  Round 14 rotates the window per the staleness rule
-# (scripts/driver_staleness.py order): (a) the FIFTEEN entries round
+# (scripts/driver_staleness.py order): (a) the SIXTEEN entries round
 # 14 added lead (never-checked-entries-lead rule — the SQL DDL/DML
 # twin, the two from-scratch JPEG decode entries, the PQ residual pair
 # + Lloyd-trained entry, the three from-scratch WAV audio entries, the
-# two G.711 A-law/mu-law entries, the BMP decode entry, the two
-# from-scratch Y4M video entries, and the decode-at-ingest streaming
-# e2e); then (b) ALL 21 r10-stale entries the r13 note deferred — due
-# now, exactly as promised (the float-IVF six, the snapshot e2e trio,
-# the sql_api twins, the two streaming e2es, the text trio, the UDF
-# pair, the streaming-window trio); then (c) the first 14 r11-stale
-# entries in staleness-report order.  The 36 deferred r11 entries
-# (they lead r15's window), grouped with why each can wait one more
-# round: join_full_outer / join_inner / join_left_outer / join_range /
+# two G.711 A-law/mu-law entries, the BMP decode entry, the palette-
+# PNG entry, the two from-scratch Y4M video entries, and the
+# decode-at-ingest streaming e2e); then (b) ALL 21 r10-stale entries
+# the r13 note deferred — due now, exactly as promised (the float-IVF
+# six, the snapshot e2e trio, the sql_api twins, the two streaming
+# e2es, the text trio, the UDF pair, the streaming-window trio); then
+# (c) the first 13 r11-stale entries in staleness-report order.  The
+# 37 deferred r11 entries (they lead r15's window), grouped with why
+# each can wait one more round: join_broadcast / join_full_outer /
+# join_inner / join_left_outer / join_range /
 # join_theta / q10 / q18 / q1 / q3 / q5_local_supplier_volume and
-# further q* siblings beyond the 14 cut plus scalar_array / scalar_datetime /
+# further q* siblings beyond the 13 cut plus scalar_array / scalar_datetime /
 # scalar_json / set_* (untouched single-shape relational/scalar
 # families with r11 evidence AND green r13/r14 mirror+smoke sweeps),
 # search_bm25_deleted / search_phrase_indexed /
@@ -74,6 +75,7 @@ _DRIVER_FIRST = [
     "sim_ivf_topk_pq_trained",
     "mm_decode_wav", "mm_audio_features", "mm_wav_frames",
     "mm_decode_mulaw", "mm_decode_alaw", "mm_decode_bmp",
+    "mm_decode_png_palette",
     "mm_video_frames", "mm_video_meta", "stream_media_features_e2e",
     # (b) the 21 r10-stale entries deferred by the r13 note — due now
     "sim_ivf_recall", "sim_ivf_recall_nlists", "sim_ivf_topk",
@@ -84,12 +86,12 @@ _DRIVER_FIRST = [
     "text_fingerprint", "text_pii_redact", "text_repetition",
     "udf_grouped_agg", "udf_pandas_scalar", "win_session",
     "win_sliding", "win_tumbling",
-    # (c) r11-stale, staleness-report order (36 deferred, note above)
+    # (c) r11-stale, staleness-report order (37 deferred, note above)
     "agg_approx_distinct", "agg_approx_quantile", "agg_conditional",
     "agg_median", "agg_salted_groupby", "cdc_merge_compact_e2e",
     "curation_pipeline_e2e", "dedup_embedding_survivors",
     "dedup_embedding_survivors_multi", "dedup_lsh_deleted",
-    "dedup_survivors", "join_anti", "join_asof", "join_broadcast",
+    "dedup_survivors", "join_anti", "join_asof",
 ]
 
 def _driver_order(d: dict) -> dict:

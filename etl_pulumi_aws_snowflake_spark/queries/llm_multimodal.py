@@ -259,6 +259,37 @@ def mm_wav_frames(spark, sf_dir):
 
 
 @query(
+    "mm_decode_png_palette",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, s.i AS px,
+               ascii(substr(sha256(text), s.i + 1, 1)) AS v
+        FROM documents
+        CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS i) s
+    )
+    SELECT doc_id, CAST(px AS BIGINT) AS px,
+           CAST(v AS BIGINT) AS r,
+           CAST(255 - v AS BIGINT) AS g,
+           CAST(xor(v, 85) AS BIGINT) AS b
+    FROM p
+    """,
+)
+def mm_decode_png_palette(spark, sf_dir):
+    """REAL PALETTE-PNG decode end-to-end (r14 — removes the tier's
+    last common-PNG limitation; screenshots and icons are routinely
+    color type 3): each document becomes a genuine type-3 container —
+    a 2x5 index raster of sha256-hex chars, scanline filters cycling
+    0–4 so every unfiltering algorithm also runs at the 1-byte-pixel
+    stride, and the constant 256-entry PLTE maps entry i to
+    (i, 255−i, i xor 0x55) — and ``image_pixels`` VALUE-judges every
+    decoded channel: the oracle replays the palette arithmetic per
+    pixel, so a lookup that lands one entry off, a PLTE parse bug, or
+    a wrong unfilter at the narrow stride breaks all three columns on
+    the exact pixel that triggers it."""
+    return M.image_pixels(M.as_png_palette(t(spark, sf_dir, "documents")))
+
+
+@query(
     "mm_decode_bmp",
     oracle="""
     WITH hx AS (SELECT doc_id, sha256(text) AS h FROM documents)

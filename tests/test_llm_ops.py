@@ -398,7 +398,8 @@ def test_png_roundtrip_every_filter_and_color_type():
 def test_png_decode_loud_errors():
     """Out-of-scope and corrupt containers fail loudly with actionable
     messages — never wrong pixels: 16-bit depth, Adam7 interlace,
-    palette color, CRC corruption, truncation, bad filter byte."""
+    palette without its PLTE, CRC corruption, truncation, bad filter
+    byte."""
     import struct
     import zlib
 
@@ -423,9 +424,15 @@ def test_png_decode_loud_errors():
             sig + _chunk(b"IHDR", ihdr(interlace=1)) + _chunk(b"IDAT", scan)
             + _chunk(b"IEND", b"")
         )
-    with pytest.raises(ValueError, match="color type"):
+    with pytest.raises(ValueError, match="missing PLTE"):
+        # palette color type now decodes (r14) — but only WITH a PLTE
         M.decode_image(
             sig + _chunk(b"IHDR", ihdr(color=3)) + _chunk(b"IDAT", scan)
+            + _chunk(b"IEND", b"")
+        )
+    with pytest.raises(ValueError, match="color type 5"):
+        M.decode_image(
+            sig + _chunk(b"IHDR", ihdr(color=5)) + _chunk(b"IDAT", scan)
             + _chunk(b"IEND", b"")
         )
     # CRC corruption: flip one raster-affecting byte inside IDAT
@@ -440,6 +447,87 @@ def test_png_decode_loud_errors():
         M.decode_image(_png(2, 2, 0, bytes([9, 5, 6]) + bytes([0, 7, 8])))
     with pytest.raises(ValueError, match="signature"):
         M._decode_png(b"\x89PNG\r\n\x1a\x00 not quite")
+
+
+def test_png_palette_decode_known_answer():
+    """Hand-built type-3 container (not via encode_png): 2x1 indices
+    [1, 0] against a 2-entry PLTE — decoded RGB is the table rows in
+    index order."""
+    import struct
+    import zlib
+
+    pal = bytes([10, 20, 30, 40, 50, 60])
+    raw = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+        )
+        + _chunk(b"PLTE", pal)
+        + _chunk(b"IDAT", zlib.compress(bytes([0, 1, 0])))
+        + _chunk(b"IEND", b"")
+    )
+    assert M.decode_image(raw) == bytes([40, 50, 60, 10, 20, 30])
+
+
+def test_png_palette_loud_errors():
+    import struct
+    import zlib
+
+    def raw(pal, idx):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(
+                b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+            )
+            + _chunk(b"PLTE", pal)
+            + _chunk(b"IDAT", zlib.compress(bytes([0, idx])))
+            + _chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(ValueError, match="index 2 out of range"):
+        M._decode_png(raw(bytes(6), 2))
+    with pytest.raises(ValueError, match="PLTE length"):
+        M._decode_png(raw(bytes(4), 0))
+    with pytest.raises(ValueError, match="palette must be given"):
+        M.encode_png(bytes([0]), 1, 1, color_type=3)
+    with pytest.raises(ValueError, match="palette must be given"):
+        M.encode_png(bytes([0, 0, 0]), 1, 1, color_type=2,
+                     palette=bytes(6))
+    with pytest.raises(ValueError, match="out of range"):
+        M.encode_png(bytes([3]), 1, 1, color_type=3, palette=bytes(6))
+    with pytest.raises(ValueError, match="palette length"):
+        M.encode_png(bytes([0]), 1, 1, color_type=3, palette=bytes(7))
+
+
+def test_png_palette_roundtrip_every_filter():
+    """Palette rasters (1-byte pixel stride) through every scanline
+    filter — the narrowest bpp the unfilter loops see."""
+    import random
+
+    rng = random.Random(3)
+    pal = M.PNG_TEST_PALETTE
+    for filt in (0, 1, 2, 3, 4, None):
+        idx = bytes(rng.randrange(256) for _ in range(6 * 5))
+        raw = M.encode_png(
+            idx, 6, 5, color_type=3, filter_choice=filt, palette=pal
+        )
+        expect = b"".join(pal[i * 3 : i * 3 + 3] for i in idx)
+        assert M._decode_png(raw) == expect, f"filter {filt}"
+
+
+def test_image_pixels_worker_matches_palette_arithmetic(spark):
+    import hashlib as _h
+
+    docs = spark.createDataFrame([(2, "icon")], "doc_id long, text string")
+    h = _h.sha256(b"icon").hexdigest()
+    rows = sorted(
+        M.image_pixels(M.as_png_palette(docs)).collect(),
+        key=lambda r: r["px"],
+    )
+    assert len(rows) == 10
+    for px, r in enumerate(rows):
+        v = ord(h[px])
+        assert (r["r"], r["g"], r["b"]) == (v, 255 - v, v ^ 0x55), px
 
 
 def test_as_png_payloads_decode_end_to_end(spark, sample_df):
@@ -2357,9 +2445,10 @@ def test_lsh_saturation_cap_of_one_fires_at_full_coverage(spark, tmp_path):
 
 def test_png_unsupported_features_fall_through_to_pil(monkeypatch, tmp_path):
     """Review r13: a codec-present deployment must not LOSE formats —
-    a palette/interlaced PNG the from-scratch tier rejects falls
-    through to PIL when importable (faked here: the container has no
-    codec), while without PIL the specific ValueError survives."""
+    an INTERLACED PNG the from-scratch tier rejects (palette now
+    decodes in-tier, r14) falls through to PIL when importable (faked
+    here: the container has no codec), while without PIL the specific
+    ValueError survives."""
     import struct
     import zlib
 
@@ -2369,17 +2458,16 @@ def test_png_unsupported_features_fall_through_to_pil(monkeypatch, tmp_path):
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
         )
 
-    palette_png = (
+    interlaced_png = (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
-        + chunk(b"PLTE", bytes([255, 0, 0]))
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
         + chunk(b"IDAT", zlib.compress(bytes([0, 0])))
         + chunk(b"IEND", b"")
     )
     # without PIL: the loud tier error
     monkeypatch.setattr(M, "_HAVE_PIL", False)
-    with pytest.raises(ValueError, match="color type 3"):
-        M.decode_image(palette_png)
+    with pytest.raises(ValueError, match="interlaced"):
+        M.decode_image(interlaced_png)
 
     # with (fake) PIL: decode_image must reach the PIL tier
     class FakeImg:
@@ -2395,7 +2483,7 @@ def test_png_unsupported_features_fall_through_to_pil(monkeypatch, tmp_path):
 
     monkeypatch.setattr(M, "_HAVE_PIL", True)
     monkeypatch.setattr(M, "_PILImage", FakePIL)
-    assert M.decode_image(palette_png) == bytes([255, 0, 0])
+    assert M.decode_image(interlaced_png) == bytes([255, 0, 0])
 
 
 def test_png_invalid_deflate_is_a_loud_valueerror(monkeypatch):
