@@ -231,6 +231,12 @@ def decode_g711(payload: bytes) -> dict:
         raise ValueError(
             f"not a RIFF/WAVE payload (magic {payload[:4]!r}/{payload[8:12]!r})"
         )
+    riff_size = struct.unpack_from("<I", payload, 4)[0]
+    if riff_size + 8 > len(payload):
+        raise ValueError(
+            f"truncated RIFF container: header claims {riff_size + 8} "
+            f"bytes, have {len(payload)}"
+        )
     fmt = None
     pos = 12
     while pos + 8 <= len(payload):
@@ -240,6 +246,11 @@ def decode_g711(payload: bytes) -> dict:
         if data_start + size > len(payload):
             raise ValueError(f"truncated {tag!r} chunk")
         if tag == b"fmt ":
+            # a short fmt chunk would otherwise pass the in-container
+            # truncation check and read the NEXT chunk's bytes as fmt
+            # fields (or leak a raw struct.error) — review r14
+            if size < 16:
+                raise ValueError(f"WAV fmt chunk too short: {size} bytes")
             code, channels, rate, byte_rate, block_align, bits = (
                 struct.unpack_from("<HHIIHH", payload, data_start)
             )
@@ -418,7 +429,10 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                         d["n_frames"],
                         d["sample_rate"],
                         d["duration_us"],
-                        max(flat),
+                        # a zero-frame container is VALID audio; its
+                        # stats are the additive identities, not a
+                        # worker-killing bare max() error (review r14)
+                        max(flat) if flat else 0,
                         sum(flat),
                     )
                 )

@@ -87,13 +87,14 @@ def frame_bytes(width: int, height: int, colorspace: str) -> int:
             "10/12-bit depths need a plane-geometry extension"
         )
     sixths = _CS_SIXTHS[colorspace]
-    n = width * height * sixths
-    if n % 6:
+    # 4:2:0 chroma planes are (w/2)x(h/2): BOTH dimensions must be
+    # even, not merely the product (review r14 — 2x3 made the old
+    # w*h*9 % 6 == 0 check pass and mis-framed the stream)
+    if sixths == 9 and (width % 2 or height % 2):
         raise ValueError(
-            f"C{colorspace} at {width}x{height} is not a whole byte count "
-            "(4:2:0 needs even dimensions)"
+            f"C{colorspace} requires even dimensions, got {width}x{height}"
         )
-    return n // 6
+    return width * height * sixths // 6
 
 
 def decode_y4m(payload: bytes) -> dict:

@@ -190,9 +190,12 @@ def stream_media_features_e2e(spark, sf_dir):
     work = _workdir(sf_dir, "media_features")
     landing = os.path.join(work, "arrivals")
     docs = t(spark, sf_dir, "documents")
-    half = docs.filter(F.col("doc_id") % 2 == 0)
-    docs.subtract(half).coalesce(1).write.parquet(landing)
-    half.coalesce(1).write.mode("append").parquet(landing)
+    # complements by filter, not subtract: EXCEPT DISTINCT shuffles
+    # the whole table and silently dedups rows (review r14)
+    docs.filter(F.col("doc_id") % 2 != 0).coalesce(1).write.parquet(landing)
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
 
     stream = (
         spark.readStream.schema(schemas.DOCUMENTS)

@@ -59,6 +59,7 @@ write amplification.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -78,6 +79,11 @@ from .snapshot import (
 
 #: Reserved batch-sequence column in the dv/data members.
 BATCH_COL = "_batch"
+
+#: Root-level record of the init-time declared merge key (r14 review):
+#: the dv schema alone cannot distinguish "pcol appended for pruning"
+#: from "pcol declared as row identity".
+_KEY_FILE = "_MERGE_KEY"
 
 #: Loud ceiling on the un-compacted backlog: past this many pending
 #: batches the read-side broadcast union stops being "tiny sidecar"
@@ -166,8 +172,27 @@ def mor_init(
         keep=keep,
         fs=fs,
     )
+    # The dv SCHEMA cannot say whether pcol is declared row identity or
+    # the appended pruning column — both land as the same column set —
+    # so the declared key is recorded verbatim (review r14: without it,
+    # a table initialized with pcol as REAL identity, same key value
+    # live in two partitions, accepted a pcol-omitting merge key and
+    # silently reinterpreted the caller's row identity).
+    fs.write_text(
+        os.path.join(root, _KEY_FILE),
+        json.dumps({"key": list(key), "pcol_appended": partition_col not in key}),
+    )
     index_publish(root, {"base": vb, "dv": vv, "data": vd}, keep=keep, fs=fs)
     return {"base": vb, "dv": vv, "data": vd}
+
+
+def _declared_key(root: str, fs) -> dict | None:
+    """The init-time merge-key record, or ``None`` on a pre-r14 root
+    (falls back to the schema-derived relaxed check)."""
+    try:
+        return json.loads(fs.read_text(os.path.join(root, _KEY_FILE)))
+    except (FileNotFoundError, OSError):
+        return None
 
 
 def _next_batch_id(root: str, pin: dict[str, str], fs) -> int:
@@ -197,8 +222,17 @@ def _commit_batch_member(
     The one live-past-pin state that IS safe is this merge's own
     orphaned commit — a crash/replay after this member committed but
     before the pin republished — recognized EXACTLY: the live manifest
-    holds precisely the pinned batches plus ``batch_id``.  Then the
-    retry adopts the live token and deterministically rewrites the
+    holds precisely the pinned batches plus ``batch_id``, OR precisely
+    the pinned batches when this batch's partition was EMPTY
+    (:func:`snapshot_commit_partitioned` drops empty partitions from
+    the manifest, so a delete-only batch's data commit — or an
+    empty-source batch's — advances the version WITHOUT adding the
+    entry; review r14: without this arm the replay re-raised forever
+    and the stream wedged).  The empty form cannot mask a foreign
+    writer under the single-maintainer contract: the only other legal
+    pointer-advancer is compaction, and its pin republish makes this
+    merge's own ``index_publish`` conflict loudly afterwards.  Then
+    the retry adopts the live token and deterministically rewrites the
     same partition (converges).  Anything else re-raises."""
     try:
         return snapshot_commit_partitioned(
@@ -220,7 +254,10 @@ def _commit_batch_member(
                 "entries", {}
             )
         )
-        if live_entries != pinned_entries | {str(batch_id)}:
+        if live_entries not in (
+            pinned_entries | {str(batch_id)},  # partition written
+            pinned_entries,  # partition was empty and manifest-dropped
+        ):
             raise
         return snapshot_commit_partitioned(
             df,
@@ -288,21 +325,37 @@ def mor_merge(
         for c in snapshot_read(spark, dv_root, fs=fs, version=pin["dv"]).columns
         if c != BATCH_COL
     ]
-    # The pinned dv columns are the merge key plus (when not already a
-    # key member) the partition column mor_init appended.  The caller's
-    # key must cover every pinned column except possibly that pcol —
-    # under the stable-partition contract pcol is functionally
-    # determined by the key, so including or omitting it names the
-    # same row identity; any other difference is a different identity
-    # and raises.
-    missing_cols = [c for c in key if c not in dv_cols]
-    extra = [c for c in dv_cols if c not in key]
-    if missing_cols or extra not in ([], [pcol]):
-        raise ValueError(
-            f"mor_merge key {list(key)} differs from the table's pinned "
-            f"merge key {[c for c in dv_cols if c != pcol] or dv_cols} "
-            "(fixed at mor_init) — row identity cannot change per batch"
-        )
+    # The caller's key must name the init-time row identity.  With the
+    # root's _MERGE_KEY record (r14) the check is exact: when pcol was
+    # APPENDED by init (not declared identity) the caller may include
+    # or omit it — under the stable-partition contract pcol is then
+    # functionally determined by the key, so both spellings name the
+    # same identity; when pcol was DECLARED in the key, omitting it
+    # would silently reinterpret identity (same key value live in two
+    # partitions) and raises.  Pre-r14 roots without the record keep
+    # the schema-derived relaxed check.
+    declared = _declared_key(root, fs)
+    if declared is not None:
+        base_key = set(declared["key"])
+        ok_keys = [base_key]
+        if declared["pcol_appended"]:
+            ok_keys.append(base_key | {pcol})
+        if set(key) not in ok_keys:
+            raise ValueError(
+                f"mor_merge key {list(key)} differs from the table's "
+                f"declared merge key {declared['key']} (fixed at "
+                "mor_init) — row identity cannot change per batch"
+            )
+    else:
+        missing_cols = [c for c in key if c not in dv_cols]
+        extra = [c for c in dv_cols if c not in key]
+        if missing_cols or extra not in ([], [pcol]):
+            raise ValueError(
+                f"mor_merge key {list(key)} differs from the table's "
+                f"pinned merge key "
+                f"{[c for c in dv_cols if c != pcol] or dv_cols} "
+                "(fixed at mor_init) — row identity cannot change per batch"
+            )
     pending = (_read_manifest(dv_root, pin["dv"], fs) or {}).get("entries", {})
     if len(pending) >= MAX_PENDING_BATCHES:
         raise ValueError(

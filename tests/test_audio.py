@@ -152,6 +152,49 @@ def test_partial_trailing_frame_raises():
         A.decode_wav(_hand_wav(pcm, bits=16, channels=2))
 
 
+def test_short_fmt_chunk_is_a_loud_valueerror():
+    """Review r14: a fmt chunk DECLARING fewer than 16 bytes must be a
+    ValueError, not a struct.error leak or a parse of the next chunk's
+    bytes as fmt fields — for both the PCM and G.711 walks."""
+    fmt8 = struct.pack("<HHI", 1, 1, 8000)  # 8 bytes only
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+        + b"data" + struct.pack("<I", 2) + b"\x01\x02"
+    )
+    raw = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        A.decode_wav(raw)
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        A.decode_g711(raw)
+
+
+def test_zero_frame_wav_features_are_identities_not_a_crash(spark):
+    """Review r14: a zero-frame container is VALID audio — features
+    must report the additive identities, not die on max() of an empty
+    sequence inside the worker."""
+    d = A.decode_wav(A.encode_wav(b""))
+    assert d["n_frames"] == 0 and d["duration_us"] == 0
+
+    import pandas as pd
+
+    from etl_pulumi_aws_snowflake_spark.operators.audio import (
+        extract_audio_features,
+    )
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1],
+                "content": [A.encode_wav(b"")],
+                "mime": ["audio/wav"],
+                "n_bytes": [len(A.encode_wav(b""))],
+            }
+        )
+    )
+    row = extract_audio_features(media).collect()[0]
+    assert (row["n_frames"], row["peak"], row["amp_sum"]) == (0, 0, 0)
+
+
 def test_wav_frames_rejects_mono(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(Exception, match="stereo"):

@@ -133,6 +133,83 @@ def test_mor_heals_crash_between_member_commit_and_publish(
     assert (0, 0, "u", 5.0) in got and len(got) == 40
 
 
+def test_mor_heals_crash_replay_of_delete_only_batch(
+    spark, tmp_path, monkeypatch
+):
+    """Review r14: a delete-only batch writes an EMPTY data partition,
+    which snapshot_commit_partitioned drops from the manifest — so its
+    orphaned data commit advances the version WITHOUT adding the
+    batch's entry.  The crash-replay heal must recognize that form too
+    (live entries == pinned entries), or the stream wedges forever on
+    a conflict it can never clear."""
+    root = str(tmp_path / "mor")
+    MOR.mor_init(_seed(spark), root, "part", key=["id"])
+    b = _batch(spark, [(7, 3, "x", 0.0, True), (11, 3, "y", 0.0, True)])
+
+    real_publish = MOR.index_publish
+    monkeypatch.setattr(
+        MOR, "index_publish",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        MOR.mor_merge(spark, root, b, key=["id"], delete_col="del", batch_id=1)
+    assert _rows(MOR.mor_read(spark, root)) == _rows(_seed(spark))
+    monkeypatch.setattr(MOR, "index_publish", real_publish)
+    MOR.mor_merge(spark, root, b, key=["id"], delete_col="del", batch_id=1)
+    got = _rows(MOR.mor_read(spark, root))
+    assert len(got) == 38
+    assert not any(r[0] in (7, 11) for r in got)
+    # and the replay converges a second time too (idempotent)
+    MOR.mor_merge(spark, root, b, key=["id"], delete_col="del", batch_id=1)
+    assert _rows(MOR.mor_read(spark, root)) == got
+
+
+def test_mor_key_declared_with_pcol_rejects_pcol_omitting_merges(
+    spark, tmp_path
+):
+    """Review r14: when the partition column was DECLARED as part of
+    the merge key at init (genuinely two-column identity — the same id
+    may live in two partitions), a merge that omits it must raise
+    instead of silently reinterpreting row identity.  When the pcol
+    was APPENDED by init, both spellings stay accepted."""
+    root = str(tmp_path / "mor_declared")
+    MOR.mor_init(_seed(spark), root, "part", key=["id", "part"])
+    b = _batch(spark, [(0, 0, "u", 5.0, False)])
+    with pytest.raises(ValueError, match="declared merge key"):
+        MOR.mor_merge(spark, root, b, key=["id"], delete_col="del",
+                      batch_id=1)
+    MOR.mor_merge(spark, root, b, key=["id", "part"], delete_col="del",
+                  batch_id=1)
+
+    root2 = str(tmp_path / "mor_appended")
+    MOR.mor_init(_seed(spark), root2, "part", key=["id"])
+    MOR.mor_merge(spark, root2, b, key=["id"], delete_col="del", batch_id=1)
+    MOR.mor_merge(spark, root2, b, key=["id", "part"], delete_col="del",
+                  batch_id=2)
+    with pytest.raises(ValueError, match="declared merge key"):
+        MOR.mor_merge(spark, root2, b, key=["id", "name"],
+                      delete_col="del", batch_id=3)
+
+
+def test_mor_pre_r14_root_without_key_record_keeps_relaxed_check(
+    spark, tmp_path
+):
+    """Back-compat: a root created before the _MERGE_KEY record exists
+    falls back to the schema-derived check — pcol may be included or
+    omitted, any other difference still raises with the pinned-key
+    wording."""
+    root = str(tmp_path / "mor_legacy")
+    MOR.mor_init(_seed(spark), root, "part", key=["id"])
+    os.remove(os.path.join(root, MOR._KEY_FILE))
+    b = _batch(spark, [(0, 0, "u", 5.0, False)])
+    MOR.mor_merge(spark, root, b, key=["id"], delete_col="del", batch_id=1)
+    MOR.mor_merge(spark, root, b, key=["id", "part"], delete_col="del",
+                  batch_id=2)
+    with pytest.raises(ValueError, match="pinned merge key"):
+        MOR.mor_merge(spark, root, b, key=["id", "name"],
+                      delete_col="del", batch_id=3)
+
+
 def test_mor_compact_folds_backlog_and_preserves_content(spark, tmp_path):
     root = str(tmp_path / "mor")
     MOR.mor_init(_seed(spark), root, "part", key=["id"])
@@ -188,7 +265,7 @@ def test_mor_loud_guards(spark, tmp_path, monkeypatch):
     # column is NOT a different identity (pcol is functionally
     # determined by the key under the stable-partition contract, and
     # dv rows carry it since r14), so ["id", "part"] is accepted
-    with pytest.raises(ValueError, match="pinned merge key"):
+    with pytest.raises(ValueError, match="declared merge key"):
         MOR.mor_merge(
             spark, root,
             _batch(spark, [(0, 0, "u", 1.0, False)]),

@@ -101,8 +101,14 @@ def test_unknown_stream_parameter_raises():
 
 
 def test_odd_dimensions_under_420_raise():
-    with pytest.raises(ValueError, match="whole byte"):
+    with pytest.raises(ValueError, match="even dimensions"):
         V.decode_y4m(b"YUV4MPEG2 W3 H3 F25:1 C420\nFRAME\nxxxxxxxxxxxxx")
+    # review r14: ONE odd dimension must raise too — w*h*9 % 6 == 0
+    # made 2x3 pass the old whole-byte check and mis-frame the stream
+    with pytest.raises(ValueError, match="even dimensions"):
+        V.decode_y4m(b"YUV4MPEG2 W2 H3 F25:1 C420\nFRAME\nxxxxxxxxx")
+    with pytest.raises(ValueError, match="even dimensions"):
+        V.frame_bytes(3, 2, "420jpeg")
 
 
 def test_bad_frame_rate_raises():
