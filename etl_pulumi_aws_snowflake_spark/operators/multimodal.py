@@ -845,6 +845,14 @@ def _decode_bmp(payload: bytes) -> bytes:
     if len(payload) < 54:
         raise ValueError(f"truncated BMP header: {len(payload)} bytes")
     pix_off = struct.unpack_from("<I", payload, 10)[0]
+    # the pixel array cannot overlap BITMAPFILEHEADER+BITMAPINFOHEADER
+    # (14+40 bytes) — a smaller offset would silently decode header
+    # bytes as pixels (ADVICE r14)
+    if pix_off < 54:
+        raise ValueError(
+            f"BMP pixel-array offset {pix_off} overlaps the file/DIB "
+            "headers (must be >= 54)"
+        )
     hdr_size = struct.unpack_from("<I", payload, 14)[0]
     if hdr_size != 40:
         raise ValueError(

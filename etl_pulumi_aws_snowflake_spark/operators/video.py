@@ -132,8 +132,13 @@ def decode_y4m(payload: bytes) -> dict:
             continue  # interlace/aspect metadata, vendor extensions
         else:
             raise ValueError(f"unknown Y4M stream parameter {tok!r}")
-    if not width or not height:
+    if width is None or height is None:
         raise ValueError("Y4M stream header missing W/H geometry")
+    # a negative/zero dimension would make frame_bytes non-positive and
+    # the FRAME walk below would never advance (ADVICE r14 — W-5 hung
+    # the task); validate BEFORE deriving the frame size
+    if width < 1 or height < 1:
+        raise ValueError(f"Y4M geometry {width}x{height} invalid")
     if fps_num < 1 or fps_den < 1:
         raise ValueError(f"Y4M frame rate {fps_num}:{fps_den} invalid")
     nbytes = frame_bytes(width, height, colorspace)

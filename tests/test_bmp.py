@@ -81,6 +81,13 @@ def test_loud_errors_name_the_feature(kw, msg):
         M._decode_bmp(raw)
 
 
+def test_pixel_offset_inside_headers_raises():
+    # ADVICE r14: pix_off < 54 silently decoded header bytes as pixels
+    raw = _hand_bmp(bytes([1, 2, 3, 0]), 1, 1, pix_off=40)
+    with pytest.raises(ValueError, match="overlaps the file/DIB"):
+        M._decode_bmp(raw)
+
+
 def test_not_bmp_and_truncations_raise():
     with pytest.raises(ValueError, match="not a BMP"):
         M._decode_bmp(b"PNG....")

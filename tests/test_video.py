@@ -116,6 +116,15 @@ def test_bad_frame_rate_raises():
         V.decode_y4m(b"YUV4MPEG2 W1 H1 F0:1 Cmono\nFRAME\nz")
 
 
+@pytest.mark.parametrize("hdr", [b"W-5 H3", b"W3 H-5", b"W0 H3", b"W3 H0"])
+def test_negative_or_zero_geometry_raises_not_hangs(hdr):
+    # ADVICE r14: W-5 made frame_bytes negative and the FRAME walk
+    # moved pos backwards — an infinite loop instead of a loud error
+    raw = b"YUV4MPEG2 " + hdr + b" F25:1 Cmono\nFRAME         \n"
+    with pytest.raises(ValueError, match="geometry"):
+        V.decode_y4m(raw)
+
+
 # --------------------------------------------------------------------
 # encoder round-trips (raw planes — bit-exact)
 
