@@ -1,0 +1,169 @@
+"""Raw-web ingestion queries (SURVEY.md §2.10, r15): WARC record walk,
+HTTP envelope strip with chunked decoding, from-scratch HTML→text, and
+link-density boilerplate removal — the text-side decode tier, judged
+with the codec-tier recipe: payloads synthesized in pure codegen from
+the documents table, decoded in Arrow-batched ``mapInPandas``, oracle
+replaying the decoded result relationally in DuckDB SQL."""
+
+from __future__ import annotations
+
+from ..operators import web as W
+from ._util import t
+from .registry import query
+
+
+def _lit(s: str) -> str:
+    """DuckDB e-string literal for a Python string (CRLFs and quotes
+    escaped) — keeps the oracle text byte-identical to the codegen
+    constants it replays."""
+    body = (
+        s.replace("\\", "\\\\").replace("'", "''")
+        .replace("\r", "\\r").replace("\n", "\\n")
+    )
+    return f"e'{body}'"
+
+
+# The two surviving boilerplate blocks' text and the dropped nav/footer
+# text, straight from the synthesis skeleton (operators/web.py
+# BLOCKS_TEMPLATE) — the oracle spells the composition out literally.
+_P2_BLOCK = "tags & entities <stay> encoded — ❤ end"
+_NAV_BLOCK = "home about contact"
+_FOOT_BLOCK = "terms privacy © 2026"
+
+# HTML page body as a DuckDB expression over (doc_id, text).  Entity
+# encoding of the document text is the identity on this corpus (no
+# &/</> — asserted in pytest), so the oracle uses `text` directly.
+_BODY_SQL = (
+    f"{_lit(W._HTML_HEAD)} || doc_id || {_lit(W._HTML_AFTER_TITLE)} "
+    f"|| doc_id || {_lit(W._HTML_AFTER_H1)} || text "
+    f"|| {_lit(W._HTML_AFTER_TEXT)}"
+)
+
+_P_REQ_SQL = (
+    "'GET /doc/' || doc_id || "
+    + _lit(" HTTP/1.1\r\nhost: example.org\r\nuser-agent: spark-graft\r\n\r\n")
+)
+# chunked HTTP response: 64-byte first chunk, remainder, 0-terminator
+_P_RESP_SQL = (
+    f"{_lit(W._HTTP_HEAD)} || {_lit(f'{W._CHUNK1:x}' + chr(13) + chr(10))} "
+    f"|| substr(body, 1, {W._CHUNK1}) || {_lit(chr(13) + chr(10))} "
+    f"|| lower(to_hex(length(body) - {W._CHUNK1})) "
+    f"|| {_lit(chr(13) + chr(10))} || substr(body, {W._CHUNK1 + 1}) "
+    f"|| {_lit(chr(13) + chr(10) + '0' + chr(13) + chr(10) + chr(13) + chr(10))}"
+)
+
+
+@query(
+    "web_html_extract",
+    oracle=f"""
+    SELECT doc_id,
+           'doc ' || doc_id AS title,
+           CAST(5 AS BIGINT) AS n_blocks,
+           {_lit(_NAV_BLOCK)} || chr(10) || 'doc ' || doc_id || chr(10)
+             || text || chr(10) || {_lit(_P2_BLOCK)} || chr(10)
+             || {_lit(_FOOT_BLOCK)} AS text
+    FROM documents
+    """,
+)
+def web_html_extract(spark, sf_dir):
+    """From-scratch HTML→text end-to-end (the text-side decode tier,
+    r15): each document becomes a deterministic HTML page in codegen —
+    comment, style/script raw-text elements containing ``<`` and a fake
+    close tag in a string, a quoted ``>`` inside an attribute, named +
+    decimal + hex character references, intra-block whitespace to
+    collapse — and ``html_extract`` runs the from-scratch tokenizer in
+    the Python worker (operators/web.py::html_text).  The oracle spells
+    out the five visible blocks literally, so a stripper that exits
+    script at the first ``<``, mis-scans a quoted attribute, drops a
+    block boundary, or expands an entity wrongly changes the judged
+    text and fails the hash."""
+    return W.html_extract(W.as_web_html(t(spark, sf_dir, "documents")))
+
+
+@query(
+    "web_main_content",
+    oracle=f"""
+    SELECT doc_id,
+           'doc ' || doc_id || chr(10) || text || chr(10)
+             || {_lit(_P2_BLOCK)} AS main_text,
+           CAST(3 AS BIGINT) AS n_kept,
+           CAST(2 AS BIGINT) AS n_dropped
+    FROM documents
+    """,
+)
+def web_main_content(spark, sf_dir):
+    """Link-density boilerplate removal (the jusText/trafilatura-family
+    heuristic): the synthesized page's nav (16/18 link chars) and
+    footer (12/20) blocks exceed the 0.5 density threshold and must be
+    dropped; the h1 and both paragraphs survive.  Both the surviving
+    text AND the kept/dropped counts are value-judged — a density
+    computed over the wrong denominator, or link attribution that leaks
+    across ``</a>``, moves a block across the threshold and fails the
+    hash."""
+    return W.html_main_text(W.as_web_html(t(spark, sf_dir, "documents")))
+
+
+@query(
+    "web_warc_records",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, text, {_BODY_SQL} AS body FROM documents),
+    p AS (SELECT doc_id,
+                 {_P_REQ_SQL} AS p_req,
+                 {_P_RESP_SQL} AS p_resp
+          FROM b)
+    SELECT doc_id,
+           CAST(r.i AS BIGINT) AS rec_no,
+           CASE r.i WHEN 0 THEN 'warcinfo' WHEN 1 THEN 'request'
+                    ELSE 'response' END AS warc_type,
+           CASE WHEN r.i = 0 THEN NULL
+                ELSE 'http://example.org/doc/' || doc_id END AS target_uri,
+           CAST(CASE r.i WHEN 0 THEN {len(W._WARCINFO_PAYLOAD)}
+                         WHEN 1 THEN length(p_req)
+                         ELSE length(p_resp) END AS BIGINT)
+             AS content_length,
+           CASE r.i WHEN 0 THEN md5({_lit(W._WARCINFO_PAYLOAD)})
+                    WHEN 1 THEN md5(p_req)
+                    ELSE md5(p_resp) END AS payload_md5
+    FROM p CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i) r
+    """,
+)
+def web_warc_records(spark, sf_dir):
+    """REAL WARC/1.0 record walk end-to-end (ISO 28500): each document
+    becomes a genuine three-record WARC file in codegen — warcinfo,
+    request, response in the Common-Crawl shape, every Content-Length
+    computed in codegen — and ``warc_records`` walks it from scratch in
+    the Python worker: version line, header block, Content-Length
+    payload slice, CRLFCRLF separators, every byte accounted (truncated
+    records and header folding are loud errors).  The 1-row→3-rows
+    output carries the md5 of each ACTUAL payload slice, which the
+    oracle recomputes by rebuilding the identical payloads in SQL — a
+    walker that loses an offset, or a synthesis length that lies,
+    fails on the exact record that triggers it."""
+    return W.warc_records(W.as_warc(t(spark, sf_dir, "documents")))
+
+
+@query(
+    "web_pipeline_e2e",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(200 AS BIGINT) AS status,
+           CAST(2 + len(regexp_extract_all(text, '\\S+')) + 8 AS BIGINT)
+             AS n_words,
+           CAST(length('doc ' || doc_id) + 1 + length(text) + 1
+                + {len(_P2_BLOCK)} AS BIGINT) AS n_chars,
+           'doc ' || doc_id || chr(10) || text || chr(10)
+             || {_lit(_P2_BLOCK)} AS main_text
+    FROM documents
+    """,
+)
+def web_pipeline_e2e(spark, sf_dir):
+    """The full raw-web ingestion chain under ONE driver hash: WARC
+    record walk → response record → HTTP envelope strip with RFC 9112
+    **chunked transfer decoding** (hex size lines, per-chunk CRLFs, the
+    0-terminator — a dechunker that mis-parses a size corrupts the HTML
+    mid-byte) → from-scratch HTML→blocks → link-density boilerplate
+    removal → main text with exact word/char counts.  This is the
+    operator chain a Common-Crawl-scale corpus build runs before any
+    dedup/quality stage; one column-pruned scan → one mapInPandas, no
+    shuffle, 1000-executor-parallel by file at 100 TB."""
+    return W.warc_main_text(W.as_warc(t(spark, sf_dir, "documents")))

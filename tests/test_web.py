@@ -1,0 +1,268 @@
+"""Raw-web ingestion tier (operators/web.py): from-scratch HTML
+tokenizer, WARC record walk, HTTP envelope strip + chunked decoding,
+link-density boilerplate removal — unit grammar tests, loud-error
+contracts, and synthesis/extraction agreement."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from etl_pulumi_aws_snowflake_spark.operators import web as W
+
+
+# --------------------------------------------------------------------
+# HTML tokenizer
+# --------------------------------------------------------------------
+
+def _page(text: str, doc_id: int = 7) -> str:
+    return (
+        W._HTML_HEAD + str(doc_id) + W._HTML_AFTER_TITLE + str(doc_id)
+        + W._HTML_AFTER_H1 + text + W._HTML_AFTER_TEXT
+    )
+
+
+def test_skeleton_extracts_the_documented_blocks():
+    text = "alpha beta gamma"
+    r = W.html_text(_page(text, 7))
+    assert r["title"] == "doc 7"
+    got = [b[0] for b in r["blocks"]]
+    want = [t.format(doc_id=7, text=text) for t in W.BLOCKS_TEMPLATE]
+    assert got == want
+
+
+def test_skeleton_link_densities():
+    r = W.html_text(_page("x"))
+    nav, h1, p1, p2, foot = r["blocks"]
+    assert nav[2] / nav[1] > 0.5      # dropped by the 0.5 threshold
+    assert foot[2] / foot[1] > 0.5
+    assert h1[2] == p1[2] == p2[2] == 0
+
+
+def test_script_content_with_lt_is_skipped_to_close_tag():
+    # '<' and a fake close tag inside a STRING must not end the element
+    h = '<p>a</p><script>if(1<2){x="</nope>";}</script><p>b</p>'
+    assert [b[0] for b in W.html_text(h)["blocks"]] == ["a", "b"]
+
+
+def test_style_title_textarea_are_raw_text():
+    h = ("<title>t &amp; u</title><style>p>a{color:red}</style>"
+         "<textarea><p>not a block</p></textarea><p>real</p>")
+    r = W.html_text(h)
+    assert r["title"] == "t & u"
+    assert [b[0] for b in r["blocks"]] == ["real"]
+
+
+def test_comment_and_doctype_skipped():
+    h = "<!DOCTYPE html><!-- <p>ghost</p> --><p>live</p>"
+    assert [b[0] for b in W.html_text(h)["blocks"]] == ["live"]
+
+
+def test_quoted_gt_in_attribute_does_not_end_tag():
+    h = '<p title="a>b">text</p>'
+    assert [b[0] for b in W.html_text(h)["blocks"]] == ["text"]
+
+
+def test_entities_named_decimal_hex_and_forgiveness():
+    h = "<p>&amp;&lt;&gt;&#65;&#x42;&copy; &unknown; &brokenentity</p>"
+    (block,) = W.html_text(h)["blocks"]
+    assert block[0] == "&<>AB© &unknown; &brokenentity"
+
+
+def test_whitespace_collapse_and_nbsp():
+    h = "<p>a  \n\t b&nbsp;&#160;c</p>"
+    (block,) = W.html_text(h)["blocks"]
+    assert block[0] == "a b c"
+
+
+def test_link_chars_attributed_only_inside_anchor():
+    h = '<p>one <a href="/">two three</a> four</p>'
+    (block,) = W.html_text(h)["blocks"]
+    assert block == ("one two three four", 18, 9)
+
+
+def test_bare_lt_is_text():
+    h = "<p>1 < 2 and 2 > 1</p>"
+    (block,) = W.html_text(h)["blocks"]
+    assert block[0] == "1 < 2 and 2 > 1"
+
+
+@pytest.mark.parametrize(
+    "h,msg",
+    [
+        ("<p>x</p><!-- never closed", "unterminated HTML comment"),
+        ("<!DOCTYPE html", "unterminated markup declaration"),
+        ("<p>x</p><script>var a=1;", "unterminated raw-text <script>"),
+        ("<p class='x", "unterminated <p> tag"),
+    ],
+)
+def test_truncated_html_raises_loudly(h, msg):
+    with pytest.raises(ValueError, match=msg.replace("<", "<").replace(
+            "(", "\\(")):
+        W.html_text(h)
+
+
+def test_block_vs_inline_flush_semantics():
+    h = "<div>a<span>b</span>c</div><div>d</div>"
+    assert [b[0] for b in W.html_text(h)["blocks"]] == ["abc", "d"]
+
+
+# --------------------------------------------------------------------
+# WARC walk
+# --------------------------------------------------------------------
+
+def _rec(rec_type: str, payload: bytes, extra: str = "") -> bytes:
+    hdr = (
+        f"WARC/1.0\r\nWARC-Type: {rec_type}\r\n{extra}"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return hdr + payload + b"\r\n\r\n"
+
+
+def test_warc_walk_two_records_exact_slices():
+    raw = _rec("warcinfo", b"k: v\r\n") + _rec(
+        "response", b"BODYBYTES",
+        extra="WARC-Target-URI: http://x/\r\n",
+    )
+    recs = W.warc_walk(raw)
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "response"]
+    assert recs[1]["target_uri"] == "http://x/"
+    assert recs[1]["payload"] == b"BODYBYTES"
+    assert recs[1]["content_length"] == 9
+
+
+@pytest.mark.parametrize(
+    "raw,msg",
+    [
+        (b"NOTWARC/1.0\r\n", "expected WARC version line"),
+        (b"WARC/0.9\r\nContent-Length: 0\r\n\r\n\r\n\r\n",
+         "unsupported WARC version"),
+        (b"WARC/1.0\r\nContent-Length: 5\r\n\r\nab", "truncated WARC"),
+        (b"WARC/1.0\r\nNoColonHere\r\n\r\n\r\n\r\n", "malformed WARC header"),
+        (b"WARC/1.0\r\nWARC-Type: x\r\n\r\n\r\n\r\n", "missing Content-Length"),
+        (b"WARC/1.0\r\nA: b\r\n  folded\r\nContent-Length: 0\r\n\r\n\r\n\r\n",
+         "folding unsupported"),
+    ],
+)
+def test_warc_walk_loud_errors(raw, msg):
+    with pytest.raises(ValueError, match=msg):
+        W.warc_walk(raw)
+
+
+def test_warc_walk_content_length_lie_detected():
+    # declared 4, actual payload 6 → the separator check must trip
+    raw = (b"WARC/1.0\r\nContent-Length: 4\r\n\r\n"
+           b"sixsix\r\n\r\n")
+    with pytest.raises(ValueError, match="CRLFCRLF"):
+        W.warc_walk(raw)
+
+
+# --------------------------------------------------------------------
+# HTTP envelope + chunked decoding
+# --------------------------------------------------------------------
+
+def _chunked(body: bytes, sizes: list[int]) -> bytes:
+    out, pos = bytearray(), 0
+    for s in sizes:
+        out += f"{s:x}\r\n".encode() + body[pos : pos + s] + b"\r\n"
+        pos += s
+    assert pos == len(body)
+    return bytes(out + b"0\r\n\r\n")
+
+
+def test_dechunk_roundtrip_multi_chunk():
+    body = b"The quick brown fox jumps over the lazy dog"
+    raw = _chunked(body, [10, 1, 32])
+    assert W.dechunk_http_body(raw) == body
+
+
+def test_dechunk_ignores_chunk_extensions():
+    raw = b"3;ext=1\r\nabc\r\n0\r\n\r\n"
+    assert W.dechunk_http_body(raw) == b"abc"
+
+
+@pytest.mark.parametrize(
+    "raw,msg",
+    [
+        (b"zz\r\nabc\r\n0\r\n\r\n", "bad chunk size"),
+        (b"5\r\nab\r\n", "truncated chunk"),
+        (b"3\r\nabcXX0\r\n\r\n", "not terminated by CRLF"),
+        (b"3\r\nabc\r\n0\r\n\r\nEXTRA", "trailing garbage"),
+        (b"3\r\nabc\r\n0\r\nX-Trailer: v\r\n\r\n", "trailer section"),
+        (b"3\r\nabc\r\n", "missing chunk-size line"),
+    ],
+)
+def test_dechunk_loud_errors(raw, msg):
+    with pytest.raises(ValueError, match=msg):
+        W.dechunk_http_body(raw)
+
+
+def test_http_response_content_length_and_chunked():
+    body = b"<html>hello</html>"
+    cl = (b"HTTP/1.1 200 OK\r\ncontent-length: "
+          + str(len(body)).encode() + b"\r\n\r\n" + body)
+    assert W.http_response_body(cl) == (200, body)
+    ch = (b"HTTP/1.1 404 Not Found\r\ntransfer-encoding: chunked\r\n\r\n"
+          + _chunked(body, [7, 11]))
+    assert W.http_response_body(ch) == (404, body)
+
+
+@pytest.mark.parametrize(
+    "raw,msg",
+    [
+        (b"SPDY/1 200\r\n\r\n", "not an HTTP/1.x response"),
+        (b"HTTP/1.1 OK\r\n\r\n", "malformed HTTP status line"),
+        (b"HTTP/1.1 200 OK\r\nheader-without-end", "unterminated HTTP header"),
+        (b"HTTP/1.1 200 OK\r\ncontent-length: 99\r\n\r\nshort",
+         "!= body size"),
+        (b"HTTP/1.1 200 OK\r\ntransfer-encoding: gzip\r\n\r\nx",
+         "unsupported"),
+    ],
+)
+def test_http_response_loud_errors(raw, msg):
+    with pytest.raises(ValueError, match=msg):
+        W.http_response_body(raw)
+
+
+# --------------------------------------------------------------------
+# synthesis ↔ extraction agreement (worker-identical, no Spark needed)
+# --------------------------------------------------------------------
+
+def test_corpus_precondition_text_is_entity_free(spark, sf_correct):
+    """The oracles use `text` directly because entity-encoding it is
+    the identity on this corpus — assert that precondition."""
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    bad = docs.filter(
+        F.col("text").rlike("[&<>]") | F.col("text").rlike("[^ -~]")
+    ).count()
+    assert bad == 0
+
+
+def test_warc_synthesis_decodes_end_to_end(spark, sf_correct):
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet").limit(5)
+    rows = W.as_warc(docs).collect()
+    assert rows, "fixture empty"
+    for row in rows:
+        recs = W.warc_walk(row["warc"].encode())
+        assert [r["warc_type"] for r in recs] == [
+            "warcinfo", "request", "response"]
+        status, body = W.http_response_body(recs[2]["payload"])
+        assert status == 200
+        parsed = W.html_text(body.decode())
+        assert parsed["title"] == f"doc {row['doc_id']}"
+        assert len(parsed["blocks"]) == 5
+
+
+def test_warc_records_md5_matches_hand_walk(spark, sf_correct):
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet").limit(3)
+    out = {
+        (r["doc_id"], r["rec_no"]): r["payload_md5"]
+        for r in W.warc_records(W.as_warc(docs)).collect()
+    }
+    for row in W.as_warc(docs).collect():
+        for i, rec in enumerate(W.warc_walk(row["warc"].encode())):
+            assert out[(row["doc_id"], i)] == hashlib.md5(
+                rec["payload"]).hexdigest()
