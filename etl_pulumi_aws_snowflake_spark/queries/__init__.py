@@ -30,6 +30,7 @@ from . import llm_packing  # noqa: E402,F401
 from . import llm_curation  # noqa: E402,F401
 from . import llm_pq  # noqa: E402,F401
 from . import llm_web  # noqa: E402,F401
+from . import llm_bpe  # noqa: E402,F401
 from . import llm_search  # noqa: E402,F401
 from . import warehouse_ops  # noqa: E402,F401
 from . import pipeline_e2e  # noqa: E402,F401

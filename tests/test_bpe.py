@@ -1,0 +1,214 @@
+"""Trainable BPE (operators/bpe.py): the fixpoint-replace merge
+semantics vs the canonical simultaneous left-to-right merge, trainer
+determinism, tokenization contracts."""
+
+from __future__ import annotations
+
+import collections
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_pulumi_aws_snowflake_spark.operators import bpe as B
+
+
+# --------------------------------------------------------------------
+# reference implementation (Sennrich-style, over symbol tuples)
+# --------------------------------------------------------------------
+
+def _ref_merge(syms: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
+    """Canonical BPE merge: all non-overlapping (a, b) adjacencies,
+    left to right, merged simultaneously."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _str_merge(tok: str, a: str, b: str) -> str:
+    """The engine-side semantics: ONE left-to-right non-overlapping
+    replace on the double-space-boundary encoding — EXACTLY what
+    F.replace / DuckDB replace do."""
+    return tok.replace(f" {a}  {b} ", f" {a}{b} ")
+
+
+def _ref_train(corpus: dict[str, int], n: int, max_len: int = 16):
+    vocab = {
+        tuple(w): c for w, c in corpus.items() if len(w) <= max_len
+    }
+    merges = []
+    for k in range(n):
+        pairs: collections.Counter = collections.Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        top = max(pairs.values())
+        a, b = min(
+            (p for p, c in pairs.items() if c == top),
+            key=lambda p: f"{p[0]} {p[1]}",
+        )
+        merges.append((k, a, b, a + b, top))
+        vocab = _remerge(vocab, a, b)
+    return merges, vocab
+
+
+def _remerge(vocab, a, b):
+    out: dict[tuple[str, ...], int] = {}
+    for syms, c in vocab.items():
+        key = _ref_merge(syms, a, b)
+        out[key] = out.get(key, 0) + c
+    return out
+
+
+# --------------------------------------------------------------------
+# the core equivalence claim (the oracle's validity rests on it)
+# --------------------------------------------------------------------
+
+@given(
+    word=st.text(alphabet="ab", min_size=1, max_size=16),
+    pair=st.tuples(
+        st.text(alphabet="ab", min_size=1, max_size=2),
+        st.text(alphabet="ab", min_size=1, max_size=2),
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_fixpoint_replace_equals_canonical_merge(word, pair):
+    """A single replace on the double-space encoding produces the
+    canonical simultaneous-merge result for ANY word — incl. the worst
+    case, odd same-symbol runs like 'bbbbb' where the match must share
+    a boundary space with its neighbor."""
+    a, b = pair
+    syms = tuple(word)
+    want = "  " + "  ".join(_ref_merge(syms, a, b)) + "  "
+    tok = "  " + "  ".join(syms) + "  "
+    got = _str_merge(tok, a, b)
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=12),
+        min_size=1, max_size=20,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_chained_merges_match_reference_training(words):
+    """Full training loop equivalence on random mini-corpora: learning
+    with string-replace semantics step-by-step produces the reference
+    trainer's merge table (same pairs, same counts, same order)."""
+    corpus = collections.Counter(words)
+    ref_merges, _ = _ref_train(dict(corpus), 5)
+    # replay the trainer with the string representation
+    vocab = {
+        "  " + "  ".join(w) + "  ": c
+        for w, c in corpus.items() if len(w) <= 16
+    }
+    got = []
+    for k in range(5):
+        pairs: collections.Counter = collections.Counter()
+        for tok, c in vocab.items():
+            syms = tok.strip().split("  ")
+            for i in range(len(syms) - 1):
+                pairs[f"{syms[i]} {syms[i + 1]}"] += c
+        if not pairs:
+            break
+        top = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == top)
+        a, b = best.split(" ")
+        got.append((k, a, b, a + b, top))
+        nxt: dict[str, int] = {}
+        for tok, c in vocab.items():
+            key = _str_merge(tok, a, b)
+            nxt[key] = nxt.get(key, 0) + c
+        vocab = nxt
+    assert got == ref_merges
+
+
+# --------------------------------------------------------------------
+# Spark trainer / tokenizer
+# --------------------------------------------------------------------
+
+_CORPUS = [
+    (0, "the cat sat on the mat"),
+    (1, "the cats eat the oats"),
+    (2, "that hat is the cats hat"),
+    (3, "aaaa aaaa baaa"),  # same-symbol runs on the judged path
+]
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    return spark.createDataFrame(_CORPUS, "doc_id long, text string")
+
+
+def test_train_matches_reference_end_to_end(tiny_docs):
+    corpus: collections.Counter = collections.Counter()
+    for _, t in _CORPUS:
+        corpus.update(re.findall(r"[a-z0-9]+", t.lower()))
+    ref, _ = _ref_train(dict(corpus), 6)
+    got = B.train_bpe(tiny_docs, 6)
+    assert got == ref
+
+
+def test_train_is_partitioning_invariant(tiny_docs):
+    one = B.train_bpe(tiny_docs.repartition(1), 4)
+    many = B.train_bpe(tiny_docs.repartition(7), 4)
+    assert one == many
+
+
+def test_token_counts_no_merges_equals_char_count(tiny_docs):
+    rows = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in B.bpe_token_counts(tiny_docs, []).collect()
+    }
+    for doc_id, text in _CORPUS:
+        words = re.findall(r"[a-z0-9]+", text.lower())
+        assert rows[doc_id] == (len(words), sum(len(w) for w in words))
+
+
+def test_token_counts_shrink_monotonically(tiny_docs):
+    m6 = B.train_bpe(tiny_docs, 6)
+    prev = None
+    for k in (0, 3, 6):
+        total = (
+            B.bpe_token_counts(tiny_docs, m6[:k])
+            .groupBy().sum("n_tokens").first()[0]
+        )
+        if prev is not None:
+            assert total < prev, "more merges must reduce token count"
+        prev = total
+    words = B.bpe_token_counts(tiny_docs, m6).groupBy().sum(
+        "n_words").first()[0]
+    assert prev >= words, "token count can never drop below word count"
+
+
+def test_overlong_words_fall_back_to_char_count(spark):
+    long_word = "x" * 40
+    docs = spark.createDataFrame(
+        [(0, f"ab ab {long_word}")], "doc_id long, text string"
+    )
+    merges = B.train_bpe(docs, 1)
+    assert merges[0][1:4] == ("a", "b", "ab")
+    (row,) = B.bpe_token_counts(docs, merges).collect()
+    # 'ab' -> 1 token each; the overlong word counts its 40 chars
+    assert (row["n_words"], row["n_tokens"]) == (3, 1 + 1 + 40)
+
+
+def test_train_rejects_bad_n_merges(tiny_docs):
+    with pytest.raises(ValueError, match="n_merges"):
+        B.train_bpe(tiny_docs, 0)
+
+
+def test_train_stops_when_vocab_fully_merged(spark):
+    docs = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+    merges = B.train_bpe(docs, 10)  # only one merge is learnable
+    assert [m[3] for m in merges] == ["ab"]
