@@ -67,6 +67,10 @@ HEADLINE: tuple[str, ...] = (
     # residual PQ build + ADC serve
     "mm_decode_jpeg",
     "sim_ivf_topk_pq_residual",
+    # r15 families: the raw-web decode chain (WARC → chunked HTTP →
+    # HTML → main text, one Arrow worker pass); BPE train+tokenize
+    "web_pipeline_e2e",
+    "text_bpe_tokenize",
 )
 
 #: Rows whose registry callables time index CONSTRUCTION + the query
@@ -90,6 +94,9 @@ BUILD_INCLUSIVE: tuple[str, ...] = (
     "sim_ivf_topk_pq_rerank",
     # r14: the residual entry builds its PQ index in-entry too.
     "sim_ivf_topk_pq_residual",
+    # r15: tokenization TRAINS the 10-merge table in-entry (10 vocab
+    # aggregations) before the broadcast apply it certifies.
+    "text_bpe_tokenize",
 )
 
 #: Entries whose SCOPE changed in a named round — a round-over-round

@@ -258,9 +258,13 @@ def _decode_entities(s: str) -> str:
             try:
                 cp = int(name[2:], 16) if name[1:2] in ("x", "X") \
                     else int(name[1:])
-                out.append(chr(cp))
-                i = semi + 1
-                continue
+                # a lone surrogate is not a Unicode scalar value —
+                # chr() would accept it and the Arrow UTF-8 encode
+                # would then fail far from the cause; literal instead
+                if not 0xD800 <= cp <= 0xDFFF:
+                    out.append(chr(cp))
+                    i = semi + 1
+                    continue
             except (ValueError, OverflowError):
                 pass
         elif name in _ENTITIES:
@@ -292,6 +296,7 @@ def html_text(html: str) -> dict:
     An unterminated comment or raw-text element is a loud error —
     truncated payloads must not silently decode."""
     title_parts: list[str] = []
+    lower = html.lower()  # one pass; raw-text close-tag scans reuse it
     # current block accumulates (chunk, inside_link) runs
     run: list[tuple[str, bool]] = []
     blocks: list[tuple[str, int, int]] = []
@@ -341,8 +346,9 @@ def html_text(html: str) -> dict:
         while k < n and (html[k].isalnum() or html[k] in "-"):
             k += 1
         name = html[j:k].lower()
-        if not name:
-            # a bare '<' is text, per the tokenizer's anything-else rule
+        if not name or not name[0].isalpha():
+            # '<' not followed by an ASCII-letter tag name is text,
+            # per the tokenizer's anything-else rule ('1 < 2', '<3')
             run.append(("<", link_depth > 0))
             i = lt + 1
             continue
@@ -363,7 +369,7 @@ def html_text(html: str) -> dict:
             raise ValueError(f"unterminated <{name}> tag at offset {lt}")
         i = end + 1
         if not closing and name in _RAW_TEXT:
-            close = html.lower().find(f"</{name}", i)
+            close = lower.find(f"</{name}", i)
             if close < 0:
                 raise ValueError(
                     f"unterminated raw-text <{name}> element at offset {lt}"

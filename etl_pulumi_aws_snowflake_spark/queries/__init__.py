@@ -38,62 +38,54 @@ from . import streaming_e2e  # noqa: E402,F401
 
 
 # The external correctness driver checks the FIRST 50 dict entries per
-# round (CORRECTNESS_r01-r13 each recorded exactly queries()[:50] in
-# order).  Round 14 rotates the window per the staleness rule
-# (scripts/driver_staleness.py order): (a) the SIXTEEN entries round
-# 14 added lead (never-checked-entries-lead rule — the SQL DDL/DML
-# twin, the two from-scratch JPEG decode entries, the PQ residual pair
-# + Lloyd-trained entry, the three from-scratch WAV audio entries, the
-# two G.711 A-law/mu-law entries, the BMP decode entry, the palette-
-# PNG entry, the two from-scratch Y4M video entries, and the
-# decode-at-ingest streaming e2e); then (b) ALL 21 r10-stale entries
-# the r13 note deferred — due now, exactly as promised (the float-IVF
-# six, the snapshot e2e trio, the sql_api twins, the two streaming
-# e2es, the text trio, the UDF pair, the streaming-window trio); then
-# (c) the first 13 r11-stale entries in staleness-report order.  The
-# 37 deferred r11 entries (they lead r15's window), grouped with why
-# each can wait one more round: join_broadcast / join_full_outer /
-# join_inner / join_left_outer / join_range /
-# join_theta / q10 / q18 / q1 / q3 / q5_local_supplier_volume and
-# further q* siblings beyond the 13 cut plus scalar_array / scalar_datetime /
-# scalar_json / set_* (untouched single-shape relational/scalar
-# families with r11 evidence AND green r13/r14 mirror+smoke sweeps),
-# search_bm25_deleted / search_phrase_indexed /
-# search_hybrid_rrf_indexed (search family untouched in r14; its
-# freshest members were window-checked in r13),
-# sim_ivf_recall_quantized / sim_ivf_topk_deleted /
-# sim_ivf_topk_quantized* (int8 family untouched in r14 — the
-# similarity surface that DID change is the PQ family, which leads
-# this window), stream_* e2es with r11 evidence (streaming engine
-# untouched in r14 beyond MoR, whose entries were r13-window-green and
-# re-verified this round), udf_* remainder (untouched demos).
+# round (CORRECTNESS_r01-r14 each recorded exactly queries()[:50] in
+# order).  Round 15 rotates the window per the staleness rule
+# (scripts/driver_staleness.py order): (a) the EIGHT entries round 15
+# added lead (never-checked-entries-lead rule — the four raw-web
+# ingestion entries: WARC record walk, HTML extract, boilerplate
+# removal, the WARC→HTTP-chunked→HTML→main-text pipeline; the three
+# trainable-BPE entries: merge-table training, tokenization,
+# BPE-budgeted packing; and the multi-writer rebase-and-retry e2e);
+# then (b) ALL 37 r11-stale entries the r14 note deferred — due now,
+# exactly as promised (the join family, the q* TPC-H heads, the
+# scalar/set/sort families, the search trio, the int8-IVF trio, the
+# six streaming e2es, text_chunk_windows, the win_* analytic trio);
+# then (c) the first 5 r12-stale entries in staleness-report order
+# (agg_collect / agg_cube / agg_grouping_sets / agg_rollup /
+# agg_stats).  The 40 remaining r12 entries defer one round (they
+# lead r16's window with the rest of the r12 cohort): align/cdc/
+# corpus/curation/decontaminate/dedup/dq/join_salted/layout/merge/
+# mm_* plumbing trio/pack/pipeline/pivot/q17/sample quartet/
+# scalar_conditional/scalar_hilbert_key/scalar_math — every one an
+# untouched family with r12 window evidence AND green r14 mirror +
+# smoke + determinism sweeps at both scales.
 # tests/test_docs.py::test_never_driver_checked_entries_lead_the_window
 # FAILS if a registry entry without any CORRECTNESS row sits outside
 # the first 50 — the r05 process miss cannot recur silently.
 _DRIVER_FIRST = [
-    # (a) NEW in r14 — first-ever driver evidence
-    "sql_api_ddl_dml", "mm_decode_jpeg", "mm_decode_jpeg_color",
-    "sim_ivf_topk_pq_residual", "sim_ivf_recall_pq_residual",
-    "sim_ivf_topk_pq_trained",
-    "mm_decode_wav", "mm_audio_features", "mm_wav_frames",
-    "mm_decode_mulaw", "mm_decode_alaw", "mm_decode_bmp",
-    "mm_decode_png_palette",
-    "mm_video_frames", "mm_video_meta", "stream_media_features_e2e",
-    # (b) the 21 r10-stale entries deferred by the r13 note — due now
-    "sim_ivf_recall", "sim_ivf_recall_nlists", "sim_ivf_topk",
-    "sim_ivf_topk_appended", "sim_ivf_topk_indexed", "sim_ivf_topk_nlists",
-    "snapshot_conflict_e2e", "snapshot_skipping_e2e",
-    "snapshot_time_travel_e2e", "sql_api_q3", "sql_api_window",
-    "stream_interval_join_e2e", "stream_lsh_ingest_e2e",
-    "text_fingerprint", "text_pii_redact", "text_repetition",
-    "udf_grouped_agg", "udf_pandas_scalar", "win_session",
-    "win_sliding", "win_tumbling",
-    # (c) r11-stale, staleness-report order (37 deferred, note above)
-    "agg_approx_distinct", "agg_approx_quantile", "agg_conditional",
-    "agg_median", "agg_salted_groupby", "cdc_merge_compact_e2e",
-    "curation_pipeline_e2e", "dedup_embedding_survivors",
-    "dedup_embedding_survivors_multi", "dedup_lsh_deleted",
-    "dedup_survivors", "join_anti", "join_asof",
+    # (a) NEW in r15 — first-ever driver evidence
+    "web_html_extract", "web_main_content", "web_warc_records",
+    "web_pipeline_e2e",
+    "text_bpe_train", "text_bpe_tokenize", "pack_sequences_bpe",
+    "snapshot_retry_e2e",
+    # (b) ALL 37 r11-stale entries deferred by the r14 note — due now
+    "join_broadcast", "join_full_outer", "join_inner",
+    "join_left_outer", "join_range", "join_theta",
+    "q10_returned_items", "q18_large_volume_customer",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "scalar_array", "scalar_datetime",
+    "scalar_json", "search_bm25_deleted", "search_hybrid_rrf_indexed",
+    "search_phrase_indexed", "set_except", "set_intersect",
+    "set_union_all", "set_union_by_name", "sim_ivf_recall_quantized",
+    "sim_ivf_topk_deleted", "sim_ivf_topk_quantized",
+    "sort_limit_topn", "sort_multi_key", "stream_arbitrary_state_e2e",
+    "stream_bm25_ingest_e2e", "stream_ivf_ingest_e2e",
+    "stream_late_data_discard_e2e", "stream_replay_idempotence_e2e",
+    "stream_stateful_dedup_e2e", "text_chunk_windows", "win_lag_lead",
+    "win_rank_dense", "win_running_sum", "win_topk_per_group",
+    # (c) r12-stale, staleness-report order (40 deferred, note above)
+    "agg_collect", "agg_cube", "agg_grouping_sets", "agg_rollup",
+    "agg_stats",
 ]
 
 def _driver_order(d: dict) -> dict:

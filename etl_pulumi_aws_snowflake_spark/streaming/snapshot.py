@@ -1212,6 +1212,12 @@ def snapshot_commit_partitioned_retry(
     additional commit attempts; contention beyond that re-raises the
     last conflict."""
     fs = fs or DEFAULT_FS
+    if changed_values is None:
+        raise ValueError(
+            "commit-retry requires changed_values: a full rewrite "
+            "overlaps every concurrent commit by definition — there is "
+            "no rebase-safe case, re-run the rewrite instead"
+        )
     token = expected_current
     for attempt in range(max_retries + 1):
         try:

@@ -198,6 +198,14 @@ def ops():
         # fixed 4-term query; the corpus side is the thing that scales —
         # expect linear scan growth, collect 0 (stats ride a broadcast)
         "search_bm25_topk": q["search_bm25_topk"],
+        # r15 raw-web chain: one scan → one Arrow worker pass — expect
+        # linear, collect 0 (no shuffle anywhere in the plan)
+        "web_pipeline_e2e": q["web_pipeline_e2e"],
+        # r15 BPE train+tokenize: the word-count pass is linear in
+        # corpus; the 10 merge steps work on the vocab table (grows
+        # with the copy-prefixed fixture but stays corpus-dominated);
+        # collect = the 10 argmax rows — flat in data
+        "text_bpe_tokenize": q["text_bpe_tokenize"],
     }
 
 

@@ -563,3 +563,38 @@ def test_pq_trained_serving_plan(spark):
     assert "SortMergeJoin" not in plan
     assert "ivf_index_pq_trained/corpus_pq" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_web_pipeline_single_pass_no_shuffle(spark):
+    """The raw-web ingestion chain (WARC walk → HTTP strip → HTML →
+    boilerplate removal) must be ONE column-pruned scan into ONE
+    Arrow-batched worker pass — no Exchange anywhere, no per-row
+    Python UDF (BatchEvalPython), and a ReadSchema that never loads
+    corpus columns the synthesis doesn't use."""
+    for name in ("web_pipeline_e2e", "web_warc_records",
+                 "web_html_extract", "web_main_content"):
+        plan = _plan(spark, name)
+        assert "MapInPandas" in plan, name
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "lang" not in plan and "source" not in plan, name
+
+
+def test_bpe_tokenize_broadcasts_vocab(spark):
+    """Tokenization is vocab-level: the corpus-side word explode joins
+    a BROADCAST vocab (the merge-table application never shuffles the
+    corpus body through a SortMergeJoin)."""
+    plan = _plan(spark, "text_bpe_tokenize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_packing_no_global_window(spark):
+    """BPE-budgeted packing inherits pack_chunks' two-pass prefix-sum
+    plan: no single-partition global Window (the scale-killer the
+    operator exists to avoid)."""
+    plan = _plan(spark, "pack_sequences_bpe")
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_pid" in line, line
+    spark.catalog.clearCache()

@@ -183,3 +183,11 @@ def test_schema_change_is_conservatively_overlapping(spark, seeded):
             _bump(df, [0], 1), root, "part",
             changed_values=[0], expected_current=v1,
         )
+
+
+def test_full_rewrite_is_rejected_up_front(spark, seeded):
+    root, df, v1 = seeded
+    with pytest.raises(ValueError, match="requires changed_values"):
+        snapshot_commit_partitioned_retry(
+            df, root, "part", changed_values=None, expected_current=v1,
+        )

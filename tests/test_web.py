@@ -266,3 +266,17 @@ def test_warc_records_md5_matches_hand_walk(spark, sf_correct):
         for i, rec in enumerate(W.warc_walk(row["warc"].encode())):
             assert out[(row["doc_id"], i)] == hashlib.md5(
                 rec["payload"]).hexdigest()
+
+
+def test_numeric_after_lt_is_text():
+    h = "<p>i <3 spark</p>"
+    (block,) = W.html_text(h)["blocks"]
+    assert block[0] == "i <3 spark"
+
+
+def test_surrogate_numeric_entity_stays_literal():
+    # chr(0xD800) is a lone surrogate — not encodable; must stay text
+    h = "<p>a&#xD800;b&#55296;c</p>"
+    (block,) = W.html_text(h)["blocks"]
+    assert block[0] == "a&#xD800;b&#55296;c"
+    block[0].encode("utf-8")  # the real contract: output is encodable
