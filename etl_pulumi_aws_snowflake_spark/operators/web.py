@@ -399,13 +399,47 @@ def html_text(html: str) -> dict:
 # WARC / HTTP walkers
 # ---------------------------------------------------------------------------
 
+def gunzip_members(payload: bytes) -> bytes:
+    """Decompress a multi-member gzip stream (the ``.warc.gz``
+    convention: Common Crawl gzips EACH record as its own member so
+    readers can seek to member boundaries; ISO 28500 Annex D).  The
+    stdlib inflate is the decode core; the member walk is ours:
+    decompress a member, continue at ``unused_data``, require every
+    byte to belong to some member.  A truncated final member is a
+    loud error, not a silent short read."""
+    import zlib
+
+    out = bytearray()
+    rest = payload
+    while rest:
+        d = zlib.decompressobj(wbits=31)  # 16+15: gzip wrapper
+        try:
+            out += d.decompress(rest)
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member: {e}") from None
+        if not d.eof:
+            raise ValueError(
+                "truncated gzip member (stream ended mid-member)"
+            )
+        if d.unused_data is rest or len(d.unused_data) == len(rest):
+            raise ValueError("gzip member consumed no bytes")
+        rest = d.unused_data
+    return bytes(out)
+
+
 def warc_walk(payload: bytes) -> list[dict]:
     """From-scratch WARC/1.0 record walk.  Every byte must be
     accounted for: version line, header block (``Name: value`` lines —
     obsolete continuation folding is a loud error, not silently
     joined), a mandatory ``Content-Length``, exactly that many payload
     bytes, then the two CRLF record separators.  Trailing garbage or a
-    short payload is a loud error."""
+    short payload is a loud error.
+
+    A gzipped input (``.warc.gz`` — the wire format Common Crawl
+    actually ships, one gzip member per record) is detected by magic
+    and decompressed via :func:`gunzip_members` first."""
+    if payload[:2] == b"\x1f\x8b":
+        payload = gunzip_members(payload)
     recs: list[dict] = []
     pos, n = 0, len(payload)
     while pos < n:

@@ -280,3 +280,45 @@ def test_surrogate_numeric_entity_stays_literal():
     (block,) = W.html_text(h)["blocks"]
     assert block[0] == "a&#xD800;b&#55296;c"
     block[0].encode("utf-8")  # the real contract: output is encodable
+
+
+# --------------------------------------------------------------------
+# .warc.gz: multi-member gzip (the Common Crawl wire format)
+# --------------------------------------------------------------------
+
+def _gz_member(data: bytes) -> bytes:
+    import gzip
+    return gzip.compress(data)
+
+
+def test_warc_gz_per_record_members_decode():
+    raw1 = _rec("warcinfo", b"k: v\r\n")
+    raw2 = _rec("response", b"BODY", extra="WARC-Target-URI: http://x/\r\n")
+    gz = _gz_member(raw1) + _gz_member(raw2)  # one member PER record
+    recs = W.warc_walk(gz)
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "response"]
+    assert recs[1]["payload"] == b"BODY"
+
+
+def test_warc_gz_single_member_whole_file():
+    raw = _rec("warcinfo", b"a: b\r\n") + _rec("request", b"GET / HTTP/1.1\r\n\r\n")
+    assert len(W.warc_walk(_gz_member(raw))) == 2
+
+
+def test_warc_gz_truncated_member_raises():
+    gz = _gz_member(_rec("warcinfo", b"x: y\r\n"))
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        W.gunzip_members(gz[:-5])
+
+
+def test_warc_gz_corrupt_member_raises():
+    gz = bytearray(_gz_member(_rec("warcinfo", b"x: y\r\n")))
+    gz[12] ^= 0xFF
+    with pytest.raises(ValueError, match="corrupt gzip member"):
+        W.gunzip_members(bytes(gz))
+
+
+def test_warc_gz_garbage_after_members_raises():
+    gz = _gz_member(_rec("warcinfo", b"x: y\r\n")) + b"JUNK"
+    with pytest.raises(ValueError, match="corrupt gzip member"):
+        W.gunzip_members(gz)
