@@ -657,18 +657,138 @@ def encode_png(
     )
 
 
+#: Adam7 pass grid: (x0, y0, dx, dy) per RFC 2083 §2.6 — each pass is
+#: an independently filtered sub-image whose pixels scatter back on
+#: this lattice.
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+#: Spec-legal bit depths per color type (RFC 2083 §4.1.1) — an illegal
+#: combination is a malformed container, not a capability gap.
+_PNG_VALID_DEPTHS = {
+    0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+    4: (8, 16), 6: (8, 16),
+}
+#: sub-byte grayscale expansion: v * factor maps the sample range onto
+#: 0..255 exactly (2^d - 1 divides 255 for d in 1/2/4)
+_PNG_GRAY_SCALE = {1: 255, 2: 85, 4: 17}
+
+
+def _png_unfilter(chunk: bytes, stride: int, fbpp: int, height: int):
+    """Undo per-scanline filtering (RFC 2083 §6) over one filtered
+    region (the whole image, or one Adam7 pass): ``stride`` bytes per
+    line after a 1-byte filter tag, ``fbpp`` the filter's byte
+    distance to the pixel to the left (max(1, channels*depth//8) — for
+    sub-byte packing the spec pins it to 1)."""
+    prior = bytearray(stride)
+    lines: list[bytearray] = []
+    for y in range(height):
+        f = chunk[y * (stride + 1)]
+        line = bytearray(
+            chunk[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        )
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for x in range(fbpp, stride):
+                line[x] = (line[x] + line[x - fbpp]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prior[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = line[x - fbpp] if x >= fbpp else 0
+                line[x] = (line[x] + (left + prior[x]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                line[x] = (
+                    line[x]
+                    + _paeth(
+                        line[x - fbpp] if x >= fbpp else 0,
+                        prior[x],
+                        prior[x - fbpp] if x >= fbpp else 0,
+                    )
+                ) & 0xFF
+        else:
+            raise ValueError(f"PNG scanline filter type {f} out of range")
+        lines.append(line)
+        prior = line
+    return lines
+
+
+def _png_row_rgb(
+    line: bytearray, width: int, color_type: int, depth: int, plte
+) -> bytes:
+    """One unfiltered scanline → RGB24: gray replicates, alpha drops
+    (the ``PIL.convert("RGB")`` mapping), 16-bit samples take the
+    high byte (PIL's 16→8 rule), sub-byte samples unpack MSB-first
+    and grayscale expands by the exact 255/(2^d−1) factor."""
+    out = bytearray()
+    if depth == 16:
+        ch = _PNG_CHANNELS[color_type]
+        for px in range(width):
+            base = px * ch * 2
+            if color_type == 0 or color_type == 4:
+                g = line[base]
+                out += bytes((g, g, g))
+            else:  # 2 / 6: first three channels' high bytes
+                out += bytes(
+                    (line[base], line[base + 2], line[base + 4])
+                )
+        return bytes(out)
+    if depth in (1, 2, 4):
+        mask = (1 << depth) - 1
+        for px in range(width):
+            off = px * depth
+            v = (line[off >> 3] >> (8 - depth - (off & 7))) & mask
+            if color_type == 0:
+                g = v * _PNG_GRAY_SCALE[depth]
+                out += bytes((g, g, g))
+            else:  # 3: palette index at narrow depth
+                if v * 3 + 3 > len(plte):
+                    raise ValueError(
+                        f"PNG palette index {v} out of range for a "
+                        f"{len(plte) // 3}-entry PLTE"
+                    )
+                out += plte[v * 3 : v * 3 + 3]
+        return bytes(out)
+    for px in range(width):  # depth 8
+        if color_type == 0:
+            g = line[px]
+            out += bytes((g, g, g))
+        elif color_type == 2:
+            out += line[px * 3 : px * 3 + 3]
+        elif color_type == 3:
+            idx = line[px]
+            if idx * 3 + 3 > len(plte):
+                raise ValueError(
+                    f"PNG palette index {idx} out of range for a "
+                    f"{len(plte) // 3}-entry PLTE"
+                )
+            out += plte[idx * 3 : idx * 3 + 3]
+        elif color_type == 4:
+            g = line[px * 2]
+            out += bytes((g, g, g))
+        else:  # 6: RGBA
+            out += line[px * 4 : px * 4 + 3]
+    return bytes(out)
+
+
 def _decode_png(payload: bytes) -> bytes:
     """From-scratch PNG decoder to raw RGB24 pixel bytes (VERDICT r12
     #3 — closes the most common real-image format without a codec
     library): stdlib ``zlib`` inflate + per-scanline unfiltering
-    (None/Sub/Up/Average/Paeth per RFC 2083 §6), 8-bit grayscale /
-    RGB / grayscale+alpha / RGBA / palette (color type 3 via the PLTE
-    table, r14 — indices out of palette range fail loudly).  Chunk
-    CRCs are verified (a corrupt container fails loudly, never decodes
-    to wrong pixels).  Out of scope, rejected loudly: 16-bit depth
-    (two-byte samples), sub-byte palette depths (1/2/4-bit packing),
-    interlace (Adam7 reordering).  Alpha drops and gray replicates to
-    r=g=b — the same channel mapping ``PIL.convert("RGB")`` applies."""
+    (None/Sub/Up/Average/Paeth per RFC 2083 §6) for EVERY spec-legal
+    (color type, bit depth) combination — grayscale at 1/2/4/8/16,
+    RGB and RGBA at 8/16, gray+alpha at 8/16, palette at 1/2/4/8 —
+    and both interlace methods (none, and Adam7 with its seven
+    independently-filtered scatter passes, r15).  Chunk CRCs are
+    verified (a corrupt container fails loudly, never decodes to
+    wrong pixels); illegal depth/type combinations and short or
+    over-long rasters are loud errors.  Alpha drops, gray replicates
+    to r=g=b, 16-bit takes the high byte, sub-byte gray expands by
+    255/(2^d−1) — the ``PIL.convert("RGB")`` channel mapping."""
     import struct
     import zlib as _z
 
@@ -710,16 +830,15 @@ def _decode_png(payload: bytes) -> bytes:
     width, height, depth, color_type, comp, filt, interlace = ihdr
     if width < 1 or height < 1:
         raise ValueError(f"degenerate PNG dimensions {width}x{height}")
-    if depth != 8:
-        raise ValueError(
-            f"PNG bit depth {depth} unsupported (8-bit samples only; "
-            "16-bit rasters are big-endian two-byte samples — out of "
-            "scope for the from-scratch tier)"
-        )
-    if color_type not in _PNG_CHANNELS and color_type != 3:
+    if color_type not in _PNG_VALID_DEPTHS:
         raise ValueError(
             f"PNG color type {color_type} unsupported "
             "(grayscale/RGB/LA/RGBA/palette supported)"
+        )
+    if depth not in _PNG_VALID_DEPTHS[color_type]:
+        raise ValueError(
+            f"PNG bit depth {depth} is not legal for color type "
+            f"{color_type} (spec allows {_PNG_VALID_DEPTHS[color_type]})"
         )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG (color type 3) missing PLTE chunk")
@@ -727,13 +846,10 @@ def _decode_png(payload: bytes) -> bytes:
         raise ValueError(
             f"PNG compression/filter method ({comp},{filt}) unknown"
         )
-    if interlace != 0:
-        raise ValueError(
-            "interlaced (Adam7) PNG unsupported by the from-scratch "
-            "tier — re-encode without interlacing"
-        )
-    bpp = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
-    stride = width * bpp
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} unknown")
+    channels = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    fbpp = max(1, channels * depth // 8)
     try:
         raw = _z.decompress(bytes(idat))
     except _z.error as exc:
@@ -742,62 +858,39 @@ def _decode_png(payload: bytes) -> bytes:
         # loud-ValueError contract so decode_image's PIL fall-through
         # (which catches ValueError) sees it too (ADVICE r13).
         raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
-    if len(raw) != (stride + 1) * height:
+
+    passes = _PNG_ADAM7 if interlace else ((0, 0, 1, 1),)
+    out = bytearray(width * height * 3)
+    pos = 0
+    for x0, y0, dx, dy in passes:
+        wp = (width - x0 + dx - 1) // dx
+        hp = (height - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue  # empty pass contributes no scanlines (spec)
+        sp = (wp * channels * depth + 7) // 8
+        need = hp * (sp + 1)
+        if pos + need > len(raw):
+            raise ValueError(
+                f"PNG raster is {len(raw)} bytes after inflate — "
+                f"{pos + need - len(raw)} short of the "
+                f"{'Adam7 pass' if interlace else 'image'} at offset "
+                f"{pos}"
+            )
+        for j, line in enumerate(
+            _png_unfilter(raw[pos : pos + need], sp, fbpp, hp)
+        ):
+            rgb = _png_row_rgb(line, wp, color_type, depth, plte)
+            y = y0 + j * dy
+            for i in range(wp):
+                off = (y * width + x0 + i * dx) * 3
+                out[off : off + 3] = rgb[i * 3 : i * 3 + 3]
+        pos += need
+    if pos != len(raw):
         raise ValueError(
-            f"PNG raster is {len(raw)} bytes after inflate, expected "
-            f"{(stride + 1) * height}"
+            f"PNG raster has {len(raw) - pos} bytes beyond the final "
+            "scanline — inflate produced more data than the geometry "
+            "admits"
         )
-    prior = bytearray(stride)
-    out = bytearray()
-    for y in range(height):
-        f = raw[y * (stride + 1)]
-        line = bytearray(
-            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
-        )
-        if f == 0:
-            pass
-        elif f == 1:  # Sub
-            for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
-        elif f == 2:  # Up
-            for x in range(stride):
-                line[x] = (line[x] + prior[x]) & 0xFF
-        elif f == 3:  # Average
-            for x in range(stride):
-                left = line[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + (left + prior[x]) // 2) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                line[x] = (
-                    line[x]
-                    + _paeth(
-                        line[x - bpp] if x >= bpp else 0,
-                        prior[x],
-                        prior[x - bpp] if x >= bpp else 0,
-                    )
-                ) & 0xFF
-        else:
-            raise ValueError(f"PNG scanline filter type {f} out of range")
-        for px in range(width):  # → RGB24: gray replicates, alpha drops
-            if color_type == 0:
-                g = line[px]
-                out += bytes((g, g, g))
-            elif color_type == 2:
-                out += line[px * 3 : px * 3 + 3]
-            elif color_type == 3:  # palette lookup
-                idx = line[px]
-                if idx * 3 + 3 > len(plte):
-                    raise ValueError(
-                        f"PNG palette index {idx} out of range for a "
-                        f"{len(plte) // 3}-entry PLTE"
-                    )
-                out += plte[idx * 3 : idx * 3 + 3]
-            elif color_type == 4:
-                g = line[px * 2]
-                out += bytes((g, g, g))
-            else:  # 6: RGBA
-                out += line[px * 4 : px * 4 + 3]
-        prior = line
     return bytes(out)
 
 
@@ -991,8 +1084,8 @@ def decode_image(payload: bytes, fake: bool = False) -> bytes:
         try:
             return _decode_png(payload)
         except ValueError:
-            # A PNG the from-scratch tier rejects (palette, 16-bit,
-            # interlaced, corrupt) falls THROUGH to PIL when present —
+            # A PNG the from-scratch tier rejects (corrupt, or an
+            # unknown method byte) falls THROUGH to PIL when present —
             # a codec-present deployment must not LOSE formats it
             # could decode before this tier existed (review r13).
             # Without PIL the specific ValueError is the right signal.

@@ -414,14 +414,23 @@ def test_png_decode_loud_errors():
 
     scan = zlib.compress(bytes([0, 5, 6]) + bytes([0, 7, 8]))
     sig = b"\x89PNG\r\n\x1a\n"
-    with pytest.raises(ValueError, match="bit depth"):
+    # 16-bit and Adam7 DECODE as of r15 (tests/test_png_full.py); a
+    # 16-bit header over an 8-bit-sized raster is now a SIZE error
+    with pytest.raises(ValueError, match="short of"):
         M.decode_image(
             sig + _chunk(b"IHDR", ihdr(depth=16)) + _chunk(b"IDAT", scan)
             + _chunk(b"IEND", b"")
         )
-    with pytest.raises(ValueError, match="interlaced"):
+    # spec-illegal combination: 16-bit palette
+    with pytest.raises(ValueError, match="not legal for color type"):
         M.decode_image(
-            sig + _chunk(b"IHDR", ihdr(interlace=1)) + _chunk(b"IDAT", scan)
+            sig + _chunk(b"IHDR", ihdr(depth=16, color=3))
+            + _chunk(b"PLTE", bytes(3)) + _chunk(b"IDAT", scan)
+            + _chunk(b"IEND", b"")
+        )
+    with pytest.raises(ValueError, match="interlace method 2"):
+        M.decode_image(
+            sig + _chunk(b"IHDR", ihdr(interlace=2)) + _chunk(b"IDAT", scan)
             + _chunk(b"IEND", b"")
         )
     with pytest.raises(ValueError, match="missing PLTE"):
@@ -2445,10 +2454,12 @@ def test_lsh_saturation_cap_of_one_fires_at_full_coverage(spark, tmp_path):
 
 def test_png_unsupported_features_fall_through_to_pil(monkeypatch, tmp_path):
     """Review r13: a codec-present deployment must not LOSE formats —
-    an INTERLACED PNG the from-scratch tier rejects (palette now
-    decodes in-tier, r14) falls through to PIL when importable (faked
-    here: the container has no codec), while without PIL the specific
-    ValueError survives."""
+    a PNG the from-scratch tier rejects falls through to PIL when
+    importable (faked here: the container has no codec), while without
+    PIL the specific ValueError survives.  Every spec-legal PNG now
+    decodes in-tier (16-bit + Adam7 landed r15), so the vehicle is a
+    container claiming an UNKNOWN interlace method — the seam itself
+    is what this pins."""
     import struct
     import zlib
 
@@ -2460,13 +2471,13 @@ def test_png_unsupported_features_fall_through_to_pil(monkeypatch, tmp_path):
 
     interlaced_png = (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 2))
         + chunk(b"IDAT", zlib.compress(bytes([0, 0])))
         + chunk(b"IEND", b"")
     )
     # without PIL: the loud tier error
     monkeypatch.setattr(M, "_HAVE_PIL", False)
-    with pytest.raises(ValueError, match="interlaced"):
+    with pytest.raises(ValueError, match="interlace method 2"):
         M.decode_image(interlaced_png)
 
     # with (fake) PIL: decode_image must reach the PIL tier
