@@ -11,11 +11,14 @@ Format scope (the WAVE spec, RIFF 1991 + RFC 2361 format registry):
 canonical RIFF/WAVE containers, full chunk walk (unknown chunks such as
 ``LIST``/``INFO`` metadata are SKIPPED, with the spec's word-alignment
 pad honored), ``fmt `` format code 1 (integer PCM) at 8-bit unsigned or
-16-bit signed little-endian, any channel count.  Everything else —
-IEEE float (3), ADPCM (2/17), A-law (6), mu-law (7), WAVE_FORMAT_
-EXTENSIBLE (0xFFFE), 24/32-bit PCM — raises a loud feature-naming
-``ValueError`` rather than decoding wrong; there is no lossless way to
-half-support them.
+16/24/32-bit signed little-endian, format code 3 (IEEE float, 32/64),
+and WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrappers around either — the
+SubFormat GUID is validated and the wrapped code unwrapped (r15) —
+at any channel count.  The G.711 telephony codes (6/7) decode through
+:func:`decode_g711`.  Everything else — ADPCM (2/17), foreign
+EXTENSIBLE subtypes — raises a loud feature-naming ``ValueError``
+rather than decoding wrong; there is no lossless way to half-support
+them.
 
 Scale notes (identical to the image tier): payloads travel
 Arrow-batched through iterator ``mapInPandas`` — one Python worker
@@ -151,11 +154,20 @@ def decode_wav(payload: bytes) -> dict:
                 "sample_rate": fmt["sample_rate"],
                 "channels": fmt["channels"],
                 "bits_per_sample": fmt["bits_per_sample"],
+                "sample_format": fmt["sample_format"],
                 "n_frames": n_frames,
                 "duration_us": n_frames * 1_000_000 // fmt["sample_rate"],
             }
         pos = data_start + size + (size % 2)  # word-aligned chunk walk
     raise ValueError("WAV container has no data chunk")
+
+
+#: WAVE_FORMAT_EXTENSIBLE SubFormat GUID tail (bytes 2..16 — the first
+#: two bytes carry the wrapped format code; the rest is the fixed
+#: ksmedia.h media-subtype suffix every PCM/float subformat shares).
+_EXTENSIBLE_GUID_TAIL = (
+    b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+)
 
 
 def _parse_fmt(data: bytes) -> dict:
@@ -164,14 +176,41 @@ def _parse_fmt(data: bytes) -> dict:
     code, channels, rate, byte_rate, block_align, bits = struct.unpack_from(
         "<HHIIHH", data
     )
-    if code != 1:
+    if code == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE (r15): the real format code rides in
+        # the first two bytes of the 16-byte SubFormat GUID; unwrap it
+        # after validating the fixed GUID suffix (a foreign subtype is
+        # not a PCM stream and must not decode as one).
+        if len(data) < 40:
+            raise ValueError(
+                f"WAVE_FORMAT_EXTENSIBLE fmt chunk too short: "
+                f"{len(data)} bytes (need 40)"
+            )
+        sub = data[24:40]
+        if sub[2:] != _EXTENSIBLE_GUID_TAIL:
+            raise ValueError(
+                f"WAVE_FORMAT_EXTENSIBLE SubFormat GUID {sub.hex()} is "
+                "not a KSDATAFORMAT_SUBTYPE PCM/float subtype"
+            )
+        code = struct.unpack_from("<H", sub)[0]
+    if code == 1:
+        if bits not in (8, 16, 24, 32):
+            raise ValueError(
+                f"{bits}-bit integer PCM unsupported (8/16/24/32 only)"
+            )
+        sample_format = "int"
+    elif code == 3:
+        if bits not in (32, 64):
+            raise ValueError(
+                f"{bits}-bit IEEE-float PCM invalid (32/64 only)"
+            )
+        sample_format = "float"
+    else:
         name = _WAVE_FORMAT_NAMES.get(code, f"format code 0x{code:04x}")
         raise ValueError(
-            f"WAV format {name} unsupported (integer PCM only); "
-            "transcode upstream or extend the codec tier"
+            f"WAV format {name} unsupported (integer/IEEE-float PCM "
+            "only); transcode upstream or extend the codec tier"
         )
-    if bits not in (8, 16):
-        raise ValueError(f"{bits}-bit PCM unsupported (8/16 only)")
     if channels < 1:
         raise ValueError(f"WAV channel count {channels} invalid")
     if rate < 1:
@@ -187,6 +226,7 @@ def _parse_fmt(data: bytes) -> dict:
         "sample_rate": rate,
         "bits_per_sample": bits,
         "block_align": block_align,
+        "sample_format": sample_format,
     }
 
 
@@ -347,17 +387,28 @@ def g711_samples(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, G711_SCHEMA)
 
 
-def wav_samples(decoded: dict) -> list[tuple[int, ...]]:
-    """Decoded PCM bytes → per-frame integer sample tuples (one value
-    per channel): 8-bit PCM is unsigned 0..255, 16-bit is signed LE —
-    the two historical WAV conventions."""
+def wav_samples(decoded: dict) -> list[tuple]:
+    """Decoded PCM bytes → per-frame sample tuples (one value per
+    channel), honoring every width the decoder admits: 8-bit unsigned,
+    16/24/32-bit signed LE (24-bit frames are the 3-byte packed form —
+    sign-extended here), and 32/64-bit IEEE float."""
     ch = decoded["channels"]
-    if decoded["bits_per_sample"] == 8:
-        vals = list(decoded["pcm"])
-    else:
-        vals = list(
-            struct.unpack(f"<{len(decoded['pcm']) // 2}h", decoded["pcm"])
-        )
+    pcm, bits = decoded["pcm"], decoded["bits_per_sample"]
+    if decoded["sample_format"] == "float":
+        fmt = "f" if bits == 32 else "d"
+        n = len(pcm) // (bits // 8)
+        vals = list(struct.unpack(f"<{n}{fmt}", pcm))
+    elif bits == 8:
+        vals = list(pcm)
+    elif bits == 16:
+        vals = list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
+    elif bits == 24:
+        vals = [
+            int.from_bytes(pcm[i : i + 3], "little", signed=True)
+            for i in range(0, len(pcm), 3)
+        ]
+    else:  # 32-bit int
+        vals = list(struct.unpack(f"<{len(pcm) // 4}i", pcm))
     return [tuple(vals[i : i + ch]) for i in range(0, len(vals), ch)]
 
 
@@ -422,6 +473,13 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
                 d = decode_wav(payload)
+                if d["sample_format"] == "float":
+                    raise ValueError(
+                        "extract_audio_features is the exact-integer "
+                        "stats contract (LongType peak/amp_sum); "
+                        "IEEE-float payloads need a float-stats "
+                        "extractor, not a silent cast"
+                    )
                 flat = [v for frame in wav_samples(d) for v in frame]
                 rows.append(
                     (

@@ -87,8 +87,8 @@ def test_decode_trailing_chunk_after_data_is_fine():
 
 @pytest.mark.parametrize(
     "code,name",
-    [(2, "ADPCM"), (3, "IEEE float"), (6, "A-law"), (7, "mu-law"),
-     (0x11, "ADPCM"), (0xFFFE, "EXTENSIBLE"), (0x1234, "0x1234")],
+    [(2, "ADPCM"), (6, "A-law"), (7, "mu-law"),
+     (0x11, "ADPCM"), (0x1234, "0x1234")],
 )
 def test_non_pcm_formats_raise_with_name(code, name):
     with pytest.raises(ValueError, match=name):
@@ -131,9 +131,92 @@ def test_missing_data_chunk_raises():
         A.decode_wav(raw)
 
 
-def test_24bit_pcm_raises():
-    with pytest.raises(ValueError, match="24-bit"):
-        A.decode_wav(_hand_wav(b"\x00" * 6, bits=24))
+def test_24bit_pcm_decodes_signed_le():
+    # two frames: 0x123456 and a negative value (sign extension)
+    pcm = bytes([0x56, 0x34, 0x12]) + bytes([0xFF, 0xFF, 0xFF])
+    d = A.decode_wav(_hand_wav(pcm, bits=24))
+    assert (d["bits_per_sample"], d["n_frames"]) == (24, 2)
+    assert A.wav_samples(d) == [(0x123456,), (-1,)]
+
+
+def test_32bit_int_pcm_decodes():
+    import struct as _s
+
+    pcm = _s.pack("<2i", 2**30, -(2**31))
+    d = A.decode_wav(_hand_wav(pcm, bits=32))
+    assert A.wav_samples(d) == [(2**30,), (-(2**31),)]
+
+
+def test_ieee_float_pcm_decodes():
+    import struct as _s
+
+    pcm = _s.pack("<4f", 0.0, -1.0, 0.5, 1.0)
+    d = A.decode_wav(_hand_wav(pcm, bits=32, fmt_code=3, channels=2))
+    assert d["sample_format"] == "float"
+    assert (d["channels"], d["n_frames"]) == (2, 2)
+    assert A.wav_samples(d) == [(0.0, -1.0), (0.5, 1.0)]
+
+
+def test_ieee_float64_decodes():
+    import struct as _s
+
+    pcm = _s.pack("<2d", 0.25, -0.125)
+    d = A.decode_wav(_hand_wav(pcm, bits=64, fmt_code=3))
+    assert A.wav_samples(d) == [(0.25,), (-0.125,)]
+
+
+_GUID_TAIL = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+
+def _hand_wav_extensible(pcm, *, sub_code, bits, channels=1, rate=8000,
+                         guid_tail=_GUID_TAIL):
+    ba = channels * bits // 8
+    sub = struct.pack("<H", sub_code) + guid_tail
+    fmt = struct.pack(
+        "<HHIIHHHHI", 0xFFFE, channels, rate, rate * ba, ba, bits,
+        22, bits, 0,
+    ) + sub
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+        + (b"\x00" if len(pcm) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_extensible_wrapper_unwraps_pcm_and_float():
+    import struct as _s
+
+    d = A.decode_wav(_hand_wav_extensible(bytes([1, 2]), sub_code=1, bits=8))
+    assert (d["sample_format"], d["bits_per_sample"]) == ("int", 8)
+    assert A.wav_samples(d) == [(1,), (2,)]
+    d = A.decode_wav(_hand_wav_extensible(
+        _s.pack("<2f", 0.5, -0.5), sub_code=3, bits=32))
+    assert d["sample_format"] == "float"
+
+
+def test_extensible_foreign_guid_raises():
+    tail = bytes(reversed(_GUID_TAIL))
+    with pytest.raises(ValueError, match="SubFormat GUID"):
+        A.decode_wav(_hand_wav_extensible(
+            bytes([0, 0]), sub_code=1, bits=8, guid_tail=tail))
+
+
+def test_extensible_wrapped_adpcm_still_names_itself():
+    with pytest.raises(ValueError, match="ADPCM"):
+        A.decode_wav(_hand_wav_extensible(
+            bytes([0, 0]), sub_code=2, bits=8))
+
+
+def test_extensible_short_fmt_raises():
+    raw = _hand_wav(bytes([0, 0]), fmt_code=0xFFFE)
+    with pytest.raises(ValueError, match="EXTENSIBLE fmt chunk too short"):
+        A.decode_wav(raw)
+
+
+def test_float_with_integer_width_raises():
+    with pytest.raises(ValueError, match="IEEE-float PCM invalid"):
+        A.decode_wav(_hand_wav(b"\x00\x00", bits=16, fmt_code=3))
 
 
 def test_inconsistent_block_align_raises():
@@ -381,3 +464,16 @@ def test_as_wav_geometry_guards():
 
 def test_capabilities_report_wav():
     assert M.capabilities()["wav_decode"] is True
+
+
+def test_audio_features_reject_float_payloads(spark):
+    import struct as _s
+
+    from pyspark.sql import functions as F
+
+    raw = _hand_wav(_s.pack("<2f", 0.5, -0.5), bits=32, fmt_code=3)
+    media = spark.range(1).select(
+        F.col("id").alias("doc_id"), F.lit(raw).alias("content")
+    )
+    with pytest.raises(Exception, match="exact-integer"):
+        A.extract_audio_features(media).collect()
