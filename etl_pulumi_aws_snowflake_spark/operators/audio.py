@@ -15,10 +15,11 @@ pad honored), ``fmt `` format code 1 (integer PCM) at 8-bit unsigned or
 and WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrappers around either — the
 SubFormat GUID is validated and the wrapped code unwrapped (r15) —
 at any channel count.  The G.711 telephony codes (6/7) decode through
-:func:`decode_g711`.  Everything else — ADPCM (2/17), foreign
-EXTENSIBLE subtypes — raises a loud feature-naming ``ValueError``
-rather than decoding wrong; there is no lossless way to half-support
-them.
+:func:`decode_g711`; IMA ADPCM (0x11), the compressed-audio leg,
+through :func:`decode_adpcm` (r15).  Everything else — MS ADPCM (2),
+foreign EXTENSIBLE subtypes — raises a loud feature-naming
+``ValueError`` rather than decoding wrong; there is no lossless way
+to half-support them.
 
 Scale notes (identical to the image tier): payloads travel
 Arrow-batched through iterator ``mapInPandas`` — one Python worker
@@ -208,8 +209,9 @@ def _parse_fmt(data: bytes) -> dict:
     else:
         name = _WAVE_FORMAT_NAMES.get(code, f"format code 0x{code:04x}")
         raise ValueError(
-            f"WAV format {name} unsupported (integer/IEEE-float PCM "
-            "only); transcode upstream or extend the codec tier"
+            f"WAV format {name} unsupported here (integer/IEEE-float "
+            "PCM only — A-law/mu-law decode via decode_g711, IMA ADPCM "
+            "via decode_adpcm); transcode upstream or extend the tier"
         )
     if channels < 1:
         raise ValueError(f"WAV channel count {channels} invalid")
@@ -355,6 +357,264 @@ def encode_g711(
         8,
     )
     body = b"WAVE" + _chunk(b"fmt ", fmt) + _chunk(b"data", codes)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# IMA (DVI4) ADPCM — WAV format code 0x11: the compressed-audio leg of
+# the codec tier (r15).  Public algorithm: IMA Digital Audio Pack
+# "Recommended Practices for Enhancing Digital Audio Compatibility"
+# (1992), the same tables RFC 3551 §4.5.1 (DVI4) carries.
+# ---------------------------------------------------------------------------
+
+_IMA_INDEX_ADJUST = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+
+
+def _ima_step(pred: int, index: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM state transition: the bit-shift accumulation form
+    the WAV variant uses (diff = step/8 + per-bit step/4, step/2,
+    step), predictor clamped to int16, step index clamped to the
+    table."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_ADJUST[nib & 7]))
+    return pred, index
+
+
+def decode_adpcm(payload: bytes) -> dict:
+    """From-scratch decode of an IMA ADPCM WAV container (format code
+    0x11) to 16-bit linear samples — the block structure is the MS WAV
+    form: per block, a 4-byte state header PER CHANNEL (int16
+    predictor — which IS sample 0 — uint8 step index, reserved byte),
+    then 4-byte nibble words interleaved channel-major (8 samples per
+    word, low nibble first).  The fmt extension's wSamplesPerBlock
+    must agree with the block_align geometry; a ``fact`` chunk (the
+    spec's true-sample-count record) trims the final block's padding
+    nibbles.  Truncated blocks, out-of-range step indices, and
+    geometry lies are loud errors."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(
+            f"not a RIFF/WAVE payload (magic {payload[:4]!r}/{payload[8:12]!r})"
+        )
+    riff_size = struct.unpack_from("<I", payload, 4)[0]
+    if riff_size + 8 > len(payload):
+        raise ValueError(
+            f"truncated RIFF container: header claims {riff_size + 8} "
+            f"bytes, have {len(payload)}"
+        )
+    fmt = None
+    fact_frames = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        data_start = pos + 8
+        if data_start + size > len(payload):
+            raise ValueError(f"truncated {tag!r} chunk")
+        if tag == b"fmt ":
+            if size < 20:
+                raise ValueError(
+                    f"IMA ADPCM fmt chunk too short: {size} bytes (needs "
+                    "the cbSize + wSamplesPerBlock extension)"
+                )
+            code, channels, rate, byte_rate, block_align, bits = (
+                struct.unpack_from("<HHIIHH", payload, data_start)
+            )
+            if code != 0x11:
+                raise ValueError(
+                    f"decode_adpcm expects IMA ADPCM (0x11), got format "
+                    f"code 0x{code:04x}"
+                )
+            if bits != 4:
+                raise ValueError(f"IMA ADPCM is 4-bit, fmt claims {bits}")
+            if channels < 1:
+                raise ValueError(f"WAV channel count {channels} invalid")
+            if rate < 1:
+                raise ValueError(f"WAV sample rate {rate} invalid")
+            cb, spb = struct.unpack_from("<HH", payload, data_start + 16)
+            if cb < 2:
+                raise ValueError(
+                    f"IMA ADPCM fmt cbSize {cb} too small for "
+                    "wSamplesPerBlock"
+                )
+            if block_align < 4 * channels or block_align % (4 * channels):
+                raise ValueError(
+                    f"IMA ADPCM block_align {block_align} is not a "
+                    f"whole number of 4-byte words per channel "
+                    f"({channels}ch)"
+                )
+            expect_spb = (block_align - 4 * channels) * 2 // channels + 1
+            if spb != expect_spb:
+                raise ValueError(
+                    f"IMA ADPCM wSamplesPerBlock {spb} disagrees with "
+                    f"block_align {block_align} ({channels}ch ⇒ "
+                    f"{expect_spb})"
+                )
+            fmt = {
+                "channels": channels,
+                "sample_rate": rate,
+                "block_align": block_align,
+                "samples_per_block": spb,
+            }
+        elif tag == b"fact":
+            if size < 4:
+                raise ValueError(f"WAV fact chunk too short: {size} bytes")
+            fact_frames = struct.unpack_from("<I", payload, data_start)[0]
+        elif tag == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk precedes fmt chunk")
+            raw = payload[data_start : data_start + size]
+            ch = fmt["channels"]
+            ba, spb = fmt["block_align"], fmt["samples_per_block"]
+            if size % ba:
+                raise ValueError(
+                    f"IMA ADPCM data chunk ({size} bytes) is not a "
+                    f"whole number of {ba}-byte blocks"
+                )
+            frames: list[tuple[int, ...]] = []
+            for b0 in range(0, size, ba):
+                preds, idxs = [], []
+                for c in range(ch):
+                    # byte 4 is reserved — carried, never validated
+                    p, ix, _ = struct.unpack_from(
+                        "<hBB", raw, b0 + 4 * c
+                    )
+                    if ix > 88:
+                        raise ValueError(
+                            f"IMA ADPCM block header step index {ix} out "
+                            "of table range (0..88)"
+                        )
+                    preds.append(p)
+                    idxs.append(ix)
+                block = [[p] for p in preds]  # header = sample 0
+                # nibble words: channel-major interleave, 8 samples per
+                # 4-byte word, low nibble first
+                wpos = b0 + 4 * ch
+                while wpos < b0 + ba:
+                    for c in range(ch):
+                        for byte in raw[wpos + 4 * c : wpos + 4 * c + 4]:
+                            for nib in (byte & 0x0F, byte >> 4):
+                                preds[c], idxs[c] = _ima_step(
+                                    preds[c], idxs[c], nib
+                                )
+                                block[c].append(preds[c])
+                    wpos += 4 * ch
+                # the geometry check pins len(block[c]) == spb exactly
+                for j in range(spb):
+                    frames.append(tuple(block[c][j] for c in range(ch)))
+            n_frames = len(frames)
+            if fact_frames is not None:
+                n_blocks = size // ba
+                if not (
+                    max(0, n_frames - spb) < fact_frames <= n_frames
+                    if n_blocks
+                    else fact_frames == 0
+                ):
+                    raise ValueError(
+                        f"WAV fact chunk claims {fact_frames} frames but "
+                        f"{n_blocks} blocks decode {n_frames}"
+                    )
+                frames = frames[:fact_frames]
+                n_frames = fact_frames
+            pcm = b"".join(
+                struct.pack(f"<{ch}h", *f) for f in frames
+            )
+            return {
+                "pcm": pcm,
+                "sample_rate": fmt["sample_rate"],
+                "channels": ch,
+                "bits_per_sample": 16,
+                "sample_format": "int",
+                "n_frames": n_frames,
+                "duration_us": n_frames * 1_000_000
+                // fmt["sample_rate"],
+                "linear": frames,
+            }
+        pos = data_start + size + (size % 2)
+    raise ValueError("WAV container has no data chunk")
+
+
+def encode_adpcm(
+    samples: list[tuple[int, ...]],
+    *,
+    sample_rate: int = 8000,
+    samples_per_block: int = 9,
+) -> bytes:
+    """IMA ADPCM encoder (the standard greedy quantizer, state updated
+    through the DECODER's own transition so encoder and decoder
+    reconstructions track bit-exactly): frames → a canonical format-
+    0x11 container with the fact chunk recording the true count.
+    Exists for round-trip tests and as the synthesis seam; lossy by
+    nature, deterministic by construction."""
+    if not samples:
+        raise ValueError("encode_adpcm: empty sample list")
+    ch = len(samples[0])
+    if any(len(f) != ch for f in samples):
+        raise ValueError("encode_adpcm: ragged frames")
+    if (samples_per_block - 1) % 8:
+        raise ValueError(
+            f"encode_adpcm: samples_per_block {samples_per_block} must "
+            "be 1 + a multiple of 8 (whole 4-byte words per channel)"
+        )
+    ba = 4 * ch + (samples_per_block - 1) * ch // 2
+    blocks = bytearray()
+    idxs = [0] * ch
+    for b0 in range(0, len(samples), samples_per_block):
+        blk = samples[b0 : b0 + samples_per_block]
+        # pad the final block by repeating its last frame
+        blk = blk + [blk[-1]] * (samples_per_block - len(blk))
+        preds = list(blk[0])
+        for c in range(ch):
+            blocks += struct.pack("<hBB", preds[c], idxs[c], 0)
+        nibs: list[list[int]] = [[] for _ in range(ch)]
+        for frame in blk[1:]:
+            for c in range(ch):
+                step = _IMA_STEPS[idxs[c]]
+                diff = frame[c] - preds[c]
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                nibs[c].append(nib)
+        for w0 in range(0, len(nibs[0]), 8):
+            for c in range(ch):
+                for k in range(w0, w0 + 8, 2):
+                    blocks.append(nibs[c][k] | (nibs[c][k + 1] << 4))
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, ch, sample_rate,
+        sample_rate * ba // samples_per_block, ba, 4, 2,
+        samples_per_block,
+    )
+    body = (
+        b"WAVE" + _chunk(b"fmt ", fmt)
+        + _chunk(b"fact", struct.pack("<I", len(samples)))
+        + _chunk(b"data", bytes(blocks))
+    )
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
