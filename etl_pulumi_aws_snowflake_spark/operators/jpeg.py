@@ -10,10 +10,16 @@ reader, per-MCU Huffman entropy decode (DC predictor + magnitude
 EXTEND, AC run/size with EOB and ZRL), dequantization through the
 zigzag order, 8x8 IDCT as two orthogonal matrix products, sampling-
 factor chroma upsample (nearest/replication), and YCbCr->RGB with the
-JFIF constants.  Loud ``ValueError`` on everything outside baseline
-scope: progressive (SOF2), arithmetic coding (SOF9-11/DAC), 12-bit
-precision, hierarchical/lossless SOFs, 4-component (CMYK) scans,
-missing tables, truncated or mis-sequenced streams.
+JFIF constants.  PROGRESSIVE (SOF2) streams decode too (r15, T.81
+Annex G.2): coefficients accumulate across scans — interleaved or
+single-component DC first/refinement passes, single-component AC
+spectral bands with EOBn run lengths, AC successive-approximation
+refinement with correction bits — and dequant/IDCT/color conversion
+run once at EOI through the same reconstruction tail as baseline.
+Loud ``ValueError`` on everything outside that scope: arithmetic
+coding (SOF9-11/DAC), 12-bit precision, hierarchical/lossless SOFs,
+4-component (CMYK) scans, missing tables, truncated or mis-sequenced
+streams, malformed scan parameters.
 
 Encoder: exists for the same reason :func:`multimodal.encode_png`
 does — to synthesize REAL containers so the decode path can be judged
@@ -492,7 +498,6 @@ def _extend(bits: int, size: int) -> int:
 
 _SOF_UNSUPPORTED = {
     0xC1: "extended sequential (SOF1)",
-    0xC2: "progressive (SOF2)",
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -539,6 +544,14 @@ def _decode_jpeg_checked(payload: bytes) -> tuple[int, int, bytes]:
                 f"(0x{payload[pos]:02X})"
             )
         marker = payload[pos + 1]
+        if marker == 0x00:
+            # a 1-padded final entropy byte can reach 0xFF and get
+            # byte-stuffed: a stray FF00 between scans is not a marker
+            pos += 2
+            continue
+        if marker == 0xFF:
+            pos += 1  # fill byte before a marker (T.81 B.1.1.2)
+            continue
         if marker in _SOF_UNSUPPORTED:
             raise ValueError(
                 f"unsupported JPEG coding process: {_SOF_UNSUPPORTED[marker]}"
@@ -550,6 +563,9 @@ def _decode_jpeg_checked(payload: bytes) -> tuple[int, int, bytes]:
                 "baseline Huffman only"
             )
         if marker == 0xD9:  # EOI is standalone (no length segment)
+            if frame is not None and frame.get("nscans", 0) > 0:
+                # progressive: all scans accumulated — reconstruct
+                return _progressive_reconstruct(frame, qtables)
             raise ValueError("JPEG EOI before any scan data")
         if pos + 4 > len(payload):
             raise ValueError("truncated JPEG: marker segment cut off")
@@ -598,11 +614,13 @@ def _decode_jpeg_checked(payload: bytes) -> tuple[int, int, bytes]:
                 p += 17 + nvals
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body)
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if frame is not None:
+                raise ValueError("multiple SOF frame headers")
             precision = body[0]
             if precision != 8:
                 raise ValueError(
-                    f"{precision}-bit JPEG unsupported (8-bit baseline only)"
+                    f"{precision}-bit JPEG unsupported (8-bit only)"
                 )
             height, width = struct.unpack(">HH", body[1:5])
             ncomp = body[5]
@@ -624,24 +642,36 @@ def _decode_jpeg_checked(payload: bytes) -> tuple[int, int, bytes]:
                 "width": width,
                 "height": height,
                 "comps": comps,
+                "progressive": marker == 0xC2,
+                "nscans": 0,
             }
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0 frame header")
+                raise ValueError("JPEG SOS before SOF frame header")
             ns = body[0]
-            if ns != len(frame["comps"]):
-                raise ValueError(
-                    "non-interleaved / multi-scan JPEG unsupported "
-                    "(baseline interleaved single scan only)"
-                )
             by_id = {c["id"]: c for c in frame["comps"]}
+            scan_comps = []
             for s in range(ns):
                 cid, tt = body[1 + 2 * s : 3 + 2 * s]
                 if cid not in by_id:
                     raise ValueError(f"SOS names unknown component {cid}")
                 by_id[cid]["td"] = tt >> 4
                 by_id[cid]["ta"] = tt & 0x0F
+                scan_comps.append(by_id[cid])
             ss, se, ah_al = body[1 + 2 * ns : 4 + 2 * ns]
+            if frame["progressive"]:
+                pos = _decode_progressive_scan(
+                    payload, pos + 2 + seglen, frame, scan_comps,
+                    hufftabs, ss, se, ah_al >> 4, ah_al & 0x0F,
+                    restart_interval,
+                )
+                frame["nscans"] += 1
+                continue
+            if ns != len(frame["comps"]):
+                raise ValueError(
+                    "non-interleaved / multi-scan JPEG unsupported "
+                    "(baseline interleaved single scan only)"
+                )
             if (ss, se, ah_al) != (0, 63, 0):
                 raise ValueError(
                     "spectral selection / successive approximation "
@@ -747,8 +777,15 @@ def _decode_scan(
                         x0 = (mx * c["h"] + bx) * 8
                         c["plane"][y0 : y0 + 8, x0 : x0 + 8] = block
             n_since_restart += 1
-    # Samples: floor(+0.5), clamp, per component; upsample to full
-    # resolution by replication (nearest), crop to the frame size.
+    return _planes_to_rgb(comps, width, height, hmax, vmax)
+
+
+def _planes_to_rgb(
+    comps: list, width: int, height: int, hmax: int, vmax: int
+) -> tuple[int, int, bytes]:
+    """Shared reconstruction tail (baseline + progressive): sample the
+    per-component planes with floor(+0.5) + clamp, upsample by
+    replication, crop to frame size, and convert to RGB24."""
     full = []
     for c in comps:
         samp = np.clip(np.floor(c["plane"] + 0.5), 0.0, 255.0).astype(
@@ -779,3 +816,272 @@ def _decode_scan(
         )
         rgb = np.clip(rgb, 0.0, 255.0).astype(np.uint8)
     return width, height, rgb.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decoding — T.81 Annex G.2 (r15).  Coefficients
+# accumulate across scans in per-component zigzag-order arrays; the
+# dequant + IDCT + color conversion happens ONCE at EOI through the
+# same reconstruction tail as baseline.
+# ---------------------------------------------------------------------------
+
+
+def _ensure_coef(frame: dict) -> None:
+    """Allocate the coefficient accumulators on the first scan.  The
+    arrays are MCU-padded (interleaved DC scans walk the padded grid);
+    non-interleaved scans walk only the component's own ceil-dims
+    sub-grid (``nbx``/``nby``) per T.81 A.2."""
+    comps = frame["comps"]
+    if "coef" in comps[0]:
+        return
+    if len(comps) == 1:
+        comps[0]["h"] = comps[0]["v"] = 1  # A.2, as in the baseline path
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    width, height = frame["width"], frame["height"]
+    frame["mcus_x"] = (width + 8 * hmax - 1) // (8 * hmax)
+    frame["mcus_y"] = (height + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["bx_total"] = frame["mcus_x"] * c["h"]
+        c["by_total"] = frame["mcus_y"] * c["v"]
+        cw = (width * c["h"] + hmax - 1) // hmax
+        chh = (height * c["v"] + vmax - 1) // vmax
+        c["nbx"] = (cw + 7) // 8
+        c["nby"] = (chh + 7) // 8
+        c["coef"] = np.zeros((c["by_total"], c["bx_total"], 64), np.int64)
+
+
+def _refine_ac_block(
+    reader: _BitReader, ac_tab: dict, coef, ss: int, se: int, al: int,
+    eobrun: int,
+) -> int:
+    """AC successive-approximation refinement for one block (T.81
+    G.1.2.3, the libjpeg control flow): newly-nonzero coefficients
+    arrive as size-1 symbols with a sign bit; every HISTORY-nonzero
+    coefficient crossed — including the whole band during an EOB run —
+    absorbs one correction bit."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k: int) -> None:
+        if reader.read_bit() and not (int(coef[k]) & p1):
+            coef[k] += p1 if coef[k] > 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _huff_decode(reader, ac_tab)
+            r, s = sym >> 4, sym & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # ZRL: r == 15 → skip 16 zero-HISTORY positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        f"AC refinement magnitude size {s} invalid "
+                        "(successive approximation refines 1 bit)"
+                    )
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if coef[k]:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k]:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _first_ac_block(
+    reader: _BitReader, ac_tab: dict, coef, ss: int, se: int, al: int,
+    eobrun: int,
+) -> int:
+    """AC first-pass band decode for one block (T.81 G.1.2.2): the
+    baseline run/size alphabet plus EOBn run-length symbols."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _huff_decode(reader, ac_tab)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r < 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read_bits(r)
+                return eobrun - 1
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError(
+                "AC coefficient index overran the spectral band "
+                "(corrupt progressive entropy data)"
+            )
+        coef[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _decode_progressive_scan(
+    payload: bytes,
+    pos: int,
+    frame: dict,
+    scan_comps: list,
+    hufftabs: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+) -> int:
+    """Decode one progressive scan into the coefficient accumulators;
+    returns the byte position after the entropy-coded segment."""
+    _ensure_coef(frame)
+    if ss == 0:
+        if se != 0:
+            raise ValueError(
+                f"progressive DC scan must have Se=0, got Se={se} "
+                "(DC and AC never share a scan)"
+            )
+    else:
+        if len(scan_comps) != 1:
+            raise ValueError(
+                "progressive AC scans are single-component (T.81 G.1); "
+                f"got {len(scan_comps)} components for band "
+                f"{ss}..{se}"
+            )
+        if not ss <= se <= 63:
+            raise ValueError(f"spectral band {ss}..{se} out of range")
+    if ah and ah != al + 1:
+        raise ValueError(
+            f"successive approximation must refine one bit (Ah={ah}, "
+            f"Al={al})"
+        )
+    if al > 13:
+        raise ValueError(f"point transform Al={al} out of range")
+    for c in scan_comps:
+        if ss == 0 and ah == 0 and (0, c["td"]) not in hufftabs:
+            raise ValueError(f"missing DC Huffman table {c['td']}")
+        if ss > 0 and (1, c["ta"]) not in hufftabs:
+            raise ValueError(f"missing AC Huffman table {c['ta']}")
+    reader = _BitReader(payload, pos)
+    preds = [0] * len(scan_comps)
+    eobrun = 0
+    rst = 0
+    n_since_restart = 0
+
+    def maybe_restart() -> None:
+        nonlocal preds, eobrun, rst, n_since_restart
+        if restart_interval and n_since_restart == restart_interval:
+            reader.restart(rst)
+            rst += 1
+            n_since_restart = 0
+            preds = [0] * len(scan_comps)
+            eobrun = 0
+
+    if ss == 0 and len(scan_comps) > 1:
+        # interleaved DC scan: MCU walk over the padded grid
+        for my in range(frame["mcus_y"]):
+            for mx in range(frame["mcus_x"]):
+                maybe_restart()
+                for ci, c in enumerate(scan_comps):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coef = c["coef"][
+                                my * c["v"] + by, mx * c["h"] + bx
+                            ]
+                            if ah == 0:
+                                size = _huff_decode(
+                                    reader, hufftabs[(0, c["td"])]
+                                )
+                                if size > 11:
+                                    raise ValueError(
+                                        f"DC magnitude category {size} "
+                                        "out of range (max 11)"
+                                    )
+                                preds[ci] += _extend(
+                                    reader.read_bits(size), size
+                                )
+                                coef[0] = preds[ci] << al
+                            else:
+                                coef[0] |= reader.read_bit() << al
+                n_since_restart += 1
+        return reader.pos
+    # non-interleaved: one component, its own ceil-dims block grid
+    c = scan_comps[0]
+    for byi in range(c["nby"]):
+        for bxi in range(c["nbx"]):
+            maybe_restart()
+            coef = c["coef"][byi, bxi]
+            if ss == 0:
+                if ah == 0:
+                    size = _huff_decode(reader, hufftabs[(0, c["td"])])
+                    if size > 11:
+                        raise ValueError(
+                            f"DC magnitude category {size} out of range "
+                            "(max 11)"
+                        )
+                    preds[0] += _extend(reader.read_bits(size), size)
+                    coef[0] = preds[0] << al
+                else:
+                    coef[0] |= reader.read_bit() << al
+            elif ah == 0:
+                eobrun = _first_ac_block(
+                    reader, hufftabs[(1, c["ta"])], coef, ss, se, al,
+                    eobrun,
+                )
+            else:
+                eobrun = _refine_ac_block(
+                    reader, hufftabs[(1, c["ta"])], coef, ss, se, al,
+                    eobrun,
+                )
+            n_since_restart += 1
+    return reader.pos
+
+
+_ZZ_NATURAL = None  # built lazily: zigzag k → natural flat index
+
+
+def _progressive_reconstruct(
+    frame: dict, qtables: dict
+) -> tuple[int, int, bytes]:
+    """Dequant + IDCT every accumulated block, then the shared
+    reconstruction tail."""
+    global _ZZ_NATURAL
+    if _ZZ_NATURAL is None:
+        _ZZ_NATURAL = np.array([ZIGZAG[k] for k in range(64)])
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if c["tq"] not in qtables:
+            raise ValueError(f"missing quantization table {c['tq']}")
+        qt = np.array(qtables[c["tq"]], dtype=np.float64).reshape(8, 8)
+        plane = np.zeros((c["by_total"] * 8, c["bx_total"] * 8))
+        for by in range(c["by_total"]):
+            for bx in range(c["bx_total"]):
+                coefs = np.zeros(64, dtype=np.float64)
+                coefs[_ZZ_NATURAL] = c["coef"][by, bx]
+                coefs = coefs.reshape(8, 8) * qt
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT_M.T @ coefs @ _DCT_M + 128.0
+                )
+        c["plane"] = plane
+    return _planes_to_rgb(
+        comps, frame["width"], frame["height"], hmax, vmax
+    )

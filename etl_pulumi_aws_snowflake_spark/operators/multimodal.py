@@ -1067,11 +1067,13 @@ def decode_image(payload: bytes, fake: bool = False) -> bytes:
 
     Tiers: binary PPM/PGM payloads decode through the from-scratch
     :func:`_decode_pnm` parser, PNG through the from-scratch
-    :func:`_decode_png` zlib+unfilter decoder, and baseline JPEG
-    through :mod:`.jpeg`'s from-scratch SOF0 decoder (all three always
-    available — the REAL pixel paths in codec-free deployments like
-    this container); remaining formats (GIF, TIFF, WebP, progressive
-    JPEG, ...) use PIL when importable (guarded import); ``fake=True``
+    :func:`_decode_png` zlib+unfilter decoder (every spec-legal
+    type/depth combination and Adam7, r15), and baseline + progressive
+    JPEG through :mod:`.jpeg`'s from-scratch SOF0/SOF2 decoder (all
+    always available — the REAL pixel paths in codec-free deployments
+    like this container); remaining formats (GIF, TIFF, WebP,
+    arithmetic-coded JPEG, ...) use PIL when importable (guarded
+    import); ``fake=True``
     returns the payload unchanged as a deterministic stand-in so the
     distributed plumbing stays testable with arbitrary payloads."""
     if fake:

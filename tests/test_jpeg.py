@@ -289,7 +289,10 @@ def _valid_gray() -> bytes:
 def test_loud_error_progressive_and_arithmetic_and_lossless():
     base = _valid_gray()
     for sof, msg in [
-        (0xC2, "progressive"),
+        # SOF2 now DECODES (tests/test_jpeg_progressive.py) — but a
+        # baseline stream RELABELED progressive carries a full-band
+        # interleaved scan, which is malformed progressive: loud
+        (0xC2, "Se=0"),
         (0xC9, "arithmetic"),
         (0xC3, "lossless"),
         (0xC1, "extended sequential"),
@@ -393,13 +396,16 @@ def test_decode_image_dispatches_jpeg():
 
 
 def test_unsupported_jpeg_falls_through_to_pil(monkeypatch):
-    """Same contract as PNG: progressive JPEG → PIL when present,
-    loud ValueError when not."""
+    """Same contract as PNG: a JPEG the tier rejects → PIL when
+    present, loud ValueError when not.  Real progressive now decodes
+    in-tier (r15), so the vehicle is a MALFORMED progressive stream
+    (a relabeled baseline whose full-band scan is an illegal DC
+    scan)."""
     base = _valid_gray()
     idx = base.index(b"\xff\xc0")
     progressive = base[: idx + 1] + bytes([0xC2]) + base[idx + 2 :]
     monkeypatch.setattr(M, "_HAVE_PIL", False)
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="Se=0"):
         M.decode_image(progressive)
 
     class FakeImg:
