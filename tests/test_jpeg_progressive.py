@@ -530,3 +530,44 @@ def test_stuffed_padding_byte_between_scans():
     assert J.decode_jpeg(prog)[2] == base[2]
     # explicit fill byte before EOI is also legal (T.81 B.1.1.2)
     assert J.decode_jpeg(prog[:-2] + b"\xff\xff\xd9")[2] == base[2]
+
+
+def test_restart_markers_in_progressive_dc_scan():
+    """DRI applies to progressive scans too: predictors reset at each
+    RSTn and the decoder verifies the modulo-8 sequence."""
+    comps = [(1, 1, 1)]
+    geom = _Geom(32, 8, comps)  # 4 blocks
+    coefs = _rand_coefs(geom, 50)
+    out = bytearray(_headers(0xC2, 32, 8, comps))
+    out += b"\xff\xdd" + struct.pack(">HH", 4, 2)  # DRI = 2
+    out += _sos([1], 0, 0, 0, 0)
+    wr = J._BitWriter()
+    pred, rst, n = 0, 0, 0
+    for bx in range(4):
+        if n == 2:
+            wr.pad_align()
+            wr.out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            n = 0
+            pred = 0
+        v = coefs[0][(0, bx)][0]
+        size, bits = J._magnitude(v - pred)
+        pred = v
+        code, ln = _DC_CODES[size]
+        wr.write(code, ln)
+        if size:
+            wr.write(bits, size)
+        n += 1
+    wr.pad_align()
+    out += wr.out + b"\xff\xd9"
+    # baseline twin: DC only, no restarts, same coefficients
+    dc_only = {
+        (by, bx): [zz[0]] + [0] * 63
+        for (by, bx), zz in coefs[0].items()
+    }
+    base = J.decode_jpeg(_baseline_stream(32, 8, comps, geom, [dc_only]))
+    assert J.decode_jpeg(bytes(out))[2] == base[2]
+    # a wrong RSTn sequence number stays loud
+    bad = bytes(out).replace(b"\xff\xd0", b"\xff\xd3", 1)
+    with pytest.raises(ValueError, match="RST sequence"):
+        J.decode_jpeg(bad)
