@@ -15,11 +15,11 @@ pad honored), ``fmt `` format code 1 (integer PCM) at 8-bit unsigned or
 and WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrappers around either — the
 SubFormat GUID is validated and the wrapped code unwrapped (r15) —
 at any channel count.  The G.711 telephony codes (6/7) decode through
-:func:`decode_g711`; IMA ADPCM (0x11), the compressed-audio leg,
-through :func:`decode_adpcm` (r15).  Everything else — MS ADPCM (2),
-foreign EXTENSIBLE subtypes — raises a loud feature-naming
-``ValueError`` rather than decoding wrong; there is no lossless way
-to half-support them.
+:func:`decode_g711`; the two 4-bit block codecs through
+:func:`decode_adpcm` (IMA, 0x11) and :func:`decode_ms_adpcm`
+(MS, 0x02) — both r15.  Everything else (foreign EXTENSIBLE
+subtypes, exotic registry codes) raises a loud feature-naming
+``ValueError`` rather than decoding wrong.
 
 Scale notes (identical to the image tier): payloads travel
 Arrow-batched through iterator ``mapInPandas`` — one Python worker
@@ -210,8 +210,9 @@ def _parse_fmt(data: bytes) -> dict:
         name = _WAVE_FORMAT_NAMES.get(code, f"format code 0x{code:04x}")
         raise ValueError(
             f"WAV format {name} unsupported here (integer/IEEE-float "
-            "PCM only — A-law/mu-law decode via decode_g711, IMA ADPCM "
-            "via decode_adpcm); transcode upstream or extend the tier"
+            "PCM only — A-law/mu-law decode via decode_g711, IMA/MS "
+            "ADPCM via decode_adpcm/decode_ms_adpcm); transcode "
+            "upstream or extend the tier"
         )
     if channels < 1:
         raise ValueError(f"WAV channel count {channels} invalid")
@@ -610,6 +611,270 @@ def encode_adpcm(
         sample_rate * ba // samples_per_block, ba, 4, 2,
         samples_per_block,
     )
+    body = (
+        b"WAVE" + _chunk(b"fmt ", fmt)
+        + _chunk(b"fact", struct.pack("<I", len(samples)))
+        + _chunk(b"data", bytes(blocks))
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# MS ADPCM — WAV format code 0x02 (r15): the OTHER 4-bit block codec,
+# with per-block linear predictors and an adaptive delta.  Public
+# algorithm: the Microsoft WAVE extended-format documentation (the
+# ADPCMWAVEFORMAT / ADPCMCOEFSET structures and decode recurrence).
+# ---------------------------------------------------------------------------
+
+#: the standard 7 predictor coefficient pairs (coef1, coef2), /256 fixed-point
+MS_ADPCM_COEFS = (
+    (256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+    (460, -208), (392, -232),
+)
+_MS_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+
+
+def _ms_step(s1: int, s2: int, idelta: int, coefs: tuple, nib: int):
+    """One MS ADPCM transition: linear prediction from the last two
+    samples, signed-nibble scaled correction, int16 clamp, and the
+    table-adapted delta (floored at 16)."""
+    signed = nib - 16 if nib & 8 else nib
+    pred = (s1 * coefs[0] + s2 * coefs[1]) >> 8
+    pred += signed * idelta
+    pred = max(-32768, min(32767, pred))
+    idelta = max(16, (_MS_ADAPT[nib] * idelta) >> 8)
+    return pred, s1, idelta
+
+
+def decode_ms_adpcm(payload: bytes) -> dict:
+    """From-scratch decode of an MS ADPCM WAV container (format code
+    0x02) to 16-bit linear samples.  Block layout (channel-interleaved
+    headers): 1 predictor-index byte per channel (selects from the fmt
+    extension's coefficient table), int16 iDelta per channel, int16
+    sample1 then int16 sample2 per channel — the two header samples
+    ARE the first two output frames (sample2 is the OLDER one and
+    emits first) — then 4-bit nibbles HIGH-FIRST, alternating channels
+    sample-by-sample.  The fmt extension's coefficient table and
+    wSamplesPerBlock are validated against the block geometry; a
+    ``fact`` chunk trims final-block padding.  Out-of-range predictor
+    indices, torn blocks, and geometry lies are loud errors."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(
+            f"not a RIFF/WAVE payload (magic {payload[:4]!r}/{payload[8:12]!r})"
+        )
+    riff_size = struct.unpack_from("<I", payload, 4)[0]
+    if riff_size + 8 > len(payload):
+        raise ValueError(
+            f"truncated RIFF container: header claims {riff_size + 8} "
+            f"bytes, have {len(payload)}"
+        )
+    fmt = None
+    fact_frames = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        data_start = pos + 8
+        if data_start + size > len(payload):
+            raise ValueError(f"truncated {tag!r} chunk")
+        if tag == b"fmt ":
+            if size < 22:
+                raise ValueError(
+                    f"MS ADPCM fmt chunk too short: {size} bytes (needs "
+                    "cbSize + wSamplesPerBlock + wNumCoef + coef table)"
+                )
+            code, channels, rate, byte_rate, block_align, bits = (
+                struct.unpack_from("<HHIIHH", payload, data_start)
+            )
+            if code != 0x02:
+                raise ValueError(
+                    f"decode_ms_adpcm expects MS ADPCM (0x02), got "
+                    f"format code 0x{code:04x}"
+                )
+            if bits != 4:
+                raise ValueError(f"MS ADPCM is 4-bit, fmt claims {bits}")
+            if channels < 1:
+                raise ValueError(f"WAV channel count {channels} invalid")
+            if rate < 1:
+                raise ValueError(f"WAV sample rate {rate} invalid")
+            cb, spb, ncoef = struct.unpack_from(
+                "<HHH", payload, data_start + 16
+            )
+            if cb < 4 + 4 * ncoef or size < 22 + 4 * ncoef:
+                raise ValueError(
+                    f"MS ADPCM fmt extension truncated: cbSize {cb}, "
+                    f"{ncoef} coefficient pairs"
+                )
+            if ncoef < 1:
+                raise ValueError("MS ADPCM coefficient table is empty")
+            coefs = [
+                struct.unpack_from("<hh", payload, data_start + 22 + 4 * i)
+                for i in range(ncoef)
+            ]
+            hdr = 7 * channels
+            if block_align <= hdr:
+                raise ValueError(
+                    f"MS ADPCM block_align {block_align} cannot hold the "
+                    f"{hdr}-byte block header ({channels}ch)"
+                )
+            expect_spb = (block_align - hdr) * 2 // channels + 2
+            if spb != expect_spb:
+                raise ValueError(
+                    f"MS ADPCM wSamplesPerBlock {spb} disagrees with "
+                    f"block_align {block_align} ({channels}ch ⇒ "
+                    f"{expect_spb})"
+                )
+            fmt = {
+                "channels": channels,
+                "sample_rate": rate,
+                "block_align": block_align,
+                "samples_per_block": spb,
+                "coefs": coefs,
+            }
+        elif tag == b"fact":
+            if size < 4:
+                raise ValueError(f"WAV fact chunk too short: {size} bytes")
+            fact_frames = struct.unpack_from("<I", payload, data_start)[0]
+        elif tag == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk precedes fmt chunk")
+            raw = payload[data_start : data_start + size]
+            ch = fmt["channels"]
+            ba, spb = fmt["block_align"], fmt["samples_per_block"]
+            if size % ba:
+                raise ValueError(
+                    f"MS ADPCM data chunk ({size} bytes) is not a whole "
+                    f"number of {ba}-byte blocks"
+                )
+            frames: list[tuple[int, ...]] = []
+            for b0 in range(0, size, ba):
+                cfs, ideltas, s1s, s2s = [], [], [], []
+                for c in range(ch):
+                    pi = raw[b0 + c]
+                    if pi >= len(fmt["coefs"]):
+                        raise ValueError(
+                            f"MS ADPCM predictor index {pi} out of range "
+                            f"for a {len(fmt['coefs'])}-entry table"
+                        )
+                    cfs.append(fmt["coefs"][pi])
+                base = b0 + ch
+                for c in range(ch):
+                    ideltas.append(
+                        struct.unpack_from("<h", raw, base + 2 * c)[0]
+                    )
+                base += 2 * ch
+                for c in range(ch):
+                    s1s.append(
+                        struct.unpack_from("<h", raw, base + 2 * c)[0]
+                    )
+                base += 2 * ch
+                for c in range(ch):
+                    s2s.append(
+                        struct.unpack_from("<h", raw, base + 2 * c)[0]
+                    )
+                base += 2 * ch
+                block = [[s2s[c], s1s[c]] for c in range(ch)]
+                nibs = []
+                for byte in raw[base : b0 + ba]:
+                    nibs.append(byte >> 4)    # HIGH nibble first
+                    nibs.append(byte & 0x0F)
+                for j, nib in enumerate(nibs):
+                    c = j % ch
+                    s1s[c], s2s[c], ideltas[c] = _ms_step(
+                        s1s[c], s2s[c], ideltas[c], cfs[c], nib
+                    )
+                    block[c].append(s1s[c])
+                for j in range(spb):
+                    frames.append(tuple(block[c][j] for c in range(ch)))
+            n_frames = len(frames)
+            if fact_frames is not None:
+                n_blocks = size // ba
+                if not (
+                    max(0, n_frames - spb) < fact_frames <= n_frames
+                    if n_blocks
+                    else fact_frames == 0
+                ):
+                    raise ValueError(
+                        f"WAV fact chunk claims {fact_frames} frames but "
+                        f"{n_blocks} blocks decode {n_frames}"
+                    )
+                frames = frames[:fact_frames]
+                n_frames = fact_frames
+            pcm = b"".join(struct.pack(f"<{ch}h", *f) for f in frames)
+            return {
+                "pcm": pcm,
+                "sample_rate": fmt["sample_rate"],
+                "channels": ch,
+                "bits_per_sample": 16,
+                "sample_format": "int",
+                "n_frames": n_frames,
+                "duration_us": n_frames * 1_000_000
+                // fmt["sample_rate"],
+                "linear": frames,
+            }
+        pos = data_start + size + (size % 2)
+    raise ValueError("WAV container has no data chunk")
+
+
+def encode_ms_adpcm(
+    samples: list[tuple[int, ...]],
+    *,
+    sample_rate: int = 8000,
+    samples_per_block: int = 10,
+    predictor: int = 0,
+) -> bytes:
+    """MS ADPCM encoder (greedy quantizer, state tracked through the
+    DECODER's own transition): frames → a canonical format-0x02
+    container with the standard 7-entry coefficient table and a fact
+    chunk.  Exists for round-trip tests; lossy, deterministic."""
+    if not samples:
+        raise ValueError("encode_ms_adpcm: empty sample list")
+    ch = len(samples[0])
+    if any(len(f) != ch for f in samples):
+        raise ValueError("encode_ms_adpcm: ragged frames")
+    if samples_per_block < 3 or (samples_per_block - 2) * ch % 2:
+        raise ValueError(
+            f"encode_ms_adpcm: samples_per_block {samples_per_block} "
+            "must be >= 3 with whole nibble bytes per block"
+        )
+    if not 0 <= predictor < len(MS_ADPCM_COEFS):
+        raise ValueError(f"predictor index {predictor} out of range")
+    cf = MS_ADPCM_COEFS[predictor]
+    ba = 7 * ch + (samples_per_block - 2) * ch // 2
+    blocks = bytearray()
+    for b0 in range(0, len(samples), samples_per_block):
+        blk = samples[b0 : b0 + samples_per_block]
+        blk = blk + [blk[-1]] * (samples_per_block - len(blk))
+        s2s = [blk[0][c] for c in range(ch)]
+        s1s = [blk[1][c] for c in range(ch)]
+        ideltas = [max(16, abs(blk[2][c] - blk[1][c]) // 4 or 16)
+                   for c in range(ch)]
+        blocks += bytes([predictor] * ch)
+        for arr in (ideltas, s1s, s2s):
+            for c in range(ch):
+                blocks += struct.pack("<h", arr[c])
+        nibs: list[int] = []
+        for frame in blk[2:]:
+            for c in range(ch):
+                pred = (s1s[c] * cf[0] + s2s[c] * cf[1]) >> 8
+                want = frame[c] - pred
+                signed = max(-8, min(7, int(round(want / ideltas[c]))))
+                nib = signed & 0x0F
+                s1s[c], s2s[c], ideltas[c] = _ms_step(
+                    s1s[c], s2s[c], ideltas[c], cf, nib
+                )
+                nibs.append(nib)
+        for k in range(0, len(nibs), 2):
+            blocks.append((nibs[k] << 4) | nibs[k + 1])
+    fmt = struct.pack(
+        "<HHIIHHHHH", 0x02, ch, sample_rate,
+        sample_rate * ba // samples_per_block, ba, 4,
+        4 + 4 * len(MS_ADPCM_COEFS), samples_per_block,
+        len(MS_ADPCM_COEFS),
+    ) + b"".join(struct.pack("<hh", *c) for c in MS_ADPCM_COEFS)
     body = (
         b"WAVE" + _chunk(b"fmt ", fmt)
         + _chunk(b"fact", struct.pack("<I", len(samples)))

@@ -185,3 +185,105 @@ def test_fuzz_roundtrip_decodes_exactly_n_frames(n, ch, seed, spb):
     assert d["n_frames"] == n
     assert len(d["linear"]) == n
     assert all(len(f) == ch for f in d["linear"])
+
+
+# --------------------------------------------------------------------
+# MS ADPCM (format 0x02)
+# --------------------------------------------------------------------
+
+def _ref_ms_decode_block(raw, ch, ba, coef_table):
+    """Independent reference, written from the ADPCMWAVEFORMAT doc:
+    interleaved headers, high-nibble-first data, adaptive delta."""
+    adapt = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+    cfs = [coef_table[raw[c]] for c in range(ch)]
+    idl = [struct.unpack_from("<h", raw, ch + 2 * c)[0] for c in range(ch)]
+    s1 = [struct.unpack_from("<h", raw, 3 * ch + 2 * c)[0] for c in range(ch)]
+    s2 = [struct.unpack_from("<h", raw, 5 * ch + 2 * c)[0] for c in range(ch)]
+    out = [[s2[c], s1[c]] for c in range(ch)]
+    nibs = []
+    for byte in raw[7 * ch : ba]:
+        nibs += [byte >> 4, byte & 15]
+    for j, nib in enumerate(nibs):
+        c = j % ch
+        signed = nib - 16 if nib >= 8 else nib
+        pred = (s1[c] * cfs[c][0] + s2[c] * cfs[c][1]) >> 8
+        pred = max(-32768, min(32767, pred + signed * idl[c]))
+        idl[c] = max(16, (adapt[nib] * idl[c]) >> 8)
+        s2[c], s1[c] = s1[c], pred
+        out[c].append(pred)
+    return out
+
+
+@pytest.mark.parametrize("ch", [1, 2])
+def test_ms_decode_matches_reference(ch):
+    frames = _frames(25, ch, seed=11)
+    raw = A.encode_ms_adpcm(frames, samples_per_block=10)
+    d = A.decode_ms_adpcm(raw)
+    assert (d["channels"], d["n_frames"]) == (ch, 25)
+    at = raw.index(b"data") + 8
+    size = struct.unpack_from("<I", raw, at - 4)[0]
+    data = raw[at : at + size]
+    ba = 7 * ch + 8 * ch // 2
+    ref = []
+    for b0 in range(0, size, ba):
+        blk = _ref_ms_decode_block(
+            data[b0 : b0 + ba], ch, ba, A.MS_ADPCM_COEFS
+        )
+        ref += [tuple(blk[c][j] for c in range(ch)) for j in range(10)]
+    assert d["linear"] == ref[:25]
+
+
+def test_ms_header_samples_exact_and_fact_trim():
+    frames = _frames(14, 1, seed=12)  # 10 + 4 → padded second block
+    d = A.decode_ms_adpcm(A.encode_ms_adpcm(frames, samples_per_block=10))
+    assert d["n_frames"] == 14
+    # each block's header carries its first two samples verbatim
+    assert d["linear"][0][0] == frames[0][0]
+    assert d["linear"][1][0] == frames[1][0]
+    assert d["linear"][10][0] == frames[10][0]
+    assert d["linear"][11][0] == frames[11][0]
+
+
+@pytest.mark.parametrize("pi", range(7))
+def test_ms_every_standard_predictor_roundtrips(pi):
+    frames = _frames(10, 1, seed=13 + pi)
+    d = A.decode_ms_adpcm(
+        A.encode_ms_adpcm(frames, samples_per_block=10, predictor=pi)
+    )
+    assert d["n_frames"] == 10
+    assert d["linear"][0][0] == frames[0][0]
+
+
+def test_ms_loud_errors():
+    raw = A.encode_ms_adpcm(_frames(10, 1, seed=20), samples_per_block=10)
+    fmt_at = raw.index(b"fmt ") + 8
+    with pytest.raises(ValueError, match="expects MS ADPCM"):
+        A.decode_ms_adpcm(_patch(raw, fmt_at, struct.pack("<H", 0x11)))
+    with pytest.raises(ValueError, match="wSamplesPerBlock"):
+        A.decode_ms_adpcm(_patch(raw, fmt_at + 18, struct.pack("<H", 99)))
+    data_at = raw.index(b"data") + 8
+    with pytest.raises(ValueError, match="predictor index"):
+        A.decode_ms_adpcm(_patch(raw, data_at, bytes([9])))
+    with pytest.raises(ValueError, match="whole number of"):
+        A.decode_ms_adpcm(_patch(
+            raw, data_at - 4,
+            struct.pack("<I", struct.unpack_from("<I", raw, data_at - 4)[0] - 1),
+        ))
+    fact_at = raw.index(b"fact") + 8
+    with pytest.raises(ValueError, match="fact chunk claims"):
+        A.decode_ms_adpcm(_patch(raw, fact_at, struct.pack("<I", 11)))
+    with pytest.raises(ValueError, match="MS ADPCM"):
+        A.decode_wav(raw)  # the strict tier still names it
+
+
+@given(
+    n=st.integers(1, 40), ch=st.integers(1, 2), seed=st.integers(0, 999),
+    pi=st.integers(0, 6),
+)
+@settings(max_examples=60, deadline=None)
+def test_ms_fuzz_roundtrip_frame_counts(n, ch, seed, pi):
+    frames = _frames(n, ch, seed)
+    d = A.decode_ms_adpcm(A.encode_ms_adpcm(
+        frames, samples_per_block=10, predictor=pi))
+    assert d["n_frames"] == n and len(d["linear"]) == n
