@@ -571,3 +571,38 @@ def test_restart_markers_in_progressive_dc_scan():
     bad = bytes(out).replace(b"\xff\xd0", b"\xff\xd3", 1)
     with pytest.raises(ValueError, match="RST sequence"):
         J.decode_jpeg(bad)
+
+
+def test_restart_markers_in_progressive_ac_scan():
+    """DRI in an AC band scan: the EOB run may never cross a restart
+    boundary — the encoder flushes it and the decoder resets it."""
+    comps = [(1, 1, 1)]
+    geom = _Geom(32, 8, comps)  # 4 blocks
+    coefs = _rand_coefs(geom, 60, density=0.0, zero_block_frac=1.0)
+    # block 0 gets AC content; blocks 1-3 are zero (EOB-run bait)
+    coefs[0][(0, 0)][2] = 5
+    coefs[0][(0, 0)][4] = -3
+    out = bytearray(_headers(0xC2, 32, 8, comps))
+    # DC first scan for all blocks (no DRI yet)
+    out += _sos([1], 0, 0, 0, 0)
+    wr = J._BitWriter()
+    _emit_dc_first_noninterleaved(wr, geom, coefs, 0, 0)
+    wr.pad_align()
+    out += wr.out
+    # AC scan with DRI=2: restart between blocks 2 and 3
+    out += b"\xff\xdd" + struct.pack(">HH", 4, 2)
+    out += _sos([1], 1, 63, 0, 0)
+    wr = J._BitWriter()
+    enc = _AcFirst(wr, 1, 63, 0, max_eob_run=8)
+    for i, bx in enumerate(range(4)):
+        if i == 2:  # restart boundary: flush, align, RST0
+            enc.done()
+            wr.pad_align()
+            wr.out += b"\xff\xd0"
+            enc = _AcFirst(wr, 1, 63, 0, max_eob_run=8)
+        enc.block(coefs[0][(0, bx)])
+    enc.done()
+    wr.pad_align()
+    out += wr.out + b"\xff\xd9"
+    base = J.decode_jpeg(_baseline_stream(32, 8, comps, geom, coefs))
+    assert J.decode_jpeg(bytes(out))[2] == base[2]
