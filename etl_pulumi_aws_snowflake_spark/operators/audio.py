@@ -637,12 +637,20 @@ _MS_ADAPT = (
 )
 
 
+def _trunc256(q: int) -> int:
+    """C-semantics ``q / 256``: truncate toward zero."""
+    return -(-q >> 8) if q < 0 else q >> 8
+
+
 def _ms_step(s1: int, s2: int, idelta: int, coefs: tuple, nib: int):
     """One MS ADPCM transition: linear prediction from the last two
     samples, signed-nibble scaled correction, int16 clamp, and the
-    table-adapted delta (floored at 16)."""
+    table-adapted delta (floored at 16).  The prediction's ``/256`` is
+    C integer division — TRUNCATION toward zero, not Python's floored
+    ``>>`` — or negative predictor sums drift 1 LSB from interoperable
+    decoders (ffmpeg/libsndfile) and then diverge within the block."""
     signed = nib - 16 if nib & 8 else nib
-    pred = (s1 * coefs[0] + s2 * coefs[1]) >> 8
+    pred = _trunc256(s1 * coefs[0] + s2 * coefs[1])
     pred += signed * idelta
     pred = max(-32768, min(32767, pred))
     idelta = max(16, (_MS_ADAPT[nib] * idelta) >> 8)
@@ -859,7 +867,7 @@ def encode_ms_adpcm(
         nibs: list[int] = []
         for frame in blk[2:]:
             for c in range(ch):
-                pred = (s1s[c] * cf[0] + s2s[c] * cf[1]) >> 8
+                pred = _trunc256(s1s[c] * cf[0] + s2s[c] * cf[1])
                 want = frame[c] - pred
                 signed = max(-8, min(7, int(round(want / ideltas[c]))))
                 nib = signed & 0x0F

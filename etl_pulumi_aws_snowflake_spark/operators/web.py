@@ -169,7 +169,9 @@ def as_warc(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.lit("\r\n"),
         F.lower(F.hex(rest)),
         F.lit("\r\n"),
-        F.substring(body, _CHUNK1 + 1, 1 << 20),
+        # no length cap: substring-to-end, exact at any document size
+        # (a cap would desync the advertised chunk size from the bytes)
+        F.expr(f"substring(html, {_CHUNK1 + 1})"),
         F.lit("\r\n0\r\n\r\n"),
     )
     p_resp = F.concat(F.lit(_HTTP_HEAD), chunked)

@@ -78,6 +78,23 @@ def _tokenize_ctes(n: int) -> str:
     )"""
 
 
+def _train(docs):
+    """train_bpe, guarded: if the vocab fully merged before N_MERGES
+    (degenerate/tiny corpus) the Spark side would tokenize fine with
+    the shorter table, but the oracle's unrolled step k+1 CROSS JOINs
+    an EMPTY b_k and silently empties the whole vocab — every word
+    would fall back to character count and the hash would diverge far
+    from the cause (ADVICE r15).  Fail loudly at the source instead."""
+    merges = B.train_bpe(docs, N_MERGES)
+    if len(merges) != N_MERGES:
+        raise ValueError(
+            f"BPE vocab exhausted after {len(merges)} merges < "
+            f"N_MERGES={N_MERGES}; the unrolled oracle cannot replay a "
+            "short table — lower N_MERGES or grow the corpus"
+        )
+    return merges
+
+
 _TRAIN_SELECT = "\n    UNION ALL\n".join(
     f"""    SELECT CAST({k} AS BIGINT) AS rank,
            split_part(pair, ' ', 1) AS lhs,
@@ -103,7 +120,7 @@ def text_bpe_train(spark, sf_dir):
     unrolling every step in SQL.  Any divergence — tie order, pair
     windowing, fixpoint semantics on symbol runs — shows up as a
     different learned merge at the exact rank that diverged."""
-    merges = B.train_bpe(t(spark, sf_dir, "documents"), N_MERGES)
+    merges = _train(t(spark, sf_dir, "documents"))
     return spark.createDataFrame(
         merges, "rank long, lhs string, rhs string, merged string, "
                 "pair_count long",
@@ -126,7 +143,7 @@ def text_bpe_tokenize(spark, sf_dir):
     The oracle replays training AND tokenization, so the judged
     numbers certify the whole train→apply chain."""
     docs = t(spark, sf_dir, "documents")
-    merges = B.train_bpe(docs, N_MERGES)
+    merges = _train(docs)
     return B.bpe_token_counts(docs, merges)
 
 
@@ -165,7 +182,7 @@ def pack_sequences_bpe(spark, sf_dir):
     → partition-local windows — never a global Window.orderBy); the
     oracle replays train → tokenize → the global-window prefix sum."""
     docs = t(spark, sf_dir, "documents")
-    merges = B.train_bpe(docs, N_MERGES)
+    merges = _train(docs)
     counts = B.bpe_token_counts(docs, merges).select("doc_id", "n_tokens")
     return P.pack_chunks(counts, _BUDGET, size_col="n_tokens",
                          id_col="doc_id")

@@ -207,7 +207,9 @@ def _ref_ms_decode_block(raw, ch, ba, coef_table):
     for j, nib in enumerate(nibs):
         c = j % ch
         signed = nib - 16 if nib >= 8 else nib
-        pred = (s1[c] * cfs[c][0] + s2[c] * cfs[c][1]) >> 8
+        # spec pseudo-code divides with C semantics (trunc toward 0);
+        # float division is exact here (|sum| < 2**25 ≪ 2**53)
+        pred = int((s1[c] * cfs[c][0] + s2[c] * cfs[c][1]) / 256)
         pred = max(-32768, min(32767, pred + signed * idl[c]))
         idl[c] = max(16, (adapt[nib] * idl[c]) >> 8)
         s2[c], s1[c] = s1[c], pred
@@ -232,6 +234,21 @@ def test_ms_decode_matches_reference(ch):
         )
         ref += [tuple(blk[c][j] for c in range(ch)) for j in range(10)]
     assert d["linear"] == ref[:25]
+
+
+def test_ms_trunc_division_interop_vector():
+    """A negative predictor sum not divisible by 256 distinguishes the
+    spec's C truncating division (what ffmpeg/libsndfile implement)
+    from a floored ``>> 8``: with coefficient pair (240, 0), s1 = -1,
+    and zero correction nibbles the third sample is trunc(-240/256)
+    = 0; a floored shift yields -1 there (and -1 for every later
+    sample).  Hand-patched block header, so the in-repo encoder cannot
+    compensate for the decoder."""
+    raw = bytearray(A.encode_ms_adpcm([(0,)] * 4, samples_per_block=4))
+    at = raw.index(b"data") + 8
+    raw[at : at + 8] = bytes([4]) + struct.pack("<hhh", 16, -1, 0) + b"\x00"
+    d = A.decode_ms_adpcm(bytes(raw))
+    assert d["linear"] == [(0,), (-1,), (0,), (0,)]
 
 
 def test_ms_header_samples_exact_and_fact_trim():

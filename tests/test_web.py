@@ -237,6 +237,11 @@ def test_corpus_precondition_text_is_entity_free(spark, sf_correct):
 
     bad = docs.filter(
         F.col("text").rlike("[&<>]") | F.col("text").rlike("[^ -~]")
+        # the extractor whitespace-collapses the {text} block while the
+        # oracles splice raw `text` in — collapse must be the identity
+        # (no runs of spaces, no leading/trailing space) or the hashes
+        # diverge with no pointer to the cause (ADVICE r15)
+        | F.col("text").rlike("  ") | F.col("text").rlike("^ | $")
     ).count()
     assert bad == 0
 
