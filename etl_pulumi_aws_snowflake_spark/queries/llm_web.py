@@ -142,6 +142,71 @@ def web_warc_records(spark, sf_dir):
     return W.warc_records(W.as_warc(t(spark, sf_dir, "documents")))
 
 
+# per-lane decoded-marker literals + char lengths (computed with the
+# SAME decoders the operator uses, pinned by tests/test_web.py)
+_MARKS = {k: _lit(v) for k, v in W.LANE_MARKS.items()}
+_MLENS = {k: len(v) for k, v in W.LANE_MARKS.items()}
+
+_OK_MAIN = (
+    "'doc ' || doc_id || chr(10) || text || chr(10) || 'mark ' || "
+    "CASE doc_id % 8 "
+    + " ".join(f"WHEN {k} THEN {v}" for k, v in _MARKS.items())
+    + f" END || chr(10) || {_lit(_P2_BLOCK)}"
+)
+_OK_NCHARS = (
+    f"length('doc ' || doc_id) + 1 + length(text) + 1 + 5 + "
+    "CASE doc_id % 8 "
+    + " ".join(f"WHEN {k} THEN {v}" for k, v in _MLENS.items())
+    + f" END + 1 + {len(_P2_BLOCK)}"
+)
+
+
+@query(
+    "web_charset_quarantine",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 8 = 6 THEN NULL ELSE 200 END
+                AS BIGINT) AS status,
+           CASE doc_id % 8
+                WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252'
+                WHEN 2 THEN 'shift_jis' WHEN 3 THEN 'windows-1252'
+                WHEN 4 THEN 'gbk' WHEN 5 THEN 'x-martian'
+                WHEN 6 THEN NULL WHEN 7 THEN 'utf-8' END AS charset,
+           CASE doc_id % 8 WHEN 5 THEN 'charset' WHEN 6 THEN 'http'
+                WHEN 7 THEN 'html' ELSE NULL END AS error_class,
+           CAST(CASE WHEN doc_id % 8 >= 5 THEN NULL
+                ELSE 12 + len(regexp_extract_all(text, '\\S+')) END
+                AS BIGINT) AS n_words,
+           CAST(CASE WHEN doc_id % 8 >= 5 THEN NULL
+                ELSE {_OK_NCHARS} END AS BIGINT) AS n_chars,
+           CASE WHEN doc_id % 8 >= 5 THEN NULL
+                ELSE {_OK_MAIN} END AS main_text
+    FROM documents
+    """,
+)
+def web_charset_quarantine(spark, sf_dir):
+    """Charset-aware, error-QUARANTINING raw-web ingest (VERDICT r15
+    #1) — the production posture for a crawl where 10–20%% of records
+    are non-UTF-8 and malformed records arrive by the million.  Eight
+    deliberate lanes per ``doc_id %% 8``: utf-8; windows-1252 declared
+    as quoted-uppercase ``ISO-8859-1`` (the WHATWG label mapping is
+    judged — honoring latin1 literally changes every mojibake char);
+    Shift_JIS and GB2312→gbk (multi-byte legacy decodes of the
+    marker's UTF-8 bytes); windows-1252 via ``<meta>`` prescan with a
+    bare ``text/html`` header; then three quarantine lanes — unknown
+    charset label, corrupt chunk-size line, unterminated HTML comment
+    — each becoming a ROW with the failing tier in ``error_class``
+    instead of task death.  The oracle replays the decoded mojibake
+    markers literally AND the quarantine rows, so a wrong decoder, a
+    wrong label mapping, a prescan that misses, or an error class
+    attributed to the wrong tier all fail the hash.  Same 100 TB shape
+    as the strict pipeline: one column-pruned scan → one mapInPandas,
+    zero shuffle."""
+    return W.warc_main_text_robust(
+        W.as_warc_mixed(t(spark, sf_dir, "documents"))
+    ).drop("error")
+
+
 @query(
     "web_pipeline_e2e",
     oracle=f"""

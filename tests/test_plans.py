@@ -572,7 +572,8 @@ def test_web_pipeline_single_pass_no_shuffle(spark):
     Python UDF (BatchEvalPython), and a ReadSchema that never loads
     corpus columns the synthesis doesn't use."""
     for name in ("web_pipeline_e2e", "web_warc_records",
-                 "web_html_extract", "web_main_content"):
+                 "web_html_extract", "web_main_content",
+                 "web_charset_quarantine"):
         plan = _plan(spark, name)
         assert "MapInPandas" in plan, name
         assert "Exchange" not in plan, name

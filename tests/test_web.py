@@ -327,3 +327,132 @@ def test_warc_gz_garbage_after_members_raises():
     gz = _gz_member(_rec("warcinfo", b"x: y\r\n")) + b"JUNK"
     with pytest.raises(ValueError, match="corrupt gzip member"):
         W.gunzip_members(gz)
+
+
+# --------------------------------------------------------------------
+# charset tier (r16): label resolution, prescan, total-1252, lanes
+# --------------------------------------------------------------------
+
+def test_charset_from_content_type_forms():
+    f = W.charset_from_content_type
+    assert f("text/html; charset=utf-8") == "utf-8"
+    assert f('text/html; charset="ISO-8859-1"') == "ISO-8859-1"
+    assert f("text/html; Charset = 'Shift_JIS' ; x=1") == "Shift_JIS"
+    assert f("text/html") is None
+    assert f(None) is None
+    assert f("text/html; charset=") is None
+
+
+def test_whatwg_label_mapping_latin1_is_1252():
+    """iso-8859-1 / latin1 / ascii labels must resolve to the
+    windows-1252 decoder (the WHATWG Encoding Standard mapping)."""
+    for label in ("iso-8859-1", "Latin1", "ASCII", "us-ascii", "l1"):
+        text, canon = W.decode_html_body(
+            b"\x93quoted\x94", f"text/html; charset={label}")
+        assert canon == "windows-1252"
+        assert text == "“quoted”"  # 0x93/0x94 are curly quotes
+
+
+def test_w1252_decode_is_total():
+    """Every byte 0..255 decodes (undefined cp1252 positions map to
+    the C1 controls, per the WHATWG total decoder)."""
+    all_bytes = bytes(range(256))
+    out = W._decode_w1252(all_bytes)
+    assert len(out) == 256
+    assert out[0x81] == "\x81" and out[0x8D] == "\x8d"
+    assert out[0x80] == "€" and out[0x9F] == "Ÿ"
+
+
+def test_meta_prescan_both_forms_and_window():
+    assert W.sniff_meta_charset(
+        b'<html><head><meta charset="gbk"></head>') == "gbk"
+    assert W.sniff_meta_charset(
+        b'<meta http-equiv="Content-Type" '
+        b'content="text/html; charset=Shift_JIS">') == "Shift_JIS"
+    # outside the 1 KiB prescan window -> not found
+    far = b"<html>" + b" " * 1100 + b'<meta charset="gbk">'
+    assert W.sniff_meta_charset(far) is None
+    # charset= in visible text (no <meta> tag) must not match
+    assert W.sniff_meta_charset(b"<p>set charset=utf-8 here</p>") is None
+
+
+def test_bom_beats_content_type_header():
+    text, canon = W.decode_html_body(
+        b"\xef\xbb\xbfh\xc3\xa9llo", "text/html; charset=ISO-8859-1")
+    assert (text, canon) == ("h\xe9llo", "utf-8")
+    text, canon = W.decode_html_body(
+        b"\xff\xfeh\x00i\x00", "text/html; charset=utf-8")
+    assert (text, canon) == ("hi", "utf-16le")
+
+
+def test_unknown_label_and_bad_bytes_raise_typed():
+    with pytest.raises(W.UnknownCharsetError) as ei:
+        W.decode_html_body(b"x", "text/html; charset=x-martian")
+    assert ei.value.label == "x-martian"
+    with pytest.raises(W.CharsetDecodeError) as ei:
+        W.decode_html_body(b"\xff\xff", "text/html; charset=utf-8")
+    assert ei.value.label == "utf-8"
+    with pytest.raises(W.CharsetDecodeError):
+        W.decode_html_body(b"\x81\x20", "text/html; charset=Shift_JIS")
+
+
+def test_lane_marks_pinned_independently():
+    """LANE_MARKS must equal an independent recomputation straight
+    through Python codecs (guards decoder drift: the oracle splices
+    these as literals)."""
+    b1 = W._MARK.encode("utf-8")
+    b2 = W._MARK_SJ.encode("utf-8")
+    w1252 = "".join(
+        bytes([x]).decode("cp1252") if x not in
+        (0x81, 0x8D, 0x8F, 0x90, 0x9D) else chr(x) for x in b1
+    )
+    assert W.LANE_MARKS[0] == W._MARK
+    assert W.LANE_MARKS[1] == W.LANE_MARKS[3] == w1252
+    assert W.LANE_MARKS[2] == b2.decode("shift_jis")
+    assert W.LANE_MARKS[4] == b2.decode("gbk")
+    for m in W.LANE_MARKS.values():
+        assert not any(c.isspace() or c in "&<>" for c in m)
+
+
+def test_robust_lanes_end_to_end(spark, sf_correct):
+    """Each of the eight lanes lands in its documented bucket: decoded
+    mojibake markers for lanes 0-4, tier-named quarantine rows for
+    lanes 5-7 — driven through the real DataFrame operator."""
+    docs = (spark.read.parquet(f"{sf_correct}/documents.parquet")
+            .filter("doc_id < 16"))
+    out = {
+        r["doc_id"]: r
+        for r in W.warc_main_text_robust(W.as_warc_mixed(docs)).collect()
+    }
+    assert len(out) == 16
+    for doc_id, r in out.items():
+        lane = doc_id % 8
+        assert r["charset"] == W.LANE_CANONICAL[lane], r
+        if lane < 5:
+            assert r["error_class"] is None and r["status"] == 200
+            assert f"mark {W.LANE_MARKS[lane]}" in r["main_text"]
+            assert r["error"] is None
+        else:
+            assert r["error_class"] == {5: "charset", 6: "http",
+                                        7: "html"}[lane]
+            assert r["main_text"] is None and r["n_words"] is None
+            assert r["error"]
+            assert r["status"] == (None if lane == 6 else 200)
+
+
+def test_strict_pipeline_honors_charset_header():
+    """warc_main_text (strict) now decodes per the declared charset:
+    a 1252-labeled page with high bytes decodes to curly quotes
+    instead of dying (or mojibake) on UTF-8 assumptions."""
+    html = ("<html><head><title>t</title></head><body>"
+            "<p>say \x93hi\x94</p></body></html>")
+    payload = (
+        "HTTP/1.1 200 OK\r\ncontent-type: text/html; "
+        f"charset=iso-8859-1\r\ncontent-length: {len(html.encode('latin-1'))}"
+        "\r\n\r\n"
+    ).encode() + html.encode("latin-1")
+    status, headers, body = W.http_response(payload)
+    text, canon = W.decode_html_body(body, headers["content-type"])
+    assert canon == "windows-1252"
+    blocks = W.html_text(text)["blocks"]
+    assert blocks[0][0] == "say “hi”"

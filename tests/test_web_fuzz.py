@@ -117,3 +117,83 @@ def test_page_synthesis_extraction_roundtrip(words):
     assert got == [
         t.format(doc_id=9, text=text) for t in W.BLOCKS_TEMPLATE
     ]
+
+
+# --------------------------------------------------------------------
+# quarantine tier (r16): robust_rows must be TOTAL — any mutation of a
+# valid WARC yields rows (ok or quarantine), never an exception
+# --------------------------------------------------------------------
+
+def _valid_warc(text: str, lane: int) -> str:
+    """A single-response WARC string mirroring as_warc_mixed's lane
+    shapes, built independently of codegen."""
+    html = (
+        W._HTML_HEAD + "1" + W._T_CLOSE
+        + (W._META_1252 if lane == 3 else "")
+        + W._AFTER_TITLE_REST + "1" + W._HTML_AFTER_H1 + text
+        + "</p>\n<p>mark " + (W._MARK_SJ if lane in (2, 4) else W._MARK)
+        + W._HTML_AFTER_TEXT
+    )
+    raw = html.encode("utf-8")
+    chunked = (
+        f"{len(raw):x}\r\n".encode() + raw + b"\r\n0\r\n\r\n"
+    ).decode("utf-8", "surrogateescape")
+    resp = (
+        "HTTP/1.1 200 OK\r\ncontent-type: " + W.LANE_CT[lane]
+        + "\r\ntransfer-encoding: chunked\r\n\r\n" + chunked
+    )
+    return (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: http://x/\r\n"
+        f"Content-Length: {len(resp.encode('utf-8'))}\r\n\r\n"
+        + resp + "\r\n\r\n"
+    )
+
+
+@given(
+    text=st.text(alphabet="abcdef ghij", min_size=1, max_size=60),
+    lane=st.integers(min_value=0, max_value=4),
+    mutations=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10_000),
+                  st.characters(min_codepoint=1, max_codepoint=0x2FFF)),
+        min_size=0, max_size=4,
+    ),
+)
+@settings(max_examples=250, deadline=None)
+def test_robust_rows_total_under_mutation(text, lane, mutations):
+    """Arbitrary character substitutions anywhere in a valid WARC —
+    framing, headers, chunk sizes, HTML, marker bytes — must come back
+    as rows whose error_class is one of the four tiers (or None for a
+    still-decodable record).  Task death is the one forbidden
+    outcome."""
+    warc = _valid_warc(text, lane)
+    chars = list(warc)
+    for pos, ch in mutations:
+        chars[pos % len(chars)] = ch
+    rows = W.robust_rows(1, "".join(chars))
+    assert rows, "a response-bearing WARC must yield at least one row"
+    for r in rows:
+        assert r[3] in (None, "warc", "http", "charset", "html")
+        if r[3] is None:
+            assert r[6] is not None  # main_text present on ok rows
+
+
+@given(
+    body=st.binary(min_size=0, max_size=300),
+    label=st.sampled_from(sorted(W._LABEL_TO_CANONICAL)),
+)
+@settings(max_examples=300, deadline=None)
+def test_decode_html_body_typed_errors_only(body, label):
+    """decode_html_body over arbitrary bytes and every table label:
+    either a str comes back or one of the two typed charset errors —
+    and the windows-1252 family NEVER fails (total decoder)."""
+    try:
+        text, canon = W.decode_html_body(
+            body, f"text/html; charset={label}")
+        assert isinstance(text, str)
+        assert canon in W._CHARSETS or canon in ("utf-8",)
+    except (W.UnknownCharsetError, W.CharsetDecodeError):
+        assert W._LABEL_TO_CANONICAL[label] != "windows-1252" or (
+            body[:2] in (b"\xff\xfe", b"\xfe\xff")
+            or body[:3] == b"\xef\xbb\xbf"
+        )
