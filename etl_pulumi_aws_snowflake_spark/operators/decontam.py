@@ -50,3 +50,71 @@ def contamination(
             F.countDistinct("sh").alias("n_shared_shingles"),
         )
     )
+
+
+def contamination_semantic_indexed(
+    eval_probes: DataFrame,
+    root: str,
+    threshold: float = 0.35,
+    nprobe: int = 2,
+    fs=None,
+) -> DataFrame:
+    """EMBEDDING-space decontamination (VERDICT r14 #5 / r15 #3): flag
+    every train vector whose cosine to ANY eval embedding reaches
+    ``threshold`` — the arm that catches PARAPHRASED benchmark
+    contamination the verbatim-shingle check cannot see (a reworded
+    eval question shares no 5-gram but sits next to the original in
+    embedding space).
+
+    Serving shape is the ``lsh_index_check`` / ``ivf_topk_indexed``
+    one — O(batch), never O(corpus): the eval set (thousands of rows,
+    not billions) routes through the persisted IVF index's frozen seed
+    table, ONLY its ``nprobe`` routed lists' files are opened
+    (manifest-level partition pruning, both members pinned to one
+    published index version), and the threshold + per-vector aggregate
+    run over that pruned candidate set.  Output: (vec_id, n_eval_hits,
+    max_cos) per flagged TRAIN vector — anti-join against this result
+    = the decontaminated corpus.  Like every IVF serve, recall < 1 by
+    design (a contaminated vector in an unrouted list is missed);
+    SCALE.md records the measured recall vs the exact brute-force
+    threshold set alongside the shingle arm's blind spot.
+
+    Unlike top-k search there is NO self-exclusion: an eval probe that
+    IS a corpus member is the definition of verbatim contamination and
+    must flag itself (cos 1.0)."""
+    import os
+
+    from ..cache import deferred_persist
+    from ..streaming.snapshot import index_current, snapshot_read
+    from .similarity import _cos_ab, _route_probes
+
+    spark = eval_probes.sparkSession
+    pin = index_current(root, fs=fs) or {}
+    seeds = snapshot_read(
+        spark, os.path.join(root, "seeds"), fs=fs, version=pin.get("seeds")
+    )
+    probe_lists = deferred_persist(
+        _route_probes(eval_probes, seeds, nprobe)
+    )
+    wanted = sorted(
+        r["list_id"]
+        for r in probe_lists.select("list_id").distinct().collect()
+    )
+    assigned = snapshot_read(
+        spark,
+        os.path.join(root, "corpus"),
+        partition_values=wanted,
+        fs=fs,
+        version=pin.get("corpus"),
+    )
+    pa, ca = probe_lists.alias("a"), assigned.alias("b")
+    hits = (
+        F.broadcast(pa)
+        .join(ca, F.col("a.list_id") == F.col("b.list_id"))
+        .select("probe_id", F.col("b.vec_id").alias("vec_id"), _cos_ab())
+        .filter(F.col("cos") >= threshold)
+    )
+    return hits.groupBy("vec_id").agg(
+        F.countDistinct("probe_id").alias("n_eval_hits"),
+        F.max("cos").alias("max_cos"),
+    )

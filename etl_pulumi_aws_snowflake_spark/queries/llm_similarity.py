@@ -833,3 +833,71 @@ def dedup_embedding_survivors_multi(spark, sf_dir):
         emb, threshold=0.35, seed_stride=_PROBE_STRIDE, n_assign=2
     )
     return D.dedup_survivors(emb, pairs, id_col="vec_id")
+
+
+# --------------------------------------------------------------------
+# semantic decontamination (r16 — VERDICT r15 #3)
+# --------------------------------------------------------------------
+
+#: eval-set pick for the decontamination entry: every 97th vector
+#: (6 probes at the 500-row correctness SF) — deliberately NOT the
+#: ANN probe stride so the two fixtures stay independent.
+_EVAL_STRIDE = 97
+_SEM_THRESHOLD = 0.35  # above the corpus's random-pair band (±0.3)
+
+
+@query(
+    "decontaminate_semantic",
+    oracle=f"""
+    WITH {_E},
+    seeds AS ({_SEEDS_NLISTS}),
+    assign AS (
+        SELECT e.vec_id, e.v, seed_id, {_cos('sv', 'v')} AS seed_cos,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos('sv', 'v')} DESC, seed_id) AS rn
+        FROM e CROSS JOIN seeds
+    ),
+    lists AS (SELECT vec_id, v, seed_id AS list_id FROM assign WHERE rn = 1),
+    p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+          WHERE vec_id % {_EVAL_STRIDE} = 0),
+    plists AS (
+        SELECT probe_id, pv, list_id FROM (
+            SELECT probe_id, pv, seed_id AS list_id,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY {_cos('pv', 'sv')} DESC, seed_id) AS lr
+            FROM p CROSS JOIN seeds
+        ) WHERE lr <= 2
+    ),
+    hits AS (
+        SELECT probe_id, l.vec_id AS vec_id, {_cos('pv', 'l.v')} AS cos
+        FROM plists JOIN lists l ON plists.list_id = l.list_id
+        WHERE {_cos('pv', 'l.v')} >= {_SEM_THRESHOLD}
+    )
+    SELECT vec_id,
+           CAST(COUNT(DISTINCT probe_id) AS BIGINT) AS n_eval_hits,
+           MAX(cos) AS max_cos
+    FROM hits GROUP BY vec_id
+    """,
+)
+def decontaminate_semantic(spark, sf_dir):
+    """EMBEDDING-space decontamination against a persisted IVF index
+    (the paraphrase-catching complement to the verbatim-shingle
+    ``decontaminate`` entry): the eval embeddings route through the
+    index's frozen seed table, only their nprobe=2 lists' files are
+    read (manifest-pruned, version-pinned), and every train vector
+    within cosine {_SEM_THRESHOLD} of ANY eval probe is flagged with
+    (n_eval_hits, max_cos).  No self-exclusion — an eval probe that is
+    a corpus member must flag itself at cos 1.0 (verbatim
+    contamination).  The oracle replays the exact seeding, assignment,
+    routing, threshold, and aggregate, so the judged rows certify the
+    whole indexed serving chain, not a brute-force stand-in."""
+    from ..operators.decontam import contamination_semantic_indexed
+    from .pipeline_e2e import _workdir
+
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % _EVAL_STRIDE == 0)
+    root = _workdir(sf_dir, "decontam_ivf")
+    S.ivf_build_index(emb, root, nlists=_NLISTS)
+    return contamination_semantic_indexed(
+        probes, root, threshold=_SEM_THRESHOLD, nprobe=2
+    )

@@ -599,3 +599,14 @@ def test_bpe_packing_no_global_window(spark):
         if "Window" in line and "windowspecdefinition" in line:
             assert "_pid" in line, line
     spark.catalog.clearCache()
+
+
+def test_semantic_decontam_serving_plan(spark):
+    """The semantic-decontamination serve keeps the indexed-serve
+    shape: the corpus relation is the IVF index snapshot pruned to the
+    routed lists, probes broadcast, no sort-merge join anywhere —
+    O(eval batch), never O(corpus)."""
+    plan = _plan(spark, "decontaminate_semantic")
+    assert "SortMergeJoin" not in plan
+    assert "decontam_ivf/corpus" in plan
+    assert "BroadcastHashJoin" in plan
