@@ -448,6 +448,58 @@ def mm_video_meta(spark, sf_dir):
     return V.video_meta(M.as_y4m(t(spark, sf_dir, "documents")))
 
 
+def _tripled(f: str) -> str:
+    """DuckDB expr: each of the 6 frame chars repeated 3x — the
+    gray→RGB replication decode_image performs."""
+    return " || ".join(f"repeat(substr({f}, {i}, 1), 3)"
+                       for i in range(1, 7))
+
+
+@query(
+    "mm_video_frame_features",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, substr(sha256(text), 6*s.j + 1, 6) AS fr, s.j
+        FROM documents
+        CROSS JOIN (SELECT unnest([0, 2]) AS j) s
+    )
+    SELECT doc_id,
+           CAST(j AS BIGINT) AS frame_no,
+           CAST(2 AS BIGINT) AS width,
+           CAST(3 AS BIGINT) AS height,
+           CAST(6 AS BIGINT) AS n_pixels,
+           CAST({' + '.join(f'ascii(substr(fr, {i}, 1))'
+                            for i in range(1, 7))} AS BIGINT) AS sum_luma,
+           CAST(LEAST({', '.join(f'ascii(substr(fr, {i}, 1))'
+                                 for i in range(1, 7))})
+                AS BIGINT) AS min_luma,
+           CAST(GREATEST({', '.join(f'ascii(substr(fr, {i}, 1))'
+                                    for i in range(1, 7))})
+                AS BIGINT) AS max_luma,
+           md5({_tripled('fr')}) AS rgb_md5
+    FROM f
+    """,
+)
+def mm_video_frame_features(spark, sf_dir):
+    """VIDEO→IMAGE composition in one worker pass (VERDICT r15 #6):
+    decode the Y4M container, sample every 2nd frame (frames 0 and 2
+    of 4), wrap each sampled luma plane as a PGM and push it through
+    the SAME from-scratch ``decode_image`` tier the image entries use
+    — gray→RGB replication included — then featurize the DECODED RGB
+    with exact integer luma stats and the md5 of the actual RGB bytes.
+    The oracle replays the frame slice, the ASCII luma arithmetic, AND
+    the byte-tripled RGB checksum, so a wrong sample stride, a luma
+    plane sliced at the wrong offset, or a gray→RGB replication bug
+    all fail the hash.  Both decode stages share one ``mapInPandas``:
+    no shuffle between video decode and image featurize
+    (plan-guarded)."""
+    from ..operators import video as V
+
+    return V.video_frame_features(
+        M.as_y4m(t(spark, sf_dir, "documents")), every_n=2
+    )
+
+
 @query(
     "mm_resize",
     oracle="""

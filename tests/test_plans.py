@@ -610,3 +610,13 @@ def test_semantic_decontam_serving_plan(spark):
     assert "SortMergeJoin" not in plan
     assert "decontam_ivf/corpus" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_video_frame_features_single_pass_no_shuffle(spark):
+    """Video decode → frame sample → image featurize must live in ONE
+    Arrow-batched worker pass: no Exchange between the decode stages,
+    no per-row Python UDF."""
+    plan = _plan(spark, "mm_video_frame_features")
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan

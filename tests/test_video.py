@@ -184,3 +184,36 @@ def test_as_y4m_geometry_guard():
 
 def test_capabilities_report_y4m():
     assert M.capabilities()["y4m_decode"] is True
+
+
+def test_video_frame_features_samples_and_matches_image_tier(spark):
+    """The composition operator's per-frame features equal a hand walk
+    through decode_y4m + the image tier (PGM wrap + decode_image),
+    including the luma-plane slice of a NON-mono (C420) stream and the
+    every_n sampling stride — driven through the real DataFrame
+    operator."""
+    from etl_pulumi_aws_snowflake_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    w, h, n = 4, 2, 5
+    frames = [bytes((i * 37 + k) % 256 for k in range(w * h * 9 // 6))
+              for i in range(n)]
+    payload = V.encode_y4m(frames, width=w, height=h, colorspace="420")
+    media = spark.createDataFrame(
+        [(3, bytearray(payload))], "doc_id long, content binary"
+    )
+    for every_n in (1, 2, 3):
+        want = []
+        for j in range(0, n, every_n):
+            y = frames[j][: w * h]  # luma plane of the 420 frame
+            rgb = decode_image(f"P5\n{w} {h}\n255\n".encode() + y)
+            assert bytes(rgb[0::3]) == y  # gray->RGB replication exact
+            want.append((3, j, w, h, w * h, sum(y), min(y), max(y),
+                         hashlib.md5(rgb).hexdigest()))
+        got = [
+            tuple(r)
+            for r in V.video_frame_features(media, every_n=every_n)
+            .orderBy("frame_no").collect()
+        ]
+        assert got == want
