@@ -38,54 +38,49 @@ from . import streaming_e2e  # noqa: E402,F401
 
 
 # The external correctness driver checks the FIRST 50 dict entries per
-# round (CORRECTNESS_r01-r14 each recorded exactly queries()[:50] in
-# order).  Round 15 rotates the window per the staleness rule
-# (scripts/driver_staleness.py order): (a) the EIGHT entries round 15
-# added lead (never-checked-entries-lead rule — the four raw-web
-# ingestion entries: WARC record walk, HTML extract, boilerplate
-# removal, the WARC→HTTP-chunked→HTML→main-text pipeline; the three
-# trainable-BPE entries: merge-table training, tokenization,
-# BPE-budgeted packing; and the multi-writer rebase-and-retry e2e);
-# then (b) ALL 37 r11-stale entries the r14 note deferred — due now,
-# exactly as promised (the join family, the q* TPC-H heads, the
-# scalar/set/sort families, the search trio, the int8-IVF trio, the
-# six streaming e2es, text_chunk_windows, the win_* analytic trio);
-# then (c) the first 5 r12-stale entries in staleness-report order
-# (agg_collect / agg_cube / agg_grouping_sets / agg_rollup /
-# agg_stats).  The 40 remaining r12 entries defer one round (they
-# lead r16's window with the rest of the r12 cohort): align/cdc/
-# corpus/curation/decontaminate/dedup/dq/join_salted/layout/merge/
-# mm_* plumbing trio/pack/pipeline/pivot/q17/sample quartet/
-# scalar_conditional/scalar_hilbert_key/scalar_math — every one an
-# untouched family with r12 window evidence AND green r14 mirror +
-# smoke + determinism sweeps at both scales.
+# round (CORRECTNESS_r01-r15 each recorded exactly queries()[:50] in
+# order).  Round 16 rotates the window per the staleness rule
+# (scripts/driver_staleness.py order): (a) the THREE entries round 16
+# added lead (never-checked-entries-lead rule — the charset-aware
+# quarantining web ingest, the embedding-space decontamination arm,
+# and the video→image frame-feature composition); then (b) ALL 45
+# r12-stale entries the r15 note deferred — due now, exactly as
+# promised (align/cdc-pruned/corpus pair/curation-indexed/
+# decontaminate/the dedup five/dq_audit/join_salted/layout/the merge
+# pair/the mm plumbing trio/the pack pair/the pipeline pair/pivot/
+# q17/the sample quartet/the scalar quartet/set_distinct/
+# sim_cosine_topk/the int8-IVF rerank+lifecycle quartet/
+# stream_ivf_q_ingest/text_lm_score/text_quality/the UDF pair/
+# win_range_frame); then (c) the first 2 r13-stale entries in
+# staleness-report order (agg_distinct, agg_groupby_basic).  The
+# remaining 48 r13 entries lead r17's window.
 # tests/test_docs.py::test_never_driver_checked_entries_lead_the_window
 # FAILS if a registry entry without any CORRECTNESS row sits outside
 # the first 50 — the r05 process miss cannot recur silently.
 _DRIVER_FIRST = [
-    # (a) NEW in r15 — first-ever driver evidence
-    "web_html_extract", "web_main_content", "web_warc_records",
-    "web_pipeline_e2e",
-    "text_bpe_train", "text_bpe_tokenize", "pack_sequences_bpe",
-    "snapshot_retry_e2e",
-    # (b) ALL 37 r11-stale entries deferred by the r14 note — due now
-    "join_broadcast", "join_full_outer", "join_inner",
-    "join_left_outer", "join_range", "join_theta",
-    "q10_returned_items", "q18_large_volume_customer",
-    "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "scalar_array", "scalar_datetime",
-    "scalar_json", "search_bm25_deleted", "search_hybrid_rrf_indexed",
-    "search_phrase_indexed", "set_except", "set_intersect",
-    "set_union_all", "set_union_by_name", "sim_ivf_recall_quantized",
-    "sim_ivf_topk_deleted", "sim_ivf_topk_quantized",
-    "sort_limit_topn", "sort_multi_key", "stream_arbitrary_state_e2e",
-    "stream_bm25_ingest_e2e", "stream_ivf_ingest_e2e",
-    "stream_late_data_discard_e2e", "stream_replay_idempotence_e2e",
-    "stream_stateful_dedup_e2e", "text_chunk_windows", "win_lag_lead",
-    "win_rank_dense", "win_running_sum", "win_topk_per_group",
-    # (c) r12-stale, staleness-report order (40 deferred, note above)
-    "agg_collect", "agg_cube", "agg_grouping_sets", "agg_rollup",
-    "agg_stats",
+    # (a) NEW in r16 — first-ever driver evidence
+    "decontaminate_semantic", "mm_video_frame_features",
+    "web_charset_quarantine",
+    # (b) ALL 45 r12-stale entries deferred by the r15 note — due now
+    "align_by_name_ci", "cdc_merge_pruned_e2e", "corpus_quality_filter",
+    "corpus_split", "curation_pipeline_indexed_e2e", "decontaminate",
+    "dedup_exact", "dedup_fingerprint_groups", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash", "dq_audit", "join_salted",
+    "layout_cluster_key", "merge_schema_evolution",
+    "merge_upsert_customers", "mm_binary_features", "mm_decode_ppm",
+    "mm_resize", "pack_bins", "pack_sequences", "pipeline_batch_e2e",
+    "pipeline_stream_e2e", "pivot_status_by_priority",
+    "q17_small_qty_revenue", "sample_exact_quota",
+    "sample_hash_bernoulli", "sample_stratified_by_lang",
+    "sample_temperature_mixture", "scalar_conditional",
+    "scalar_hilbert_key", "scalar_math", "scalar_string",
+    "set_distinct_rows", "sim_cosine_topk",
+    "sim_ivf_recall_quantized_rerank", "sim_ivf_topk_quantized_appended",
+    "sim_ivf_topk_quantized_deleted", "sim_ivf_topk_quantized_rerank",
+    "stream_ivf_q_ingest_e2e", "text_lm_score", "text_quality",
+    "udf_grouped_map", "udf_table_function", "win_range_frame",
+    # (c) r13-stale, staleness-report order (48 deferred to r17)
+    "agg_distinct", "agg_groupby_basic",
 ]
 
 def _driver_order(d: dict) -> dict:

@@ -1,0 +1,308 @@
+"""Auto-maintenance policy (VERDICT r14 #8 / r15 #4): the hands-off
+driver a 100 TB deployment runs nightly over its table/index roots.
+
+Every maintenance SIGNAL already exists (``snapshot_fragmentation``,
+``mor_pending_batches``, the LSH band-table geometry) and every
+REMEDY already exists (``snapshot_compact``, ``index_compact``,
+``mor_compact``) — what was missing is the rung that CONSULTS the
+signals and schedules the remedies when thresholds trip.  That rung
+is :func:`maintain`: classify what lives at ``root`` (bare snapshot /
+published index / merge-on-read table), gather its signals, compare
+against the policy thresholds, run the due remedies, and return a
+report of what it saw and did.
+
+Design points:
+
+* **Thresholds are policy, not correctness.**  Nothing here changes
+  query results — every remedy is a semantics-preserving rewrite with
+  its own atomic commit/republish.  A threshold set too high merely
+  costs read amplification until the loud caps
+  (``mor.MAX_PENDING_BATCHES``) catch it.
+* **Remedies compose through the pin layer.**  Index members compact
+  through :func:`..streaming.snapshot.index_compact` (which
+  republishes the pin), never by reaching into member snapshots
+  directly — compaction through the policy can never strand a pin.
+* **Rebuild is a recommendation, not an action.**  An LSH index whose
+  band buckets have outgrown the routed-read budget needs a REBUILD
+  with more buckets, which requires the corpus — out of scope for a
+  metadata-driven nightly job, so the policy reports it
+  (``recommendations``) instead of guessing.
+* **Dry-run first.**  ``maintain(..., dry_run=True)`` returns the
+  identical report with the due actions listed but not executed — the
+  form a deployment runs before trusting new thresholds.
+
+At 100 TB the cost shape: signal gathering is metadata-only
+(manifests; plus one aggregate over the band table for LSH geometry),
+and each remedy's work is bounded by what it rewrites (carried
+partitions / backlog-touched partitions), never O(table).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .snapshot import (
+    DEFAULT_FS,
+    _current_version,
+    index_compact,
+    index_current,
+    snapshot_compact,
+    snapshot_fragmentation,
+    snapshot_read,
+)
+
+__all__ = ["MaintenancePolicy", "inspect", "maintain"]
+
+
+@dataclass(frozen=True)
+class MaintenancePolicy:
+    """Thresholds the nightly job compares signals against.
+
+    ``max_versions_referenced``: a live manifest pointing into more
+    than this many version dirs triggers compaction (1 = fully
+    compacted; the default tolerates a couple of pruned merges).
+
+    ``max_partitions_carried``: live partitions whose data sits
+    outside the live version — the rewrite debt compaction would pay.
+
+    ``mor_backlog``: pending merge-on-read batches before the fold —
+    well under ``mor.MAX_PENDING_BATCHES`` (512), which is the loud
+    failure the policy exists to keep unreachable.
+
+    ``lsh_max_rows_per_bucket``: mean band-table rows per bucket
+    before a rebuild-with-more-buckets recommendation; a routed check
+    reads ~``batch·bands`` buckets, so the mean bucket size IS the
+    per-batch read amplification."""
+
+    max_versions_referenced: int = 4
+    max_partitions_carried: int = 8
+    mor_backlog: int = 64
+    lsh_max_rows_per_bucket: int = 100_000
+    compact_keep: int = 2
+
+
+@dataclass
+class MaintenanceReport:
+    root: str
+    kind: str
+    signals: dict = field(default_factory=dict)
+    actions: list = field(default_factory=list)
+    recommendations: list = field(default_factory=list)
+
+    def as_dict(self) -> dict:
+        return {
+            "root": self.root,
+            "kind": self.kind,
+            "signals": self.signals,
+            "actions": self.actions,
+            "recommendations": self.recommendations,
+        }
+
+
+_MOR_MEMBERS = {"base", "dv", "data"}
+_LSH_MEMBERS = {"meta", "sets", "bands"}
+
+
+def _classify(root: str, fs) -> tuple[str, dict | None]:
+    """What lives at ``root``: ``mor`` (pin with base/dv/data),
+    ``index`` (any other published pin), ``snapshot`` (bare versioned
+    snapshot), or ``empty``.
+
+    The discriminator is what the live root-level version dir holds:
+    a published index/mor root's versions carry ``_INDEX.json`` pins,
+    a bare snapshot's carry manifests/data — probing the pin file
+    FIRST avoids ``index_current``'s (correct) corrupt-root error on a
+    plain snapshot."""
+    cur = _current_version(root, fs)
+    if not cur:
+        return "empty", None
+    try:
+        fs.read_text(os.path.join(root, cur, "_INDEX.json"))
+    except FileNotFoundError:
+        return "snapshot", None
+    pin = index_current(root, fs=fs)
+    if pin is not None and set(pin) >= _MOR_MEMBERS:
+        return "mor", pin
+    return "index", pin
+
+
+def _frag_due(frag: dict, policy: MaintenancePolicy) -> bool:
+    return frag["partitioned"] and (
+        frag["versions_referenced"] > policy.max_versions_referenced
+        or frag["partitions_carried"] > policy.max_partitions_carried
+    )
+
+
+def _lsh_band_stats(
+    spark: SparkSession, root: str, pin: dict, fs
+) -> dict:
+    """Band-table geometry for the saturation recommendation: mean and
+    max rows per bucket at the PINNED versions (one aggregate over the
+    band table — the only non-metadata signal, and the one that prices
+    every future routed check)."""
+    meta = snapshot_read(
+        spark, os.path.join(root, "meta"), fs=fs, version=pin.get("meta")
+    ).collect()[0]
+    per_bucket = (
+        snapshot_read(
+            spark,
+            os.path.join(root, "bands"),
+            fs=fs,
+            version=pin.get("bands"),
+        )
+        .groupBy("bucket")
+        .count()
+        .agg(
+            F.sum("count").alias("rows"),
+            F.max("count").alias("max_bucket"),
+        )
+        .collect()[0]
+    )
+    n_buckets = int(meta["n_buckets"])
+    rows = int(per_bucket["rows"] or 0)
+    return {
+        "n_buckets": n_buckets,
+        "band_rows": rows,
+        "rows_per_bucket_mean": rows / n_buckets if n_buckets else 0.0,
+        "rows_per_bucket_max": int(per_bucket["max_bucket"] or 0),
+    }
+
+
+def inspect(
+    spark: SparkSession, root: str, fs=None
+) -> MaintenanceReport:
+    """Gather every signal for ``root`` without acting: kind, per-root
+    fragmentation/backlog/geometry.  :func:`maintain` is ``inspect``
+    plus the threshold comparison plus the remedies."""
+    fs = fs or DEFAULT_FS
+    kind, pin = _classify(root, fs)
+    rep = MaintenanceReport(root=root, kind=kind)
+    if kind == "empty":
+        return rep
+    if kind == "snapshot":
+        rep.signals["fragmentation"] = snapshot_fragmentation(root, fs=fs)
+        return rep
+    members = {
+        name: snapshot_fragmentation(os.path.join(root, name), fs=fs)
+        for name in pin
+    }
+    rep.signals["members"] = members
+    if kind == "mor":
+        from .mor import mor_pending_batches
+
+        rep.signals["pending_batches"] = len(
+            mor_pending_batches(root, fs=fs)
+        )
+    elif set(pin) >= _LSH_MEMBERS:
+        rep.signals["lsh"] = _lsh_band_stats(spark, root, pin, fs)
+    return rep
+
+
+def maintain(
+    spark: SparkSession,
+    root: str,
+    fs=None,
+    policy: MaintenancePolicy = MaintenancePolicy(),
+    dry_run: bool = False,
+) -> dict:
+    """The nightly rung: inspect ``root``, run every due remedy,
+    return the report (``as_dict()`` form — JSON-loggable).
+
+    Actions per kind:
+
+    * ``snapshot`` — fragmentation past thresholds →
+      :func:`snapshot_compact`.
+    * ``index`` — ANY member's fragmentation past thresholds →
+      :func:`index_compact` over the whole pin (member compaction and
+      the republish are one lifecycle step — compacting a member
+      without moving the pin would strand the GC horizon).  An LSH
+      pin additionally gets the saturation check → a ``rebuild``
+      RECOMMENDATION when mean bucket size exceeds the policy budget.
+    * ``mor`` — pending backlog ≥ ``policy.mor_backlog`` →
+      :func:`mor_compact` (folds the sidecars, resets, republishes);
+      base-member fragmentation past thresholds → member-scoped
+      :func:`index_compact` (base only — dv/data reset wholesale at
+      every fold and never fragment).
+    """
+    fs = fs or DEFAULT_FS
+    rep = inspect(spark, root, fs=fs)
+    if rep.kind == "empty":
+        return rep.as_dict()
+
+    def act(name: str, fn) -> None:
+        if dry_run:
+            rep.actions.append({"action": name, "dry_run": True})
+        else:
+            rep.actions.append({"action": name, "result": fn()})
+
+    if rep.kind == "snapshot":
+        if _frag_due(rep.signals["fragmentation"], policy):
+            act(
+                "snapshot_compact",
+                lambda: snapshot_compact(
+                    spark, root, fs=fs, keep=policy.compact_keep
+                ),
+            )
+        return rep.as_dict()
+
+    members_due = sorted(
+        name
+        for name, frag in rep.signals["members"].items()
+        if _frag_due(frag, policy)
+    )
+    if rep.kind == "mor":
+        if rep.signals["pending_batches"] >= policy.mor_backlog:
+            from .mor import mor_compact
+
+            act(
+                "mor_compact",
+                lambda: mor_compact(
+                    spark, root, fs=fs, keep=policy.compact_keep
+                ),
+            )
+        if "base" in members_due and not any(
+            a["action"] == "mor_compact" for a in rep.actions
+        ):
+            # mor_compact already rewrites (and republishes) base for
+            # the touched partitions; only an idle-but-fragmented base
+            # needs the member-scoped compaction rung.
+            act(
+                "index_compact:base",
+                lambda: index_compact(
+                    spark,
+                    root,
+                    members={"base": True, "dv": False, "data": False},
+                    fs=fs,
+                    keep=policy.compact_keep,
+                ),
+            )
+        return rep.as_dict()
+
+    # published index (IVF / LSH / BM25 / PQ ...)
+    if members_due:
+        act(
+            "index_compact",
+            lambda: index_compact(
+                spark, root, fs=fs, keep=policy.compact_keep
+            ),
+        )
+    lsh = rep.signals.get("lsh")
+    if lsh and lsh["rows_per_bucket_mean"] > policy.lsh_max_rows_per_bucket:
+        rep.recommendations.append(
+            {
+                "recommendation": "rebuild",
+                "reason": (
+                    f"LSH mean bucket size "
+                    f"{lsh['rows_per_bucket_mean']:.0f} exceeds the "
+                    f"routed-read budget "
+                    f"{policy.lsh_max_rows_per_bucket} — rebuild with "
+                    f"more than {lsh['n_buckets']} buckets (requires "
+                    "the corpus; not a metadata-only remedy)"
+                ),
+            }
+        )
+    return rep.as_dict()

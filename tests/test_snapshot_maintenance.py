@@ -425,3 +425,140 @@ def test_compact_vs_commit_race_both_orders(spark, tmp_path):
             snapshot_compact(spark, root, keep=2)
     assert {d for d in os.listdir(root) if d.startswith("v-")} == before
     assert _rows(spark, root) == content
+
+
+# --------------------------------------------------------------------
+# auto-maintenance policy (r16, VERDICT r15 #4): maintain(root)
+# --------------------------------------------------------------------
+
+def _policy(**kw):
+    from etl_pulumi_aws_snowflake_spark.streaming.maintenance import (
+        MaintenancePolicy,
+    )
+
+    return MaintenancePolicy(**kw)
+
+
+def test_maintain_compacts_fragmented_snapshot_then_converges(spark, tmp_path):
+    """A bare snapshot spread over many versions by pruned merges:
+    maintain() runs snapshot_compact when fragmentation passes the
+    policy thresholds, rows are preserved, and the SECOND run is a
+    no-op (signals back under threshold) — safe on a schedule."""
+    from etl_pulumi_aws_snowflake_spark.streaming.maintenance import maintain
+
+    root = str(tmp_path / "snap")
+    _seed_partitioned(spark, root)
+    for i in range(3):
+        _merge(spark, root, k=i, p=i % 3, v=f"u{i}")
+    before = _rows(spark, root)
+    rep = maintain(spark, root, policy=_policy(
+        max_versions_referenced=2, max_partitions_carried=1))
+    assert rep["kind"] == "snapshot"
+    assert [a["action"] for a in rep["actions"]] == ["snapshot_compact"]
+    assert _rows(spark, root) == before
+    rep2 = maintain(spark, root, policy=_policy(
+        max_versions_referenced=2, max_partitions_carried=1))
+    assert rep2["actions"] == []
+    assert rep2["signals"]["fragmentation"]["versions_referenced"] <= 2
+
+
+def test_maintain_dry_run_reports_without_acting(spark, tmp_path):
+    from etl_pulumi_aws_snowflake_spark.streaming.maintenance import maintain
+    from etl_pulumi_aws_snowflake_spark.streaming.snapshot import (
+        snapshot_fragmentation,
+    )
+
+    root = str(tmp_path / "snap")
+    _seed_partitioned(spark, root)
+    for i in range(3):
+        _merge(spark, root, k=i, p=i % 3, v=f"u{i}")
+    frag = snapshot_fragmentation(root)
+    rep = maintain(spark, root, dry_run=True, policy=_policy(
+        max_versions_referenced=2, max_partitions_carried=1))
+    assert rep["actions"] == [
+        {"action": "snapshot_compact", "dry_run": True}]
+    assert snapshot_fragmentation(root) == frag  # untouched
+
+
+def test_maintain_folds_mor_backlog_at_threshold(spark, tmp_path):
+    """A merge-on-read table with a planted backlog: below the policy
+    backlog nothing runs; at it, maintain() folds via mor_compact and
+    the pending list clears — the rung that keeps MAX_PENDING_BATCHES
+    unreachable."""
+    from etl_pulumi_aws_snowflake_spark.streaming import mor
+    from etl_pulumi_aws_snowflake_spark.streaming.maintenance import maintain
+
+    root = str(tmp_path / "mor")
+    base = spark.createDataFrame(
+        [(i, i % 3, f"r{i}") for i in range(12)],
+        "k bigint, p bigint, v string",
+    )
+    mor.mor_init(base, root, "p", key=["k"])
+    for b in range(3):
+        batch = spark.createDataFrame(
+            [(b, b % 3, f"u{b}")], "k bigint, p bigint, v string")
+        mor.mor_merge(spark, root, batch, key=["k"])
+    assert len(mor.mor_pending_batches(root)) == 3
+    rep = maintain(spark, root, policy=_policy(mor_backlog=5))
+    assert rep["kind"] == "mor" and rep["actions"] == []
+    rep = maintain(spark, root, policy=_policy(mor_backlog=3))
+    assert [a["action"] for a in rep["actions"]] == ["mor_compact"]
+    assert mor.mor_pending_batches(root) == []
+    merged = {(r.k, r.v) for r in mor.mor_read(spark, root).collect()}
+    assert ("0", "u0") not in merged  # sanity: types are ints
+    for b in range(3):
+        assert (b, f"u{b}") in merged
+
+
+def test_maintain_compacts_fragmented_index_and_serves_survive(spark, tmp_path):
+    """An IVF index fragmented by appends: maintain() runs
+    index_compact over the whole pin, the pin stays valid, and the
+    indexed serve returns the same rows after maintenance."""
+    from pyspark.sql import functions as F
+
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+    from etl_pulumi_aws_snowflake_spark.streaming.maintenance import maintain
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    root = str(tmp_path / "ivf")
+    S.ivf_build_index(emb.filter("vec_id < 400"), root, nlists=8)
+    # tiny appends: each touches 1-2 of the 8 lists, so most lists
+    # stay carried-forward references — genuine fragmentation
+    for lo in (400, 403, 406):
+        S.ivf_index_append(
+            emb.filter(f"vec_id >= {lo} and vec_id < {lo + 3}"), root)
+    before = {tuple(r) for r in S.ivf_topk_indexed(
+        probes, root, k=3, nprobe=2).collect()}
+    rep = maintain(spark, root, policy=_policy(
+        max_versions_referenced=1, max_partitions_carried=0))
+    assert rep["kind"] == "index"
+    assert [a["action"] for a in rep["actions"]] == ["index_compact"]
+    after = {tuple(r) for r in S.ivf_topk_indexed(
+        probes, root, k=3, nprobe=2).collect()}
+    assert after == before
+    corpus_frag = rep["signals"]["members"]["corpus"]
+    assert corpus_frag["versions_referenced"] > 1  # it WAS fragmented
+
+
+def test_maintain_recommends_lsh_rebuild_on_saturated_buckets(spark, tmp_path):
+    """An LSH index whose mean band-bucket size exceeds the policy's
+    routed-read budget gets a REBUILD recommendation (metadata can't
+    re-bucket without the corpus), and no compaction runs on an
+    unfragmented index."""
+    from etl_pulumi_aws_snowflake_spark.operators import dedup as D
+    from etl_pulumi_aws_snowflake_spark.streaming.maintenance import maintain
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(60)
+    root = str(tmp_path / "lsh")
+    D.lsh_build_index(docs, root, n_buckets=2)  # tiny → saturated
+    rep = maintain(spark, root, policy=_policy(lsh_max_rows_per_bucket=10))
+    assert rep["kind"] == "index"
+    assert rep["actions"] == []
+    (rec,) = rep["recommendations"]
+    assert rec["recommendation"] == "rebuild"
+    assert "more than 2 buckets" in rec["reason"]
+    stats = rep["signals"]["lsh"]
+    assert stats["n_buckets"] == 2
+    assert stats["rows_per_bucket_mean"] > 10
