@@ -71,6 +71,12 @@ HEADLINE: tuple[str, ...] = (
     # HTML → main text, one Arrow worker pass); BPE train+tokenize
     "web_pipeline_e2e",
     "text_bpe_tokenize",
+    # r16 families: the charset-aware quarantining web chain; the
+    # video→image frame-feature composition; semantic decontamination
+    # against an in-entry-built IVF index
+    "web_charset_quarantine",
+    "mm_video_frame_features",
+    "decontaminate_semantic",
 )
 
 #: Rows whose registry callables time index CONSTRUCTION + the query
@@ -97,6 +103,9 @@ BUILD_INCLUSIVE: tuple[str, ...] = (
     # r15: tokenization TRAINS the 10-merge table in-entry (10 vocab
     # aggregations) before the broadcast apply it certifies.
     "text_bpe_tokenize",
+    # r16: the semantic-decontamination entry builds its IVF index
+    # in-entry; the serve-only shape shares sim_ivf serve curve rows.
+    "decontaminate_semantic",
 )
 
 #: Entries whose SCOPE changed in a named round — a round-over-round
@@ -136,6 +145,39 @@ def _calibration(spark) -> list[float]:
     return [once() for _ in range(5)]
 
 
+def _calibration_shuffle(spark) -> list[float]:
+    """Fixed-work SHUFFLE/memory-bound probe (VERDICT r15 #5): the
+    pure-CPU loop above stayed flat (0.5234 → 0.5234) across the r15
+    host degradation while every real query slowed ~17% — a
+    cache-resident hash loop is blind to memory-bandwidth and
+    shuffle-IO contention.  This probe moves what real queries move:
+    10M rows with a 64-byte payload repartitioned by key (~640 MB
+    through the shuffle writers/readers) into a grouped aggregate.
+    Cross-round drift that shows here but not in the CPU probe is
+    memory/IO host band; drift in neither is a plan change."""
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        start = time.perf_counter()
+        (
+            spark.range(0, 10_000_000, 1, 32)
+            .select(
+                (F.col("id") % 65536).alias("k"),
+                F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+            )
+            .repartition(32, "k")
+            .groupBy("k")
+            .agg(F.count("*").alias("n"), F.max("payload").alias("m"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - start
+
+    once()  # warm, excluded
+    return [once() for _ in range(5)]
+
+
 #: Where the FULL per-query document lands (committed in-repo, pinned
 #: by tests/test_docs.py).  The driver's BENCH_r{N}.json records only a
 #: 2000-char tail of stdout, which r12's 32-query full doc overflowed —
@@ -161,6 +203,7 @@ def compact_line(doc: dict) -> str:
             "unit": doc["unit"],
             "queries": {n: round(v, 3) for n, v in doc["queries"].items()},
             "calibration": doc["calibration"],
+            "calibration_shuffle": doc["calibration_shuffle"],
             "build_inclusive": doc["build_inclusive"],
             "rebaselined": sorted(doc["rebaselined"]),
             "sf": doc["sf"],
@@ -212,6 +255,7 @@ def main() -> None:
             spark.catalog.clearCache()
 
         cal = _calibration(spark)
+        cal_sh = _calibration_shuffle(spark)
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
         doc = {
             "metric": "headline_queries_total",
@@ -232,6 +276,13 @@ def main() -> None:
             # engine — compare across rounds to attribute drift.
             "calibration": round(min(cal), 4),
             "calibration_median": round(sorted(cal)[len(cal) // 2], 4),
+            # Second probe (r16, VERDICT r15 #5): shuffle/memory-bound
+            # fixed work — the contention class the pure-CPU loop is
+            # blind to.  Same host-not-engine reading.
+            "calibration_shuffle": round(min(cal_sh), 4),
+            "calibration_shuffle_median": round(
+                sorted(cal_sh)[len(cal_sh) // 2], 4
+            ),
             # These rows time index BUILD + query (round-trip
             # certification); serve-only costs live on the
             # SCALE.md curve.  Do not read them as query cost.

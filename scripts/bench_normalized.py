@@ -25,8 +25,22 @@ def load(path: str) -> dict:
 
 def main() -> None:
     old, new = load(sys.argv[1]), load(sys.argv[2])
-    co, cn = old["calibration"], new["calibration"]
-    print(f"calibration: {co} -> {cn} s (host {cn / co:.3f}x)")
+    # Matched-probe normalization (r16, VERDICT r15 #5): real queries
+    # are shuffle/memory-bound, so normalize by the shuffle probe when
+    # both lines carry it (the pure-CPU probe stayed flat through the
+    # r15 host degradation that slowed every query ~17%).  Pre-r16
+    # lines only have the CPU probe — fall back and say so.
+    if "calibration_shuffle" in old and "calibration_shuffle" in new:
+        co, cn = old["calibration_shuffle"], new["calibration_shuffle"]
+        probe = "shuffle"
+    else:
+        co, cn = old["calibration"], new["calibration"]
+        probe = "cpu (shuffle probe absent in one input)"
+    print(f"calibration[{probe}]: {co} -> {cn} s (host {cn / co:.3f}x)")
+    if "calibration" in old and "calibration" in new:
+        print(f"calibration[cpu]: {old['calibration']} -> "
+              f"{new['calibration']} s "
+              f"(host {new['calibration'] / old['calibration']:.3f}x)")
     print("\n| query | old s | new s | raw ratio | old t/cal | new t/cal |"
           " norm ratio |")
     print("|---|---|---|---|---|---|---|")

@@ -206,6 +206,15 @@ def ops():
         # with the copy-prefixed fixture but stays corpus-dominated);
         # collect = the 10 argmax rows — flat in data
         "text_bpe_tokenize": q["text_bpe_tokenize"],
+        # r16 (VERDICT r15 #7) training MEASURED alone: one linear
+        # word-count pass, then 10 vocab-bound merge steps — expect
+        # sub-linear (vocab-dominated after the first pass); collect =
+        # the 10 argmax rows, flat
+        "text_bpe_train": q["text_bpe_train"],
+        # r16 charset-aware quarantining web chain: same single-pass
+        # zero-shuffle shape as web_pipeline_e2e plus per-lane charset
+        # decode — expect linear, collect 0
+        "web_charset_quarantine": q["web_charset_quarantine"],
     }
 
 
@@ -832,8 +841,45 @@ def _probe_pq_bytes(spark, sf_dir, root) -> dict:
     }
 
 
+def _fixed_eval_probes(spark, sf_dir):
+    """Copy-0 eval set (vec_id % 97, original-id range only): FIXED
+    across scales, the decontamination contract — the eval suite does
+    not grow with the train corpus."""
+    from pyspark.sql import functions as F
+
+    from etl_pulumi_aws_snowflake_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(
+        (F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 1_000_000)
+    )
+
+
+def _run_decontam_semantic_indexed(spark, sf_dir, root):
+    """Fixed eval batch vs the persisted index built by
+    :func:`_setup_ivf_index` (same 64-list index the ivf serve row
+    uses): expect the indexed-serve shape — work ∝ routed lists'
+    volume, driver collect = the routed list-id set, flat."""
+    from etl_pulumi_aws_snowflake_spark.operators.decontam import (
+        contamination_semantic_indexed,
+    )
+
+    contamination_semantic_indexed(
+        _fixed_eval_probes(spark, sf_dir), root, threshold=0.35, nprobe=2
+    ).write.format("noop").mode("overwrite").save()
+
+
 def action_ops():
     return {
+        # r16: semantic decontamination served from the persisted IVF
+        # index — fixed eval batch, corpus scales; expect ∝ routed-list
+        # volume (the ivf-serve shape), collect flat
+        "decontam_semantic_indexed_fixed_eval": (
+            _setup_ivf_index,
+            _run_decontam_semantic_indexed,
+            None,
+            True,  # readonly: build once, rep the serve
+        ),
         "cdc_merge_pruned_batch": (_setup_seed_snapshot, _run_merge_pruned, None),
         # r13 MoR comparison pair: the SAME fixed batch applied
         # copy-on-write (expect ∝ partition size, i.e. ∝ scale) vs
