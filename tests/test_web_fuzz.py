@@ -170,12 +170,19 @@ def test_robust_rows_total_under_mutation(text, lane, mutations):
     chars = list(warc)
     for pos, ch in mutations:
         chars[pos % len(chars)] = ch
-    rows = W.robust_rows(1, "".join(chars))
-    assert rows, "a response-bearing WARC must yield at least one row"
+    mutated = "".join(chars)
+    rows = W.robust_rows(1, mutated)
     for r in rows:
         assert r[3] in (None, "warc", "http", "charset", "html")
         if r[3] is None:
             assert r[6] is not None  # main_text present on ok rows
+    if not rows:
+        # zero rows is legal ONLY when the mutation legitimately
+        # retyped the record away from 'response' (e.g. hitting the
+        # WARC-Type header) — the walk itself must have been clean,
+        # or robust_rows would have emitted a 'warc' quarantine row
+        recs = W.warc_walk(mutated.encode())
+        assert all(r["warc_type"] != "response" for r in recs)
 
 
 @given(
