@@ -161,9 +161,11 @@ _OK_NCHARS = (
 )
 
 
-@query(
-    "web_charset_quarantine",
-    oracle=f"""
+#: shared by web_charset_quarantine and the streaming composition
+#: stream_web_ingest_e2e (queries/streaming_e2e.py): the quarantining
+#: decode is a stateless per-row map, so the streamed output set must
+#: equal the batch oracle however the files were microbatched.
+CHARSET_QUARANTINE_ORACLE = f"""
     SELECT doc_id,
            CAST(CASE WHEN doc_id % 8 = 6 THEN NULL ELSE 200 END
                 AS BIGINT) AS status,
@@ -182,8 +184,10 @@ _OK_NCHARS = (
            CASE WHEN doc_id % 8 >= 5 THEN NULL
                 ELSE {_OK_MAIN} END AS main_text
     FROM documents
-    """,
-)
+    """
+
+
+@query("web_charset_quarantine", oracle=CHARSET_QUARANTINE_ORACLE)
 def web_charset_quarantine(spark, sf_dir):
     """Charset-aware, error-QUARANTINING raw-web ingest (VERDICT r15
     #1) — the production posture for a crawl where 10–20%% of records

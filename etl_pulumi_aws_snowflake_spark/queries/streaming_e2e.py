@@ -476,3 +476,58 @@ def stream_late_data_discard_e2e(spark, sf_dir):
     return spark.read.parquet(outdir).select(
         "window_start", "window_end", "event_type", "n_events"
     )
+
+
+@query(
+    "stream_web_ingest_e2e",
+    oracle=None,  # bound below — shared with web_charset_quarantine
+)
+def stream_web_ingest_e2e(spark, sf_dir):
+    """Raw-web ingest AT INGEST (r16): the charset-aware,
+    error-quarantining WARC→HTTP→HTML chain running INSIDE a live
+    StreamingQuery — the corpus lands as two files → two microbatches
+    (``maxFilesPerTrigger=1``), each batch synthesizes its eight-lane
+    WARC fixture in pure codegen (so it composes with a streaming
+    DataFrame) and decodes through ``warc_main_text_robust``'s
+    Arrow-batched ``mapInPandas`` under checkpointed exactly-once file
+    ingestion.  The sink must equal the batch decode — the decoded
+    mojibake markers AND the quarantine rows, exactly once per
+    document.  This is how a 100 TB crawl is actually processed:
+    incrementally as WARC files arrive, with malformed records
+    becoming quarantine rows inside the stream instead of killing a
+    microbatch.  Stateless per-row map ⇒ the output set is a pure
+    function of the input set however the files are batched (the
+    ``stream_media_features_e2e`` determinism argument, applied to the
+    text-side decode tier)."""
+    from ..operators import web as W
+
+    work = _workdir(sf_dir, "web_ingest")
+    landing = os.path.join(work, "arrivals")
+    docs = t(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 2 != 0).coalesce(1).write.parquet(landing)
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+
+    stream = (
+        spark.readStream.schema(schemas.DOCUMENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    outdir = os.path.join(work, "out")
+    _run_to_parquet(
+        W.warc_main_text_robust(W.as_warc_mixed(stream)).drop("error"),
+        outdir,
+        os.path.join(work, "ckpt"),
+    )
+    return spark.read.parquet(outdir)
+
+
+def _bind_web_oracle() -> None:
+    from .llm_web import CHARSET_QUARANTINE_ORACLE
+    from .registry import ORACLES
+
+    ORACLES["stream_web_ingest_e2e"] = CHARSET_QUARANTINE_ORACLE
+
+
+_bind_web_oracle()
