@@ -884,7 +884,7 @@ def warc_main_text_robust(
 ) -> DataFrame:
     """:func:`warc_main_text` with charset handling AND per-record
     error QUARANTINE (VERDICT r15 #1) — the form a 100 TB crawl
-    actually runs: real Common Crawl is 10–20%% non-UTF-8 and contains
+    actually runs: real Common Crawl is 10–20% non-UTF-8 and contains
     malformed records by the million, and one bad record must become a
     quarantine ROW, not task death.
 
@@ -1006,7 +1006,7 @@ _AFTER_TITLE_REST = _HTML_AFTER_TITLE[len(_T_CLOSE):]
 
 def as_warc_mixed(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Documents → WARC files across EIGHT deliberate lanes
-    (``doc_id %% 8``), the quarantine-tier fixture: five charsets that
+    (``doc_id % 8``), the quarantine-tier fixture: five charsets that
     must DECODE (utf-8; windows-1252 declared as quoted-uppercase
     ``ISO-8859-1`` — the WHATWG label mapping is itself judged;
     Shift_JIS; windows-1252 via ``<meta>`` prescan only; gbk declared

@@ -190,9 +190,9 @@ CHARSET_QUARANTINE_ORACLE = f"""
 @query("web_charset_quarantine", oracle=CHARSET_QUARANTINE_ORACLE)
 def web_charset_quarantine(spark, sf_dir):
     """Charset-aware, error-QUARANTINING raw-web ingest (VERDICT r15
-    #1) — the production posture for a crawl where 10–20%% of records
+    #1) — the production posture for a crawl where 10–20% of records
     are non-UTF-8 and malformed records arrive by the million.  Eight
-    deliberate lanes per ``doc_id %% 8``: utf-8; windows-1252 declared
+    deliberate lanes per ``doc_id % 8``: utf-8; windows-1252 declared
     as quoted-uppercase ``ISO-8859-1`` (the WHATWG label mapping is
     judged — honoring latin1 literally changes every mojibake char);
     Shift_JIS and GB2312→gbk (multi-byte legacy decodes of the
