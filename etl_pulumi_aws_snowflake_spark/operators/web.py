@@ -1074,3 +1074,103 @@ def as_warc_mixed(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return base.select(
         "doc_id", F.concat(rec1, rec3).alias("warc")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (r16)
+# ---------------------------------------------------------------------------
+
+#: query parameters that never change content — the tracking junk a
+#: crawl canonicalizer strips (the standard utm_/click-id family).
+TRACKING_PARAM_PREDICATE = (
+    "x LIKE 'utm_%' OR x LIKE 'gclid=%' OR x LIKE 'fbclid=%' "
+    "OR x LIKE 'msclkid=%'"
+)
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """RFC 3986 §6-style URL normalization in PURE CODEGEN — the first
+    dedup stage of every crawl pipeline (two fetches of the same page
+    under cosmetically different URLs must collapse BEFORE any content
+    hashing spends IO on the duplicate):
+
+    * scheme and host lowercase (path stays case-SENSITIVE),
+    * default ports dropped (``http:80`` / ``https:443``; others kept),
+    * fragment dropped (never sent to the server),
+    * one trailing slash trimmed (root ``/`` kept; empty path → ``/``),
+    * tracking query params stripped (:data:`TRACKING_PARAM_PREDICATE`)
+      and the survivors SORTED (param order is transport noise),
+      the ``?`` itself dropped when nothing survives.
+
+    Scope: hierarchical ``scheme://host[:port][/path][?q][#f]`` URLs
+    (the crawl shape); percent-encoding normalization and IDN/punycode
+    are documented non-goals of this tier.  Adds ``canonical_url``;
+    every step is a JVM string expression — zero shuffle, zero Python
+    (plan-guarded), so at 100 TB it rides the ingest scan for free."""
+    tmp = ["__rest", "__nofrag", "__hostport", "__pathq", "__path",
+           "__query", "__scheme", "__port", "__kept"]
+    out = (
+        df
+        .withColumn("__scheme", F.lower(F.substring_index(url_col, "://", 1)))
+        .withColumn("__rest", F.expr(
+            f"substring({url_col}, length(substring_index("
+            f"{url_col}, '://', 1)) + 4)"))
+        .withColumn("__nofrag", F.substring_index("__rest", "#", 1))
+        .withColumn("__hostport", F.substring_index("__nofrag", "/", 1))
+        .withColumn("__pathq", F.expr(
+            "substring(__nofrag, length(__hostport) + 1)"))
+        .withColumn("__path", F.substring_index("__pathq", "?", 1))
+        .withColumn("__query", F.when(
+            F.col("__pathq").contains("?"),
+            F.expr("substring(__pathq, length(__path) + 2)"),
+        ).otherwise(F.lit("")))
+        .withColumn("__port", F.when(
+            F.col("__hostport").contains(":"),
+            F.substring_index("__hostport", ":", -1),
+        ))
+        .withColumn("__kept", F.expr(
+            "array_join(array_sort(filter(split(__query, '&'), "
+            f"x -> x != '' AND NOT ({TRACKING_PARAM_PREDICATE}))), '&')"))
+    )
+    host = F.lower(F.substring_index("__hostport", ":", 1))
+    drop_port = (
+        F.col("__port").isNull()
+        | ((F.col("__scheme") == "http") & (F.col("__port") == "80"))
+        | ((F.col("__scheme") == "https") & (F.col("__port") == "443"))
+    )
+    path_norm = F.regexp_replace(F.col("__path"), "/$", "")
+    path_norm = F.when(path_norm == "", F.lit("/")).otherwise(path_norm)
+    canonical = F.concat(
+        F.col("__scheme"), F.lit("://"), host,
+        F.when(drop_port, F.lit("")).otherwise(
+            F.concat(F.lit(":"), F.coalesce(F.col("__port"), F.lit("")))
+        ),
+        path_norm,
+        F.when(F.col("__kept") == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), F.col("__kept"))
+        ),
+    )
+    return out.withColumn("canonical_url", canonical).drop(*tmp)
+
+
+def as_messy_urls(docs: DataFrame) -> DataFrame:
+    """Documents → deliberately messy crawl URLs (``doc_id % 6``
+    lanes around a shared canonical target, ``path id = doc_id % 50``
+    so canonical groups form ACROSS lanes): already-canonical,
+    uppercase scheme+host, explicit default port, trailing slash,
+    tracking params around kept params (which must survive, sorted —
+    lane 4 correctly does NOT join its group), and a fragment.  Pure
+    codegen, so the oracle replays the expected canonical form as
+    literal construction."""
+    lane = F.col("doc_id") % 6
+    pid = (F.col("doc_id") % 50).cast("string")
+    base = F.concat(F.lit("http://example.org/path/"), pid)
+    url = (
+        F.when(lane == 1, F.concat(F.lit("HTTP://EXAMPLE.ORG/path/"), pid))
+        .when(lane == 2, F.concat(F.lit("http://example.org:80/path/"), pid))
+        .when(lane == 3, F.concat(base, F.lit("/")))
+        .when(lane == 4, F.concat(base, F.lit("?utm_source=x&b=2&a=1")))
+        .when(lane == 5, F.concat(base, F.lit("#frag")))
+        .otherwise(base)
+    )
+    return docs.select("doc_id", url.alias("url"))

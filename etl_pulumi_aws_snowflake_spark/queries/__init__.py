@@ -40,10 +40,11 @@ from . import streaming_e2e  # noqa: E402,F401
 # The external correctness driver checks the FIRST 50 dict entries per
 # round (CORRECTNESS_r01-r15 each recorded exactly queries()[:50] in
 # order).  Round 16 rotates the window per the staleness rule
-# (scripts/driver_staleness.py order): (a) the FOUR entries round 16
+# (scripts/driver_staleness.py order): (a) the FIVE entries round 16
 # added lead (never-checked-entries-lead rule — the charset-aware
 # quarantining web ingest, its streaming decode-at-ingest composition,
-# the embedding-space decontamination arm,
+# URL canonicalization + URL-level dedup, the embedding-space
+# decontamination arm,
 # and the video→image frame-feature composition); then (b) ALL 45
 # r12-stale entries the r15 note deferred — due now, exactly as
 # promised (align/cdc-pruned/corpus pair/curation-indexed/
@@ -53,16 +54,15 @@ from . import streaming_e2e  # noqa: E402,F401
 # sim_cosine_topk/the int8-IVF rerank+lifecycle quartet/
 # stream_ivf_q_ingest/text_lm_score/text_quality/the UDF pair/
 # win_range_frame); then (c) the first 2 r13-stale entries in
-# staleness-report order (agg_distinct alone — its r13 cohort sibling
-# agg_groupby_basic defers one round).  The remaining 49 r13 entries
-# lead r17's window.
+# the five new plus all 45 r12-stale fill the window exactly; the
+# whole 50-entry r13 cohort leads r17's window.
 # tests/test_docs.py::test_never_driver_checked_entries_lead_the_window
 # FAILS if a registry entry without any CORRECTNESS row sits outside
 # the first 50 — the r05 process miss cannot recur silently.
 _DRIVER_FIRST = [
     # (a) NEW in r16 — first-ever driver evidence
     "decontaminate_semantic", "mm_video_frame_features",
-    "stream_web_ingest_e2e", "web_charset_quarantine",
+    "stream_web_ingest_e2e", "web_charset_quarantine", "web_url_dedup",
     # (b) ALL 45 r12-stale entries deferred by the r15 note — due now
     "align_by_name_ci", "cdc_merge_pruned_e2e", "corpus_quality_filter",
     "corpus_split", "curation_pipeline_indexed_e2e", "decontaminate",
@@ -81,8 +81,6 @@ _DRIVER_FIRST = [
     "sim_ivf_topk_quantized_deleted", "sim_ivf_topk_quantized_rerank",
     "stream_ivf_q_ingest_e2e", "text_lm_score", "text_quality",
     "udf_grouped_map", "udf_table_function", "win_range_frame",
-    # (c) r13-stale, staleness-report order (49 deferred to r17)
-    "agg_distinct",
 ]
 
 def _driver_order(d: dict) -> dict:

@@ -7,6 +7,8 @@ replaying the decoded result relationally in DuckDB SQL."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..operators import web as W
 from ._util import t
 from .registry import query
@@ -236,3 +238,58 @@ def web_pipeline_e2e(spark, sf_dir):
     dedup/quality stage; one column-pruned scan → one mapInPandas, no
     shuffle, 1000-executor-parallel by file at 100 TB."""
     return W.warc_main_text(W.as_warc(t(spark, sf_dir, "documents")))
+
+
+@query(
+    "web_url_dedup",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id, doc_id % 6 AS lane,
+               CAST(doc_id % 50 AS VARCHAR) AS pid
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CASE lane
+                 WHEN 1 THEN 'HTTP://EXAMPLE.ORG/path/' || pid
+                 WHEN 2 THEN 'http://example.org:80/path/' || pid
+                 WHEN 3 THEN 'http://example.org/path/' || pid || '/'
+                 WHEN 4 THEN 'http://example.org/path/' || pid
+                             || '?utm_source=x&b=2&a=1'
+                 WHEN 5 THEN 'http://example.org/path/' || pid || '#frag'
+                 ELSE 'http://example.org/path/' || pid END AS url,
+               'http://example.org/path/' || pid ||
+                 CASE WHEN lane = 4 THEN '?a=1&b=2' ELSE '' END
+                 AS canonical_url
+        FROM u
+    )
+    SELECT doc_id, url, canonical_url,
+           CAST(COUNT(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+             AS group_size
+    FROM m
+    """,
+)
+def web_url_dedup(spark, sf_dir):
+    """URL canonicalization + URL-level dedup (r16) — the stage a
+    crawl runs BEFORE any content hashing, so two fetches of the same
+    page under cosmetically different URLs never spend decode/dedup IO
+    twice.  Six messy lanes per ``doc_id % 6`` (uppercase scheme+host,
+    explicit default port, trailing slash, tracking params wrapped
+    around kept params, fragment) canonicalize in pure codegen
+    (``canonicalize_urls`` — scheme/host lowercase, :80 dropped, slash
+    trimmed, utm_*/click-ids stripped and survivors SORTED, fragment
+    dropped); the group count over ``canonical_url`` is the dedup
+    shape (one hash exchange on the canonical key).  The oracle
+    constructs the EXPECTED canonical form literally per lane — an
+    over-eager canonicalizer (dropping the kept ``a``/``b`` params, or
+    case-folding the path) and an under-eager one both fail the hash;
+    lane 4 correctly forms its own group (params that matter are
+    preserved, so its group_size differs from its siblings')."""
+    from pyspark.sql import Window
+
+    urls = W.canonicalize_urls(W.as_messy_urls(
+        t(spark, sf_dir, "documents")))
+    return urls.withColumn(
+        "group_size",
+        F.count("*").over(Window.partitionBy("canonical_url")),
+    )

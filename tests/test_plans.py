@@ -620,3 +620,13 @@ def test_video_frame_features_single_pass_no_shuffle(spark):
     assert "MapInPandas" in plan
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_url_dedup_plan_shape(spark):
+    """Canonicalization is pure JVM string codegen (no Python
+    evaluation anywhere); the only exchange is the hash partition on
+    the canonical key for the group count — the URL-dedup shape."""
+    plan = _plan(spark, "web_url_dedup")
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(canonical_url" in plan

@@ -456,3 +456,34 @@ def test_strict_pipeline_honors_charset_header():
     assert canon == "windows-1252"
     blocks = W.html_text(text)["blocks"]
     assert blocks[0][0] == "say “hi”"
+
+
+# --------------------------------------------------------------------
+# URL canonicalization (r16)
+# --------------------------------------------------------------------
+
+def test_canonicalize_urls_cases(spark):
+    rows = [
+        (0, "http://example.org/path/7"),
+        (1, "HTTP://EXAMPLE.ORG/path/7"),
+        (2, "http://example.org:80/path/7"),
+        (3, "http://example.org/path/7/"),
+        (4, "http://example.org/path/7?utm_source=x&b=2&a=1"),
+        (5, "http://example.org/path/7#frag"),
+        (6, "https://Host.Example:8443/A/B/?utm_campaign=z"),
+        (7, "https://example.org:443/"),
+        (8, "http://example.org"),
+        (9, "http://example.org/p?gclid=1&utm_x=2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["doc_id"]: r["canonical_url"]
+        for r in W.canonicalize_urls(df).collect()
+    }
+    base = "http://example.org/path/7"
+    assert got[0] == got[1] == got[2] == got[3] == got[5] == base
+    assert got[4] == base + "?a=1&b=2"  # kept params survive, sorted
+    assert got[6] == "https://host.example:8443/A/B"  # port kept, path case kept
+    assert got[7] == "https://example.org/"
+    assert got[8] == "http://example.org/"
+    assert got[9] == "http://example.org/p"  # '?' dropped when all stripped
