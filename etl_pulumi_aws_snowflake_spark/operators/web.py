@@ -1082,10 +1082,43 @@ def as_warc_mixed(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 #: query parameters that never change content — the tracking junk a
 #: crawl canonicalizer strips (the standard utm_/click-id family).
+#: ``startswith`` not ``LIKE 'utm_%'`` — SQL LIKE's ``_`` is a
+#: single-char wildcard, so the LIKE form also stripped ``utmost=``/
+#: ``utms=`` style params that are NOT tracking junk (ADVICE r16).
 TRACKING_PARAM_PREDICATE = (
-    "x LIKE 'utm_%' OR x LIKE 'gclid=%' OR x LIKE 'fbclid=%' "
+    "startswith(x, 'utm_') OR x LIKE 'gclid=%' OR x LIKE 'fbclid=%' "
     "OR x LIKE 'msclkid=%'"
 )
+
+
+def _pct_normalize_expr(col: str) -> str:
+    """RFC 3986 §6.2.2 percent-encoding normalization as ONE pure-JVM
+    SQL expression over ``col``: decode ``%XX`` octets of UNRESERVED
+    characters (§2.3: ALPHA / DIGIT / ``-._~`` — ``%61`` → ``a``,
+    ``%7E`` → ``~``), uppercase the hex of every remaining (reserved
+    or non-ASCII) octet (``%2f`` → ``%2F``), and pass a ``%`` not
+    followed by two hex digits through verbatim (a malformed escape is
+    transport noise we must not corrupt).  Split-on-``%`` + transform:
+    each tail segment starts with the two hex digits of one escape."""
+    seg = (
+        "CASE WHEN seg RLIKE '^[0-9A-Fa-f]{2}' THEN "
+        "  CASE WHEN char(cast(conv(substring(seg,1,2),16,10) as int)) "
+        "            RLIKE '^[A-Za-z0-9._~-]$' "
+        "    THEN concat(char(cast(conv(substring(seg,1,2),16,10) as int)),"
+        "                substring(seg,3)) "
+        "    ELSE concat('%', upper(substring(seg,1,2)), substring(seg,3)) "
+        "  END "
+        "ELSE concat('%', seg) END"
+    )
+    return (
+        f"concat(element_at(split({col},'%'),1), "
+        f"array_join(transform(slice(split({col},'%'),2,"
+        f"greatest(size(split({col},'%'))-1,0)), seg -> {seg}), ''))"
+    )
+
+
+#: what a non-hierarchical input's ``canonical_error`` says.
+NON_HIERARCHICAL = "non-hierarchical"
 
 
 def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -1094,21 +1127,33 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     under cosmetically different URLs must collapse BEFORE any content
     hashing spends IO on the duplicate):
 
-    * scheme and host lowercase (path stays case-SENSITIVE),
+    * scheme and host lowercase (path and userinfo stay
+      case-SENSITIVE; userinfo — ``user:pw@host`` — splits off at the
+      last ``@`` and is preserved verbatim, never case-folded into
+      the host),
     * default ports dropped (``http:80`` / ``https:443``; others kept),
     * fragment dropped (never sent to the server),
-    * one trailing slash trimmed (root ``/`` kept; empty path → ``/``),
+    * percent-encoding normalized (§6.2.2: unreserved octets decoded,
+      remaining escapes' hex uppercased — :func:`_pct_normalize_expr`)
+      over userinfo, path, and query,
+    * one trailing slash trimmed (root ``/`` kept; empty path → ``/``
+      — including the authority-then-``?`` shape ``http://h?a=1``,
+      whose authority ends at the FIRST of ``/`` or ``?``),
     * tracking query params stripped (:data:`TRACKING_PARAM_PREDICATE`)
       and the survivors SORTED (param order is transport noise),
       the ``?`` itself dropped when nothing survives.
 
-    Scope: hierarchical ``scheme://host[:port][/path][?q][#f]`` URLs
-    (the crawl shape); percent-encoding normalization and IDN/punycode
-    are documented non-goals of this tier.  Adds ``canonical_url``;
-    every step is a JVM string expression — zero shuffle, zero Python
-    (plan-guarded), so at 100 TB it rides the ingest scan for free."""
-    tmp = ["__rest", "__nofrag", "__hostport", "__pathq", "__path",
-           "__query", "__scheme", "__port", "__kept"]
+    A NON-hierarchical input (no ``://`` — ``mailto:``, data URIs,
+    bare strings) gets ``canonical_url`` NULL and ``canonical_error``
+    ``'non-hierarchical'`` — the quarantine posture, never a silent
+    garbage canonical.  IDN/punycode and host percent-escapes remain
+    documented non-goals of this tier.  Adds ``canonical_url`` and
+    ``canonical_error``; every step is a JVM string expression — zero
+    shuffle, zero Python (plan-guarded), so at 100 TB it rides the
+    ingest scan for free."""
+    tmp = ["__rest", "__nofrag", "__authority", "__userinfo",
+           "__hostport", "__pathq", "__path", "__query", "__scheme",
+           "__port", "__kept"]
     out = (
         df
         .withColumn("__scheme", F.lower(F.substring_index(url_col, "://", 1)))
@@ -1116,13 +1161,25 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
             f"substring({url_col}, length(substring_index("
             f"{url_col}, '://', 1)) + 4)"))
         .withColumn("__nofrag", F.substring_index("__rest", "#", 1))
-        .withColumn("__hostport", F.substring_index("__nofrag", "/", 1))
+        # authority ends at the FIRST of '/' or '?' (a query may
+        # follow the host directly, with no path — ADVICE r16)
+        .withColumn("__authority", F.substring_index(
+            F.substring_index("__nofrag", "/", 1), "?", 1))
+        .withColumn("__userinfo", F.when(
+            F.col("__authority").contains("@"),
+            F.expr(_pct_normalize_expr(
+                "substring(__authority, 1, length(__authority) - "
+                "length(substring_index(__authority, '@', -1)) - 1)")),
+        ))
+        .withColumn("__hostport", F.substring_index("__authority", "@", -1))
         .withColumn("__pathq", F.expr(
-            "substring(__nofrag, length(__hostport) + 1)"))
-        .withColumn("__path", F.substring_index("__pathq", "?", 1))
+            "substring(__nofrag, length(__authority) + 1)"))
+        .withColumn("__path", F.expr(_pct_normalize_expr(
+            "substring_index(__pathq, '?', 1)")))
         .withColumn("__query", F.when(
             F.col("__pathq").contains("?"),
-            F.expr("substring(__pathq, length(__path) + 2)"),
+            F.expr(_pct_normalize_expr(
+                "substring(__pathq, instr(__pathq, '?') + 1)")),
         ).otherwise(F.lit("")))
         .withColumn("__port", F.when(
             F.col("__hostport").contains(":"),
@@ -1141,7 +1198,11 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     path_norm = F.regexp_replace(F.col("__path"), "/$", "")
     path_norm = F.when(path_norm == "", F.lit("/")).otherwise(path_norm)
     canonical = F.concat(
-        F.col("__scheme"), F.lit("://"), host,
+        F.col("__scheme"), F.lit("://"),
+        F.when(F.col("__userinfo").isNull(), F.lit("")).otherwise(
+            F.concat(F.col("__userinfo"), F.lit("@"))
+        ),
+        host,
         F.when(drop_port, F.lit("")).otherwise(
             F.concat(F.lit(":"), F.coalesce(F.col("__port"), F.lit("")))
         ),
@@ -1150,27 +1211,54 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
             F.concat(F.lit("?"), F.col("__kept"))
         ),
     )
-    return out.withColumn("canonical_url", canonical).drop(*tmp)
+    hierarchical = F.col(url_col).contains("://")
+    return (
+        out
+        .withColumn(
+            "canonical_url", F.when(hierarchical, canonical)
+        )
+        .withColumn(
+            "canonical_error",
+            F.when(~hierarchical, F.lit(NON_HIERARCHICAL)),
+        )
+        .drop(*tmp)
+    )
 
 
 def as_messy_urls(docs: DataFrame) -> DataFrame:
-    """Documents → deliberately messy crawl URLs (``doc_id % 6``
-    lanes around a shared canonical target, ``path id = doc_id % 50``
-    so canonical groups form ACROSS lanes): already-canonical,
-    uppercase scheme+host, explicit default port, trailing slash,
-    tracking params around kept params (which must survive, sorted —
-    lane 4 correctly does NOT join its group), and a fragment.  Pure
-    codegen, so the oracle replays the expected canonical form as
-    literal construction."""
-    lane = F.col("doc_id") % 6
-    pid = (F.col("doc_id") % 50).cast("string")
+    """Documents → deliberately messy crawl URLs (``doc_id % 10``
+    lanes around a shared canonical target, ``path id = doc_id % 49``
+    — 49 coprime to 10 so every pid's canonical group forms ACROSS
+    lanes): already-canonical, uppercase scheme+host, explicit default
+    port, trailing slash, tracking params wrapped around kept params
+    (including a ``utmost=`` param that a LIKE-wildcard stripper
+    over-strips — ADVICE r16), a fragment, an unreserved percent
+    escape (``p%61th`` must decode into the base group), a query with
+    NO path (the authority-then-``?`` shape — ADVICE r16), userinfo +
+    default port + a reserved escape in lowercase hex (``%2f`` →
+    ``%2F``; ``Alice`` must survive verbatim while the host
+    lowercases), and a NON-hierarchical ``mailto:`` that must
+    quarantine, not canonicalize.  Pure codegen, so the oracle replays
+    the expected canonical form as literal construction."""
+    lane = F.col("doc_id") % 10
+    pid = (F.col("doc_id") % 49).cast("string")
     base = F.concat(F.lit("http://example.org/path/"), pid)
     url = (
         F.when(lane == 1, F.concat(F.lit("HTTP://EXAMPLE.ORG/path/"), pid))
         .when(lane == 2, F.concat(F.lit("http://example.org:80/path/"), pid))
         .when(lane == 3, F.concat(base, F.lit("/")))
-        .when(lane == 4, F.concat(base, F.lit("?utm_source=x&b=2&a=1")))
+        .when(lane == 4, F.concat(
+            base, F.lit("?utm_source=x&b=2&utmost=9&a=1")))
         .when(lane == 5, F.concat(base, F.lit("#frag")))
+        .when(lane == 6, F.concat(F.lit("http://example.org/p%61th/"), pid))
+        .when(lane == 7, F.concat(
+            F.lit("http://example.org?p="), pid,
+            F.lit("&utm_source=x&a=1")))
+        .when(lane == 8, F.concat(
+            F.lit("http://Alice@EXAMPLE.ORG:80/path/"), pid,
+            F.lit("/x%2fy")))
+        .when(lane == 9, F.concat(
+            F.lit("mailto:user"), pid, F.lit("@example.org")))
         .otherwise(base)
     )
     return docs.select("doc_id", url.alias("url"))

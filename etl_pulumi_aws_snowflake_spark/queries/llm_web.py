@@ -244,8 +244,8 @@ def web_pipeline_e2e(spark, sf_dir):
     "web_url_dedup",
     oracle="""
     WITH u AS (
-        SELECT doc_id, doc_id % 6 AS lane,
-               CAST(doc_id % 50 AS VARCHAR) AS pid
+        SELECT doc_id, doc_id % 10 AS lane,
+               CAST(doc_id % 49 AS VARCHAR) AS pid
         FROM documents
     ),
     m AS (
@@ -255,36 +255,56 @@ def web_pipeline_e2e(spark, sf_dir):
                  WHEN 2 THEN 'http://example.org:80/path/' || pid
                  WHEN 3 THEN 'http://example.org/path/' || pid || '/'
                  WHEN 4 THEN 'http://example.org/path/' || pid
-                             || '?utm_source=x&b=2&a=1'
+                             || '?utm_source=x&b=2&utmost=9&a=1'
                  WHEN 5 THEN 'http://example.org/path/' || pid || '#frag'
+                 WHEN 6 THEN 'http://example.org/p%61th/' || pid
+                 WHEN 7 THEN 'http://example.org?p=' || pid
+                             || '&utm_source=x&a=1'
+                 WHEN 8 THEN 'http://Alice@EXAMPLE.ORG:80/path/' || pid
+                             || '/x%2fy'
+                 WHEN 9 THEN 'mailto:user' || pid || '@example.org'
                  ELSE 'http://example.org/path/' || pid END AS url,
-               'http://example.org/path/' || pid ||
-                 CASE WHEN lane = 4 THEN '?a=1&b=2' ELSE '' END
-                 AS canonical_url
+               CASE
+                 WHEN lane = 4 THEN 'http://example.org/path/' || pid
+                                    || '?a=1&b=2&utmost=9'
+                 WHEN lane = 7 THEN 'http://example.org/?a=1&p=' || pid
+                 WHEN lane = 8 THEN 'http://Alice@example.org/path/'
+                                    || pid || '/x%2Fy'
+                 WHEN lane = 9 THEN NULL
+                 ELSE 'http://example.org/path/' || pid END
+                 AS canonical_url,
+               CASE WHEN lane = 9 THEN 'non-hierarchical' END
+                 AS canonical_error
         FROM u
     )
-    SELECT doc_id, url, canonical_url,
+    SELECT doc_id, url, canonical_url, canonical_error,
            CAST(COUNT(*) OVER (PARTITION BY canonical_url) AS BIGINT)
              AS group_size
     FROM m
     """,
 )
 def web_url_dedup(spark, sf_dir):
-    """URL canonicalization + URL-level dedup (r16) — the stage a
-    crawl runs BEFORE any content hashing, so two fetches of the same
-    page under cosmetically different URLs never spend decode/dedup IO
-    twice.  Six messy lanes per ``doc_id % 6`` (uppercase scheme+host,
-    explicit default port, trailing slash, tracking params wrapped
-    around kept params, fragment) canonicalize in pure codegen
-    (``canonicalize_urls`` — scheme/host lowercase, :80 dropped, slash
-    trimmed, utm_*/click-ids stripped and survivors SORTED, fragment
-    dropped); the group count over ``canonical_url`` is the dedup
-    shape (one hash exchange on the canonical key).  The oracle
+    """URL canonicalization + URL-level dedup (r16, tier 2 in r17) —
+    the stage a crawl runs BEFORE any content hashing, so two fetches
+    of the same page under cosmetically different URLs never spend
+    decode/dedup IO twice.  Ten messy lanes per ``doc_id % 10``
+    (uppercase scheme+host, explicit default port, trailing slash,
+    tracking params wrapped around kept params — including ``utmost=``
+    which a LIKE-wildcard stripper over-strips, fragment, an
+    unreserved percent escape that must DECODE into the base group, a
+    no-path query in the authority-then-``?`` shape, userinfo + a
+    lowercase reserved escape that must UPPERCASE while ``Alice``
+    survives verbatim, and a non-hierarchical ``mailto:`` that must
+    quarantine with ``canonical_error`` instead of emitting garbage)
+    canonicalize in pure codegen (``canonicalize_urls`` — RFC 3986 §6:
+    scheme/host lowercase, :80 dropped, slash trimmed, §6.2.2 percent
+    normalization, utm_*/click-ids stripped and survivors SORTED,
+    fragment dropped); the group count over ``canonical_url`` is the
+    dedup shape (one hash exchange on the canonical key).  The oracle
     constructs the EXPECTED canonical form literally per lane — an
-    over-eager canonicalizer (dropping the kept ``a``/``b`` params, or
-    case-folding the path) and an under-eager one both fail the hash;
-    lane 4 correctly forms its own group (params that matter are
-    preserved, so its group_size differs from its siblings')."""
+    over-eager canonicalizer (dropping the kept params, case-folding
+    the path or userinfo, decoding reserved escapes) and an
+    under-eager one both fail the hash."""
     from pyspark.sql import Window
 
     urls = W.canonicalize_urls(W.as_messy_urls(

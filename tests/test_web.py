@@ -487,3 +487,47 @@ def test_canonicalize_urls_cases(spark):
     assert got[7] == "https://example.org/"
     assert got[8] == "http://example.org/"
     assert got[9] == "http://example.org/p"  # '?' dropped when all stripped
+
+
+def test_canonicalize_urls_tier2_cases(spark):
+    """r17 tier 2: percent normalization, userinfo, no-path query,
+    utm-prefixed NON-tracking params, non-hierarchical quarantine."""
+    rows = [
+        (0, "http://example.org/p%61th/7"),          # %61='a' unreserved
+        (1, "http://example.org/a/x%2fy%2F"),        # %2f='/' reserved
+        (2, "http://example.org/%7euser"),           # %7e='~'
+        (3, "http://example.org?b=2&a=1&utm_source=x"),  # query, no path
+        (4, "http://Alice:Pw@EXAMPLE.ORG:80/p"),     # userinfo verbatim
+        (5, "http://example.org/p?utmost=9&utm_source=x"),  # LIKE-_ trap
+        (6, "mailto:user@example.org"),              # non-hierarchical
+        (7, "not a url at all"),                     # non-hierarchical
+        (8, "http://example.org/p?x=100%"),          # malformed escape
+        (9, "http://example.org/utm%5Fsource"),      # %5F='_' in PATH
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in W.canonicalize_urls(df).collect()}
+    assert out[0]["canonical_url"] == "http://example.org/path/7"
+    assert out[1]["canonical_url"] == "http://example.org/a/x%2Fy%2F"
+    assert out[2]["canonical_url"] == "http://example.org/~user"
+    assert out[3]["canonical_url"] == "http://example.org/?a=1&b=2"
+    assert out[4]["canonical_url"] == "http://Alice:Pw@example.org/p"
+    assert out[5]["canonical_url"] == "http://example.org/p?utmost=9"
+    for i in (6, 7):
+        assert out[i]["canonical_url"] is None
+        assert out[i]["canonical_error"] == W.NON_HIERARCHICAL
+    for i in (0, 1, 2, 3, 4, 5, 8, 9):
+        assert out[i]["canonical_error"] is None
+    # a '%' not followed by two hex digits passes through verbatim
+    assert out[8]["canonical_url"] == "http://example.org/p?x=100%"
+    # percent-decode runs BEFORE the tracking strip: an encoded
+    # utm_source in the QUERY is stripped, but in the PATH it is just
+    # a path segment that decodes
+    assert out[9]["canonical_url"] == "http://example.org/utm_source"
+
+
+def test_canonicalize_urls_encoded_tracking_param_stripped(spark):
+    df = spark.createDataFrame(
+        [(0, "http://example.org/p?utm%5Fsource=x&a=1")],
+        "doc_id long, url string")
+    [r] = W.canonicalize_urls(df).collect()
+    assert r["canonical_url"] == "http://example.org/p?a=1"
