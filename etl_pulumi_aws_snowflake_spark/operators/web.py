@@ -600,6 +600,76 @@ def http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
 
 
 # ---------------------------------------------------------------------------
+# Content-Encoding tier (r17): body decompression before the charset decode
+# ---------------------------------------------------------------------------
+
+class ContentEncodingError(ValueError):
+    """HTTP body undecodable under its declared ``Content-Encoding``
+    (corrupt/truncated stream, or a coding this tier doesn't ship)."""
+
+    def __init__(self, coding: str, msg: str):
+        super().__init__(f"content-encoding {coding!r}: {msg}")
+        self.coding = coding
+
+
+def decode_content_encoding(body: bytes, headers: dict[str, str]) -> bytes:
+    """Honor RFC 9110 §8.4 ``Content-Encoding`` BEFORE the charset
+    decode — Common Crawl stores bodies decompressed, but WARCs from
+    Heritrix/wget-at and most self-crawled archives retain the coding,
+    and passing raw deflate bytes to the charset tier misclassifies a
+    systematic fraction of the crawl as ``charset`` failures (VERDICT
+    r16 #1).  Codings are the comma-separated list the sender applied
+    in order, so they decode right-to-left; ``identity`` is a no-op;
+    ``gzip``/``x-gzip`` reuse the multi-member-safe inflate the WARC
+    tier uses (:func:`gunzip_members`); ``deflate`` accepts both the
+    RFC's zlib-wrapped form and the bare-deflate server misuse that is
+    ubiquitous in real crawls (tried second, never first — a zlib
+    header is unambiguous).  An unshipped coding (br, zstd, compress)
+    or a corrupt/truncated stream raises
+    :class:`ContentEncodingError`, which the robust chain quarantines
+    as ``error_class='encoding'``."""
+    import zlib
+
+    ce = headers.get("content-encoding", "").strip()
+    if not ce:
+        return body
+    codings = [c.strip().lower() for c in ce.split(",") if c.strip()]
+    for coding in reversed(codings):
+        if coding == "identity":
+            continue
+        if coding in ("gzip", "x-gzip"):
+            if body[:2] != b"\x1f\x8b":
+                raise ContentEncodingError(coding, "missing gzip magic")
+            try:
+                body = gunzip_members(body)
+            except ValueError as e:
+                raise ContentEncodingError(coding, str(e)) from None
+        elif coding == "deflate":
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                d = zlib.decompressobj(wbits=-15)
+                try:
+                    out = d.decompress(body) + d.flush()
+                except zlib.error as e:
+                    raise ContentEncodingError(coding, str(e)) from None
+                if not d.eof:
+                    raise ContentEncodingError(
+                        coding, "truncated deflate stream"
+                    )
+                if d.unused_data:
+                    raise ContentEncodingError(
+                        coding,
+                        f"{len(d.unused_data)} bytes of trailing garbage "
+                        "after the deflate stream",
+                    )
+                body = out
+        else:
+            raise ContentEncodingError(coding, "unsupported coding")
+    return body
+
+
+# ---------------------------------------------------------------------------
 # charset tier (r16): label resolution + decode, WHATWG Encoding Standard
 # ---------------------------------------------------------------------------
 
@@ -817,7 +887,7 @@ def warc_records(df: DataFrame, warc_col: str = "warc") -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, w in zip(pdf["doc_id"], pdf[warc_col]):
-                for rec_no, rec in enumerate(warc_walk(w.encode())):
+                for rec_no, rec in enumerate(warc_walk(_warc_bytes(w))):
                     rows.append((
                         doc_id, rec_no, rec["warc_type"],
                         rec["target_uri"], rec["content_length"],
@@ -851,11 +921,12 @@ def warc_main_text(
             rows = []
             for doc_id, w in zip(pdf["doc_id"], pdf[warc_col]):
                 responses = [
-                    r for r in warc_walk(w.encode())
+                    r for r in warc_walk(_warc_bytes(w))
                     if r["warc_type"] == "response"
                 ]
                 for rec in responses:
                     status, headers, body = http_response(rec["payload"])
+                    body = decode_content_encoding(body, headers)
                     text, _cs = decode_html_body(
                         body, headers.get("content-type")
                     )
@@ -913,38 +984,62 @@ def warc_main_text_robust(
     return df.mapInPandas(run, schema)
 
 
+def _warc_bytes(w) -> bytes:
+    """A WARC travels as a utf-8 string column (the codegen fixtures)
+    or a binary column (compressed-body fixtures, raw crawl files) —
+    the walker works on bytes either way."""
+    return bytes(w) if isinstance(w, (bytes, bytearray)) else w.encode()
+
+
 def robust_rows(
-    doc_id, warc_text: str, max_link_density: float = 0.5
+    doc_id, warc_text, max_link_density: float = 0.5
 ) -> list[tuple]:
     """The per-document quarantine walk (worker core of
     :func:`warc_main_text_robust`, module-level so the fuzz suite can
     hammer it with mutated inputs directly): TOTAL over any input —
-    every ``ValueError`` from any tier becomes a quarantine row, never
-    an exception out of the task."""
+    every ``ValueError`` from any tier becomes a quarantine row, and a
+    non-ValueError escape (a decoder BUG — VERDICT r16 #8) becomes an
+    ``error_class='engine'`` row naming the exception, so at 100 TB an
+    unforeseen defect degrades to a counted quarantine row instead of
+    task death.  The fuzz suite is the evidence the engine ring is
+    never exercised by mere malformed INPUT."""
     try:
         responses = [
-            r for r in warc_walk(warc_text.encode())
+            r for r in warc_walk(_warc_bytes(warc_text))
             if r["warc_type"] == "response"
         ]
     except ValueError as e:
         return [(doc_id, None, None, "warc", None, None, None, str(e))]
+    except Exception as e:  # noqa: BLE001 — the engine outer ring
+        return [(doc_id, None, None, "engine", None, None, None,
+                 f"{type(e).__name__}: {e}")]
     rows: list[tuple] = []
     for rec in responses:
         status = charset = None
         try:
-            status, headers, body = http_response(rec["payload"])
-            text, charset = decode_html_body(
-                body, headers.get("content-type")
-            )
-            blocks = html_text(text)["blocks"]
-        except (UnknownCharsetError, CharsetDecodeError) as e:
-            rows.append((doc_id, status, e.label, "charset",
-                         None, None, None, str(e)))
-            continue
-        except ValueError as e:
-            cls = "http" if status is None else "html"
-            rows.append((doc_id, status, charset, cls,
-                         None, None, None, str(e)))
+            try:
+                status, headers, body = http_response(rec["payload"])
+                body = decode_content_encoding(body, headers)
+                text, charset = decode_html_body(
+                    body, headers.get("content-type")
+                )
+                blocks = html_text(text)["blocks"]
+            except (UnknownCharsetError, CharsetDecodeError) as e:
+                rows.append((doc_id, status, e.label, "charset",
+                             None, None, None, str(e)))
+                continue
+            except ContentEncodingError as e:
+                rows.append((doc_id, status, None, "encoding",
+                             None, None, None, str(e)))
+                continue
+            except ValueError as e:
+                cls = "http" if status is None else "html"
+                rows.append((doc_id, status, charset, cls,
+                             None, None, None, str(e)))
+                continue
+        except Exception as e:  # noqa: BLE001 — the engine outer ring
+            rows.append((doc_id, status, charset, "engine",
+                         None, None, None, f"{type(e).__name__}: {e}"))
             continue
         kept = [b for b in blocks if b[2] <= max_link_density * b[1]]
         main = "\n".join(b[0] for b in kept)
@@ -1074,6 +1169,91 @@ def as_warc_mixed(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return base.select(
         "doc_id", F.concat(rec1, rec3).alias("warc")
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-Encoding fixture (r17): compressed-body WARCs, binary column
+# ---------------------------------------------------------------------------
+
+#: Content-Encoding header value per lane (``doc_id % 6``).  Lanes
+#: 0–3 must DECODE (explicit identity; gzip; zlib-wrapped deflate
+#: declared through a two-element coding LIST; bare-deflate server
+#: misuse); lanes 4–5 must QUARANTINE as ``encoding`` (truncated gzip
+#: member; an unshipped brotli declaration).
+CE_LANES = {
+    0: "identity",
+    1: "gzip",
+    2: "identity, deflate",
+    3: "deflate",
+    4: "gzip",
+    5: "br",
+}
+
+
+def _encoded_warc_bytes(doc_id: int, text: str) -> bytes:
+    """One single-record WARC whose HTTP response body is the standard
+    synthesized HTML page under the lane's Content-Encoding.  Gzip and
+    deflate streams come from ``zlib.compressobj`` at a fixed level
+    (deterministic for a given zlib — the oracle never recomputes the
+    wire bytes, only the DECODED text).  Content-Length framing (the
+    compressed bytes are binary; chunked hex arithmetic adds nothing
+    here)."""
+    import zlib
+
+    html = (
+        _HTML_HEAD + str(doc_id) + _HTML_AFTER_TITLE + str(doc_id)
+        + _HTML_AFTER_H1 + text + _HTML_AFTER_TEXT
+    ).encode()
+    lane = doc_id % 6
+    if lane in (1, 4):
+        c = zlib.compressobj(9, zlib.DEFLATED, 31)  # gzip wrapper
+        body = c.compress(html) + c.flush()
+        if lane == 4:
+            body = body[: len(body) // 2]  # truncated member
+    elif lane == 2:
+        body = zlib.compress(html, 9)  # zlib-wrapped deflate
+    elif lane == 3:
+        c = zlib.compressobj(9, zlib.DEFLATED, -15)  # bare deflate
+        body = c.compress(html) + c.flush()
+    else:
+        body = html  # identity, and the br lane never inspects bytes
+    p_resp = (
+        "HTTP/1.1 200 OK\r\n"
+        "content-type: text/html; charset=utf-8\r\n"
+        f"content-encoding: {CE_LANES[lane]}\r\n"
+        f"content-length: {len(body)}\r\n\r\n"
+    ).encode() + body
+    return (
+        f"WARC/1.0\r\nWARC-Type: response\r\n"
+        f"WARC-Record-ID: <urn:uuid:{doc_id}-0>\r\n"
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        f"WARC-Target-URI: http://example.org/doc/{doc_id}\r\n"
+        "Content-Type: application/http;msgtype=response\r\n"
+        f"Content-Length: {len(p_resp)}\r\n\r\n"
+    ).encode() + p_resp + b"\r\n\r\n"
+
+
+def as_warc_content_encoded(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Documents → single-record WARC files with Content-Encoded HTTP
+    bodies (:data:`CE_LANES`), as a BINARY column — compressed bytes
+    cannot ride a utf-8 string, so this fixture synthesizes in the
+    same Arrow-batched worker pass that the decoder consumes (still
+    one scan → map stages, zero shuffle, zero driver involvement)."""
+    schema = "doc_id long, warc binary"
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "warc": [
+                    _encoded_warc_bytes(int(d), t)
+                    for d, t in zip(pdf["doc_id"], pdf[text_col])
+                ],
+            })
+
+    return docs.select("doc_id", text_col).mapInPandas(run, schema)
 
 
 # ---------------------------------------------------------------------------

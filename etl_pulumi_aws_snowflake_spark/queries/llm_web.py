@@ -241,6 +241,49 @@ def web_pipeline_e2e(spark, sf_dir):
 
 
 @query(
+    "web_content_encoding",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(200 AS BIGINT) AS status,
+           CASE WHEN doc_id % 6 >= 4 THEN NULL ELSE 'utf-8' END
+             AS charset,
+           CASE WHEN doc_id % 6 >= 4 THEN 'encoding' END AS error_class,
+           CAST(CASE WHEN doc_id % 6 >= 4 THEN NULL
+                ELSE 2 + len(regexp_extract_all(text, '\\S+')) + 8 END
+                AS BIGINT) AS n_words,
+           CAST(CASE WHEN doc_id % 6 >= 4 THEN NULL
+                ELSE length('doc ' || doc_id) + 1 + length(text) + 1
+                     + {len(_P2_BLOCK)} END AS BIGINT) AS n_chars,
+           CASE WHEN doc_id % 6 >= 4 THEN NULL
+                ELSE 'doc ' || doc_id || chr(10) || text || chr(10)
+                     || {_lit(_P2_BLOCK)} END AS main_text
+    FROM documents
+    """,
+)
+def web_content_encoding(spark, sf_dir):
+    """HTTP ``Content-Encoding`` body decompression in the web tier
+    (VERDICT r16 #1) — Common Crawl ships bodies decompressed, but
+    Heritrix/wget-at and most self-crawled WARCs retain the coding,
+    and without this tier every such response misclassifies as a
+    ``charset`` failure: a systematic, silent data loss at 100 TB.
+    Six lanes per ``doc_id % 6`` over a BINARY warc column (compressed
+    bytes can't ride a utf-8 string): explicit ``identity``; ``gzip``;
+    zlib-wrapped ``deflate`` declared through a two-element coding
+    list (``identity, deflate`` — list handling is judged); the
+    bare-deflate server misuse the fallback must accept; then two
+    quarantine lanes — a mid-member-truncated gzip stream and an
+    unshipped ``br`` declaration — each a row with
+    ``error_class='encoding'`` (status 200: the envelope parsed; the
+    BODY failed), never task death.  The oracle replays the decoded
+    main text for the four decode lanes and the quarantine rows
+    literally.  Same 100 TB shape as the whole web tier: one
+    column-pruned scan → Arrow-batched map stages, zero shuffle."""
+    return W.warc_main_text_robust(
+        W.as_warc_content_encoded(t(spark, sf_dir, "documents"))
+    ).drop("error")
+
+
+@query(
     "web_url_dedup",
     oracle="""
     WITH u AS (

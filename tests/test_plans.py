@@ -573,7 +573,7 @@ def test_web_pipeline_single_pass_no_shuffle(spark):
     corpus columns the synthesis doesn't use."""
     for name in ("web_pipeline_e2e", "web_warc_records",
                  "web_html_extract", "web_main_content",
-                 "web_charset_quarantine"):
+                 "web_charset_quarantine", "web_content_encoding"):
         plan = _plan(spark, name)
         assert "MapInPandas" in plan, name
         assert "Exchange" not in plan, name

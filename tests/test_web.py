@@ -531,3 +531,119 @@ def test_canonicalize_urls_encoded_tracking_param_stripped(spark):
         "doc_id long, url string")
     [r] = W.canonicalize_urls(df).collect()
     assert r["canonical_url"] == "http://example.org/p?a=1"
+
+
+# --------------------------------------------------------------------
+# Content-Encoding tier (r17)
+# --------------------------------------------------------------------
+
+def _gz(data: bytes) -> bytes:
+    import zlib
+
+    c = zlib.compressobj(9, zlib.DEFLATED, 31)
+    return c.compress(data) + c.flush()
+
+
+def test_decode_content_encoding_forms():
+    import zlib
+
+    body = b"<p>hello compressed world</p>"
+    ok = W.decode_content_encoding
+    assert ok(body, {}) == body                      # header absent
+    assert ok(body, {"content-encoding": "identity"}) == body
+    assert ok(_gz(body), {"content-encoding": "gzip"}) == body
+    assert ok(_gz(body), {"content-encoding": "x-gzip"}) == body
+    assert ok(zlib.compress(body), {"content-encoding": "deflate"}) == body
+    d = zlib.compressobj(9, zlib.DEFLATED, -15)      # bare deflate misuse
+    assert ok(d.compress(body) + d.flush(),
+              {"content-encoding": "deflate"}) == body
+    # coding LIST: applied by the sender left-to-right, decoded reversed
+    assert ok(_gz(body), {"content-encoding": "identity, gzip"}) == body
+    assert ok(_gz(zlib.compress(body)),
+              {"content-encoding": "deflate, gzip"}) == body
+
+
+def test_decode_content_encoding_errors_are_typed():
+    import zlib
+
+    body = b"x" * 200
+    gz = _gz(body)
+    with pytest.raises(W.ContentEncodingError) as e:
+        W.decode_content_encoding(gz[: len(gz) // 2],
+                                  {"content-encoding": "gzip"})
+    assert e.value.coding == "gzip"
+    with pytest.raises(W.ContentEncodingError):      # not gzip at all
+        W.decode_content_encoding(body, {"content-encoding": "gzip"})
+    with pytest.raises(W.ContentEncodingError):      # corrupt deflate
+        W.decode_content_encoding(b"\x00garbage",
+                                  {"content-encoding": "deflate"})
+    with pytest.raises(W.ContentEncodingError) as e:  # truncated zlib
+        W.decode_content_encoding(zlib.compress(body)[:-4],
+                                  {"content-encoding": "deflate"})
+    assert e.value.coding == "deflate"
+    with pytest.raises(W.ContentEncodingError) as e:  # unshipped coding
+        W.decode_content_encoding(body, {"content-encoding": "br"})
+    assert e.value.coding == "br"
+    # a ContentEncodingError IS a ValueError (the robust chain's
+    # catch-all ordering depends on it)
+    assert issubclass(W.ContentEncodingError, ValueError)
+
+
+def test_encoded_warc_lanes_end_to_end():
+    """robust_rows over the binary Content-Encoding fixture: four
+    decode lanes produce the page text, the truncated-gzip and br
+    lanes quarantine as 'encoding' with status 200 (the envelope
+    parsed; the body failed)."""
+    text = "alpha beta gamma"
+    for lane in range(6):
+        doc_id = 6 + lane  # doc_id % 6 == lane
+        raw = W._encoded_warc_bytes(doc_id, text)
+        [row] = W.robust_rows(doc_id, raw)
+        _, status, charset, error_class, n_words, n_chars, main, err = row
+        assert status == 200
+        if lane >= 4:
+            assert error_class == "encoding"
+            assert charset is None and main is None
+            assert "content-encoding" in err
+        else:
+            assert error_class is None
+            assert charset == "utf-8"
+            assert main.startswith(f"doc {doc_id}\n{text}\n")
+            assert n_words == 2 + len(text.split()) + 8
+
+
+def test_strict_pipeline_honors_content_encoding():
+    """warc_main_text (strict) decodes a gzip body; a corrupt stream
+    is a LOUD error there (quarantine is the robust variant's job)."""
+    ok = W._encoded_warc_bytes(1, "plain words here")       # gzip lane
+    recs = W.warc_walk(ok)
+    status, headers, body = W.http_response(recs[0]["payload"])
+    got = W.decode_content_encoding(body, headers)
+    assert b"plain words here" in got
+    bad = W._encoded_warc_bytes(4, "plain words here")      # truncated
+    recs = W.warc_walk(bad)
+    status, headers, body = W.http_response(recs[0]["payload"])
+    with pytest.raises(W.ContentEncodingError):
+        W.decode_content_encoding(body, headers)
+
+
+def test_engine_outer_ring_catches_decoder_bugs(monkeypatch):
+    """Deliberate-bug injection (VERDICT r16 #8): a NON-ValueError
+    escaping any tier must degrade to an error_class='engine' row
+    naming the exception — never an exception out of robust_rows."""
+    def boom(_text):
+        raise KeyError("planted decoder bug")
+
+    monkeypatch.setattr(W, "html_text", boom)
+    raw = W._encoded_warc_bytes(0, "some words")
+    [row] = W.robust_rows(0, raw)
+    assert row[3] == "engine"
+    assert "KeyError" in row[7] and "planted decoder bug" in row[7]
+
+    def walk_boom(_payload):
+        raise AttributeError("planted walker bug")
+
+    monkeypatch.setattr(W, "warc_walk", walk_boom)
+    [row] = W.robust_rows(0, raw)
+    assert row[3] == "engine"
+    assert "AttributeError" in row[7]

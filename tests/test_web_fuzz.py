@@ -204,3 +204,35 @@ def test_decode_html_body_typed_errors_only(body, label):
             body[:2] in (b"\xff\xfe", b"\xfe\xff")
             or body[:3] == b"\xef\xbb\xbf"
         )
+
+
+# --------------------------------------------------------------------
+# Content-Encoding tier (r17): the binary-fixture walk must be TOTAL,
+# and the 'engine' outer ring must never fire on mere malformed INPUT
+# --------------------------------------------------------------------
+
+@given(
+    text=st.text(alphabet="abcdef ghij", min_size=1, max_size=60),
+    lane=st.integers(min_value=0, max_value=5),
+    mutations=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10_000),
+                  st.integers(min_value=0, max_value=255)),
+        min_size=0, max_size=6,
+    ),
+)
+@settings(max_examples=250, deadline=None)
+def test_robust_rows_total_under_byte_mutation_encoded(text, lane, mutations):
+    """Arbitrary BYTE substitutions anywhere in a Content-Encoded WARC
+    (framing, HTTP headers, compressed stream bytes) must come back as
+    rows whose error_class is one of the five input tiers — never
+    'engine' (that ring is for decoder BUGS, and this suite is the
+    evidence input alone cannot reach it), never an exception."""
+    raw = bytearray(W._encoded_warc_bytes(6 + lane, text))
+    for pos, b in mutations:
+        raw[pos % len(raw)] = b
+    rows = W.robust_rows(6 + lane, bytes(raw))
+    for r in rows:
+        assert r[3] in (None, "warc", "http", "charset", "html",
+                        "encoding")
+        if r[3] is None:
+            assert r[6] is not None
