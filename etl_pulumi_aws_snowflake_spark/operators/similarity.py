@@ -544,6 +544,68 @@ def semantic_near_pairs(
     return pairs
 
 
+def semantic_near_pairs_indexed(
+    corpus: DataFrame,
+    root: str,
+    threshold: float = 0.35,
+    nprobe: int = 2,
+    fs=None,
+) -> DataFrame:
+    """SemDeDup candidate pairs against a PERSISTED IVF index (VERDICT
+    r16 #3 — the semantic-DEDUP leg beside the semantic-decontam one):
+    every corpus vector routes through the index's frozen seed table
+    to its ``nprobe`` nearest lists and pairs with the index's
+    ASSIGNED members of those lists at cosine ≥ ``threshold`` —
+    (doc_a, doc_b, cos) with doc_a < doc_b, self-pairs excluded.
+
+    This is the corpus-vs-itself form of the
+    :func:`~..operators.decontam.contamination_semantic_indexed`
+    serve: same frozen seeds, same routing rule, same version-pinned
+    member reads.  Two differences, both forced by the workload: the
+    probe side is the 100 TB corpus itself, so nothing is broadcast or
+    collected (routing is the O(n·nlists) broadcast-seed argsort, the
+    candidate join is a single ``list_id`` equi-join whose index side
+    is already partitioned by ``list_id`` on disk); and no list subset
+    is pruned — every list is some vector's home, so the serve reads
+    the whole index once (the point is Σ|list|·nprobe candidate work
+    instead of the O(n²) all-pairs join).  A pair is caught when
+    EITHER endpoint's routed lists contain the other's assigned list
+    (assigned = routed top-1 by construction, so this is the n_assign
+    trade of :func:`semantic_near_pairs` with the index as the
+    single-assign side); recall < 1 across unrouted list boundaries by
+    design — the measured gap lives beside the decontam arm's in
+    SCALE.md."""
+    import os
+
+    from ..streaming.snapshot import index_current, snapshot_read
+
+    spark = corpus.sparkSession
+    pin = index_current(root, fs=fs) or {}
+    seeds = snapshot_read(
+        spark, os.path.join(root, "seeds"), fs=fs, version=pin.get("seeds")
+    )
+    probe_lists = _route_probes(corpus, seeds, nprobe)
+    assigned = snapshot_read(
+        spark, os.path.join(root, "corpus"), fs=fs,
+        version=pin.get("corpus"),
+    )
+    pa, ca = probe_lists.alias("a"), assigned.alias("b")
+    return (
+        pa.join(
+            ca,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.probe_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.least("a.probe_id", "b.vec_id").alias("doc_a"),
+            F.greatest("a.probe_id", "b.vec_id").alias("doc_b"),
+            _cos_ab(),
+        )
+        .filter(F.col("cos") >= threshold)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def ivf_topk(
     probes: DataFrame,
     corpus: DataFrame,

@@ -2572,3 +2572,42 @@ def test_semantic_decontam_subset_self_hits_and_recall(spark, sf_correct, tmp_pa
     for pid in probe_ids:
         assert rows[pid]["max_cos"] == pytest.approx(1.0)
     assert len(flagged & exact) / len(exact) >= 0.7
+
+
+def test_semantic_dedup_indexed_subset_and_keep_one(spark, sf_correct, tmp_path):
+    """The indexed semantic-dedup leg (r17) is sound: candidate pairs ⊆
+    exact brute-force pairs ≥ τ (routing can only MISS, never invent),
+    no self-pairs, doc_a < doc_b; survivors obey the keep-one rule
+    (keep_id ≤ vec_id, keep_id is itself kept, non-dup rows keep
+    themselves); and recall vs the exact pair set stays ≥ 0.5 at
+    nprobe=2/nlists=10 (measured 0.535 at sf0.001 — the asymmetric
+    routed-top-2 vs assigned-top-1 candidate rule sits between the
+    single-assign 88/271 and symmetric multi-assign 176/271 pair
+    counts; SCALE.md records the numbers)."""
+    from pyspark.sql import functions as F
+
+    from etl_pulumi_aws_snowflake_spark.operators import dedup as D
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+    exact = {
+        (min(r["probe_id"], r["vec_id"]), max(r["probe_id"], r["vec_id"]))
+        for r in S.cosine_near_pairs(emb, emb, threshold=0.35)
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .select("probe_id", "vec_id").collect()
+    }  # exact brute-force all-pairs above τ, canonicalized
+    root = str(tmp_path / "dedup_sem_ivf")
+    S.ivf_build_index(emb, root, nlists=10)
+    pairs = S.semantic_near_pairs_indexed(emb, root, 0.35, nprobe=2)
+    got = {(r["doc_a"], r["doc_b"])
+           for r in pairs.select("doc_a", "doc_b").collect()}
+    assert all(a < b for a, b in got)          # canonical, no self-pairs
+    assert got <= exact
+    assert len(got & exact) / max(len(exact), 1) >= 0.5
+    surv = {r["vec_id"]: r
+            for r in D.dedup_survivors(emb, pairs, id_col="vec_id").collect()}
+    assert set(surv) == {r["vec_id"] for r in emb.select("vec_id").collect()}
+    for vid, r in surv.items():
+        assert r["keep_id"] <= vid
+        assert r["is_dup"] == (r["keep_id"] != vid)
+        assert surv[r["keep_id"]]["is_dup"] is False  # keeps are kept

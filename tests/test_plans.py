@@ -612,6 +612,37 @@ def test_semantic_decontam_serving_plan(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_semantic_dedup_indexed_candidate_plan(spark, tmp_path):
+    """The semantic-dedup candidate join reads the PERSISTED index
+    (both members), pairs via a ``list_id`` equi-join — never a
+    cartesian/nested-loop product (the O(n²) shape the operator
+    exists to avoid).  Inspected at the pairs stage: the survivors
+    output is behind connected-components checkpoints that truncate
+    lineage, so the index relation is only visible here."""
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    root = str(tmp_path / "dedup_sem_ivf")
+    S.ivf_build_index(emb, root, nlists=10)
+    pairs = S.semantic_near_pairs_indexed(emb, root, 0.35, nprobe=2)
+    plan = pairs._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted")
+    )
+    assert "dedup_sem_ivf/corpus" in plan
+    assert "dedup_sem_ivf/seeds" in plan
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join allowed is routing against the
+    # BROADCAST seed table (O(n·nlists) by construction); the
+    # corpus-vs-corpus candidate join must be the list_id equi-join
+    import re
+
+    nl = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan,
+                    flags=re.MULTILINE)
+    assert len(nl) <= 1
+    assert "list_id" in plan
+
+
 def test_video_frame_features_single_pass_no_shuffle(spark):
     """Video decode → frame sample → image featurize must live in ONE
     Arrow-batched worker pass: no Exchange between the decode stages,
