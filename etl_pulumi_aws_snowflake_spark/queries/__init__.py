@@ -38,49 +38,43 @@ from . import streaming_e2e  # noqa: E402,F401
 
 
 # The external correctness driver checks the FIRST 50 dict entries per
-# round (CORRECTNESS_r01-r15 each recorded exactly queries()[:50] in
-# order).  Round 16 rotates the window per the staleness rule
-# (scripts/driver_staleness.py order): (a) the FIVE entries round 16
-# added lead (never-checked-entries-lead rule — the charset-aware
-# quarantining web ingest, its streaming decode-at-ingest composition,
-# URL canonicalization + URL-level dedup, the embedding-space
-# decontamination arm,
-# and the video→image frame-feature composition); then (b) ALL 45
-# r12-stale entries the r15 note deferred — due now, exactly as
-# promised (align/cdc-pruned/corpus pair/curation-indexed/
-# decontaminate/the dedup five/dq_audit/join_salted/layout/the merge
-# pair/the mm plumbing trio/the pack pair/the pipeline pair/pivot/
-# q17/the sample quartet/the scalar quartet/set_distinct/
-# sim_cosine_topk/the int8-IVF rerank+lifecycle quartet/
-# stream_ivf_q_ingest/text_lm_score/text_quality/the UDF pair/
-# win_range_frame); then (c) the first 2 r13-stale entries in
-# the five new plus all 45 r12-stale fill the window exactly; the
-# whole 50-entry r13 cohort leads r17's window.
+# round (CORRECTNESS_r01-r16 each recorded exactly queries()[:50] in
+# order).  Round 17 rotates the window per the staleness rule
+# (scripts/driver_staleness.py order): (a) the TWO entries round 17
+# added lead (never-checked-entries-lead rule — semantic dedup over
+# the persisted IVF index, and HTTP Content-Encoding decompression in
+# the web tier); then (b) the first 48 of the 50-entry r13-stale
+# cohort, stalest-first, exactly as the r16 note promised — the two
+# that no longer fit (text_token_stats, udf_row_scalar) lead r18's
+# window together with the rest of the r14 cohort.  (web_url_dedup
+# gained tier-2 lanes this round but keeps its green r16 driver row;
+# the 202-entry sf0.01 mirror sweep re-certifies its reshaped oracle.)
 # tests/test_docs.py::test_never_driver_checked_entries_lead_the_window
 # FAILS if a registry entry without any CORRECTNESS row sits outside
 # the first 50 — the r05 process miss cannot recur silently.
 _DRIVER_FIRST = [
-    # (a) NEW in r16 — first-ever driver evidence
-    "decontaminate_semantic", "mm_video_frame_features",
-    "stream_web_ingest_e2e", "web_charset_quarantine", "web_url_dedup",
-    # (b) ALL 45 r12-stale entries deferred by the r15 note — due now
-    "align_by_name_ci", "cdc_merge_pruned_e2e", "corpus_quality_filter",
-    "corpus_split", "curation_pipeline_indexed_e2e", "decontaminate",
-    "dedup_exact", "dedup_fingerprint_groups", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_simhash", "dq_audit", "join_salted",
-    "layout_cluster_key", "merge_schema_evolution",
-    "merge_upsert_customers", "mm_binary_features", "mm_decode_ppm",
-    "mm_resize", "pack_bins", "pack_sequences", "pipeline_batch_e2e",
-    "pipeline_stream_e2e", "pivot_status_by_priority",
-    "q17_small_qty_revenue", "sample_exact_quota",
-    "sample_hash_bernoulli", "sample_stratified_by_lang",
-    "sample_temperature_mixture", "scalar_conditional",
-    "scalar_hilbert_key", "scalar_math", "scalar_string",
-    "set_distinct_rows", "sim_cosine_topk",
-    "sim_ivf_recall_quantized_rerank", "sim_ivf_topk_quantized_appended",
-    "sim_ivf_topk_quantized_deleted", "sim_ivf_topk_quantized_rerank",
-    "stream_ivf_q_ingest_e2e", "text_lm_score", "text_quality",
-    "udf_grouped_map", "udf_table_function", "win_range_frame",
+    # (a) NEW in r17 — first-ever driver evidence
+    "dedup_semantic_indexed", "web_content_encoding",
+    # (b) the first 48 r13-stale entries, stalest-first — due now
+    "agg_distinct",
+    "agg_groupby_basic", "cdc_merge_mor_compact_e2e", "cdc_merge_mor_e2e",
+    "cdc_merge_stream_e2e", "dedup_lsh_appended", "dedup_lsh_incremental",
+    "dedup_spans", "join_cross", "join_right_outer", "join_semi",
+    "mm_decode_png", "mm_frame_sample", "q11_important_parts",
+    "q12_late_shipment_priority", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_count",
+    "q19_disjunctive_revenue", "q20_excess_shippers",
+    "q21_waiting_suppliers", "q22_global_sales_opportunity",
+    "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "sample_exact_quota_dupkeys", "sample_exact_quota_fail_loud",
+    "scalar_array_explode", "scalar_json_typed", "scalar_map",
+    "scalar_zorder_key", "scd2_user_state", "search_bm25_appended",
+    "search_bm25_indexed", "search_bm25_topk", "search_hybrid_rrf",
+    "sim_cosine_near_pairs", "sim_cosine_topk_blas",
+    "sim_ivf_recall_pq_rerank", "sim_ivf_topk_pq",
+    "sim_ivf_topk_pq_rerank", "sql_api_q5", "stream_ivf_pq_ingest_e2e",
+    "text_langid",
 ]
 
 def _driver_order(d: dict) -> dict:

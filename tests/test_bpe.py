@@ -212,3 +212,112 @@ def test_train_stops_when_vocab_fully_merged(spark):
     docs = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
     merges = B.train_bpe(docs, 10)  # only one merge is learnable
     assert [m[3] for m in merges] == ["ab"]
+
+
+# --------------------------------------------------------------------
+# batched merge learning (r17 — VERDICT r16 #7)
+# --------------------------------------------------------------------
+
+def _rows(pairs):
+    return [{"pair": f"{a} {b}", "c": c} for a, b, c in pairs]
+
+
+def test_safe_merge_batch_disjoint_complete_table():
+    # fully collected, pairwise disjoint → ALL accepted in one pass
+    got = B._safe_merge_batch(
+        _rows([("a", "b", 10), ("c", "d", 5), ("e", "f", 3)]),
+        cap=64, table_complete=True)
+    assert got == [("a", "b", 10), ("c", "d", 5), ("e", "f", 3)]
+
+
+def test_safe_merge_batch_stops_at_first_interaction():
+    # (b, c) shares 'b' with the accepted (a, b) → prefix ends there
+    got = B._safe_merge_batch(
+        _rows([("a", "b", 10), ("x", "y", 9), ("b", "c", 8),
+               ("p", "q", 7)]),
+        cap=64, table_complete=True)
+    assert got == [("a", "b", 10), ("x", "y", 9)]
+
+
+def test_safe_merge_batch_minted_symbol_string_interacts():
+    # a prior batch member mints symbol 'ab'; a candidate USING the
+    # string 'ab' as a symbol must count as interacting
+    got = B._safe_merge_batch(
+        _rows([("a", "b", 10), ("ab", "z", 9), ("c", "d", 8)]),
+        cap=64, table_complete=True)
+    assert got == [("a", "b", 10)]
+
+
+def test_safe_merge_batch_tie_at_bound_is_pruned():
+    # the exactness counter-example: merging (a, z) creates (az, w)
+    # with count 5 and pair string 'az w' < 'b b', which would steal
+    # the sequential argmax from an equal-count accepted (b, b) —
+    # counts tying the stop bound T must be pruned
+    got = B._safe_merge_batch(
+        _rows([("a", "z", 10), ("b", "b", 5), ("z", "w", 5)]),
+        cap=64, table_complete=True)
+    assert got == [("a", "z", 10)]
+
+
+def test_safe_merge_batch_incomplete_table_bounds_at_last_row():
+    # table extends past the collected top → the last row's count is
+    # the bound; equal-count accepted rows are unsafe
+    got = B._safe_merge_batch(
+        _rows([("a", "b", 10), ("c", "d", 7), ("e", "f", 7)]),
+        cap=64, table_complete=False)
+    assert got == [("a", "b", 10)]
+    got = B._safe_merge_batch(
+        _rows([("a", "b", 10), ("c", "d", 8), ("e", "f", 7)]),
+        cap=64, table_complete=False)
+    assert got == [("a", "b", 10), ("c", "d", 8)]
+
+
+def test_safe_merge_batch_first_always_kept_and_cap():
+    # even an all-ties table yields the sequential head
+    got = B._safe_merge_batch(
+        _rows([("a", "b", 5), ("c", "d", 5), ("e", "f", 5)]),
+        cap=64, table_complete=False)
+    assert got == [("a", "b", 5)]
+    got = B._safe_merge_batch(
+        _rows([("a", "b", 9), ("c", "d", 8), ("e", "f", 7)]),
+        cap=2, table_complete=True)
+    assert got == [("a", "b", 9), ("c", "d", 8)]
+
+
+def test_batched_equals_sequential_on_fixture(tiny_docs):
+    assert B.train_bpe(tiny_docs, 12, max_batch=64) == \
+        B.train_bpe(tiny_docs, 12, max_batch=1)
+
+
+def test_batched_tie_steal_end_to_end(spark):
+    """The adversarial corpus where a created pair ties the bound with
+    a smaller pair string: batched must still learn exactly what
+    sequential Sennrich learns ((a,z) then the CREATED (az,w), never
+    (b,b) second)."""
+    docs = spark.createDataFrame(
+        [(0, "azw azw azw azw azw"), (1, "az az az az az"),
+         (2, "bb bb bb bb bb")],
+        "doc_id long, text string")
+    seq = B.train_bpe(docs, 2, max_batch=1)
+    bat = B.train_bpe(docs, 2, max_batch=64)
+    assert bat == seq
+    assert [(m[1], m[2]) for m in seq] == [("a", "z"), ("az", "w")]
+
+
+def test_batched_equals_reference_random_corpora(spark):
+    """Deterministic pseudo-random small-alphabet corpora (maximal
+    pair interaction) — batched Spark training must equal the pure
+    Python Sennrich reference, merge list AND counts."""
+    import random
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        words = ["".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+                 for _ in range(40)]
+        docs = spark.createDataFrame(
+            [(i, " ".join(words[i::4])) for i in range(4)],
+            "doc_id long, text string")
+        corpus: collections.Counter = collections.Counter(words)
+        ref, _ = _ref_train(dict(corpus), 10)
+        got = B.train_bpe(docs, 10, max_batch=64)
+        assert got == ref, f"seed {seed}"
