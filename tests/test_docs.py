@@ -10,6 +10,8 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
 REPO = Path(__file__).resolve().parent.parent
 COVERAGE = (REPO / "COVERAGE.md").read_text()
 
@@ -197,6 +199,54 @@ def test_driver_mirror_artifact_covers_registry():
     )
     not_ok = sorted(k for k, v in rep.items() if not v.get("ok"))
     assert not not_ok, f"mirror has failures: {not_ok}"
+
+
+def test_bench_report_not_drifted_in_working_tree():
+    """VERDICT r15 #8 / r16 #5 (recurring): the external driver's
+    post-session official bench run rewrites scripts/bench_report.json
+    and has repeatedly been left modified in the working tree, so the
+    committed report silently stopped being the run the round's
+    BENCH_r{N}.json recorded.  This gate fails the NEXT session's
+    first pytest while the file sits dirty: if the dirty content
+    compact-line-matches the latest BENCH_r{N}.json artifact it IS the
+    driver's official run — commit it as-is; anything else needs
+    investigating before committing."""
+    import json
+
+    import bench
+
+    st = subprocess.run(
+        ["git", "status", "--porcelain", "--", "scripts/bench_report.json"],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    if st.returncode != 0:
+        pytest.skip("git unavailable")
+    if not st.stdout.strip():
+        return  # committed — no drift
+    arts = sorted(
+        REPO.glob("BENCH_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    hint = "no BENCH_r{N}.json artifacts exist to compare against"
+    if arts:
+        parsed = json.loads(arts[-1].read_text()).get("parsed") or {}
+        doc = json.loads(
+            (REPO / "scripts" / "bench_report.json").read_text()
+        )
+        line = json.loads(bench.compact_line(doc))
+        parsed.pop("report", None)
+        line.pop("report", None)
+        hint = (
+            f"its compact line MATCHES {arts[-1].name} — this is the "
+            "driver's official run; commit it as-is"
+            if line == parsed
+            else f"its compact line does NOT match {arts[-1].name} — "
+            "investigate which run this is before committing"
+        )
+    raise AssertionError(
+        "scripts/bench_report.json is modified in the working tree "
+        f"({hint})"
+    )
 
 
 def test_bench_report_committed_and_compact_line_fits_driver_tail():
