@@ -958,7 +958,8 @@ def dedup_semantic_indexed(spark, sf_dir):
     exact hash-rank seeding, top-1 assignment, top-2 routing,
     threshold, and min-label closure (recursive CTE), so the judged
     rows certify the whole indexed chain.  Candidate work is
-    Σ|list|·nprobe, never O(n²); the probe side is the corpus itself,
+    Σ|list|·nprobe, never O(n²) (recall vs exact: 0.535 at sf0.01,
+    SCALE.md); the probe side is the corpus itself,
     so nothing collects to the driver and no list is pruned — the
     index is read once, partition-aligned on ``list_id``."""
     from ..operators import dedup as D

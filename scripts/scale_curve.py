@@ -368,6 +368,41 @@ def _lsh_mult(spark, sf_dir) -> int:
     return load_table(spark, sf_dir, "documents").count() // 5000
 
 
+def _emb_mult(spark, sf_dir) -> int:
+    from etl_pulumi_aws_snowflake_spark.sources import load_table
+
+    return max(1, load_table(spark, sf_dir, "embeddings").count() // 2000)
+
+
+def _setup_semantic_dedup_index(spark, sf_dir, root):
+    """Build the IVF index the semantic-dedup serve routes through.
+    ``nlists`` scales WITH the corpus (the documented at-scale knob —
+    similarity.ivf_topk docstring): per-list size stays constant, so
+    the corpus-vs-itself candidate join's work is ~nprobe·n·|list| —
+    linear — instead of the quadratic Σ|list|² a fixed list count
+    degrades to."""
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+    from etl_pulumi_aws_snowflake_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    S.ivf_build_index(emb, root, nlists=64 * _emb_mult(spark, sf_dir))
+
+
+def _run_semantic_dedup_pairs(spark, sf_dir, root):
+    """One corpus-vs-itself candidate pass against the persisted
+    index (the r17 semantic-dedup serve).  The keep-one closure is
+    excluded: connected-components is a driver-paced iterative loop
+    over the (tiny) pair set — the scaling surface is the routed
+    candidate join measured here."""
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+    from etl_pulumi_aws_snowflake_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    S.semantic_near_pairs_indexed(emb, root, 0.35, nprobe=2).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+
 def _lsh_batch(spark, sf_dir):
     """FIXED 5-doc ingest batch (copy-0 ids ≡ 0 mod 1000) at every
     scale — the check measures serving cost vs INDEX size, so the
@@ -879,6 +914,16 @@ def action_ops():
             _run_decontam_semantic_indexed,
             None,
             True,  # readonly: build once, rep the serve
+        ),
+        # r17: semantic dedup served from the persisted IVF index —
+        # the probe side IS the corpus, so expect ~linear (nlists
+        # scales with the corpus, keeping per-list size constant);
+        # collect flat (version pins only, never data)
+        "dedup_semantic_indexed_pairs": (
+            _setup_semantic_dedup_index,
+            _run_semantic_dedup_pairs,
+            None,
+            True,  # readonly: build once, rep the corpus-vs-self pass
         ),
         "cdc_merge_pruned_batch": (_setup_seed_snapshot, _run_merge_pruned, None),
         # r13 MoR comparison pair: the SAME fixed batch applied

@@ -2580,10 +2580,10 @@ def test_semantic_dedup_indexed_subset_and_keep_one(spark, sf_correct, tmp_path)
     no self-pairs, doc_a < doc_b; survivors obey the keep-one rule
     (keep_id ≤ vec_id, keep_id is itself kept, non-dup rows keep
     themselves); and recall vs the exact pair set stays ≥ 0.5 at
-    nprobe=2/nlists=10 (measured 0.535 at sf0.001 — the asymmetric
+    nprobe=2/nlists=10 (measured 0.535 at sf0.01, 0.564 at sf0.001 — the asymmetric
     routed-top-2 vs assigned-top-1 candidate rule sits between the
     single-assign 88/271 and symmetric multi-assign 176/271 pair
-    counts; SCALE.md records the numbers)."""
+    counts at sf0.01; SCALE.md records the numbers)."""
     from pyspark.sql import functions as F
 
     from etl_pulumi_aws_snowflake_spark.operators import dedup as D

@@ -641,11 +641,11 @@ def test_maintain_isolates_a_raising_remedy(spark, tmp_path, monkeypatch):
         "/root/testdata/sf0.001/documents.parquet").limit(60)
     root = str(tmp_path / "lsh")
     D.lsh_build_index(docs, root, n_buckets=2)
-    # fragment a member so index_compact is due alongside the rebuild
-    D.lsh_index_append(docs.limit(3).withColumn(
+    # fragment the sets member so index_compact is due alongside the
+    # rebuild: a ONE-doc append touches one dbucket partition and
+    # carries the other (a multi-doc batch would rewrite both)
+    D.lsh_index_append(docs.limit(1).withColumn(
         "doc_id", F.col("doc_id") + 1000), root)
-    D.lsh_index_append(docs.limit(3).withColumn(
-        "doc_id", F.col("doc_id") + 2000), root)
 
     def boom(*a, **kw):
         raise RuntimeError("planted compaction failure")
