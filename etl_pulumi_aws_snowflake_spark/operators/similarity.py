@@ -562,19 +562,24 @@ def semantic_near_pairs_indexed(
     :func:`~..operators.decontam.contamination_semantic_indexed`
     serve: same frozen seeds, same routing rule, same version-pinned
     member reads.  Two differences, both forced by the workload: the
-    probe side is the 100 TB corpus itself, so nothing is broadcast or
-    collected (routing is the O(n·nlists) broadcast-seed argsort, the
-    candidate join is a single ``list_id`` equi-join whose index side
-    is already partitioned by ``list_id`` on disk); and no list subset
-    is pruned — every list is some vector's home, so the serve reads
-    the whole index once (the point is Σ|list|·nprobe candidate work
-    instead of the O(n²) all-pairs join).  A pair is caught when
-    EITHER endpoint's routed lists contain the other's assigned list
-    (assigned = routed top-1 by construction, so this is the n_assign
-    trade of :func:`semantic_near_pairs` with the index as the
-    single-assign side); recall < 1 across unrouted list boundaries by
-    design — the measured gap lives beside the decontam arm's in
-    SCALE.md."""
+    probe side is the 100 TB corpus itself — so routing goes through
+    the SAME Arrow/numpy top-n assignment tier :func:`ivf_assign`
+    uses against the collected frozen seed table (ZERO exchanges; the
+    few-probes window form ``_route_probes`` uses would shuffle
+    n·nlists rows, which the r17 scale curve measured at 60× for 10×
+    data once nlists grows with the corpus), and the only driver
+    collect is the seed table itself (bounded by nlists, the
+    ``_frozen_seeds`` contract); and no list subset is pruned — every
+    list is some vector's home, so the serve reads the whole index
+    once (the point is Σ|list|·nprobe candidate work instead of the
+    O(n²) all-pairs join; hold |list| constant by growing ``nlists``
+    with the corpus and the pass is ~linear — the curve row measures
+    exactly that).  A pair is caught when EITHER endpoint's routed
+    lists contain the other's assigned list (assigned = routed top-1
+    by construction, so this is the n_assign trade of
+    :func:`semantic_near_pairs` with the index as the single-assign
+    side); recall < 1 across unrouted list boundaries by design — the
+    measured gap lives beside the decontam arm's in SCALE.md."""
     import os
 
     from ..streaming.snapshot import index_current, snapshot_read
@@ -584,7 +589,17 @@ def semantic_near_pairs_indexed(
     seeds = snapshot_read(
         spark, os.path.join(root, "seeds"), fs=fs, version=pin.get("seeds")
     )
-    probe_lists = _route_probes(corpus, seeds, nprobe)
+    cent = [(r["seed_id"], r["v"]) for r in seeds.collect()]
+    if len(cent) > MAX_CLOSURE_SEEDS:
+        raise ValueError(
+            f"index at {root!r} has {len(cent)} seeds > "
+            f"{MAX_CLOSURE_SEEDS} — semantic_near_pairs_indexed routes "
+            "the corpus against the frozen seed table in-closure; "
+            "rebuild with a bounded nlists"
+        )
+    probe_lists = ivf_assign_topn(
+        corpus, n_assign=nprobe, centroids=cent
+    ).withColumnRenamed("vec_id", "probe_id")
     assigned = snapshot_read(
         spark, os.path.join(root, "corpus"), fs=fs,
         version=pin.get("corpus"),

@@ -960,8 +960,10 @@ def dedup_semantic_indexed(spark, sf_dir):
     rows certify the whole indexed chain.  Candidate work is
     Σ|list|·nprobe, never O(n²) (recall vs exact: 0.535 at sf0.01,
     SCALE.md); the probe side is the corpus itself,
-    so nothing collects to the driver and no list is pruned — the
-    index is read once, partition-aligned on ``list_id``."""
+    so routing runs through the Arrow frozen-seed closure tier (the
+    only driver collect is the nlists-bounded seed table) and no list
+    is pruned — the index is read once, partition-aligned on
+    ``list_id``."""
     from ..operators import dedup as D
     from .pipeline_e2e import _workdir
 

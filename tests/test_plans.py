@@ -614,11 +614,15 @@ def test_semantic_decontam_serving_plan(spark):
 
 def test_semantic_dedup_indexed_candidate_plan(spark, tmp_path):
     """The semantic-dedup candidate join reads the PERSISTED index
-    (both members), pairs via a ``list_id`` equi-join — never a
-    cartesian/nested-loop product (the O(n²) shape the operator
-    exists to avoid).  Inspected at the pairs stage: the survivors
-    output is behind connected-components checkpoints that truncate
-    lineage, so the index relation is only visible here."""
+    corpus member, routes the probe corpus through the Arrow/numpy
+    frozen-seed assignment tier (MapInPandas — the seed table is a
+    driver-collected closure, bounded by nlists, so NO join and NO
+    window shuffle of n·nlists rows appears for routing), and pairs
+    via a ``list_id`` equi-join — never a cartesian/nested-loop
+    product (the O(n²) shape the operator exists to avoid).
+    Inspected at the pairs stage: the survivors output is behind
+    connected-components checkpoints that truncate lineage, so the
+    index relation is only visible here."""
     from etl_pulumi_aws_snowflake_spark.operators import similarity as S
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
@@ -630,16 +634,9 @@ def test_semantic_dedup_indexed_candidate_plan(spark, tmp_path):
             "formatted")
     )
     assert "dedup_sem_ivf/corpus" in plan
-    assert "dedup_sem_ivf/seeds" in plan
+    assert "MapInPandas" in plan  # the in-closure seed-routing tier
     assert "CartesianProduct" not in plan
-    # the only nested-loop join allowed is routing against the
-    # BROADCAST seed table (O(n·nlists) by construction); the
-    # corpus-vs-corpus candidate join must be the list_id equi-join
-    import re
-
-    nl = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan,
-                    flags=re.MULTILINE)
-    assert len(nl) <= 1
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "list_id" in plan
 
 
