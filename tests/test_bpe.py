@@ -321,3 +321,62 @@ def test_batched_equals_reference_random_corpora(spark):
         ref, _ = _ref_train(dict(corpus), 10)
         got = B.train_bpe(docs, 10, max_batch=64)
         assert got == ref, f"seed {seed}"
+
+
+# --------------------------------------------------------------------
+# batched ≡ sequential as a pure-Python PROPERTY (no Spark): drive
+# _safe_merge_batch through a vocab-table simulation of train_bpe's
+# pass loop and compare against the sequential reference on arbitrary
+# corpora — the exactness claim the r17 batching rests on.
+# --------------------------------------------------------------------
+
+def _batched_train_sim(corpus: dict[str, int], n: int, max_batch: int,
+                       max_len: int = 16):
+    """train_bpe's pass loop over a pure-Python vocab table (same
+    sorted-candidate order, same _safe_merge_batch, same chained
+    application of a disjoint batch)."""
+    vocab = {tuple(w): c for w, c in corpus.items() if len(w) <= max_len}
+    merges = []
+    while len(merges) < n:
+        pairs: collections.Counter = collections.Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[f"{syms[i]} {syms[i + 1]}"] += c
+        if not pairs:
+            break
+        cap = min(max_batch, n - len(merges))
+        cands = [{"pair": p, "c": c} for p, c in
+                 sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))]
+        batch = B._safe_merge_batch(cands, cap, table_complete=True)
+        for a, b, c in batch:
+            merges.append((len(merges), a, b, a + b, c))
+            vocab = _remerge(vocab, a, b)
+    return merges
+
+
+@given(
+    words=st.lists(st.text(alphabet="abc", min_size=1, max_size=7),
+                   min_size=1, max_size=30),
+    max_batch=st.sampled_from([2, 4, 64]),
+)
+@settings(max_examples=200, deadline=None)
+def test_safe_merge_batch_equals_sequential_property(words, max_batch):
+    corpus = dict(collections.Counter(words))
+    ref, _ = _ref_train(corpus, 12)
+    got = _batched_train_sim(corpus, 12, max_batch)
+    assert got == ref
+
+
+@given(
+    words=st.lists(st.text(alphabet="az", min_size=1, max_size=6),
+                   min_size=1, max_size=20),
+)
+@settings(max_examples=200, deadline=None)
+def test_safe_merge_batch_equals_sequential_tiny_alphabet(words):
+    """Two-letter alphabet maximizes interaction AND created-pair
+    collisions (minted symbols like 'az' recombine constantly) — the
+    regime where an unsound batch rule diverges fastest."""
+    corpus = dict(collections.Counter(words))
+    ref, _ = _ref_train(corpus, 15)
+    got = _batched_train_sim(corpus, 15, 64)
+    assert got == ref

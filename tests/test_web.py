@@ -647,3 +647,41 @@ def test_engine_outer_ring_catches_decoder_bugs(monkeypatch):
     [row] = W.robust_rows(0, raw)
     assert row[3] == "engine"
     assert "AttributeError" in row[7]
+
+
+def test_pct_normalize_expr_matches_python_reference(spark):
+    """The §6.2.2 percent-normalization codegen vs an independent
+    Python reference over 400 adversarial strings (lone %, short hex,
+    mixed-case hex, unreserved and reserved octets, %25 self-escapes,
+    consecutive escapes): byte-identical on every one."""
+    import random
+    import re as _re
+
+    def ref(s: str) -> str:
+        parts = s.split("%")
+        out = [parts[0]]
+        for seg in parts[1:]:
+            if len(seg) >= 2 and all(
+                    c in "0123456789abcdefABCDEF" for c in seg[:2]):
+                ch = chr(int(seg[:2], 16))
+                if _re.fullmatch(r"[A-Za-z0-9._~-]", ch):
+                    out.append(ch + seg[2:])
+                else:
+                    out.append("%" + seg[:2].upper() + seg[2:])
+            else:
+                out.append("%" + seg)
+        return "".join(out)
+
+    rng = random.Random(17)
+    alphabet = "%abf791AF~._-/?&=xyz"
+    cases = ["", "%", "%%", "%2", "%25", "%2541", "%7e%7E~", "a%61%2f"]
+    cases += ["".join(rng.choice(alphabet)
+                      for _ in range(rng.randint(1, 24)))
+              for _ in range(400)]
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, s string")
+    got = {r["i"]: r["n"] for r in df.select(
+        "i", F.expr(W._pct_normalize_expr("s")).alias("n")).collect()}
+    for i, c in enumerate(cases):
+        assert got[i] == ref(c), f"case {c!r}: {got[i]!r} != {ref(c)!r}"
