@@ -113,21 +113,39 @@ def _safe_merge_batch(
     minted an identical symbol STRING, whose pair counts the merge
     would change.  The scan stops at the first interacting candidate
     (or the cap), giving a bound ``T`` = that candidate's count; the
-    prefix is then pruned to counts STRICTLY above ``T`` (the first
-    candidate always stays — a 1-element batch is plain sequential).
+    prefix is then pruned, in sort order, to counts STRICTLY above the
+    running bound (the first candidate always stays — a 1-element
+    batch is plain sequential).  The running bound starts at ``T`` and,
+    after each kept SELF-pair (lhs == rhs, count ``c``), rises to at
+    least ``⌊c/2⌋`` — the self-mint bound below.
 
     Why this is exact: merging a batch member leaves every other
     member's count untouched (disjoint), DECREASES only pairs sharing
     its symbols — all of which sort at/after the stop candidate, so
     their counts are ≤ T — and CREATES only pairs involving the new
-    symbol, whose counts are bounded by their interacting source
-    pairs' counts, again ≤ T.  Every accepted count is > T, so at each
-    sequential step the next accepted candidate still beats every
-    changed or created pair, tie-breaks included; equal-count ties
-    WITHIN the accepted prefix resolve by pair string exactly as the
-    sort already did.  (Ties AT ``T`` are the reason for the strict
-    inequality: a created pair can tie T with a smaller pair string
-    and steal the argmax — covered by a regression test.)"""
+    symbol.  A created pair's occurrences each consume an occurrence
+    of a pre-existing pair sharing a member symbol; when that source
+    pair is NOT the member itself, it interacts with the batch, so it
+    sorts at/after the stop candidate and the creation is ≤ T (this
+    holds recursively: a source pair containing an earlier member's
+    minted symbol bottoms out, by the same step, at an original-table
+    interacting pair — it can never be a self-mint of an earlier
+    member, because such pairs only contain that member's own symbols,
+    which disjointness bars from later members).  The source IS the
+    member itself exactly when lhs == rhs: merging ``(z, z)`` over a
+    same-symbol run ``z^n`` mints ``(zz, zz)`` ⌊n/2⌋−1 times and, for
+    odd n, ``(zz, z)`` once — at most ⌊(n−1)/2⌋ creations against the
+    run's n−1 consumed ``(z, z)`` occurrences, so summed over runs any
+    single minted pair's count is ≤ ``⌊c/2⌋`` (``(z, zz)`` never
+    occurs: the canonical left-to-right merge leaves the odd leftover
+    at the run's END).  Every kept count strictly beats both bounds,
+    so at each sequential step the next kept candidate still beats
+    every changed or created pair, tie-breaks included; equal-count
+    ties WITHIN the kept prefix resolve by pair string exactly as the
+    sort already did.  (Strictness matters twice: a created pair can
+    TIE a bound with a smaller pair string and steal the argmax —
+    both covered by regression tests, incl. the ``['aa','zzz','zzz']``
+    self-mint repro where ``(zz, z)`` ties ⌊4/2⌋.)"""
     accepted: list[tuple[str, str, int]] = []
     used: set[str] = set()
     t_bound: int | None = None
@@ -144,11 +162,23 @@ def _safe_merge_batch(
             # the table extends past what we collected: uncollected
             # pairs have count ≤ the last collected row's
             t_bound = accepted[-1][2]
-    if t_bound is not None:
-        accepted = accepted[:1] + [
-            x for x in accepted[1:] if x[2] > t_bound
-        ]
-    return accepted
+    if not accepted:
+        return accepted
+    # order-aware prune: each later member must strictly beat the stop
+    # bound AND every EARLIER kept self-pair's ⌊c/2⌋ self-mint bound
+    # (counts are non-increasing and the bound only rises, so the kept
+    # set stays a contiguous prefix)
+    kept = accepted[:1]
+    bound = -1 if t_bound is None else t_bound
+    if kept[0][0] == kept[0][1]:
+        bound = max(bound, kept[0][2] // 2)
+    for a, b, c in accepted[1:]:
+        if c <= bound:
+            break
+        kept.append((a, b, c))
+        if a == b:
+            bound = max(bound, c // 2)
+    return kept
 
 
 def train_bpe(

