@@ -586,17 +586,10 @@ def semantic_near_pairs_indexed(
 
     spark = corpus.sparkSession
     pin = index_current(root, fs=fs) or {}
-    seeds = snapshot_read(
-        spark, os.path.join(root, "seeds"), fs=fs, version=pin.get("seeds")
+    cent = _frozen_seeds(
+        spark, root, fs, "semantic_near_pairs_indexed",
+        version=pin.get("seeds"),
     )
-    cent = [(r["seed_id"], r["v"]) for r in seeds.collect()]
-    if len(cent) > MAX_CLOSURE_SEEDS:
-        raise ValueError(
-            f"index at {root!r} has {len(cent)} seeds > "
-            f"{MAX_CLOSURE_SEEDS} — semantic_near_pairs_indexed routes "
-            "the corpus against the frozen seed table in-closure; "
-            "rebuild with a bounded nlists"
-        )
     probe_lists = ivf_assign_topn(
         corpus, n_assign=nprobe, centroids=cent
     ).withColumnRenamed("vec_id", "probe_id")
@@ -741,18 +734,23 @@ def ivf_build_index(
     return vc
 
 
-def _frozen_seeds(spark, root: str, fs, op: str) -> list:
+def _frozen_seeds(spark, root: str, fs, op: str, version=None) -> list:
     """Collect a persisted index's FROZEN seed table as the
     ``centroids=`` list (an index's centroids are fixed at build time —
     the FAISS ``add()``/``remove_ids`` contract; re-seeding would
     silently reassign the whole existing corpus).  Shared by every
     incremental-maintenance path, float and quantized alike, so the
-    cap and the routing rule cannot drift between payload types."""
+    cap and the routing rule cannot drift between payload types.  The
+    collect is ``limit(cap + 1)``-bounded BEFORE materializing — an
+    oversized seed table raises on row count instead of OOMing the
+    driver first."""
     import os
 
     from ..streaming.snapshot import snapshot_read
 
-    seeds = snapshot_read(spark, os.path.join(root, "seeds"), fs=fs)
+    seeds = snapshot_read(
+        spark, os.path.join(root, "seeds"), fs=fs, version=version
+    )
     cent = [
         (r["seed_id"], r["v"])
         for r in seeds.limit(MAX_CLOSURE_SEEDS + 1).collect()

@@ -612,6 +612,30 @@ class ContentEncodingError(ValueError):
         self.coding = coding
 
 
+def _inflate_strict(body: bytes, wbits: int, coding: str) -> bytes:
+    """Inflate one deflate stream under the tier's ONE strictness
+    contract — complete (``eof``) and fully consumed (no
+    ``unused_data``) — shared by the zlib-wrapped and bare forms
+    (ADVICE r17: ``zlib.decompress`` silently discards trailing bytes
+    after a complete stream, so the wrapped form was quietly laxer)."""
+    import zlib
+
+    d = zlib.decompressobj(wbits=wbits)
+    try:
+        out = d.decompress(body) + d.flush()
+    except zlib.error as e:
+        raise ContentEncodingError(coding, str(e)) from None
+    if not d.eof:
+        raise ContentEncodingError(coding, "truncated deflate stream")
+    if d.unused_data:
+        raise ContentEncodingError(
+            coding,
+            f"{len(d.unused_data)} bytes of trailing garbage "
+            "after the deflate stream",
+        )
+    return out
+
+
 def decode_content_encoding(body: bytes, headers: dict[str, str]) -> bytes:
     """Honor RFC 9110 §8.4 ``Content-Encoding`` BEFORE the charset
     decode — Common Crawl stores bodies decompressed, but WARCs from
@@ -623,8 +647,12 @@ def decode_content_encoding(body: bytes, headers: dict[str, str]) -> bytes:
     ``gzip``/``x-gzip`` reuse the multi-member-safe inflate the WARC
     tier uses (:func:`gunzip_members`); ``deflate`` accepts both the
     RFC's zlib-wrapped form and the bare-deflate server misuse that is
-    ubiquitous in real crawls (tried second, never first — a zlib
-    header is unambiguous).  An unshipped coding (br, zstd, compress)
+    ubiquitous in real crawls — the form is picked by the zlib header
+    (method 8 + a valid CMF/FLG checksum is unambiguous) and BOTH
+    decode under one strictness contract (:func:`_inflate_strict`:
+    complete stream, no trailing bytes — ADVICE r17 closed the wrapped
+    form's silent trailing-garbage laxity).  An unshipped coding
+    (br, zstd, compress)
     or a corrupt/truncated stream raises
     :class:`ContentEncodingError`, which the robust chain quarantines
     as ``error_class='encoding'``."""
@@ -645,25 +673,16 @@ def decode_content_encoding(body: bytes, headers: dict[str, str]) -> bytes:
             except ValueError as e:
                 raise ContentEncodingError(coding, str(e)) from None
         elif coding == "deflate":
-            try:
-                body = zlib.decompress(body)
-            except zlib.error:
-                d = zlib.decompressobj(wbits=-15)
-                try:
-                    out = d.decompress(body) + d.flush()
-                except zlib.error as e:
-                    raise ContentEncodingError(coding, str(e)) from None
-                if not d.eof:
-                    raise ContentEncodingError(
-                        coding, "truncated deflate stream"
-                    )
-                if d.unused_data:
-                    raise ContentEncodingError(
-                        coding,
-                        f"{len(d.unused_data)} bytes of trailing garbage "
-                        "after the deflate stream",
-                    )
-                body = out
+            zlib_wrapped = (
+                len(body) >= 2
+                and (body[0] & 0x0F) == 8
+                and ((body[0] << 8) | body[1]) % 31 == 0
+            )
+            body = _inflate_strict(
+                body,
+                zlib.MAX_WBITS if zlib_wrapped else -zlib.MAX_WBITS,
+                coding,
+            )
         else:
             raise ContentEncodingError(coding, "unsupported coding")
     return body

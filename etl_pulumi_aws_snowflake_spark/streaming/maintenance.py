@@ -321,14 +321,25 @@ def maintain(
 
             from ..operators.dedup import lsh_build_index
 
-            target = max(
-                2 * lsh["n_buckets"],
-                math.ceil(
-                    lsh["band_rows"] / policy.lsh_max_rows_per_bucket
-                ),
-            )
-
             def rebuild() -> dict:
+                # Size target buckets from the REBUILD corpus, not just
+                # the stale pinned index: the usual saturation cause is
+                # corpus growth since the last build, and sizing from
+                # the old band_rows alone can leave the rebuilt mean
+                # still over budget (forcing a follow-up rebuild the
+                # next night; ADVICE r17).  Every indexed doc emits at
+                # most one band row per band, so bands × count bounds
+                # the rebuilt band table; max() keeps the old
+                # geometric 2× floor as the convergence backstop.
+                est_band_rows = max(
+                    lsh["band_rows"], lsh["bands"] * corpus.count()
+                )
+                target = max(
+                    2 * lsh["n_buckets"],
+                    math.ceil(
+                        est_band_rows / policy.lsh_max_rows_per_bucket
+                    ),
+                )
                 version = lsh_build_index(
                     corpus,
                     root,
