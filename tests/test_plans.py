@@ -369,15 +369,25 @@ def test_curation_indexed_check_reads_index_not_corpus(spark, tmp_path):
     the check stage itself; decontamination's broadcast shape inside
     the composition is test_curation_pipeline_composed_plan_shape's
     job.)"""
+    import warnings
+
     from pyspark.sql import functions as F
 
     from etl_pulumi_aws_snowflake_spark.operators import dedup as D
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    batch = docs.filter(F.expr("doc_id % 5 = 0"))
+    batch = docs.filter(F.expr("doc_id % 25 = 0"))
     root = str(tmp_path / "lsh")
-    D.lsh_build_index(docs.filter(~F.expr("doc_id % 5 = 0")), root)
-    df = D.lsh_index_check(batch, root, threshold=0.8)
+    # enough buckets that the ~20-doc batch CANNOT saturate
+    # (batch·bands << n_buckets) — a saturated fixture would prove the
+    # pruning machinery while the read still scanned every bucket
+    # (VERDICT r17 #8), so saturation is an ERROR here, not a warning
+    D.lsh_build_index(
+        docs.filter(~F.expr("doc_id % 25 = 0")), root, n_buckets=256
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", D.LshSaturationWarning)
+        df = D.lsh_index_check(batch, root, threshold=0.8)
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
