@@ -215,6 +215,117 @@ def lang_id(text: str = "text") -> X:
     return X(f"case {spark_cases} end", f"CASE {duck_cases} END")
 
 
+# ---------------------------------------------------------------------------
+# Integer per-mille quality features (r18, VERDICT r17 #6): the trained
+# quality classifier's inputs.  Everything BIGINT — same scale (0..1000),
+# exact in both engines and under any partitioning, so the one training
+# aggregation pass is bit-stable (a ratio-of-doubles feature would make
+# the class sums order-dependent).  Non-negative operands make Spark's
+# `div` (truncate) and DuckDB's `//` (floor) the same function.
+# ---------------------------------------------------------------------------
+
+
+def vowel_permille(text: str = "text") -> X:
+    """‰ of characters that are vowels — gibberish/transliteration
+    signal (real prose sits near 300‰; vowel-stripped junk at 0)."""
+    return X(
+        f"case when length({text}) = 0 then 0L else "
+        f"cast(length(regexp_replace({text}, '[^aeiou]', '')) * 1000 "
+        f"div length({text}) as bigint) end",
+        f"CASE WHEN length({text}) = 0 THEN 0 ELSE "
+        f"CAST(length(regexp_replace({text}, '[^aeiou]', '', 'g')) * 1000 "
+        f"// length({text}) AS BIGINT) END",
+    )
+
+
+def stopword_permille(text: str = "text") -> X:
+    """‰ of tokens that are stopwords (the Gopher stop-token filter as
+    an integer feature)."""
+    w = words(text)
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    body = X(
+        f"case when size(ws) = 0 then 0L else "
+        f"cast(size(filter(ws, x -> x in ({stops}))) * 1000 "
+        f"div size(ws) as bigint) end",
+        f"CASE WHEN len(ws) = 0 THEN 0 ELSE "
+        f"CAST(len(list_filter(ws, x -> x IN ({stops}))) * 1000 "
+        f"// len(ws) AS BIGINT) END",
+    )
+    return let(w, "ws", body)
+
+
+def distinct_permille(text: str = "text") -> X:
+    """‰ of tokens that are distinct — the diversity signal whose
+    collapse flags boilerplate."""
+    w = words(text)
+    body = X(
+        f"case when size(ws) = 0 then 0L else "
+        f"cast(size(array_distinct(ws)) * 1000 div size(ws) as bigint) end",
+        f"CASE WHEN len(ws) = 0 THEN 0 ELSE "
+        f"CAST(len(list_distinct(ws)) * 1000 // len(ws) AS BIGINT) END",
+    )
+    return let(w, "ws", body)
+
+
+def dup_bigram_permille(text: str = "text") -> X:
+    """‰ of adjacent bigrams that are duplicates (integer twin of
+    :func:`dup_bigram_frac`)."""
+    w = words(text)
+    bg_spark = (
+        "transform(sequence(1, size(ws) - 1), "
+        "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+    )
+    bg_duck = (
+        "list_transform(generate_series(1, len(ws) - 1), "
+        "i -> ws[i] || ' ' || ws[i + 1])"
+    )
+    body = X(
+        f"case when size(ws) < 2 then 0L else "
+        f"cast((size(ws) - 1 - size(array_distinct({bg_spark}))) * 1000 "
+        f"div (size(ws) - 1) as bigint) end",
+        f"CASE WHEN len(ws) < 2 THEN 0 ELSE "
+        f"CAST((len(ws) - 1 - len(list_distinct({bg_duck}))) * 1000 "
+        f"// (len(ws) - 1) AS BIGINT) END",
+    )
+    return let(w, "ws", body)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corruption lanes (r18): synthetic NEGATIVES for the
+# trained quality filter — the pii_inject recipe (synthesize the defect,
+# then learn to catch it) applied to document quality.  Lane by doc_id
+# parity so ground truth exists in both engines; a production deployment
+# feeds a real known-good/known-bad corpus pair instead.
+# ---------------------------------------------------------------------------
+
+
+def corrupt_text(text: str = "text", id_col: str = "doc_id") -> X:
+    """Two corruption lanes: even ids lose every vowel (gibberish /
+    mojibake-like — kills the vowel and stopword features), odd ids
+    collapse to their first two words repeated (boilerplate/spam —
+    kills diversity, saturates duplicate bigrams)."""
+    w = words(text)
+    boiler_spark = (
+        "case when size(ws) = 0 then '' else "
+        "trim(repeat(concat(element_at(ws, 1), ' ', "
+        "element_at(ws, least(2, size(ws))), ' '), "
+        "greatest(size(ws) div 2, 1))) end"
+    )
+    boiler_duck = (
+        "CASE WHEN len(ws) = 0 THEN '' ELSE "
+        "trim(repeat(ws[1] || ' ' || ws[least(2, len(ws))] || ' ', "
+        "greatest(len(ws) // 2, 1))) END"
+    )
+    body = X(boiler_spark, boiler_duck)
+    boiler = let(w, "ws", body)
+    return X(
+        f"case when {id_col} % 2 = 0 then "
+        f"regexp_replace({text}, '[aeiou]', 'z') else {boiler.spark} end",
+        f"CASE WHEN {id_col} % 2 = 0 THEN "
+        f"regexp_replace({text}, '[aeiou]', 'z', 'g') ELSE {boiler.duck} END",
+    )
+
+
 def char_trigrams(text: str = "text") -> X:
     """Array of all character trigrams, in position order.  The Spark
     side guards ``length < 3`` explicitly: ``sequence(1, 0)`` counts

@@ -31,6 +31,12 @@ from ..functions import text as T
 from ..operators import dedup as D
 from ..operators import packing as P
 from ..operators.decontam import contamination
+from ..operators.quality_model import (
+    quality_margin,
+    quality_margin_duck,
+    quality_model_ctes_duck,
+    train_quality_lda,
+)
 from ._util import t
 from .llm_packing import _BUDGET, _NTOK_DUCK, _NTOK_SPARK
 from .llm_sampling import hash_gate_duck, hash_gate_spark
@@ -51,7 +57,8 @@ _QUALITY_DUCK = (
 )
 
 _CURATION_ORACLE = f"""
-    WITH RECURSIVE keepers AS (
+    WITH RECURSIVE {quality_model_ctes_duck("documents")},
+    keepers AS (
         SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
     ),
     dd AS (
@@ -100,8 +107,9 @@ _CURATION_ORACLE = f"""
         WHERE COALESCE(c.keep_id, dd.doc_id) = dd.doc_id
     ),
     quality AS (
-        SELECT doc_id, text FROM nd
+        SELECT doc_id, text FROM nd CROSS JOIN qweights
         WHERE {_QUALITY_DUCK}
+          AND ({quality_margin_duck("text")}) > 0
     ),
     bi AS (
         SELECT doc_id AS bench_id, unnest(list_distinct({_SH5})) AS sh
@@ -143,12 +151,12 @@ _CURATION_ORACLE = f"""
 
 @query("curation_pipeline_e2e", oracle=_CURATION_ORACLE)
 def curation_pipeline_e2e(spark, sf_dir):
-    """Exact dedup → NEAR-dup keep-one → quality → decontaminate →
-    split → pack, end-to-end: (doc_id, chunk_id, tok_start, tok_end)
-    for every surviving train document at the 512-token context
-    budget.  The survivor set and the offsets are both hash-judged, so
-    the entry certifies the whole chain's composition, not just each
-    stage alone.
+    """Exact dedup → NEAR-dup keep-one → quality (heuristic gates AND
+    the trained model) → decontaminate → split → pack, end-to-end:
+    (doc_id, chunk_id, tok_start, tok_end) for every surviving train
+    document at the 512-token context budget.  The survivor set and
+    the offsets are both hash-judged, so the entry certifies the whole
+    chain's composition, not just each stage alone.
 
     The near-dup stage (added r11, VERDICT r10 #4) is the certified
     ``dedup_survivors`` operator — MinHash-LSH pairs over the
@@ -157,9 +165,16 @@ def curation_pipeline_e2e(spark, sf_dir):
     actually runs between exact dedup and quality filtering.  Its
     scale shape is unchanged by the composition: only (digest, id) /
     (id, band-key) pairs shuffle; the corpus body still never crosses
-    the wire (plan-guarded)."""
+    the wire (plan-guarded).
+
+    The quality stage is CCNet-shaped since r18 (VERDICT r17 #6): the
+    heuristic thresholds AND the trained diagonal-LDA filter
+    (operators/quality_model.py), fitted on the full corpus vs its
+    corruption twins before the chain runs — one extra integer
+    aggregation pass; scoring rides the same scan-side predicate."""
     docs = t(spark, sf_dir, "documents")
     gate10 = F.expr(hash_gate_spark("doc_id", 10))
+    model = train_quality_lda(docs)
 
     keep = D.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
     deduped = docs.join(keep, "doc_id")
@@ -177,6 +192,7 @@ def curation_pipeline_e2e(spark, sf_dir):
         & (F.expr(T.stopword_ratio().spark) >= 0.05)
         & (F.expr(T.distinct_ratio().spark) >= 0.3)
         & (F.expr(T.punct_ratio().spark) <= 0.2)
+        & (quality_margin(model) > F.lit(0.0))
     )
     bench = docs.filter(gate10)
     train = quality.filter(~gate10)
