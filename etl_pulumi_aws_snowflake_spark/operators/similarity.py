@@ -550,6 +550,7 @@ def semantic_near_pairs_indexed(
     threshold: float = 0.35,
     nprobe: int = 2,
     fs=None,
+    symmetric: bool = False,
 ) -> DataFrame:
     """SemDeDup candidate pairs against a PERSISTED IVF index (VERDICT
     r16 #3 — the semantic-DEDUP leg beside the semantic-decontam one):
@@ -579,7 +580,22 @@ def semantic_near_pairs_indexed(
     by construction, so this is the n_assign trade of
     :func:`semantic_near_pairs` with the index as the single-assign
     side); recall < 1 across unrouted list boundaries by design — the
-    measured gap lives beside the decontam arm's in SCALE.md."""
+    measured sweep (recall vs nprobe vs candidate work, both modes)
+    lives in SCALE.md beside the decontam arm's.
+
+    ``symmetric=True`` switches to the WITHIN-CLUSTER (SemDeDup) form:
+    candidates are CO-ROUTED corpus pairs — two vectors pair when any
+    of their ``nprobe`` routed lists coincide — via a self-join of the
+    routed assignment on ``list_id``.  Higher recall at the same
+    nprobe (a pair is caught when the routed sets INTERSECT, not only
+    when one side's top-1 is in the other's routed set: measured
+    0.638 vs 0.535 at nprobe=2, 0.985 vs 0.849 at nprobe=4, sf0.01),
+    and the serve never reads the index members at all — only the
+    frozen seed table routes.  Candidate work is Σ_lists |routed(l)|²
+    instead of Σ nprobe·|l|; both stay corpus-linear by holding |l|
+    constant (nlists ∝ corpus).  The production ≥0.8-recall configs
+    this sweep certifies: asymmetric nprobe=4 (0.849) and symmetric
+    nprobe=4 (0.985)."""
     import os
 
     from ..streaming.snapshot import index_current, snapshot_read
@@ -590,6 +606,23 @@ def semantic_near_pairs_indexed(
         spark, root, fs, "semantic_near_pairs_indexed",
         version=pin.get("seeds"),
     )
+    if symmetric:
+        pl = ivf_assign_topn(corpus, n_assign=nprobe, centroids=cent)
+        pa, ca = pl.alias("a"), pl.alias("b")
+        return (
+            pa.join(
+                ca,
+                (F.col("a.list_id") == F.col("b.list_id"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("doc_a"),
+                F.col("b.vec_id").alias("doc_b"),
+                _cos_ab(),
+            )
+            .filter(F.col("cos") >= threshold)
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
     probe_lists = ivf_assign_topn(
         corpus, n_assign=nprobe, centroids=cent
     ).withColumnRenamed("vec_id", "probe_id")

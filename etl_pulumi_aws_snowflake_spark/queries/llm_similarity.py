@@ -974,3 +974,66 @@ def dedup_semantic_indexed(spark, sf_dir):
         emb, root, threshold=_SEM_THRESHOLD, nprobe=2
     )
     return D.dedup_survivors(emb, pairs, id_col="vec_id")
+
+
+@query(
+    "dedup_semantic_hi_recall",
+    oracle=f"""
+    WITH RECURSIVE {_E},
+    seeds AS ({_SEEDS_NLISTS}),
+    assign AS (
+        SELECT e.vec_id, e.v, seed_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos('sv', 'v')} DESC, seed_id) AS rn
+        FROM e CROSS JOIN seeds
+    ),
+    plists AS (SELECT vec_id AS probe_id, v AS pv, seed_id AS list_id
+               FROM assign WHERE rn <= 4),
+    pairs AS (
+        SELECT DISTINCT a.probe_id AS pa, b.probe_id AS pb
+        FROM plists a
+        JOIN plists b ON a.list_id = b.list_id AND a.probe_id < b.probe_id
+        WHERE {_cos('a.pv', 'b.pv')} >= {_SEM_THRESHOLD}
+    ),
+    edges AS (
+        SELECT pa AS a, pb AS b FROM pairs
+        UNION SELECT pb, pa FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+    ),
+    comp AS (SELECT a AS vec_id, MIN(b) AS keep_id FROM reach GROUP BY a)
+    SELECT em.vec_id,
+           COALESCE(c.keep_id, em.vec_id) AS keep_id,
+           COALESCE(c.keep_id, em.vec_id) != em.vec_id AS is_dup
+    FROM embeddings em LEFT JOIN comp c USING (vec_id)
+    """,
+)
+def dedup_semantic_hi_recall(spark, sf_dir):
+    """Semantic dedup at the PRODUCTION recall point (VERDICT r17 #5):
+    the same persisted-index serve as ``dedup_semantic_indexed``, but
+    ``symmetric=True, nprobe=4`` — the within-cluster (SemDeDup) form
+    where candidates are CO-ROUTED corpus pairs (any shared list among
+    each side's 4 routed lists).  Measured recall vs the exact
+    brute-force pair set: **0.985 at sf0.01** (vs 0.535 for the
+    asymmetric nprobe=2 default; full sweep in SCALE.md), candidate
+    precision still 1.0 by construction — routing only prunes, the
+    cosine threshold is exact.  The serve reads NO index members at
+    all: only the frozen seed table routes (one bounded collect), the
+    corpus self-joins on ``list_id`` (one hash exchange, reused both
+    sides), so candidate work is Σ_l |routed(l)|² — corpus-linear with
+    |l| held constant by nlists ∝ corpus.  The oracle replays seeding,
+    top-4 routing, the co-routed self-join, threshold, and min-label
+    closure."""
+    from ..operators import dedup as D
+    from .pipeline_e2e import _workdir
+
+    emb = t(spark, sf_dir, "embeddings")
+    root = _workdir(sf_dir, "dedup_sem_ivf_hr")
+    S.ivf_build_index(emb, root, nlists=_NLISTS)
+    pairs = S.semantic_near_pairs_indexed(
+        emb, root, threshold=_SEM_THRESHOLD, nprobe=4, symmetric=True
+    )
+    return D.dedup_survivors(emb, pairs, id_col="vec_id")
