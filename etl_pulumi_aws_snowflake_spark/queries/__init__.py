@@ -38,43 +38,47 @@ from . import streaming_e2e  # noqa: E402,F401
 
 
 # The external correctness driver checks the FIRST 50 dict entries per
-# round (CORRECTNESS_r01-r16 each recorded exactly queries()[:50] in
-# order).  Round 17 rotates the window per the staleness rule
-# (scripts/driver_staleness.py order): (a) the TWO entries round 17
-# added lead (never-checked-entries-lead rule — semantic dedup over
-# the persisted IVF index, and HTTP Content-Encoding decompression in
-# the web tier); then (b) the first 48 of the 50-entry r13-stale
-# cohort, stalest-first, exactly as the r16 note promised — the two
-# that no longer fit (text_token_stats, udf_row_scalar) lead r18's
-# window together with the rest of the r14 cohort.  (web_url_dedup
-# gained tier-2 lanes this round but keeps its green r16 driver row;
-# the 202-entry sf0.01 mirror sweep re-certifies its reshaped oracle.)
+# round (CORRECTNESS_r01-r17 each recorded exactly queries()[:50] in
+# order).  Round 18 rotates the window per the staleness rule
+# (scripts/driver_staleness.py order): (a) the THREE entries round 18
+# added lead (never-checked-entries-lead rule — the hi-recall
+# symmetric semantic-dedup serve, and the trained quality model's
+# fitted-statistics and scored-classifier entries); then (b) the two
+# r13-stale entries the r17 rotation promised would lead
+# (text_token_stats, udf_row_scalar); then (c) the first 45 of the
+# 50-entry r14-stale cohort, stalest-first — the five that no longer
+# fit (udf_grouped_agg, udf_pandas_scalar, win_session, win_sliding,
+# win_tumbling) lead r19's window with the r15 cohort.  (The r18
+# window happens to re-certify curation_pipeline_e2e right after its
+# quality stage gained the trained-model arm — the composition's new
+# hash gets driver evidence the same round it changed.)
 # tests/test_docs.py::test_never_driver_checked_entries_lead_the_window
 # FAILS if a registry entry without any CORRECTNESS row sits outside
 # the first 50 — the r05 process miss cannot recur silently.
 _DRIVER_FIRST = [
-    # (a) NEW in r17 — first-ever driver evidence
-    "dedup_semantic_indexed", "web_content_encoding",
-    # (b) the first 48 r13-stale entries, stalest-first — due now
-    "agg_distinct",
-    "agg_groupby_basic", "cdc_merge_mor_compact_e2e", "cdc_merge_mor_e2e",
-    "cdc_merge_stream_e2e", "dedup_lsh_appended", "dedup_lsh_incremental",
-    "dedup_spans", "join_cross", "join_right_outer", "join_semi",
-    "mm_decode_png", "mm_frame_sample", "q11_important_parts",
-    "q12_late_shipment_priority", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_count",
-    "q19_disjunctive_revenue", "q20_excess_shippers",
-    "q21_waiting_suppliers", "q22_global_sales_opportunity",
-    "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "sample_exact_quota_dupkeys", "sample_exact_quota_fail_loud",
-    "scalar_array_explode", "scalar_json_typed", "scalar_map",
-    "scalar_zorder_key", "scd2_user_state", "search_bm25_appended",
-    "search_bm25_indexed", "search_bm25_topk", "search_hybrid_rrf",
-    "sim_cosine_near_pairs", "sim_cosine_topk_blas",
-    "sim_ivf_recall_pq_rerank", "sim_ivf_topk_pq",
-    "sim_ivf_topk_pq_rerank", "sql_api_q5", "stream_ivf_pq_ingest_e2e",
-    "text_langid",
+    # (a) NEW in r18 — first-ever driver evidence
+    "dedup_semantic_hi_recall", "text_quality_model",
+    "text_quality_classifier",
+    # (b) the two r13-stale spillovers the r17 note promised
+    "text_token_stats", "udf_row_scalar",
+    # (c) the first 45 r14-stale entries, stalest-first — due now
+    "agg_approx_distinct", "agg_approx_quantile", "agg_conditional",
+    "agg_median", "agg_salted_groupby", "cdc_merge_compact_e2e",
+    "curation_pipeline_e2e", "dedup_embedding_survivors",
+    "dedup_embedding_survivors_multi", "dedup_lsh_deleted",
+    "dedup_survivors", "join_anti", "join_asof", "mm_audio_features",
+    "mm_decode_alaw", "mm_decode_bmp", "mm_decode_jpeg",
+    "mm_decode_jpeg_color", "mm_decode_mulaw", "mm_decode_png_palette",
+    "mm_decode_wav", "mm_video_frames", "mm_video_meta", "mm_wav_frames",
+    "sim_ivf_recall", "sim_ivf_recall_nlists",
+    "sim_ivf_recall_pq_residual", "sim_ivf_topk", "sim_ivf_topk_appended",
+    "sim_ivf_topk_indexed", "sim_ivf_topk_nlists",
+    "sim_ivf_topk_pq_residual", "sim_ivf_topk_pq_trained",
+    "snapshot_conflict_e2e", "snapshot_skipping_e2e",
+    "snapshot_time_travel_e2e", "sql_api_ddl_dml", "sql_api_q3",
+    "sql_api_window", "stream_interval_join_e2e", "stream_lsh_ingest_e2e",
+    "stream_media_features_e2e", "text_fingerprint", "text_pii_redact",
+    "text_repetition",
 ]
 
 def _driver_order(d: dict) -> dict:
