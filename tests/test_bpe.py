@@ -372,6 +372,90 @@ def test_batched_equals_reference_random_corpora(spark):
 
 
 # --------------------------------------------------------------------
+# Arrow tokenizer tier (r18 — VERDICT r17 #4): merge application for
+# deep tables, value-identical to the chained-replace codegen path.
+# --------------------------------------------------------------------
+
+def _apply_rank_order(word: str, merges) -> int:
+    """Reference: every merge once, in rank order, simultaneous
+    left-to-right — exactly what the replace path computes."""
+    syms = tuple(word)
+    for _, a, b, _, _ in merges:
+        syms = _ref_merge(syms, a, b)
+    return len(syms)
+
+
+@given(
+    words=st.lists(st.text(alphabet="abc", min_size=1, max_size=10),
+                   min_size=1, max_size=25),
+)
+@settings(max_examples=150, deadline=None)
+def test_lowest_rank_loop_equals_rank_order_property(words):
+    """The GPT-2-style lowest-rank application loop must equal
+    rank-order sequential application for CONSISTENT (trained) merge
+    tables — the equivalence the Arrow tier rests on."""
+    corpus = dict(collections.Counter(words))
+    merges, _ = _ref_train(corpus, 12)
+    rank_of = {(a, b): k for k, a, b, _, _ in merges}
+    pair_of = [(a, b) for _, a, b, _, _ in merges]
+    for w in set(words):
+        if len(w) <= 16:
+            assert B._apply_merges_py(w, rank_of, pair_of) == \
+                _apply_rank_order(w, merges), w
+
+
+def test_arrow_tier_matches_replace_tier(tiny_docs):
+    m = B.train_bpe(tiny_docs, 8)
+    rep = {r["doc_id"]: (r["n_words"], r["n_tokens"])
+           for r in B.bpe_token_counts(tiny_docs, m, method="replace").collect()}
+    arr = {r["doc_id"]: (r["n_words"], r["n_tokens"])
+           for r in B.bpe_token_counts(tiny_docs, m, method="arrow").collect()}
+    assert rep == arr
+
+
+def test_deep_merge_table_routes_to_arrow(spark):
+    """Above MAX_REPLACE_MERGES, 'auto' must take the Arrow tier (the
+    chained replace would breach the codegen budget), and the result
+    must match the pure-Python reference.  A 26²-word synthetic corpus
+    trains past the budget."""
+    import itertools
+
+    words = ["".join(p) + "xy"
+             for p in itertools.product("abcdefghijklmnop", repeat=2)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i::7])) for i in range(7)],
+        "doc_id long, text string")
+    n = B.MAX_REPLACE_MERGES + 8
+    merges = B.train_bpe(docs, n)
+    assert len(merges) == n
+    got = {r["doc_id"]: r["n_tokens"]
+           for r in B.bpe_token_counts(docs, merges).collect()}
+    corpus = {i: " ".join(words[i::7]) for i in range(7)}
+    rank_of = {(a, b): k for k, a, b, _, _ in merges}
+    pair_of = [(a, b) for _, a, b, _, _ in merges]
+    want = {
+        i: sum(B._apply_merges_py(w, rank_of, pair_of)
+               for w in re.findall(r"[a-z0-9]+", t.lower()))
+        for i, t in corpus.items()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="codegen expression budget"):
+        B.bpe_token_counts(docs, merges, method="replace")
+    with pytest.raises(ValueError, match="not in auto"):
+        B.bpe_token_counts(docs, merges, method="trie")
+
+
+def test_train_reports_pass_count(tiny_docs):
+    stats: dict = {}
+    seq_stats: dict = {}
+    m = B.train_bpe(tiny_docs, 12, max_batch=64, stats=stats)
+    B.train_bpe(tiny_docs, 12, max_batch=1, stats=seq_stats)
+    assert stats["passes"] <= seq_stats["passes"] == 12
+    assert stats["passes"] >= 1
+    assert len(m) == 12
+
+
+# --------------------------------------------------------------------
 # batched ≡ sequential as a pure-Python PROPERTY (no Spark): drive
 # _safe_merge_batch through a vocab-table simulation of train_bpe's
 # pass loop and compare against the sequential reference on arbitrary
