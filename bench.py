@@ -116,7 +116,10 @@ REBASELINED: dict[str, str] = {
     "curation_pipeline_e2e": (
         "r11 added the near-dup keep-one stage (MinHash LSH over the "
         "corpus inside the chain) — compare against BENCH_r11's 4.98 s "
-        "band, not BENCH_r10's 2.52 s"
+        "band, not BENCH_r10's 2.52 s; r18 added the trained "
+        "quality-filter arm (one extra integer aggregation pass to fit "
+        "the diagonal-LDA model + a scan-side margin predicate) — "
+        "compare against BENCH_r18's band onward"
     ),
 }
 

@@ -215,6 +215,11 @@ def ops():
         # zero-shuffle shape as web_pipeline_e2e plus per-lane charset
         # decode — expect linear, collect 0
         "web_charset_quarantine": q["web_charset_quarantine"],
+        # r18 trained quality filter, train + score in one entry: one
+        # integer aggregation pass over the labeled union (2× corpus
+        # projections) then a scan-side codegen margin — expect
+        # linear; collect = the single 18-scalar stats row, flat
+        "text_quality_classifier": q["text_quality_classifier"],
     }
 
 
@@ -401,6 +406,22 @@ def _run_semantic_dedup_pairs(spark, sf_dir, root):
     S.semantic_near_pairs_indexed(emb, root, 0.35, nprobe=2).write.format(
         "noop"
     ).mode("overwrite").save()
+
+
+def _run_semantic_dedup_sym_pairs(spark, sf_dir, root):
+    """The r18 hi-recall serve (symmetric=True, nprobe=4): candidates
+    are CO-ROUTED corpus pairs via a self-join of the routed
+    assignment — no index member reads, only the frozen seed table
+    routes.  With nlists ∝ corpus, |routed(l)| = nprobe·n/nlists stays
+    constant per list, so Σ_l |routed(l)|² is ∝ #lists ∝ n — expect
+    ~linear, collect flat (the seed table only)."""
+    from etl_pulumi_aws_snowflake_spark.operators import similarity as S
+    from etl_pulumi_aws_snowflake_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    S.semantic_near_pairs_indexed(
+        emb, root, 0.35, nprobe=4, symmetric=True
+    ).write.format("noop").mode("overwrite").save()
 
 
 def _lsh_batch(spark, sf_dir):
@@ -924,6 +945,15 @@ def action_ops():
             _run_semantic_dedup_pairs,
             None,
             True,  # readonly: build once, rep the corpus-vs-self pass
+        ),
+        # r18: the hi-recall symmetric serve over the SAME index —
+        # co-routed self-join; expect ~linear (per-list routed volume
+        # constant under nlists ∝ corpus), collect flat (seeds only)
+        "dedup_semantic_sym_pairs": (
+            _setup_semantic_dedup_index,
+            _run_semantic_dedup_sym_pairs,
+            None,
+            True,  # readonly: build once, rep the co-routed pass
         ),
         "cdc_merge_pruned_batch": (_setup_seed_snapshot, _run_merge_pruned, None),
         # r13 MoR comparison pair: the SAME fixed batch applied
