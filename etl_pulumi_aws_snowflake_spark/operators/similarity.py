@@ -607,11 +607,22 @@ def semantic_near_pairs_indexed(
         version=pin.get("seeds"),
     )
     if symmetric:
-        pl = ivf_assign_topn(corpus, n_assign=nprobe, centroids=cent)
+        # Repartition the routed assignment on list_id BEFORE the
+        # self-join and pin a shuffle join: without it Catalyst
+        # broadcasts one side and the probe side keeps the parquet
+        # FILE partitioning, so the within-list pair work runs at
+        # file-count parallelism (measured 2 tasks / 72 s at the x10
+        # curve point; the repartitioned shuffle-hash form is 10.3 s
+        # on all 32 cores — the r18 curve-row fix).  The exchange also
+        # gives both join branches the same list_id co-partitioning,
+        # so no further shuffle precedes the pair scan.
+        pl = ivf_assign_topn(
+            corpus, n_assign=nprobe, centroids=cent
+        ).repartition("list_id")
         pa, ca = pl.alias("a"), pl.alias("b")
         return (
             pa.join(
-                ca,
+                ca.hint("shuffle_hash"),
                 (F.col("a.list_id") == F.col("b.list_id"))
                 & (F.col("a.vec_id") < F.col("b.vec_id")),
             )

@@ -40,14 +40,15 @@ from . import streaming_e2e  # noqa: E402,F401
 # The external correctness driver checks the FIRST 50 dict entries per
 # round (CORRECTNESS_r01-r17 each recorded exactly queries()[:50] in
 # order).  Round 18 rotates the window per the staleness rule
-# (scripts/driver_staleness.py order): (a) the THREE entries round 18
+# (scripts/driver_staleness.py order): (a) the FOUR entries round 18
 # added lead (never-checked-entries-lead rule — the hi-recall
-# symmetric semantic-dedup serve, and the trained quality model's
-# fitted-statistics and scored-classifier entries); then (b) the two
-# r13-stale entries the r17 rotation promised would lead
-# (text_token_stats, udf_row_scalar); then (c) the first 45 of the
-# 50-entry r14-stale cohort, stalest-first — the five that no longer
-# fit (udf_grouped_agg, udf_pandas_scalar, win_session, win_sliding,
+# symmetric semantic-dedup serve, its hash-judged recall measurement,
+# and the trained quality model's fitted-statistics and
+# scored-classifier entries); then (b) the two r13-stale entries the
+# r17 rotation promised would lead (text_token_stats, udf_row_scalar);
+# then (c) the first 44 of the 50-entry r14-stale cohort,
+# stalest-first — the six that no longer fit (text_repetition,
+# udf_grouped_agg, udf_pandas_scalar, win_session, win_sliding,
 # win_tumbling) lead r19's window with the r15 cohort.  (The r18
 # window happens to re-certify curation_pipeline_e2e right after its
 # quality stage gained the trained-model arm — the composition's new
@@ -57,11 +58,11 @@ from . import streaming_e2e  # noqa: E402,F401
 # the first 50 — the r05 process miss cannot recur silently.
 _DRIVER_FIRST = [
     # (a) NEW in r18 — first-ever driver evidence
-    "dedup_semantic_hi_recall", "text_quality_model",
-    "text_quality_classifier",
+    "dedup_semantic_hi_recall", "dedup_semantic_recall",
+    "text_quality_model", "text_quality_classifier",
     # (b) the two r13-stale spillovers the r17 note promised
     "text_token_stats", "udf_row_scalar",
-    # (c) the first 45 r14-stale entries, stalest-first — due now
+    # (c) the first 44 r14-stale entries, stalest-first — due now
     "agg_approx_distinct", "agg_approx_quantile", "agg_conditional",
     "agg_median", "agg_salted_groupby", "cdc_merge_compact_e2e",
     "curation_pipeline_e2e", "dedup_embedding_survivors",
@@ -78,7 +79,6 @@ _DRIVER_FIRST = [
     "snapshot_time_travel_e2e", "sql_api_ddl_dml", "sql_api_q3",
     "sql_api_window", "stream_interval_join_e2e", "stream_lsh_ingest_e2e",
     "stream_media_features_e2e", "text_fingerprint", "text_pii_redact",
-    "text_repetition",
 ]
 
 def _driver_order(d: dict) -> dict:
