@@ -58,12 +58,22 @@ def profile(spark, name, fn):
     tracker = sc.statusTracker()
 
     def once(tag):
+        # Jobs submitted from operator-internal driver THREADS (the
+        # §2.6 concurrent member commits) don't inherit this thread's
+        # job group — they land group-less.  The profiler runs entries
+        # serially in an exclusive session, so any NEW group-less job
+        # in the window belongs to this entry: count both.
+        before_ungrouped = set(tracker.getJobIdsForGroup(None))
         sc.setJobGroup(tag, f"profile:{name}")
         start = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         wall = time.perf_counter() - start
         sc.setJobGroup(None, None)
-        job_ids = tracker.getJobIdsForGroup(tag)
+        job_ids = list(tracker.getJobIdsForGroup(tag)) + [
+            j
+            for j in tracker.getJobIdsForGroup(None)
+            if j not in before_ungrouped
+        ]
         ntasks = 0
         nstages = 0
         for jid in job_ids:
