@@ -519,6 +519,7 @@ def lsh_build_index(
     import os
 
     from ..streaming.snapshot import (
+        commit_concurrently,
         index_publish,
         snapshot_commit,
         snapshot_commit_partitioned,
@@ -543,22 +544,38 @@ def lsh_build_index(
         [(k, num_hashes, bands, n_buckets)],
         "k int, num_hashes int, bands int, n_buckets int",
     )
-    vm = snapshot_commit(meta, os.path.join(root, "meta"), fs=fs)
-    sets = shingle_sets(docs, k, text_col, id_col).filter(F.col("n_shingles") > 0)
-    vs = snapshot_commit_partitioned(
-        sets.withColumn("dbucket", F.pmod(F.col(id_col), F.lit(n_buckets))),
-        os.path.join(root, "sets"),
-        "dbucket",
-        fs=fs,
+    # The shingle subtree feeds BOTH partitioned member commits below
+    # (the sets snapshot and the banded-keys snapshot) — persist it so
+    # the corpus is shingled once per build, not once per member (at
+    # 100 TB the second shingling pass is a full corpus re-read +
+    # re-hash).  The concurrent member jobs dedupe materialization
+    # through the block manager's per-block locks.
+    sets = deferred_persist(
+        shingle_sets(docs, k, text_col, id_col).filter(F.col("n_shingles") > 0)
     )
     banded = _banded_keys(sets, num_hashes, bands, id_col).withColumn(
         "bucket", F.pmod(F.col("key"), F.lit(n_buckets))
     )
-    vb = snapshot_commit_partitioned(
-        banded, os.path.join(root, "bands"), "bucket", fs=fs
+    members = commit_concurrently(
+        {
+            "meta": lambda: snapshot_commit(
+                meta, os.path.join(root, "meta"), fs=fs
+            ),
+            "sets": lambda: snapshot_commit_partitioned(
+                sets.withColumn(
+                    "dbucket", F.pmod(F.col(id_col), F.lit(n_buckets))
+                ),
+                os.path.join(root, "sets"),
+                "dbucket",
+                fs=fs,
+            ),
+            "bands": lambda: snapshot_commit_partitioned(
+                banded, os.path.join(root, "bands"), "bucket", fs=fs
+            ),
+        }
     )
-    index_publish(root, {"meta": vm, "sets": vs, "bands": vb}, fs=fs)
-    return vb
+    index_publish(root, members, fs=fs)
+    return members["bands"]
 
 
 def _lsh_meta(

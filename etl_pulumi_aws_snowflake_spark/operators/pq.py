@@ -59,7 +59,7 @@ from .similarity import (
     MAX_RERANK_IDS,
     _prep,
     _route_probes,
-    _seed_frame,
+    _seeds_assigned_once,
     ivf_assign,
     seed_rank_hash,
 )
@@ -74,12 +74,15 @@ def _subdim(dim: int, m: int) -> int:
 
 
 def _codebooks_hashrank_from(
-    frame: DataFrame, m: int, codes: int, vcol: str
+    frame: DataFrame, m: int, codes: int, vcol: str, dim: int | None = None
 ) -> DataFrame:
     """Hash-rank codebook pick over an already-prepped frame: the
     ``codes`` rows with the smallest :func:`seed_rank_hash` (ties by
     vec_id), ``vcol`` split into ``m`` subvectors — (sub_id, code_id,
-    cv), ids 1-based, code_id in hash-rank order."""
+    cv), ids 1-based, code_id in hash-rank order.  ``dim`` skips the
+    1-row dim probe when the caller already knows it (the build does,
+    from its collected seed table — the probe was a whole extra pass
+    over the assignment pipeline per build)."""
     # TakeOrderedAndProject pick (the _seed_frame pattern — per-partition
     # partial top-`codes`, never a global sort/window over the corpus),
     # THEN rank the tiny surviving set; the trailing window exchanges
@@ -90,7 +93,8 @@ def _codebooks_hashrank_from(
         .limit(codes)
         .withColumn("code_id", F.row_number().over(w))
     )
-    dim = len(picked.select(vcol).first()[vcol])
+    if dim is None:
+        dim = len(picked.select(vcol).first()[vcol])
     sd = _subdim(dim, m)
     return picked.select(
         F.explode(
@@ -454,21 +458,36 @@ def ivf_build_index_pq(
     ``residual=True`` must have been trained over residuals against
     THESE seeds.  Returns the PQ-corpus snapshot version."""
     from ..streaming.snapshot import (
+        commit_concurrently,
         index_publish,
         snapshot_commit,
         snapshot_commit_partitioned,
     )
 
     spark = corpus.sparkSession
-    seeds = _seed_frame(corpus, seed_stride, centroids, nlists)
-    assigned = ivf_assign(corpus, seed_stride, centroids, nlists)
+    seeds, seed_rows, assigned = _seeds_assigned_once(
+        corpus, seed_stride, centroids, nlists
+    )
     enc_col = "v"
     if residual:
         assigned = _residualize(assigned, seeds)
         enc_col = "rv"
-    if codebooks is None and residual:
+    # The assigned corpus feeds the codebook pick AND one or two member
+    # writes below — persist it so the assignment (and the residual
+    # join) run once per build, not once per consumer (r18 profile:
+    # the codebook collect re-ran the whole assignment pipeline that
+    # the corpus write then repeated).
+    assigned = deferred_persist(assigned)
+    # dim from the already-collected seed table (full-precision corpus
+    # vectors; residuals have the same dim) — no dim-probe job.
+    dim = len(seed_rows[0]["v"]) if seed_rows else None
+    if codebooks is None:
+        # Hash-rank pick over the PERSISTED assigned frame: identical
+        # rows to the raw-corpus pick (assignment preserves vec_id and
+        # v; the residual tier picks rv by design), zero extra corpus
+        # scans.
         cb = _cb_frame_validate(
-            _codebooks_hashrank_from(assigned, m, codes, "rv"),
+            _codebooks_hashrank_from(assigned, m, codes, enc_col, dim=dim),
             corpus.sparkSession,
             m,
             codes,
@@ -482,17 +501,18 @@ def ivf_build_index_pq(
         # custom codebooks: their subvector length must tile the
         # corpus dim exactly, or encode's slice/zip_with would
         # silently truncate against mis-sized codewords
-        dim = len(_prep(corpus).select("v").first()["v"])
+        if dim is None:
+            dim = len(_prep(corpus).select("v").first()["v"])
         if sd * m != dim:
             raise ValueError(
                 f"custom PQ codebooks have sub_dim={sd} over m={m} "
                 f"subspaces ({sd * m} dims) but the corpus is {dim}-dim"
             )
-    if rerank_payload:
-        assigned = deferred_persist(assigned)
-    members = {
-        "seeds": snapshot_commit(seeds, os.path.join(root, "seeds"), fs=fs),
-        "pq_meta": snapshot_commit(
+    jobs = {
+        "seeds": lambda: snapshot_commit(
+            seeds, os.path.join(root, "seeds"), fs=fs
+        ),
+        "pq_meta": lambda: snapshot_commit(
             spark.createDataFrame(
                 [(m, codes, sd, bool(residual))],
                 "m int, codes int, sub_dim int, residual boolean",
@@ -500,23 +520,24 @@ def ivf_build_index_pq(
             os.path.join(root, "pq_meta"),
             fs=fs,
         ),
-        "pq_codebooks": snapshot_commit(
+        "pq_codebooks": lambda: snapshot_commit(
             cb, os.path.join(root, "pq_codebooks"), fs=fs
+        ),
+        "corpus_pq": lambda: snapshot_commit_partitioned(
+            pq_encode(assigned, cb, m, codes, sub_dim=sd, vec_col=enc_col),
+            os.path.join(root, "corpus_pq"),
+            "list_id",
+            fs=fs,
         ),
     }
     if rerank_payload:
-        members["corpus"] = snapshot_commit_partitioned(
+        jobs["corpus"] = lambda: snapshot_commit_partitioned(
             assigned.select("vec_id", "v", "nrm", "list_id"),
             os.path.join(root, "corpus"),
             "list_id",
             fs=fs,
         )
-    members["corpus_pq"] = snapshot_commit_partitioned(
-        pq_encode(assigned, cb, m, codes, sub_dim=sd, vec_col=enc_col),
-        os.path.join(root, "corpus_pq"),
-        "list_id",
-        fs=fs,
-    )
+    members = commit_concurrently(jobs)
     index_publish(root, members, fs=fs)
     return members["corpus_pq"]
 

@@ -202,6 +202,7 @@ def bm25_build_index(
     import os
 
     from ..streaming.snapshot import (
+        commit_concurrently,
         index_publish,
         snapshot_commit,
         snapshot_commit_partitioned,
@@ -216,15 +217,21 @@ def bm25_build_index(
         )
         .withColumn("n_buckets", F.lit(n_buckets))
     )
-    vm = snapshot_commit(meta, os.path.join(root, "meta"), fs=fs)
-    vp = snapshot_commit_partitioned(
-        _postings(toks, n_buckets, id_col, positions),
-        os.path.join(root, "postings"),
-        "tbucket",
-        fs=fs,
+    members = commit_concurrently(
+        {
+            "meta": lambda: snapshot_commit(
+                meta, os.path.join(root, "meta"), fs=fs
+            ),
+            "postings": lambda: snapshot_commit_partitioned(
+                _postings(toks, n_buckets, id_col, positions),
+                os.path.join(root, "postings"),
+                "tbucket",
+                fs=fs,
+            ),
+        }
     )
-    index_publish(root, {"meta": vm, "postings": vp}, fs=fs)
-    return vp
+    index_publish(root, members, fs=fs)
+    return members["postings"]
 
 
 def _postings(

@@ -480,6 +480,49 @@ def ivf_assign_topn(
     return prepped.join(cand, "vec_id").select("vec_id", "v", "nrm", "list_id")
 
 
+def _seed_rows_frame(spark, seed_rows: list) -> DataFrame:
+    """The collected seed table as a LOCAL frame — the exact rows
+    :func:`_collect_seeds` pulled, re-emitted as a local relation so a
+    build can commit/broadcast the seed table WITHOUT re-running the
+    corpus-wide hash-rank pick one more time per consumer (the r18
+    profile measured the pick re-running once per seed-table consumer:
+    the assignment collect, the member commit, the probe routing — at
+    100 TB each re-run is a full corpus scan)."""
+    return spark.createDataFrame(
+        [(r["seed_id"], r["v"], r["nrm"]) for r in seed_rows],
+        "seed_id long, v array<double>, nrm double",
+    )
+
+
+def _seeds_assigned_once(
+    corpus: DataFrame,
+    seed_stride: int = 50,
+    centroids: list | None = None,
+    nlists: int | None = None,
+):
+    """One corpus seed pass for a whole index build: ``(seeds,
+    seed_rows, assigned)`` where ``seeds`` is the frame to commit /
+    route against and ``assigned`` the assigned corpus.
+
+    In the closure tier (the IVF contract) the seed pick runs ONCE —
+    collected for the Arrow closure, then reused as a local frame for
+    every other consumer.  Values are bit-identical to the per-consumer
+    recomputation (same rows, same doubles); only the number of corpus
+    scans changes.  The over-cap fallback (loud, see
+    :func:`_collect_seeds`) keeps the lazy seed plan and the join-tier
+    assignment unchanged — there the seed table is too big to localize
+    by definition."""
+    seeds = _seed_frame(corpus, seed_stride, centroids, nlists)
+    seed_rows = _collect_seeds(seeds)
+    if seed_rows is None:
+        return seeds, None, ivf_assign(corpus, seed_stride, centroids, nlists)
+    return (
+        _seed_rows_frame(corpus.sparkSession, seed_rows),
+        seed_rows,
+        _assign_arrow(_prep(corpus), seed_rows, 1),
+    )
+
+
 def semantic_near_pairs(
     corpus: DataFrame,
     threshold: float = 0.35,
@@ -681,8 +724,9 @@ def ivf_topk(
     O(n·nlists) linear in the corpus — the stride default grows the
     list count with the data (r09 scale curve: 65× at x10).
     """
-    assigned = ivf_assign(corpus, seed_stride, centroids=centroids, nlists=nlists)
-    seeds = _seed_frame(corpus, seed_stride, centroids, nlists)
+    seeds, _, assigned = _seeds_assigned_once(
+        corpus, seed_stride, centroids, nlists
+    )
     return _rank_candidates(_route_probes(probes, seeds, nprobe), assigned, k)
 
 
@@ -763,19 +807,27 @@ def ivf_build_index(
     import os
 
     from ..streaming.snapshot import (
+        commit_concurrently,
         index_publish,
         snapshot_commit,
         snapshot_commit_partitioned,
     )
 
-    seeds = _seed_frame(corpus, seed_stride, centroids, nlists)
-    assigned = ivf_assign(corpus, seed_stride, centroids, nlists)
-    vs = snapshot_commit(seeds, os.path.join(root, "seeds"), fs=fs)
-    vc = snapshot_commit_partitioned(
-        assigned, os.path.join(root, "corpus"), "list_id", fs=fs
+    seeds, _, assigned = _seeds_assigned_once(
+        corpus, seed_stride, centroids, nlists
     )
-    index_publish(root, {"seeds": vs, "corpus": vc}, fs=fs)
-    return vc
+    members = commit_concurrently(
+        {
+            "seeds": lambda: snapshot_commit(
+                seeds, os.path.join(root, "seeds"), fs=fs
+            ),
+            "corpus": lambda: snapshot_commit_partitioned(
+                assigned, os.path.join(root, "corpus"), "list_id", fs=fs
+            ),
+        }
+    )
+    index_publish(root, members, fs=fs)
+    return members["corpus"]
 
 
 def _frozen_seeds(spark, root: str, fs, op: str, version=None) -> list:
@@ -1008,28 +1060,33 @@ def ivf_build_index_quantized(
     import os
 
     from ..streaming.snapshot import (
+        commit_concurrently,
         index_publish,
         snapshot_commit,
         snapshot_commit_partitioned,
     )
 
-    seeds = _seed_frame(corpus, seed_stride, centroids, nlists)
-    assigned = ivf_assign(corpus, seed_stride, centroids, nlists)
+    seeds, _, assigned = _seeds_assigned_once(
+        corpus, seed_stride, centroids, nlists
+    )
     if rerank_payload:
         assigned = deferred_persist(assigned)
-    members = {
-        "seeds": snapshot_commit(seeds, os.path.join(root, "seeds"), fs=fs)
+    jobs = {
+        "seeds": lambda: snapshot_commit(
+            seeds, os.path.join(root, "seeds"), fs=fs
+        ),
+        "corpus_q": lambda: snapshot_commit_partitioned(
+            quantize_assigned(assigned),
+            os.path.join(root, "corpus_q"),
+            "list_id",
+            fs=fs,
+        ),
     }
     if rerank_payload:
-        members["corpus"] = snapshot_commit_partitioned(
+        jobs["corpus"] = lambda: snapshot_commit_partitioned(
             assigned, os.path.join(root, "corpus"), "list_id", fs=fs
         )
-    members["corpus_q"] = snapshot_commit_partitioned(
-        quantize_assigned(assigned),
-        os.path.join(root, "corpus_q"),
-        "list_id",
-        fs=fs,
-    )
+    members = commit_concurrently(jobs)
     index_publish(root, members, fs=fs)
     return members["corpus_q"]
 

@@ -174,19 +174,29 @@ def curation_pipeline_e2e(spark, sf_dir):
     aggregation pass; scoring rides the same scan-side predicate."""
     docs = t(spark, sf_dir, "documents")
     gate10 = F.expr(hash_gate_spark("doc_id", 10))
-    model = train_quality_lda(docs)
+    # The model fit (one integer-aggregation job, no persists) shares
+    # no input with the dedup chain below, whose keep-one stage runs a
+    # SEQUENCE of small eager jobs (the connected-components loop) that
+    # never fills the cluster on its own — overlap them (guide §2.6) so
+    # the training pass back-fills the loop rounds' idle executors
+    # instead of serializing in front of the whole chain.
+    from concurrent.futures import ThreadPoolExecutor
 
-    keep = D.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
-    deduped = docs.join(keep, "doc_id")
-    npairs = D.minhash_lsh_pairs(
-        deduped, k=3, num_hashes=16, bands=8, threshold=0.8
-    )
-    nkeep = (
-        D.dedup_survivors(deduped, npairs)
-        .filter(~F.col("is_dup"))
-        .select("doc_id")
-    )
-    deduped = deduped.join(nkeep, "doc_id")
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fmodel = pool.submit(train_quality_lda, docs)
+
+        keep = D.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+        deduped = docs.join(keep, "doc_id")
+        npairs = D.minhash_lsh_pairs(
+            deduped, k=3, num_hashes=16, bands=8, threshold=0.8
+        )
+        nkeep = (
+            D.dedup_survivors(deduped, npairs)
+            .filter(~F.col("is_dup"))
+            .select("doc_id")
+        )
+        deduped = deduped.join(nkeep, "doc_id")
+        model = fmodel.result()
     quality = deduped.filter(
         (F.expr(T.n_words().spark) >= 20)
         & (F.expr(T.stopword_ratio().spark) >= 0.05)

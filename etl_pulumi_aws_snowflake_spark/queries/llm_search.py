@@ -460,8 +460,16 @@ def search_hybrid_rrf_indexed(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     bm_root = _workdir(sf_dir, "bm25_index_hybrid")
     ivf_root = _workdir(sf_dir, "ivf_index_hybrid")
-    SR.bm25_build_index(docs, bm_root, n_buckets=16)
-    S.ivf_build_index(emb, ivf_root, nlists=_NLISTS)
+    # The two builds touch disjoint inputs and roots — submit them as
+    # concurrent driver jobs (guide §2.6) so the postings build's tail
+    # back-fills with the IVF build's tasks instead of serializing two
+    # full build pipelines end to end.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fb = pool.submit(SR.bm25_build_index, docs, bm_root, n_buckets=16)
+        fv = pool.submit(S.ivf_build_index, emb, ivf_root, nlists=_NLISTS)
+        fb.result(), fv.result()
 
     probes = emb.filter(F.col("vec_id") % _PROBE_STRIDE == 0)
     probe_ids = probes.select(F.col("vec_id").alias("probe_id"))

@@ -820,6 +820,32 @@ def _gc(root: str, keep: int, fs: LocalFilesystem = DEFAULT_FS) -> None:
 _INDEX_JSON = "_INDEX.json"
 
 
+def commit_concurrently(jobs: dict, max_workers: int = 3) -> dict[str, str]:
+    """Run the independent MEMBER commits of one index build as
+    concurrent driver threads — {member: thunk} → {member: version}.
+
+    Actions are only sequential because the driver calls them
+    sequentially (optimization guide §2.6): each member writes its own
+    snapshot root (no shared pointer, no ordering constraint until the
+    caller's ``index_publish`` pins the finished set), so submitting
+    them together lets the small members' jobs back-fill executor
+    slots freed by the big member's straggler tail instead of
+    serializing N write jobs end to end.  2-3 in flight is enough to
+    fill the tail without fighting for executors.  Any failed member
+    raises here, BEFORE a publish could pin a half-built version set.
+    Shared upstream subtrees must be persisted by the caller (every
+    build does), so concurrent materialization dedupes through the
+    block manager's per-block locks instead of recomputing per member."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = list(jobs)
+    if len(names) == 1:
+        return {names[0]: jobs[names[0]]()}
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(names))) as pool:
+        futures = {name: pool.submit(jobs[name]) for name in names}
+        return {name: futures[name].result() for name in names}
+
+
 def index_publish(
     root: str,
     members: dict[str, str],
