@@ -54,6 +54,25 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's core count when the
+    input's planned parallelism is BELOW it.  The codec tiers (encode
+    in the ``as_*`` builders, decode in the feature/pixel extractors)
+    are the most CPU-expensive per-row work in the engine, and a small
+    single-row-group file is ONE scan split — the r18 profile measured
+    the whole JPEG entry serialized on 1 task of 32 cores.  The guard
+    makes this scale-correct rather than a local-mode constant: a
+    production scan already has ≥ cores splits, so the repartition
+    never fires and no extra Exchange appears; it only widens
+    under-parallel inputs, and what it shuffles is the pruned
+    (doc_id, text) projection, never a decoded payload."""
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 def as_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Documents → media-shaped rows: utf-8 payload + typed metadata.
     (Stand-in for ``spark.read.format("binaryFile")`` in production.)"""
@@ -137,7 +156,7 @@ def as_png(
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(run, MEDIA_SCHEMA)
+    return _spread(docs.select("doc_id", text_col)).mapInPandas(run, MEDIA_SCHEMA)
 
 
 def as_wav(
@@ -264,7 +283,7 @@ def as_png_palette(
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(run, MEDIA_SCHEMA)
+    return _spread(docs.select("doc_id", text_col)).mapInPandas(run, MEDIA_SCHEMA)
 
 
 PIXEL_SCHEMA = StructType(
@@ -401,7 +420,7 @@ def as_jpeg_gray(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(run, MEDIA_SCHEMA)
+    return _spread(docs.select("doc_id", text_col)).mapInPandas(run, MEDIA_SCHEMA)
 
 
 def as_jpeg_color(
@@ -450,7 +469,7 @@ def as_jpeg_color(
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(run, MEDIA_SCHEMA)
+    return _spread(docs.select("doc_id", text_col)).mapInPandas(run, MEDIA_SCHEMA)
 
 
 def jpeg_mcu_colors(media: DataFrame, mcu_px: int = 16) -> DataFrame:
