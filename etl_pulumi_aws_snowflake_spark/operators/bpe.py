@@ -235,6 +235,7 @@ def train_bpe(
     )
     merges: list[tuple[int, str, str, str, int]] = []
     passes = 0
+    prev = None  # the previous pass's cache, released once wc is hot
     try:
         while len(merges) < n_merges:
             cap = min(max_batch, n_merges - len(merges))
@@ -259,6 +260,16 @@ def train_bpe(
                 .limit(top_m)
                 .collect()
             )
+            # That collect materialized wc's cached blocks (its first
+            # action), so the PREVIOUS pass's cache — wc's parent — is
+            # only now safe to drop.  Deferring the release here saves
+            # the dedicated materialize-count job the loop used to run
+            # every pass (r18: one whole vocab-table pass per merge
+            # batch); the price is two generations of the tiny vocab
+            # working set cached at once instead of one.
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             passes += 1
             if not cands:
                 break  # vocab fully merged — nothing left to learn
@@ -273,14 +284,16 @@ def train_bpe(
             if passes % 16 == 0:
                 # eager lineage cut: recomputation past this point is
                 # never wanted (the cache IS the state), and without it
-                # the plan grows one projection layer per pass
+                # the plan grows one projection layer per pass.  Eager
+                # = a job, so the parent releases immediately after.
                 nxt = stepped.localCheckpoint(eager=True)
+                wc.unpersist()
+                wc = nxt
             else:
-                nxt = stepped.persist()
-                nxt.count()  # materialize before releasing the parent
-            wc.unpersist()
-            wc = nxt
+                prev, wc = wc, stepped.persist()
     finally:
+        if prev is not None:
+            prev.unpersist()
         wc.unpersist()
     if stats is not None:
         stats["passes"] = passes

@@ -301,7 +301,8 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("id"))
     )
-    for _ in range(max_iters):
+    live = None  # the superseded round's cache, released once the next is hot
+    for it in range(max_iters):
         neighbor_min = (
             edges.join(
                 labels.select(
@@ -313,12 +314,15 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .agg(F.min("nlabel").alias("minn"))
             .withColumnRenamed("src", "id")
         )
-        # Materialize FIRST (localCheckpoint), then derive the
-        # convergence scalar from the checkpointed blocks — counting
-        # before checkpointing would execute the join twice per round
-        # (once for the count's plan, once for the checkpoint's), which
-        # at 100 TB doubles the whole loop's cost.
-        new_labels = tracked_local_checkpoint(
+        # persist + count = ONE job per round: the convergence count's
+        # action materializes the round's cache (the count plan contains
+        # the persisted subtree), so the join executes exactly once —
+        # the old checkpoint-then-count spelling paid a SECOND job per
+        # round just to truncate lineage, which a periodic checkpoint
+        # below now does at an 8-round cadence instead (plan depth stays
+        # bounded; at 100 TB one label-table pass per round is the
+        # loop's whole cost, so halving the actions halves the loop).
+        new_labels = (
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
@@ -327,11 +331,21 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                 ).alias("new_label"),
                 F.col("label").alias("old_label"),
             )
+            .persist()
         )
         changed = new_labels.filter(F.col("new_label") < F.col("old_label")).count()
+        if live is not None:
+            live.unpersist()
+        live = new_labels
         labels = new_labels.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             break
+        if (it + 1) % 8 == 0:
+            # eager lineage cut so long convergences keep analyzer time
+            # flat; the cut releases the cache chain behind it.
+            labels = tracked_local_checkpoint(labels)
+            live.unpersist()
+            live = None
     else:
         # Exhausted max_iters with labels still moving: the output would
         # silently over-count survivors (extra "keep" rows inside one
@@ -347,6 +361,12 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             RuntimeWarning,
             stacklevel=2,
         )
+    if live is not None:
+        # the returned labels read through this round-cache; hand it to
+        # the deferred pool so the query-boundary sweep releases it
+        # after the caller has materialized downstream results (a swept
+        # persist recomputes, so even a late reader stays correct).
+        deferred_persist(live)
     edges.unpersist()
     return labels
 

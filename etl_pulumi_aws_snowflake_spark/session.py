@@ -42,6 +42,14 @@ ENGINE_CONF: dict[str, str] = {
     # int64 nanos instead — sources.tables converts to µs timestamps
     # (integer DIV, no double round-trip) to match engine semantics.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Let AQE coalesce the OUTPUT partitioning of cached plans too
+    # (default false): the engine persists iteration state (the CC
+    # label table, the BPE vocab) and shared build subtrees, and
+    # without this every cached round freezes at the raw
+    # shuffle-partition count — each later pass over the cache then
+    # runs shuffle.partitions tasks regardless of data size, where the
+    # un-cached plan would have coalesced to the advisory size.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 
