@@ -86,7 +86,12 @@ def contamination_semantic_indexed(
 
     from ..cache import deferred_persist
     from ..streaming.snapshot import index_current, snapshot_read
-    from .similarity import _cos_ab, _route_probes
+    from .similarity import (
+        ARROW_SCORE_MIN_ROUTED,
+        _route_probes,
+        _routed_lists,
+        _score_pairs,
+    )
 
     spark = eval_probes.sparkSession
     pin = index_current(root, fs=fs) or {}
@@ -96,10 +101,7 @@ def contamination_semantic_indexed(
     probe_lists = deferred_persist(
         _route_probes(eval_probes, seeds, nprobe)
     )
-    wanted = sorted(
-        r["list_id"]
-        for r in probe_lists.select("list_id").distinct().collect()
-    )
+    wanted, n_routed = _routed_lists(probe_lists)
     assigned = snapshot_read(
         spark,
         os.path.join(root, "corpus"),
@@ -108,12 +110,11 @@ def contamination_semantic_indexed(
         version=pin.get("corpus"),
     )
     pa, ca = probe_lists.alias("a"), assigned.alias("b")
-    hits = (
-        F.broadcast(pa)
-        .join(ca, F.col("a.list_id") == F.col("b.list_id"))
-        .select("probe_id", F.col("b.vec_id").alias("vec_id"), _cos_ab())
-        .filter(F.col("cos") >= threshold)
-    )
+    hits = _score_pairs(
+        F.broadcast(pa).join(ca, F.col("a.list_id") == F.col("b.list_id")),
+        [F.col("a.probe_id").alias("probe_id"), F.col("b.vec_id").alias("vec_id")],
+        use_arrow=n_routed >= ARROW_SCORE_MIN_ROUTED,
+    ).filter(F.col("cos") >= threshold)
     return hits.groupBy("vec_id").agg(
         F.countDistinct("probe_id").alias("n_eval_hits"),
         F.max("cos").alias("max_cos"),

@@ -56,9 +56,11 @@ from pyspark.sql import functions as F
 
 from ..cache import deferred_persist
 from .similarity import (
+    ARROW_SCORE_MIN_ROUTED,
     MAX_RERANK_IDS,
     _prep,
     _route_probes,
+    _routed_lists,
     _seeds_assigned_once,
     ivf_assign,
     seed_rank_hash,
@@ -393,6 +395,46 @@ def _adc_expr(m: int, sd: int, vcol: str, pqcol: str) -> str:
     )
 
 
+def _cb_matrix(cb: DataFrame, m: int, codes: int):
+    """The codebook table as a local ``(m, codes, sd)`` float64 array —
+    ONE bounded collect (m·codes rows; usually of an already-local
+    frame), shipped in the encode/ADC task closures exactly like the
+    seed matrix in ``similarity._assign_arrow``."""
+    import numpy as np
+
+    rows = cb.collect()
+    sd = len(rows[0]["cv"])
+    cbm = np.zeros((m, codes, sd), dtype=np.float64)
+    for r in rows:
+        cbm[r["sub_id"] - 1, r["code_id"] - 1] = r["cv"]
+    return cbm
+
+
+def _encode_codes(v_mat, cbm):
+    """Per-subspace argmin-L2² codeword ids (1-based) for a batch of
+    vectors — the vectorized twin of :func:`_encode_expr`, bit-exact:
+    each d² accumulates dims in ascending order from 0.0 (the same
+    correctly-rounded IEEE sequence as the expression's strict fold),
+    and ``argmin`` resolves ties to the FIRST (= smallest) code id,
+    the expression's array_sort struct rule.  NaN distances (a NaN
+    vector poisons every code's fold equally) map to +inf so the tie
+    rule still picks code 1, as the expression's NaN-sorts-last does."""
+    import numpy as np
+
+    m, codes, sd = cbm.shape
+    n = len(v_mat)
+    out = np.empty((n, m), dtype=np.int32)
+    for j in range(m):
+        sub = v_mat[:, j * sd : (j + 1) * sd]
+        acc = np.zeros((n, codes))
+        for d in range(sd):
+            diff = sub[:, d][:, None] - cbm[j, :, d][None, :]
+            acc += diff * diff
+        np.nan_to_num(acc, copy=False, nan=np.inf)
+        out[:, j] = np.argmin(acc, axis=1) + 1
+    return out
+
+
 def pq_encode(
     assigned: DataFrame,
     cb: DataFrame,
@@ -400,6 +442,7 @@ def pq_encode(
     codes: int,
     sub_dim: int | None = None,
     vec_col: str = "v",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """(vec_id, v, nrm, list_id) → (vec_id, pq, nrm, list_id): the PQ
     payload — m codeword ids + the TRUE vector norm (the denominator
@@ -410,14 +453,63 @@ def pq_encode(
     probe re-ran part of the assignment pipeline per call).
     ``vec_col`` is what gets quantized: ``v`` for raw encoding, ``rv``
     for the residual tier (the codebooks must have been built over the
-    same choice)."""
+    same choice).
+
+    Default path (r18, guide §4.2): ONE Arrow pass per partition with
+    the codebook matrix in the task closure — the expression form's
+    nested ``aggregate``/``zip_with``/``array_sort`` folds are
+    CodegenFallback (interpreted per element; the r18 profile measured
+    the encode at ~1.6 s for 2 000 rows) while :func:`_encode_codes`
+    runs the SAME IEEE operation sequence vectorized.  Bit-identical
+    codes (property-tested against ``use_arrow=False``, which keeps
+    the original expression plan).  The ``nrm > 0`` filter runs before
+    the kernel, so every surviving row has a non-null fixed-dim
+    vector (a null/NaN-poisoned vector has null/NaN norm and is
+    dropped by the same filter in both paths)."""
     if sub_dim is None:
         sub_dim = _subdim(len(assigned.select(vec_col).first()[vec_col]), m)
-    return (
-        assigned.filter(F.col("nrm") > 0)
-        .crossJoin(F.broadcast(_cbv_one_row(cb, m, codes)))
-        .withColumn("pq", F.expr(_encode_expr(m, codes, sub_dim, vec_col)))
-        .select("vec_id", "pq", "nrm", "list_id")
+    live = assigned.filter(F.col("nrm") > 0)
+    if not use_arrow:
+        return (
+            live.crossJoin(F.broadcast(_cbv_one_row(cb, m, codes)))
+            .withColumn("pq", F.expr(_encode_expr(m, codes, sub_dim, vec_col)))
+            .select("vec_id", "pq", "nrm", "list_id")
+        )
+    cbm = _cb_matrix(cb, m, codes)
+
+    def encode(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            idx = {nm: i for i, nm in enumerate(batch.schema.names)}
+            v_mat = np.vstack(
+                batch.column(idx["_v"]).to_pandas().to_numpy()
+            ).astype(np.float64, copy=False)
+            pq_mat = _encode_codes(v_mat, cbm)
+            offsets = pa.array(
+                np.arange(0, (n + 1) * cbm.shape[0], cbm.shape[0], dtype=np.int32)
+            )
+            pq_col = pa.ListArray.from_arrays(
+                offsets, pa.array(pq_mat.ravel(), type=pa.int32())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(idx["vec_id"]),
+                    pq_col,
+                    batch.column(idx["nrm"]),
+                    batch.column(idx["list_id"]),
+                ],
+                names=["vec_id", "pq", "nrm", "list_id"],
+            )
+
+    return live.select(
+        "vec_id", F.col(vec_col).alias("_v"), "nrm", "list_id"
+    ).mapInArrow(
+        encode, "vec_id long, pq array<int>, nrm double, list_id long"
     )
 
 
@@ -575,10 +667,7 @@ def _pq_candidates(
         version=pin.get("pq_codebooks"),
     )
     probe_lists = deferred_persist(_route_probes(probes, seeds, nprobe))
-    wanted = sorted(
-        r["list_id"]
-        for r in probe_lists.select("list_id").distinct().collect()
-    )
+    wanted, n_routed = _routed_lists(probe_lists)
     pq_corpus = snapshot_read(
         spark,
         os.path.join(root, "corpus_pq"),
@@ -615,16 +704,101 @@ def _pq_candidates(
         (F.col("a.list_id") == F.col("b.list_id"))
         & (F.col("a.probe_id") != F.col("b.vec_id")),
     )
-    dot = F.expr(_adc_expr(m, sd, "a.v", "b.pq"))
-    if residual:
-        dot = F.col("a._cdot") + dot
-    return joined.crossJoin(F.broadcast(_cbv_one_row(cb, m, codes))).select(
-        "probe_id",
+    # ADC scoring, tiered on routed volume (the similarity module's
+    # ARROW_SCORE_MIN_ROUTED crossover): below it, the original
+    # expression fold — codegen-resident, no Python boundary — wins;
+    # above it, ONE Arrow pass per partition with the codebook matrix
+    # in the task closure (m·codes rows — the bounded `_cb_matrix`
+    # collect).  The Arrow pass builds the CLASSIC per-probe LUT —
+    # lut[p, j, c] = dot(p_j, cb[j][c]), dims accumulated in ascending
+    # order from 0.0 — then assembles every candidate's estimate as
+    # the ascending-j fold of LUT lookups: the IDENTICAL IEEE sequence
+    # the `_adc_expr` strict folds perform per pair (the LUT only
+    # caches the per-probe subvector dots the expression recomputes
+    # per candidate), so pcos is bit-exact either way
+    # (tests/test_arrow_folds.py) and the tier can only change cost.
+    if n_routed < ARROW_SCORE_MIN_ROUTED:
+        dot = F.expr(_adc_expr(m, sd, "a.v", "b.pq"))
+        if residual:
+            dot = F.col("a._cdot") + dot
+        return joined.crossJoin(
+            F.broadcast(_cbv_one_row(cb, m, codes))
+        ).select(
+            "probe_id",
+            F.col("a.v").alias("v"),
+            F.col("a.nrm").alias("nrm"),
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("b.list_id").alias("list_id"),
+            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("pcos"),
+        )
+    cbm = _cb_matrix(cb, m, codes)
+    sel = [
+        F.col("a.probe_id").alias("probe_id"),
         F.col("a.v").alias("v"),
         F.col("a.nrm").alias("nrm"),
         F.col("b.vec_id").alias("vec_id"),
         F.col("b.list_id").alias("list_id"),
-        (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("pcos"),
+        F.col("b.pq").alias("_pq"),
+        F.col("b.nrm").alias("_bn"),
+    ]
+    if residual:
+        sel.append(F.col("a._cdot").alias("_cdot"))
+    base = joined.select(*sel)
+
+    def adc(batches):
+        import numpy as np
+        import pyarrow as paw
+
+        mm, cc = cbm.shape[0], cbm.shape[1]
+        sdd = cbm.shape[2]
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            idx = {nm: i for i, nm in enumerate(batch.schema.names)}
+            pid = batch.column(idx["probe_id"]).to_numpy(zero_copy_only=False)
+            v_cells = batch.column(idx["v"]).to_pandas().to_numpy()
+            pq_mat = np.vstack(
+                batch.column(idx["_pq"]).to_pandas().to_numpy()
+            ).astype(np.int64, copy=False)
+            an = batch.column(idx["nrm"]).to_numpy(zero_copy_only=False)
+            bn = batch.column(idx["_bn"]).to_numpy(zero_copy_only=False)
+            uniq, first, uidx = np.unique(
+                pid, return_index=True, return_inverse=True
+            )
+            p_mat = np.vstack(v_cells[first]).astype(np.float64, copy=False)
+            lut = np.zeros((len(uniq), mm, cc))
+            for j in range(mm):
+                psub = p_mat[:, j * sdd : (j + 1) * sdd]
+                acc = np.zeros((len(uniq), cc))
+                for d in range(sdd):
+                    acc += np.outer(psub[:, d], cbm[j, :, d])
+                lut[:, j, :] = acc
+            dot = np.zeros(n)
+            for j in range(mm):
+                dot += lut[uidx, j, pq_mat[:, j] - 1]
+            if "_cdot" in idx:
+                dot = (
+                    batch.column(idx["_cdot"]).to_numpy(zero_copy_only=False)
+                    + dot
+                )
+            pcos = dot / (an * bn)
+            yield paw.RecordBatch.from_arrays(
+                [
+                    batch.column(idx["probe_id"]),
+                    batch.column(idx["v"]),
+                    batch.column(idx["nrm"]),
+                    batch.column(idx["vec_id"]),
+                    batch.column(idx["list_id"]),
+                    paw.array(pcos, from_pandas=False),
+                ],
+                names=["probe_id", "v", "nrm", "vec_id", "list_id", "pcos"],
+            )
+
+    return base.mapInArrow(
+        adc,
+        "probe_id long, v array<double>, nrm double, vec_id long, "
+        "list_id long, pcos double",
     )
 
 
@@ -661,7 +835,7 @@ def ivf_topk_indexed_pq_rerank(
     pushed ``vec_id IN`` filter, list-pruned float read, and
     pin-authoritative stale-dir guard as the int8 rerank serve."""
     from ..streaming.snapshot import index_current, snapshot_read
-    from .similarity import _cos_ab
+    from .similarity import _score_pairs
 
     spark = probes.sparkSession
     pin = index_current(root, fs=fs) or {}
@@ -711,9 +885,15 @@ def ivf_topk_indexed_pq_rerank(
     a, b = cand.alias("a"), full.alias("b")
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
-        F.broadcast(a)
-        .join(b, F.col("a.vec_id") == F.col("b.vec_id"))
-        .select("probe_id", F.col("b.vec_id").alias("vec_id"), _cos_ab())
+        _score_pairs(
+            F.broadcast(a).join(b, F.col("a.vec_id") == F.col("b.vec_id")),
+            [
+                F.col("a.probe_id").alias("probe_id"),
+                F.col("b.vec_id").alias("vec_id"),
+            ],
+            # the survivor count already collected above picks the tier
+            use_arrow=len(rows) >= ARROW_SCORE_MIN_ROUTED,
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("probe_id", "rank", "vec_id", "cos")

@@ -57,16 +57,187 @@ def _cos_ab() -> F.Column:
     return (F.expr(_DOT_AB) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos")
 
 
+def _fold_dots(a_mat, b_mat):
+    """Row-paired strict-fold dot products: dims accumulate in
+    ascending order from 0.0, so every element undergoes the IDENTICAL
+    correctly-rounded IEEE multiply/add sequence as the JVM
+    ``aggregate(zip_with(...))`` fold and the DuckDB ``list_reduce``
+    mirror — bit-identical doubles (the `_assign_arrow` precedent)."""
+    import numpy as np
+
+    acc = np.zeros(len(a_mat))
+    for d in range(a_mat.shape[1]):
+        acc += a_mat[:, d] * b_mat[:, d]
+    return acc
+
+
+def _inner_null_rows(col):
+    """Row indices of an Arrow list column whose LIST VALUES contain a
+    null element (rare; the expression fold yields a null dot there).
+    Cheap common path: zero inner nulls short-circuits."""
+    import numpy as np
+
+    if col.values.null_count == 0:
+        return None
+    return np.array(
+        [
+            i
+            for i in range(len(col))
+            if col[i].is_valid and None in col[i].as_py()
+        ],
+        dtype=np.int64,
+    )
+
+
+def _fold_cos_arrow(
+    joined: DataFrame,
+    cols: list,
+    b_vec: str = "b.v",
+    b_nrm: str = "b.nrm",
+    cos_name: str = "cos",
+) -> DataFrame:
+    """Per-pair cosine as ONE vectorized Arrow pass (guide §4.2).
+
+    Spark evaluates higher-order ``aggregate``/``zip_with`` folds as
+    CodegenFallback — per element, interpreted, boxed — and the r18
+    profile measured the per-pair dot dominating every candidate-
+    scoring stage (~2.5M fold steps/s).  This kernel computes the SAME
+    strict left fold vectorized (:func:`_fold_dots` — identical IEEE
+    sequence per element), then ONE divide by the precomputed norm
+    product: ``cos`` is bit-identical to the expression form, judged
+    exactly by the oracle.
+
+    ``cols`` are the passthrough output columns (aliased over the
+    join's ``a.``/``b.`` sides); the four fold inputs are appended
+    internally and dropped from the output.  Implemented over
+    ``mapInArrow`` (NOT ``mapInPandas``) because the pandas boundary
+    rewrites computed NaN doubles to null on the way back — a zero-norm
+    pair's ``0/0`` must stay NaN exactly as the expression leaves it.
+    Null inputs (null vector/norm cell, or a null ELEMENT inside a
+    vector) yield a null cosine, matching the expression's null
+    propagation.  Int vector columns (the int8 tier) are promoted
+    element-wise to double — exact, like the expression's cast."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    base = joined.select(
+        *cols,
+        F.col("a.v").alias("_av"),
+        F.col("a.nrm").alias("_an"),
+        F.col(b_vec).alias("_bv"),
+        F.col(b_nrm).alias("_bn"),
+    )
+    pass_fields = list(base.schema.fields[:-4])
+    pass_names = [f.name for f in pass_fields]
+    out_schema = StructType(pass_fields + [StructField(cos_name, DoubleType())])
+
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            idx = {nm: i for i, nm in enumerate(batch.schema.names)}
+            av = batch.column(idx["_av"])
+            bv = batch.column(idx["_bv"])
+            an = batch.column(idx["_an"])
+            bn = batch.column(idx["_bn"])
+            null = np.zeros(n, dtype=bool)
+            for c in (av, bv, an, bn):
+                if c.null_count:
+                    null |= np.asarray(c.is_null())
+            for c in (av, bv):
+                rows = _inner_null_rows(c)
+                if rows is not None and len(rows):
+                    null[rows] = True
+            valid = ~null
+            vals = np.zeros(n, dtype=np.float64)
+            if valid.any():
+                avp = av.to_pandas()
+                bvp = bv.to_pandas()
+                vi = np.flatnonzero(valid)
+                a_mat = np.vstack(avp.iloc[vi].to_numpy()).astype(
+                    np.float64, copy=False
+                )
+                b_mat = np.vstack(bvp.iloc[vi].to_numpy()).astype(
+                    np.float64, copy=False
+                )
+                anv = an.to_numpy(zero_copy_only=False)[vi]
+                bnv = bn.to_numpy(zero_copy_only=False)[vi]
+                vals[vi] = _fold_dots(a_mat, b_mat) / (anv * bnv)
+            cos = (
+                pa.array(vals, mask=null)
+                if null.any()
+                else pa.array(vals, from_pandas=False)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(idx[nm]) for nm in pass_names] + [cos],
+                names=pass_names + [cos_name],
+            )
+
+    return base.mapInArrow(score, out_schema)
+
+
+#: Routed-probe-row threshold above which candidate SCORING switches
+#: from the expression fold to :func:`_fold_cos_arrow`.  Measured on
+#: the r18 A/B (sf0.1, local[32]): at ~16k candidate pairs the
+#: expression form wins by ~0.1 s (the kernel pays Arrow transfer of
+#: the per-pair probe vectors + worker round-trips), at ~200k pairs
+#: the kernel wins 2× (0.94 s vs 1.86 s) and the gap grows linearly
+#: with pair volume.  Candidate pairs ≈ routed probe rows × |list|,
+#: and the IVF contract holds |list| ~ corpus/nlists at hundreds+, so
+#: 512 routed rows ≈ ≥100k pairs — past the crossover.  Both forms
+#: are bit-identical (tests/test_arrow_folds.py), so the tier can
+#: never change results, only cost.
+ARROW_SCORE_MIN_ROUTED = 512
+
+
+def _routed_lists(probe_lists: DataFrame) -> tuple[list, int]:
+    """``(wanted_list_ids, n_routed_rows)`` from ONE driver job: the
+    same collect that names the pruned partitions also returns
+    per-list routed-row counts, so the scoring-tier switch
+    (:data:`ARROW_SCORE_MIN_ROUTED`) costs no extra job."""
+    rows = probe_lists.groupBy("list_id").count().collect()
+    return sorted(r["list_id"] for r in rows), sum(r["count"] for r in rows)
+
+
+def _score_pairs(
+    joined: DataFrame,
+    cols: list,
+    b_vec: str = "b.v",
+    b_nrm: str = "b.nrm",
+    cos_name: str = "cos",
+    use_arrow: bool = False,
+) -> DataFrame:
+    """Candidate-pair cosine, tiered: the vectorized Arrow kernel when
+    the caller knows the pair volume is past the crossover
+    (:data:`ARROW_SCORE_MIN_ROUTED`), the codegen-resident expression
+    fold otherwise.  Bit-identical either way."""
+    if use_arrow:
+        return _fold_cos_arrow(
+            joined, cols, b_vec=b_vec, b_nrm=b_nrm, cos_name=cos_name
+        )
+    dot = (
+        _DOT_AQ
+        if b_vec == "b.qv"
+        else V.dot_cols("a.v", b_vec)
+    )
+    return joined.select(
+        *cols,
+        (F.expr(dot) / (F.col("a.nrm") * F.col(b_nrm))).alias(cos_name),
+    )
+
+
 def _pairs(probes: DataFrame, corpus: DataFrame) -> DataFrame:
     """(probe_id, vec_id, cos) for every probe×corpus pair, probe side
     broadcast.  One dot fold per pair; norms come precomputed from
     :func:`_prep`.  Ties are broken by id downstream."""
     a = _prep(probes).withColumnRenamed("vec_id", "probe_id").alias("a")
     b = _prep(corpus).alias("b")
-    return (
-        F.broadcast(a)
-        .join(b, F.col("a.probe_id") != F.col("b.vec_id"))
-        .select("probe_id", F.col("b.vec_id").alias("vec_id"), _cos_ab())
+    return _fold_cos_arrow(
+        F.broadcast(a).join(b, F.col("a.probe_id") != F.col("b.vec_id")),
+        [F.col("a.probe_id").alias("probe_id"), F.col("b.vec_id").alias("vec_id")],
     )
 
 
@@ -566,19 +737,14 @@ def semantic_near_pairs(
             ivf_assign_topn(corpus, seed_stride, n_assign, nlists=nlists)
         )
     a, b = assigned.alias("a"), assigned.alias("b")
-    pairs = (
+    pairs = _fold_cos_arrow(
         a.join(
             b,
             (F.col("a.list_id") == F.col("b.list_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("doc_a"),
-            F.col("b.vec_id").alias("doc_b"),
-            _cos_ab(),
-        )
-        .filter(F.col("cos") >= threshold)
-    )
+        ),
+        [F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")],
+    ).filter(F.col("cos") >= threshold)
     if n_assign > 1:
         # a pair sharing several of its lists would emit once per
         # shared list — identical rows (cos is a pure function of the
@@ -664,15 +830,16 @@ def semantic_near_pairs_indexed(
         ).repartition("list_id")
         pa, ca = pl.alias("a"), pl.alias("b")
         return (
-            pa.join(
-                ca.hint("shuffle_hash"),
-                (F.col("a.list_id") == F.col("b.list_id"))
-                & (F.col("a.vec_id") < F.col("b.vec_id")),
-            )
-            .select(
-                F.col("a.vec_id").alias("doc_a"),
-                F.col("b.vec_id").alias("doc_b"),
-                _cos_ab(),
+            _fold_cos_arrow(
+                pa.join(
+                    ca.hint("shuffle_hash"),
+                    (F.col("a.list_id") == F.col("b.list_id"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")),
+                ),
+                [
+                    F.col("a.vec_id").alias("doc_a"),
+                    F.col("b.vec_id").alias("doc_b"),
+                ],
             )
             .filter(F.col("cos") >= threshold)
             .dropDuplicates(["doc_a", "doc_b"])
@@ -686,15 +853,16 @@ def semantic_near_pairs_indexed(
     )
     pa, ca = probe_lists.alias("a"), assigned.alias("b")
     return (
-        pa.join(
-            ca,
-            (F.col("a.list_id") == F.col("b.list_id"))
-            & (F.col("a.probe_id") != F.col("b.vec_id")),
-        )
-        .select(
-            F.least("a.probe_id", "b.vec_id").alias("doc_a"),
-            F.greatest("a.probe_id", "b.vec_id").alias("doc_b"),
-            _cos_ab(),
+        _fold_cos_arrow(
+            pa.join(
+                ca,
+                (F.col("a.list_id") == F.col("b.list_id"))
+                & (F.col("a.probe_id") != F.col("b.vec_id")),
+            ),
+            [
+                F.least("a.probe_id", "b.vec_id").alias("doc_a"),
+                F.greatest("a.probe_id", "b.vec_id").alias("doc_b"),
+            ],
         )
         .filter(F.col("cos") >= threshold)
         .dropDuplicates(["doc_a", "doc_b"])
@@ -754,22 +922,29 @@ def _route_probes(probes: DataFrame, seeds: DataFrame, nprobe: int) -> DataFrame
 
 
 def _rank_candidates(
-    probe_lists: DataFrame, assigned: DataFrame, k: int
+    probe_lists: DataFrame,
+    assigned: DataFrame,
+    k: int,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Exact cosine + per-probe top-k over the pruned candidate set —
     (probe_id, rank, vec_id, cos).  Probe side broadcast; the assigned
-    corpus never shuffles (the equi-join on list_id runs map-side)."""
+    corpus never shuffles (the equi-join on list_id runs map-side).
+    ``use_arrow`` picks the vectorized scoring tier when the caller
+    knows the routed volume (:data:`ARROW_SCORE_MIN_ROUTED`)."""
     pa, ca = probe_lists.alias("a"), assigned.alias("b")
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        F.broadcast(pa)
-        .join(
+    scored = _score_pairs(
+        F.broadcast(pa).join(
             ca,
             (F.col("a.list_id") == F.col("b.list_id"))
             & (F.col("a.probe_id") != F.col("b.vec_id")),
-        )
-        .select("probe_id", F.col("b.vec_id").alias("vec_id"), _cos_ab())
-        .withColumn("rank", F.row_number().over(w))
+        ),
+        [F.col("a.probe_id").alias("probe_id"), F.col("b.vec_id").alias("vec_id")],
+        use_arrow=use_arrow,
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("probe_id", "rank", "vec_id", "cos")
     )
@@ -934,10 +1109,7 @@ def ivf_topk_indexed(
         spark, os.path.join(root, "seeds"), fs=fs, version=pin.get("seeds")
     )
     probe_lists = deferred_persist(_route_probes(probes, seeds, nprobe))
-    wanted = sorted(
-        r["list_id"]
-        for r in probe_lists.select("list_id").distinct().collect()
-    )
+    wanted, n_routed = _routed_lists(probe_lists)
     assigned = snapshot_read(
         spark,
         os.path.join(root, "corpus"),
@@ -945,7 +1117,9 @@ def ivf_topk_indexed(
         fs=fs,
         version=pin.get("corpus"),
     )
-    return _rank_candidates(probe_lists, assigned, k)
+    return _rank_candidates(
+        probe_lists, assigned, k, use_arrow=n_routed >= ARROW_SCORE_MIN_ROUTED
+    )
 
 
 def ivf_index_delete(rows: DataFrame, root: str, fs=None) -> str:
@@ -1247,10 +1421,7 @@ def _q_candidates(
         spark, os.path.join(root, "seeds"), fs=fs, version=pin.get("seeds")
     )
     probe_lists = deferred_persist(_route_probes(probes, seeds, nprobe))
-    wanted = sorted(
-        r["list_id"]
-        for r in probe_lists.select("list_id").distinct().collect()
-    )
+    wanted, n_routed = _routed_lists(probe_lists)
     qcorpus = snapshot_read(
         spark,
         os.path.join(root, "corpus_q"),
@@ -1259,23 +1430,27 @@ def _q_candidates(
         version=pin.get("corpus_q"),
     )
     pa, ca = probe_lists.alias("a"), qcorpus.alias("b")
-    return (
-        F.broadcast(pa)
-        .join(
+    # qcos tiered (ARROW_SCORE_MIN_ROUTED): the Arrow kernel promotes
+    # the int8 payload to double element-wise (exact, like the
+    # expression's cast) and folds vectorized — bit-identical qcos
+    # either way (tests/test_arrow_folds.py).
+    return _score_pairs(
+        F.broadcast(pa).join(
             ca,
             (F.col("a.list_id") == F.col("b.list_id"))
             & (F.col("a.probe_id") != F.col("b.vec_id")),
-        )
-        .select(
-            "probe_id",
+        ),
+        [
+            F.col("a.probe_id").alias("probe_id"),
             F.col("a.v").alias("v"),
             F.col("a.nrm").alias("nrm"),
             F.col("b.vec_id").alias("vec_id"),
             F.col("b.list_id").alias("list_id"),
-            (F.expr(_DOT_AQ) / (F.col("a.nrm") * F.col("b.qnrm"))).alias(
-                "qcos"
-            ),
-        )
+        ],
+        b_vec="b.qv",
+        b_nrm="b.qnrm",
+        cos_name="qcos",
+        use_arrow=n_routed >= ARROW_SCORE_MIN_ROUTED,
     )
 
 
@@ -1388,9 +1563,16 @@ def ivf_topk_indexed_quantized_rerank(
     a, b = cand.alias("a"), full.alias("b")
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
-        F.broadcast(a)
-        .join(b, F.col("a.vec_id") == F.col("b.vec_id"))
-        .select("probe_id", F.col("b.vec_id").alias("vec_id"), _cos_ab())
+        _score_pairs(
+            F.broadcast(a).join(b, F.col("a.vec_id") == F.col("b.vec_id")),
+            [
+                F.col("a.probe_id").alias("probe_id"),
+                F.col("b.vec_id").alias("vec_id"),
+            ],
+            # len(rows) is the survivor count already collected above —
+            # the re-score pair volume, so it picks the tier for free
+            use_arrow=len(rows) >= ARROW_SCORE_MIN_ROUTED,
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("probe_id", "rank", "vec_id", "cos")
