@@ -53,15 +53,88 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def shingle_sets(
-    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """(id, distinct k-gram shingle hashes, set size) per document —
-    one narrow projection, shared by the Jaccard and MinHash paths."""
-    sh = H.shingle_hashes(H.word_hashes(text_col), k)
-    return docs.select(
-        F.col(id_col),
-        F.array_distinct(F.expr(sh.spark)).alias("shingles"),
-    ).withColumn("n_shingles", F.size("shingles"))
+    one narrow per-row pass, shared by the Jaccard / MinHash / LSH /
+    decontamination paths.
+
+    Default path (r18, guide §4.2): ONE Arrow ``mapInPandas`` pass
+    computing the identical integer pipeline vectorized — the
+    expression form's per-code-point ``aggregate`` fold and per-gram
+    ``transform`` are CodegenFallback (interpreted per element; ~0.5 s
+    of the ~1 s shingle pass at sf0.1 on ONE core, since a
+    single-row-group fixture gives the scan one split).  Exact
+    arithmetic twin: token hashes via the same ``(acc*31 + codepoint)
+    % P`` fold over Python code points (Java's split-per-code-point +
+    ``ascii`` semantics — unicode-pinned in tests/test_arrow_folds.py),
+    k-gram combine as the same ``(… * B + h) % P`` int64 chain,
+    distinct keeping FIRST-OCCURRENCE order like ``array_distinct``,
+    null text → empty set like the expression's null collapse.  Token
+    hashes are memoized per task (vocabulary ≪ token stream).  No
+    exchange — the plan guard pinning text/shingle arrays out of every
+    shuffle is untouched.  ``use_arrow=False`` keeps the original
+    expression plan (the property test compares the two)."""
+    if not use_arrow:
+        sh = H.shingle_hashes(H.word_hashes(text_col), k)
+        return docs.select(
+            F.col(id_col),
+            F.array_distinct(F.expr(sh.spark)).alias("shingles"),
+        ).withColumn("n_shingles", F.size("shingles"))
+
+    P, B = H.P, H.B
+
+    def shingle(batches):
+        import numpy as np
+        import pandas as pd
+
+        cache: dict = {}
+
+        def doc_shingles(text):
+            if text is None:
+                return np.empty(0, dtype=np.int64)
+            hs = []
+            for w in text.split(" "):
+                if not w:
+                    continue
+                h = cache.get(w)
+                if h is None:
+                    h = 0
+                    for c in w:
+                        h = (h * 31 + ord(c)) % P
+                    cache[w] = h
+                hs.append(h)
+            n = len(hs) - k + 1
+            if n <= 0:
+                return np.empty(0, dtype=np.int64)
+            arr = np.array(hs, dtype=np.int64)
+            sh = arr[:n].copy()
+            for j in range(1, k):
+                sh = (sh * B + arr[j : j + n]) % P
+            return pd.unique(sh)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sets = [doc_shingles(t) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "shingles": sets,
+                    "n_shingles": np.array(
+                        [len(s) for s in sets], dtype=np.int32
+                    ),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        shingle,
+        f"{id_col} long, shingles array<bigint>, n_shingles int",
+    )
 
 
 def jaccard_pairs(
@@ -148,6 +221,13 @@ def _banded_keys(
             "per band overflows the base-P int64 key combine "
             f"(P^{rows} > int64 max) — use num_hashes <= 2 * bands"
         )
+    # Measured and REJECTED (r18): spreading the exploded (id, sh)
+    # rows up to the core count before this aggregate (the multimodal
+    # `_spread` pattern).  Interleaved A/B on the bench fixture read
+    # the spread variant ~15% SLOWER end-to-end — the extra round-robin
+    # exchange costs more than parallelizing the 16-way partial min
+    # saves at ~80k exploded rows — and at scale the scan already has
+    # ≥ cores splits, so the spread would never fire there either.
     inv = sets.select(F.col(id_col), F.explode("shingles").alias("sh"))
     mins = []
     for i in range(num_hashes):

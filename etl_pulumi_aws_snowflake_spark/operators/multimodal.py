@@ -55,22 +55,17 @@ FEATURE_SCHEMA = StructType(
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition up to the session's core count when the
-    input's planned parallelism is BELOW it.  The codec tiers (encode
-    in the ``as_*`` builders, decode in the feature/pixel extractors)
-    are the most CPU-expensive per-row work in the engine, and a small
-    single-row-group file is ONE scan split — the r18 profile measured
-    the whole JPEG entry serialized on 1 task of 32 cores.  The guard
-    makes this scale-correct rather than a local-mode constant: a
-    production scan already has ≥ cores splits, so the repartition
-    never fires and no extra Exchange appears; it only widens
-    under-parallel inputs, and what it shuffles is the pruned
-    (doc_id, text) projection, never a decoded payload."""
-    sc = df.sparkSession.sparkContext
-    cores = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:
-        return df.repartition(cores)
-    return df
+    """Round-robin repartition up to the core count for the codec
+    tiers — the most CPU-expensive per-row work in the engine; the
+    r18 profile measured the whole JPEG entry serialized on 1 task of
+    32 cores behind a single-row-group scan split.  Shared logic (and
+    the full scale-correctness rationale) lives in
+    :func:`..operators.parallel.spread_to_cores`; what this call
+    shuffles when it fires is the pruned (doc_id, text) projection,
+    never a decoded payload."""
+    from .parallel import spread_to_cores
+
+    return spread_to_cores(df)
 
 
 def as_media(docs: DataFrame, text_col: str = "text") -> DataFrame:

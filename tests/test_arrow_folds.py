@@ -156,6 +156,39 @@ def test_pq_encode_arrow_bit_identical_to_expression(spark):
     )
 
 
+def test_shingle_sets_arrow_bit_identical_to_expression(spark):
+    """The Arrow shingle kernel must reproduce the expression pipeline
+    EXACTLY — same hashes (unicode/emoji code points included: Java
+    splits per code point and ``ascii`` returns it, Python ``ord``
+    likewise), same first-occurrence distinct order, null text → empty
+    set, sub-k docs → empty set."""
+    from etl_pulumi_aws_snowflake_spark.operators.dedup import shingle_sets
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "one two"),
+        (5, "a b c d e"),
+        (6, "héllo wörld ünïcode tokens here"),
+        (7, "汉字 测试 日本語 テスト emoji 😀 🚀 mix"),
+        (8, "a  b   c d e f"),
+        (9, "dup dup dup dup dup"),
+        (10, "z y x w v u t s r q p o n m l k"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (3, 5):
+        got = {
+            r["doc_id"]: (list(r["shingles"]), r["n_shingles"])
+            for r in shingle_sets(df, k).collect()
+        }
+        want = {
+            r["doc_id"]: (list(r["shingles"]), r["n_shingles"])
+            for r in shingle_sets(df, k, use_arrow=False).collect()
+        }
+        assert got == want  # values AND order AND sizes
+
+
 def test_pq_adc_serve_matches_expression_fold(spark, tmp_path):
     """The LUT-assembled ADC estimate must equal the per-pair strict
     fold: serve a small index both ways — the kernel path via
