@@ -658,9 +658,20 @@ def _seed_rows_frame(spark, seed_rows: list) -> DataFrame:
     corpus-wide hash-rank pick one more time per consumer (the r18
     profile measured the pick re-running once per seed-table consumer:
     the assignment collect, the member commit, the probe routing — at
-    100 TB each re-run is a full corpus scan)."""
-    return spark.createDataFrame(
-        [(r["seed_id"], r["v"], r["nrm"]) for r in seed_rows],
+    100 TB each re-run is a full corpus scan).
+
+    Arrow-backed (:func:`~..functions.localrel.local_frame`, r19 —
+    VERDICT r18 #1): the list-of-tuples ``createDataFrame`` spelling
+    compiles to a pickled Python RDD whose ``Scan ExistingRDD`` node
+    re-enters Python workers on EVERY action — measured ~0.5 s per
+    serve, the whole r18 ``sim_ivf_topk``/``_nlists`` regression.  The
+    Arrow path is a pure JVM ``LocalTableScan``; same rows, same
+    doubles, no Python at execution."""
+    from ..functions.localrel import local_frame
+
+    return local_frame(
+        spark,
+        [(r["seed_id"], list(r["v"]), r["nrm"]) for r in seed_rows],
         "seed_id long, v array<double>, nrm double",
     )
 
