@@ -26,17 +26,52 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 
 
-def local_frame(spark, rows: Sequence, schema: str) -> DataFrame:
+def local_frame(spark, rows: Sequence, schema) -> DataFrame:
     """A LocalTableScan-backed DataFrame from driver-side ``rows``
-    (sequence of tuples/lists, column order matching ``schema``).
+    (sequence of tuples/lists, column order matching ``schema`` — a
+    DDL string or a ``StructType``).
 
     Intended for SMALL tables (the callers' collects are all bounded —
     seed tables by MAX_CLOSURE_SEEDS, bases by the partition count,
     terms by the query): the whole relation lives in the plan/driver.
+    An EMPTY ``rows`` is also worth routing here: an empty
+    LocalTableScan lets Catalyst prune the branch statically
+    (PropagateEmptyRelation), which an RDD-backed scan of unknown
+    emptiness never can.
     """
     import pandas as pd
 
-    names = [f.split()[0] for f in _split_fields(schema)]
+    if not len(rows):
+        # Spark's Arrow conversion skips EMPTY pandas frames (falling
+        # back to the RDD path), so build the empty relation through
+        # the JVM list API: a true empty LocalRelation with the EXACT
+        # target schema (names, types, nullability — ``.to`` would
+        # reject nullable→non-nullable), statically prunable by
+        # PropagateEmptyRelation.  Any py4j surprise falls back to the
+        # classic (RDD-backed) spelling, which is merely slower.
+        from pyspark.sql import types as T
+
+        dt = (
+            T._parse_datatype_string(schema)
+            if isinstance(schema, str)
+            else schema
+        )
+        try:
+            jvm = spark._jvm
+            jschema = jvm.org.apache.spark.sql.types.DataType.fromJson(
+                dt.json()
+            )
+            jdf = spark._jsparkSession.createDataFrame(
+                jvm.java.util.ArrayList(), jschema
+            )
+            return DataFrame(jdf, spark)
+        except Exception:
+            return spark.createDataFrame([], dt)
+
+    if isinstance(schema, str):
+        names = [f.split()[0] for f in _split_fields(schema)]
+    else:
+        names = list(schema.names)
     data = {
         name: pd.Series([r[i] for r in rows], dtype=object)
         for i, name in enumerate(names)

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..cache import deferred_persist
 from ..functions import hashing as H
+from ..functions.localrel import local_frame
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -640,7 +641,8 @@ def lsh_build_index(
             "— use num_hashes <= 2 * bands"
         )
     spark = docs.sparkSession
-    meta = spark.createDataFrame(
+    meta = local_frame(
+        spark,
         [(k, num_hashes, bands, n_buckets)],
         "k int, num_hashes int, bands int, n_buckets int",
     )

@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.localrel import local_frame
 from ..functions.text import char_trigrams
 
 #: Driver-side model cap: K (count, trigram) pairs are collected and
@@ -86,8 +87,9 @@ def trigram_frequency_score(
             f"no trigrams in {text_col!r} — every document is shorter "
             "than 3 characters; nothing to model"
         )
-    model = docs.sparkSession.createDataFrame(
-        [(r["tg"], int(r["c"])) for r in top], "tg string, c long"
+    model = local_frame(
+        docs.sparkSession, [(r["tg"], int(r["c"])) for r in top],
+        "tg string, c long",
     )
     return (
         docs.select(id_col, F.explode(tri).alias("tg"))

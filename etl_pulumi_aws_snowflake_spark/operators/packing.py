@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.localrel import local_frame
+
 
 def global_offsets(
     df: DataFrame,
@@ -85,7 +87,11 @@ def global_offsets(
     for pid in range(n):
         bases.append((pid, acc))
         acc += int(totals.get(pid, 0) or 0)
-    base_df = spark.createDataFrame(bases, schema="_pid int, _base bigint")
+    # Arrow-backed local relation (r19): the list-of-tuples spelling is
+    # a pickled Python RDD re-entering Python workers on EVERY action
+    # of the returned plan (~0.5 s each, functions/localrel.py) — the
+    # broadcast side of pass 2 pays it per materialization.
+    base_df = local_frame(spark, bases, "_pid int, _base bigint")
     # Pass 2: partition-local running sum + broadcast base join.
     w = (
         Window.partitionBy("_pid")

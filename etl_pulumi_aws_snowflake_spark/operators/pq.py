@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..cache import deferred_persist
+from ..functions.localrel import local_frame
 from .similarity import (
     ARROW_SCORE_MIN_ROUTED,
     MAX_RERANK_IDS,
@@ -247,8 +248,8 @@ def train_pq_codebooks_fold(
         f"), 1).c"
     )
     for _ in range(n_iter):
-        cbdf = spark.createDataFrame(
-            cb_rows, "sub_id int, code_id int, cv array<double>"
+        cbdf = local_frame(
+            spark, cb_rows, "sub_id int, code_id int, cv array<double>"
         )
         moved = (
             subs.crossJoin(F.broadcast(_cbv_one_row(cbdf, m, codes)))
@@ -331,8 +332,9 @@ def _cb_frame_validate(cb: DataFrame, spark, m: int, codes: int) -> DataFrame:
             "smaller than `codes` cannot seed hash-rank codebooks (lower "
             "`codes`), and custom codebooks must be complete"
         )
-    return spark.createDataFrame(
-        [(r["sub_id"], r["code_id"], r["cv"]) for r in rows],
+    return local_frame(
+        spark,
+        [(r["sub_id"], r["code_id"], list(r["cv"])) for r in rows],
         "sub_id int, code_id int, cv array<double>",
     )
 
@@ -345,8 +347,8 @@ def _cb_frame(corpus: DataFrame, m: int, codes: int, codebooks) -> DataFrame:
         rows = [
             (int(j), int(c), [float(x) for x in cv]) for j, c, cv in codebooks
         ]
-        cb = spark.createDataFrame(
-            rows, "sub_id int, code_id int, cv array<double>"
+        cb = local_frame(
+            spark, rows, "sub_id int, code_id int, cv array<double>"
         )
     return _cb_frame_validate(cb, corpus.sparkSession, m, codes)
 
@@ -605,7 +607,8 @@ def ivf_build_index_pq(
             seeds, os.path.join(root, "seeds"), fs=fs
         ),
         "pq_meta": lambda: snapshot_commit(
-            spark.createDataFrame(
+            local_frame(
+                spark,
                 [(m, codes, sd, bool(residual))],
                 "m int, codes int, sub_dim int, residual boolean",
             ),

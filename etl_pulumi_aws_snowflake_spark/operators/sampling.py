@@ -56,6 +56,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.localrel import local_frame
+
 #: 15 md5 hex chars = 60 bits — matches queries/llm_sampling.py's
 #: hash-gate integer, so every sampler ranks rows identically.
 HASH_BITS = 60
@@ -327,7 +329,8 @@ def _take_exact(
         frac = target / r["_d"]
         t = _H_MAX if frac >= 1.0 else int(_H_MAX * frac) + 1
         rows.append((r[stratum_col], t, q))
-    th = spark.createDataFrame(
+    th = local_frame(
+        spark,
         rows,
         T.StructType(
             [

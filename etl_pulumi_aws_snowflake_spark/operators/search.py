@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
+from ..functions.localrel import local_frame
 
 #: Default BM25 free parameters (the Robertson/Walker standard).
 K1 = 1.2
@@ -299,7 +300,7 @@ def phrase_search_indexed(
     pin = index_current(root, fs=fs) or {}
     _, _, n_buckets = _bm25_meta(spark, root, fs, version=pin.get("meta"))
     routed = (
-        spark.createDataFrame([(t,) for t in phrase], "term string")
+        local_frame(spark, [(t,) for t in phrase], "term string")
         .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("tb"))
         .distinct()
         .collect()
@@ -567,7 +568,7 @@ def bm25_topk_indexed(
     pin = index_current(root, fs=fs) or {}
     n, sum_dl, n_buckets = _bm25_meta(spark, root, fs, version=pin.get("meta"))
     routed = (
-        spark.createDataFrame([(t,) for t in terms], "term string")
+        local_frame(spark, [(t,) for t in terms], "term string")
         .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("tb"))
         .distinct()
         .collect()
@@ -789,7 +790,8 @@ def bm25_index_delete(
         delete_col="_del",
         fs=fs,
     )
-    meta = spark.createDataFrame(
+    meta = local_frame(
+        spark,
         [(n - bn, sum_dl - bdl, n_buckets)],
         "n bigint, sum_dl bigint, n_buckets int",
     )

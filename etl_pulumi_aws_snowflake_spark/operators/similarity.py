@@ -396,10 +396,12 @@ def _seed_frame(
     Norms are computed by the same JVM fold in every flavor, so all
     three feed the identical assignment code paths."""
     if centroids is not None:
+        from ..functions.localrel import local_frame
+
         spark = corpus.sparkSession
         rows = [(int(i), [float(x) for x in v]) for i, v in centroids]
-        return spark.createDataFrame(
-            rows, "seed_id long, v array<double>"
+        return local_frame(
+            spark, rows, "seed_id long, v array<double>"
         ).withColumn("nrm", F.expr(f"sqrt({V.dot_cols('v', 'v')})"))
     if nlists is not None:
         if nlists < 1:

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators.joins import asof_join, range_join
 from ._util import scaled_sum, ints, sql_ints, sql_scaled_sum, t
+from ..functions.localrel import local_frame
 from .registry import query
 
 
@@ -190,7 +191,8 @@ def join_theta(spark, sf_dir):
 )
 def join_range(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
-    bands = spark.createDataFrame(
+    bands = local_frame(
+        spark,
         [("low", 0.0, 20.0), ("mid", 20.0, 35.0), ("high", 35.0, 100.0)],
         "band_name string, lo double, hi double",
     )

@@ -17,6 +17,7 @@ from __future__ import annotations
 from ..operators import bpe as B
 from ..operators import packing as P
 from ._util import t
+from ..functions.localrel import local_frame
 from .registry import query
 
 #: Judged hyperparameters — shared by all three entries and their
@@ -121,9 +122,9 @@ def text_bpe_train(spark, sf_dir):
     windowing, fixpoint semantics on symbol runs — shows up as a
     different learned merge at the exact rank that diverged."""
     merges = _train(t(spark, sf_dir, "documents"))
-    return spark.createDataFrame(
-        merges, "rank long, lhs string, rhs string, merged string, "
-                "pair_count long",
+    return local_frame(
+        spark, merges,
+        "rank long, lhs string, rhs string, merged string, pair_count long",
     )
 
 

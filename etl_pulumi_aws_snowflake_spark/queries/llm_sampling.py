@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ._util import t
+from ..functions.localrel import local_frame
 from .registry import query
 
 
@@ -299,7 +300,7 @@ def sample_exact_quota_fail_loud(spark, sf_dir):
             ),
         ),
     ]
-    return spark.createDataFrame(outcomes, "contract string, raised boolean")
+    return local_frame(spark, outcomes, "contract string, raised boolean")
 
 
 @query(

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from ..functions import vectors as V
 from ..operators import similarity as S
 from ._util import t
+from ..functions.localrel import local_frame
 from .registry import query
 
 # Probes: every 50th vector (10 probes at the 500-row correctness SF).
@@ -1109,7 +1110,8 @@ def dedup_semantic_recall(spark, sf_dir):
     n_exact = exact.count()
     n_indexed = routed.count()
     n_caught = caught.count()
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(n_exact, n_indexed, n_caught, float(n_caught) / float(n_exact))],
         "n_exact long, n_indexed long, n_caught long, recall double",
     )

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from ..functions import hashing as H
 from ..functions import text as T
 from ._util import t
+from ..functions.localrel import local_frame
 from .registry import query
 
 
@@ -190,7 +191,7 @@ def text_quality_model(spark, sf_dir):
     ``text_bpe_train`` pattern; operators/quality_model.py)."""
     docs = t(spark, sf_dir, "documents")
     model = train_quality_lda(docs)
-    return spark.createDataFrame(model_rows(model), MODEL_SCHEMA)
+    return local_frame(spark, model_rows(model), MODEL_SCHEMA)
 
 
 @query(

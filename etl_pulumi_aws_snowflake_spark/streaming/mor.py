@@ -65,6 +65,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localrel import local_frame
+
 from ..operators.warehouse import merge_schema_check
 from .snapshot import (
     DEFAULT_FS,
@@ -143,7 +145,7 @@ def mor_init(
     if missing:
         raise ValueError(f"mor_init key column(s) {missing} not in df")
     spark = df.sparkSession
-    empty = spark.createDataFrame([], df.schema)
+    empty = local_frame(spark, [], df.schema)
     # dv rows carry the partition column alongside the key (r14,
     # VERDICT r13 #4/#5): under the layer's stable-partition contract
     # (a key's partition value never changes — the same contract every
@@ -638,21 +640,28 @@ def mor_compact(
             keep=keep,
             fs=fs,
         )
-    empty_dv = spark.createDataFrame([], dv.schema)
-    empty_data = spark.createDataFrame([], data.schema)
-    # Disjoint roots, no ordering until the pin — reset concurrently
-    # (guide §2.6), as in mor_merge above.
-    versions = commit_concurrently(
-        {
-            "dv": lambda: _reset_sidecar(
-                empty_dv, _member(root, "dv"), pin["dv"], keep=keep, fs=fs
-            ),
-            "data": lambda: _reset_sidecar(
-                empty_data, _member(root, "data"), pin["data"], keep=keep, fs=fs
-            ),
-        }
+    empty_dv = local_frame(spark, [], dv.schema)
+    empty_data = local_frame(spark, [], data.schema)
+    # The resets run SEQUENTIALLY, not through commit_concurrently
+    # (r19, reverting that corner of the r18 §2.6 sweep): the reset
+    # pair IS the conflict-detection protocol — a concurrent mor_merge
+    # must either land wholly before the first reset (then BOTH resets
+    # see its advanced pointers and raise the orderly
+    # SnapshotConflictError with the batch intact) or lose its own
+    # optimistic commit.  Overlapped resets open a window where the
+    # merge's dv commit races one reset while the other has already
+    # succeeded — the merge then loses even though it "landed first",
+    # which tests pin as a lost batch.  The cost is two SEQUENTIAL
+    # empty-frame writes, and an empty LocalTableScan commit is nearly
+    # free (functions/localrel.py); mor_init/mor_merge keep their
+    # concurrent member commits, where the members are peers and no
+    # protocol orders them.
+    vv = _reset_sidecar(
+        empty_dv, _member(root, "dv"), pin["dv"], keep=keep, fs=fs
     )
-    vv, vd = versions["dv"], versions["data"]
+    vd = _reset_sidecar(
+        empty_data, _member(root, "data"), pin["data"], keep=keep, fs=fs
+    )
     index_publish(
         root,
         {"base": vb, "dv": vv, "data": vd},

@@ -135,6 +135,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -165,6 +166,32 @@ class SnapshotConflictError(RuntimeError):
     """Another writer published a version between this commit's read
     point and its pointer swap; the commit was abandoned (live pointer
     untouched, unpublished dir removed).  Re-read and retry."""
+
+
+#: Per-root in-process commit locks.  Two same-process writers whose
+#: commits derive from the same expected version compute the same
+#: ``v-next`` dir; both writing it CONCURRENTLY lets one
+#: ``mode("overwrite")`` clobber the other's in-flight ``_temporary``
+#: files — an opaque FS error (and possible torn data) instead of the
+#: designed :class:`SnapshotConflictError` (surfaced r19 by the
+#: mor compact-vs-merge race test once empty sidecar frames stopped
+#: paying Python-worker latency).  Serializing the write+swap window
+#: per root turns that race back into the orderly conflict.  Commits
+#: to DIFFERENT roots — the §2.6 concurrent member commits — never
+#: contend.  Cross-PROCESS writers remain out of contract (the
+#: single-writer rule); this lock is for the in-process overlap the
+#: layer itself creates.
+_COMMIT_LOCKS: dict[str, object] = {}
+_COMMIT_LOCKS_GUARD = threading.Lock()
+
+
+def _commit_lock(root: str):
+    with _COMMIT_LOCKS_GUARD:
+        lock = _COMMIT_LOCKS.get(root)
+        if lock is None:
+            lock = threading.Lock()
+            _COMMIT_LOCKS[root] = lock
+        return lock
 
 
 def _rename_pointer_read(root: str, fs) -> str | None:
@@ -722,7 +749,9 @@ def snapshot_read(
     paths = [_partition_dir(root, ver, val) for val, ver in entries.items()]
     schema = T.StructType.fromJson(json.loads(man["schema"]))
     if not paths:
-        return spark.createDataFrame([], schema).select(*columns)
+        from ..functions.localrel import local_frame
+
+        return local_frame(spark, [], schema).select(*columns)
     # One scan relation over the selected dirs (wherever their version
     # lives); the partition column is read from the data files, so no
     # dir-name type inference and no per-partition plan nodes.  The
@@ -1100,17 +1129,18 @@ def snapshot_commit(
     instead of silently overwriting another writer's publication
     (module docstring)."""
     fs = fs or DEFAULT_FS
-    expected = (
-        _current_version(root, fs) if expected_current is _CAPTURE
-        else expected_current
-    )
-    _check_unchanged(root, expected, fs)
-    new = _next_version_after(expected)
-    df.write.mode("overwrite").parquet(os.path.join(root, new))
-    _check_unchanged(root, expected, fs, new=new)
-    _swap_pointer(root, new, fs)
-    _gc(root, keep, fs)
-    return new
+    with _commit_lock(root):
+        expected = (
+            _current_version(root, fs) if expected_current is _CAPTURE
+            else expected_current
+        )
+        _check_unchanged(root, expected, fs)
+        new = _next_version_after(expected)
+        df.write.mode("overwrite").parquet(os.path.join(root, new))
+        _check_unchanged(root, expected, fs, new=new)
+        _swap_pointer(root, new, fs)
+        _gc(root, keep, fs)
+        return new
 
 
 def snapshot_commit_partitioned(
@@ -1150,90 +1180,91 @@ def snapshot_commit_partitioned(
     if changed_values is not None:
         for val in changed_values:
             _validate_partition_value(val, "changed_values")
-    expected = (
-        _current_version(root, fs) if expected_current is _CAPTURE
-        else expected_current
-    )
-    _check_unchanged(root, expected, fs)
-    new = _next_version_after(expected)
-    ddir = os.path.join(root, new, "data")
-    # Partition by a COPY of the column: the dir key gives the layout,
-    # while the real column stays in the data files so reads never
-    # depend on dir-name parsing (exact values, single scan relation).
-    df.withColumn(_PDIR, F.col(partition_col)).write.mode("overwrite").partitionBy(
-        _PDIR
-    ).parquet(ddir)
-    written = {
-        d.split("=", 1)[1] for d in fs.listdir(ddir) if d.startswith(f"{_PDIR}=")
-    }
-    try:
-        for key in written:
-            # An escaped dir key ('%XX') or the null dir never equals
-            # str(value) — the manifest mapping would corrupt.
-            _validate_partition_value(key, f"column {partition_col!r}")
-    except ValueError:
-        # Nothing was published: the pointer still names the old
-        # version.  Drop the orphaned dir so GC bookkeeping stays clean.
-        fs.rmtree(os.path.join(root, new))
-        raise
-
-    entries: dict[str, str] = {}
-    stats: dict[str, dict] = {}
-    if changed_values is not None:
-        prev_man = _read_manifest(root, expected, fs) if expected else None
-        if prev_man is None:
-            # Same cleanup as the unsafe-data path: nothing published.
+    with _commit_lock(root):
+        expected = (
+            _current_version(root, fs) if expected_current is _CAPTURE
+            else expected_current
+        )
+        _check_unchanged(root, expected, fs)
+        new = _next_version_after(expected)
+        ddir = os.path.join(root, new, "data")
+        # Partition by a COPY of the column: the dir key gives the layout,
+        # while the real column stays in the data files so reads never
+        # depend on dir-name parsing (exact values, single scan relation).
+        df.withColumn(_PDIR, F.col(partition_col)).write.mode("overwrite").partitionBy(
+            _PDIR
+        ).parquet(ddir)
+        written = {
+            d.split("=", 1)[1] for d in fs.listdir(ddir) if d.startswith(f"{_PDIR}=")
+        }
+        try:
+            for key in written:
+                # An escaped dir key ('%XX') or the null dir never equals
+                # str(value) — the manifest mapping would corrupt.
+                _validate_partition_value(key, f"column {partition_col!r}")
+        except ValueError:
+            # Nothing was published: the pointer still names the old
+            # version.  Drop the orphaned dir so GC bookkeeping stays clean.
             fs.rmtree(os.path.join(root, new))
-            raise ValueError(
-                "changed_values requires the previous version to be "
-                "partitioned (snapshot_commit_partitioned with full rewrite "
-                "first)"
-            )
-        entries.update(prev_man["entries"])
-        carried = prev_man.get("stats") or {}
-        if prev_man.get("stats_contract") != STATS_CONTRACT:
-            # Carried bounds from a manifest that can't vouch for the
-            # NaN discipline: keep the NaN-immune int/str bounds, drop
-            # the float ones (see STATS_CONTRACT).
-            carried = _strip_float_bounds(carried)
-        stats.update(carried)
-        for val in changed_values:
-            entries.pop(str(val), None)
-            stats.pop(str(val), None)
-    entries.update({val: new for val in written})
-    # A rewritten partition must NEVER keep carried-forward bounds: the
-    # entries code above tolerates written keys outside changed_values,
-    # and if footer collection below declines (cap / remote root) the
-    # carried stats would describe the OLD data — a later skip_by could
-    # prune rows the rewrite just added.  No stats beats stale stats.
-    for k in written:
-        stats.pop(k, None)
-    written_stats = _collect_partition_stats(ddir, written)
-    if written_stats is not None:
-        stats.update(written_stats)
+            raise
 
-    manifest = {
-        "partition_col": partition_col,
-        "partition_type": dict(df.dtypes)[partition_col],
-        "columns": df.columns,
-        "schema": df.schema.json(),
-        "entries": entries,
-        # Zone maps: {partition_key: {col: [min, max]}} — carried
-        # forward with the entries; absent/partial stats only widen
-        # reads, never narrow them (see _collect_partition_stats).
-        "stats": {k: v for k, v in stats.items() if k in entries},
-        # Every float bound above is footer-harvested under parquet-mr
-        # NaN poisoning (foreign-contract carries were stripped) — the
-        # proof skip_by needs before float-pruning (STATS_CONTRACT).
-        "stats_contract": STATS_CONTRACT,
-    }
-    tmp = os.path.join(root, new, f".{_MANIFEST}.tmp")
-    fs.write_text(tmp, json.dumps(manifest))
-    fs.rename(tmp, os.path.join(root, new, _MANIFEST))
-    _check_unchanged(root, expected, fs, new=new)
-    _swap_pointer(root, new, fs)
-    _gc(root, keep, fs)
-    return new
+        entries: dict[str, str] = {}
+        stats: dict[str, dict] = {}
+        if changed_values is not None:
+            prev_man = _read_manifest(root, expected, fs) if expected else None
+            if prev_man is None:
+                # Same cleanup as the unsafe-data path: nothing published.
+                fs.rmtree(os.path.join(root, new))
+                raise ValueError(
+                    "changed_values requires the previous version to be "
+                    "partitioned (snapshot_commit_partitioned with full rewrite "
+                    "first)"
+                )
+            entries.update(prev_man["entries"])
+            carried = prev_man.get("stats") or {}
+            if prev_man.get("stats_contract") != STATS_CONTRACT:
+                # Carried bounds from a manifest that can't vouch for the
+                # NaN discipline: keep the NaN-immune int/str bounds, drop
+                # the float ones (see STATS_CONTRACT).
+                carried = _strip_float_bounds(carried)
+            stats.update(carried)
+            for val in changed_values:
+                entries.pop(str(val), None)
+                stats.pop(str(val), None)
+        entries.update({val: new for val in written})
+        # A rewritten partition must NEVER keep carried-forward bounds: the
+        # entries code above tolerates written keys outside changed_values,
+        # and if footer collection below declines (cap / remote root) the
+        # carried stats would describe the OLD data — a later skip_by could
+        # prune rows the rewrite just added.  No stats beats stale stats.
+        for k in written:
+            stats.pop(k, None)
+        written_stats = _collect_partition_stats(ddir, written)
+        if written_stats is not None:
+            stats.update(written_stats)
+
+        manifest = {
+            "partition_col": partition_col,
+            "partition_type": dict(df.dtypes)[partition_col],
+            "columns": df.columns,
+            "schema": df.schema.json(),
+            "entries": entries,
+            # Zone maps: {partition_key: {col: [min, max]}} — carried
+            # forward with the entries; absent/partial stats only widen
+            # reads, never narrow them (see _collect_partition_stats).
+            "stats": {k: v for k, v in stats.items() if k in entries},
+            # Every float bound above is footer-harvested under parquet-mr
+            # NaN poisoning (foreign-contract carries were stripped) — the
+            # proof skip_by needs before float-pruning (STATS_CONTRACT).
+            "stats_contract": STATS_CONTRACT,
+        }
+        tmp = os.path.join(root, new, f".{_MANIFEST}.tmp")
+        fs.write_text(tmp, json.dumps(manifest))
+        fs.rename(tmp, os.path.join(root, new, _MANIFEST))
+        _check_unchanged(root, expected, fs, new=new)
+        _swap_pointer(root, new, fs)
+        _gc(root, keep, fs)
+        return new
 
 
 def _partitions_touched_between(
