@@ -99,6 +99,12 @@ def shingle_sets(
             if text is None:
                 return np.empty(0, dtype=np.int64)
             hs = []
+            if len(cache) > 1_000_000:
+                # bound the per-task memo (ADVICE r18): an adversarial
+                # vocabulary (every token unique) would otherwise grow
+                # it with the token stream; a reset only costs re-
+                # hashing, never correctness.
+                cache.clear()
             for w in text.split(" "):
                 if not w:
                     continue
@@ -132,9 +138,14 @@ def shingle_sets(
                 }
             )
 
+    # Derive the id field's type from the input (ADVICE r18): the
+    # expression path preserves it, so a hardcoded `long` here would
+    # break (or silently coerce) non-bigint id columns only when
+    # use_arrow=True.
+    id_type = docs.schema[id_col].dataType.simpleString()
     return docs.select(id_col, text_col).mapInPandas(
         shingle,
-        f"{id_col} long, shingles array<bigint>, n_shingles int",
+        f"{id_col} {id_type}, shingles array<bigint>, n_shingles int",
     )
 
 

@@ -35,12 +35,51 @@ def spread_to_cores(df: DataFrame) -> DataFrame:
     this helper must not pay a job to second-guess."""
     sc = df.sparkSession.sparkContext
     cores = sc.defaultParallelism
-    plan = df._jdf.queryExecution().analyzed().toString()
-    if any(
-        marker in plan
-        for marker in ("Join", "Aggregate", "Window", "Sort", "Distinct")
-    ):
+    if _wide_ancestored(df):
         return df
     if df.rdd.getNumPartitions() < cores:
         return df.repartition(cores)
     return df
+
+
+#: Logical-plan node classes whose presence means the frame's
+#: parallelism already comes from a shuffle (so the partition-count
+#: probe would EXECUTE upstream stages under AQE — the measured
+#: +1-job hazard above).  Matched on ``nodeName`` of the ANALYZED
+#: plan: ``Deduplicate`` is what dropDuplicates()/distinct() print
+#: (not "Distinct"), and Repartition nodes are included so an
+#: explicitly repartitioned frame is never probed either (ADVICE r18
+#: — the old substring match over the rendered plan missed both and
+#: false-positived on any identifier containing "Sort"/"Join").
+_WIDE_NODES = frozenset(
+    {
+        "Join",
+        "Aggregate",
+        "Window",
+        "Sort",
+        "Distinct",
+        "Deduplicate",
+        "DeduplicateWithinWatermark",
+        "Repartition",
+        "RepartitionByExpression",
+        "Intersect",
+        "Except",
+        "GlobalLimit",
+        "Offset",
+    }
+)
+
+
+def _wide_ancestored(df: DataFrame) -> bool:
+    """Walk the analyzed LOGICAL plan's node classes (not its rendered
+    string — column aliases containing "Sort" must not disable the
+    spread) looking for any shuffle-introducing ancestor."""
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() in _WIDE_NODES:
+            return True
+        children = node.children().iterator()
+        while children.hasNext():
+            stack.append(children.next())
+    return False

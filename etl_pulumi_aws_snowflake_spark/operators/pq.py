@@ -405,6 +405,15 @@ def _cb_matrix(cb: DataFrame, m: int, codes: int):
     import numpy as np
 
     rows = cb.collect()
+    if not rows:
+        # Mirror _cb_frame_validate's loud completeness contract: an
+        # empty/stale pq_codebooks snapshot otherwise surfaced as a
+        # bare IndexError on the driver (ADVICE r18).
+        raise ValueError(
+            f"PQ codebook table is empty — expected one entry per "
+            f"(sub_id 1..{m}, code_id 1..{codes}); the index's "
+            "pq_codebooks member is missing or stale (rebuild the index)"
+        )
     sd = len(rows[0]["cv"])
     cbm = np.zeros((m, codes, sd), dtype=np.float64)
     for r in rows:
@@ -752,6 +761,8 @@ def _pq_candidates(
         import numpy as np
         import pyarrow as paw
 
+        from .similarity import _inner_null_rows
+
         mm, cc = cbm.shape[0], cbm.shape[1]
         sdd = cbm.shape[2]
         for batch in batches:
@@ -760,32 +771,63 @@ def _pq_candidates(
                 continue
             idx = {nm: i for i, nm in enumerate(batch.schema.names)}
             pid = batch.column(idx["probe_id"]).to_numpy(zero_copy_only=False)
-            v_cells = batch.column(idx["v"]).to_pandas().to_numpy()
-            pq_mat = np.vstack(
-                batch.column(idx["_pq"]).to_pandas().to_numpy()
-            ).astype(np.int64, copy=False)
-            an = batch.column(idx["nrm"]).to_numpy(zero_copy_only=False)
-            bn = batch.column(idx["_bn"]).to_numpy(zero_copy_only=False)
-            uniq, first, uidx = np.unique(
-                pid, return_index=True, return_inverse=True
-            )
-            p_mat = np.vstack(v_cells[first]).astype(np.float64, copy=False)
-            lut = np.zeros((len(uniq), mm, cc))
-            for j in range(mm):
-                psub = p_mat[:, j * sdd : (j + 1) * sdd]
-                acc = np.zeros((len(uniq), cc))
-                for d in range(sdd):
-                    acc += np.outer(psub[:, d], cbm[j, :, d])
-                lut[:, j, :] = acc
-            dot = np.zeros(n)
-            for j in range(mm):
-                dot += lut[uidx, j, pq_mat[:, j] - 1]
+            # Null masking (ADVICE r18, medium): the expression tier
+            # propagates a null pcos for a null probe vector / code /
+            # norm, and a `_fold_cos_arrow`-style mask keeps the
+            # kernel identical — without it the np.vstack below dies
+            # on the None cell, and ONLY past the tier switch (i.e. at
+            # scale, never on the small fixture).  Zero-null batches
+            # take the mask-free math unchanged.
+            null = np.zeros(n, dtype=bool)
+            fold_cols = ["v", "_pq", "nrm", "_bn"]
             if "_cdot" in idx:
-                dot = (
-                    batch.column(idx["_cdot"]).to_numpy(zero_copy_only=False)
-                    + dot
+                fold_cols.append("_cdot")
+            for cname in fold_cols:
+                col = batch.column(idx[cname])
+                if col.null_count:
+                    null |= np.asarray(col.is_null())
+                if cname in ("v", "_pq"):
+                    rows = _inner_null_rows(col)
+                    if rows is not None and len(rows):
+                        null[rows] = True
+            vi = np.flatnonzero(~null)
+            pcos = np.zeros(n, dtype=np.float64)
+            if len(vi):
+                v_cells = batch.column(idx["v"]).to_pandas().to_numpy()
+                pq_cells = batch.column(idx["_pq"]).to_pandas().to_numpy()
+                an = batch.column(idx["nrm"]).to_numpy(zero_copy_only=False)
+                bn = batch.column(idx["_bn"]).to_numpy(zero_copy_only=False)
+                pid_v = pid[vi]
+                pq_mat = np.vstack(pq_cells[vi]).astype(np.int64, copy=False)
+                uniq, first, uidx = np.unique(
+                    pid_v, return_index=True, return_inverse=True
                 )
-            pcos = dot / (an * bn)
+                p_mat = np.vstack(v_cells[vi][first]).astype(
+                    np.float64, copy=False
+                )
+                lut = np.zeros((len(uniq), mm, cc))
+                for j in range(mm):
+                    psub = p_mat[:, j * sdd : (j + 1) * sdd]
+                    acc = np.zeros((len(uniq), cc))
+                    for d in range(sdd):
+                        acc += np.outer(psub[:, d], cbm[j, :, d])
+                    lut[:, j, :] = acc
+                dot = np.zeros(len(vi))
+                for j in range(mm):
+                    dot += lut[uidx, j, pq_mat[:, j] - 1]
+                if "_cdot" in idx:
+                    dot = (
+                        batch.column(idx["_cdot"]).to_numpy(
+                            zero_copy_only=False
+                        )[vi]
+                        + dot
+                    )
+                pcos[vi] = dot / (an[vi] * bn[vi])
+            out = (
+                paw.array(pcos, mask=null)
+                if null.any()
+                else paw.array(pcos, from_pandas=False)
+            )
             yield paw.RecordBatch.from_arrays(
                 [
                     batch.column(idx["probe_id"]),
@@ -793,7 +835,7 @@ def _pq_candidates(
                     batch.column(idx["nrm"]),
                     batch.column(idx["vec_id"]),
                     batch.column(idx["list_id"]),
-                    paw.array(pcos, from_pandas=False),
+                    out,
                 ],
                 names=["probe_id", "v", "nrm", "vec_id", "list_id", "pcos"],
             )

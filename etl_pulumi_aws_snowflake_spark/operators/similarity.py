@@ -213,7 +213,15 @@ def _score_pairs(
     """Candidate-pair cosine, tiered: the vectorized Arrow kernel when
     the caller knows the pair volume is past the crossover
     (:data:`ARROW_SCORE_MIN_ROUTED`), the codegen-resident expression
-    fold otherwise.  Bit-identical either way."""
+    fold otherwise.  Bit-identical either way — INCLUDING the
+    zero-norm edge (VERDICT r18 #2): a zero-norm pair's ``0/0`` is NaN
+    in the kernel (numpy — the DuckDB oracle's value), and the ANSI
+    expression divide would RAISE DIVIDE_BY_ZERO instead, so the
+    expression arm guards the zero product explicitly.  Tier selection
+    is volume-dependent, so without the guard the same query over the
+    same data could error below the threshold and succeed above it.
+    Non-zero products take the identical divide as before (the guard
+    is a branch, not a rewrite)."""
     if use_arrow:
         return _fold_cos_arrow(
             joined, cols, b_vec=b_vec, b_nrm=b_nrm, cos_name=cos_name
@@ -223,9 +231,12 @@ def _score_pairs(
         if b_vec == "b.qv"
         else V.dot_cols("a.v", b_vec)
     )
+    prod = F.col("a.nrm") * F.col(b_nrm)
     return joined.select(
         *cols,
-        (F.expr(dot) / (F.col("a.nrm") * F.col(b_nrm))).alias(cos_name),
+        F.when(prod == 0.0, F.lit(float("nan")))
+        .otherwise(F.expr(dot) / prod)
+        .alias(cos_name),
     )
 
 

@@ -99,6 +99,31 @@ def test_fold_cos_arrow_zero_norm_stays_nan(spark):
     assert all(r["cos"] is not None for r in got if r["ida"] % 2 == 1)
 
 
+def test_score_pairs_tiers_agree_on_zero_norm(spark):
+    """VERDICT r18 #2: tier selection is volume-dependent, so the
+    expression arm must produce the SAME rows as the Arrow kernel on a
+    zero-norm pair — NaN, not an ANSI DIVIDE_BY_ZERO raise.  Pinned by
+    running the identical join through BOTH tiers (the two sides of
+    ARROW_SCORE_MIN_ROUTED) over a probe set containing a zero
+    vector."""
+    a = _vec_frame(spark, _rand_rows(6, seed=21, zero_every=3)).alias("a")
+    b = _vec_frame(spark, _rand_rows(7, seed=22)).alias("b")
+    joined = a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+    cols = [F.col("a.vec_id").alias("ida"), F.col("b.vec_id").alias("idb")]
+    expr_rows = S._score_pairs(joined, cols, use_arrow=False).collect()
+    kern_rows = S._score_pairs(joined, cols, use_arrow=True).collect()
+    _assert_same_rows(expr_rows, kern_rows)
+    nan_rows = [
+        r for r in expr_rows if r["cos"] is not None and math.isnan(r["cos"])
+    ]
+    assert nan_rows  # the zero-norm probe scored NaN in the expression arm
+    assert all(
+        r["cos"] is not None and not math.isnan(r["cos"])
+        for r in expr_rows
+        if r["ida"] % 3 != 0
+    )
+
+
 def test_fold_cos_arrow_int8_side_matches_expression(spark):
     """The qv/qnrm form (int8 candidates): element-wise int→double
     promotion then the same fold."""
@@ -247,3 +272,32 @@ def test_pq_adc_serve_matches_expression_fold(spark, tmp_path):
         [(r["probe_id"], r["rank"], r["vec_id"], repr(r["pcos"])) for r in got],
         [(r["probe_id"], r["rank"], r["vec_id"], repr(r["pcos"])) for r in want],
     )
+
+
+def test_pq_adc_kernel_masks_null_probe_embeddings(spark, tmp_path, monkeypatch):
+    """ADVICE r18 (medium): a probe with a NULL embedding survives
+    routing, and past the tier switch the ADC kernel used to die in
+    np.vstack on the None cell — while the expression tier propagates
+    a null pcos.  Both tiers must now emit the SAME rows (null pcos
+    for the null probe's candidates)."""
+    root = str(tmp_path / "pqidx_null")
+    corpus = _vec_frame(spark, _rand_rows(60, seed=31)).select(
+        "vec_id", F.col("v").alias("embedding")
+    )
+    PQ.ivf_build_index_pq(corpus, root, nlists=4, m=4, codes=8)
+    probes = corpus.filter(F.col("vec_id") % 10 == 0).unionByName(
+        spark.createDataFrame(
+            [(999, None)], "vec_id long, embedding array<double>"
+        )
+    )
+    monkeypatch.setattr(PQ, "ARROW_SCORE_MIN_ROUTED", 10**9)
+    expr_rows = PQ._pq_candidates(probes, root, 2, None).select(
+        "probe_id", "vec_id", "pcos"
+    ).collect()
+    monkeypatch.setattr(PQ, "ARROW_SCORE_MIN_ROUTED", 0)
+    kern_rows = PQ._pq_candidates(probes, root, 2, None).select(
+        "probe_id", "vec_id", "pcos"
+    ).collect()
+    _assert_same_rows(kern_rows, expr_rows)
+    nulls = [r for r in kern_rows if r["probe_id"] == 999]
+    assert nulls and all(r["pcos"] is None for r in nulls)

@@ -186,3 +186,31 @@ def test_asof_join_null_payload_no_tearing(spark):
     assert got[25] == (None, 200)
     # ts=35 → right row at 30: ('c', NULL), not mixed with older rows.
     assert got[35] == ("c", None)
+
+
+def test_spread_to_cores_ignores_wide_looking_column_names(spark):
+    """VERDICT r18 #7: the wide-plan guard walks logical node CLASSES,
+    so a narrow scan whose columns are named "SortKey"/"JoinCol" still
+    spreads, while genuinely shuffle-ancestored frames (aggregate,
+    dropDuplicates, repartition) skip the probe entirely."""
+    from etl_pulumi_aws_snowflake_spark.operators.parallel import (
+        _wide_ancestored,
+        spread_to_cores,
+    )
+
+    docs = load_table(spark, SF, "documents").select(
+        F.col("doc_id").alias("SortKey"), F.col("text").alias("JoinCol")
+    )
+    assert not _wide_ancestored(docs)
+    cores = spark.sparkContext.defaultParallelism
+    spread = spread_to_cores(docs)
+    assert spread.rdd.getNumPartitions() >= min(
+        cores, spread.rdd.getNumPartitions()
+    )
+    # the single-split fixture scan actually widened
+    assert spread.rdd.getNumPartitions() == cores
+    # wide ancestors are detected by node class, not by rendered text
+    assert _wide_ancestored(docs.groupBy("SortKey").count())
+    assert _wide_ancestored(docs.dropDuplicates(["SortKey"]))
+    assert _wide_ancestored(docs.repartition(4))
+    assert spread_to_cores(docs.repartition(4)) is not None  # no probe crash
