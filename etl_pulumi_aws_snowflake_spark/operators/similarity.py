@@ -915,11 +915,27 @@ def ivf_topk(
     ``nlists``**: it is the one knob that keeps assignment work
     O(n·nlists) linear in the corpus — the stride default grows the
     list count with the data (r09 scale curve: 65× at x10).
+
+    Scoring is tiered like the indexed serves (VERDICT r18 #5): the
+    routed probe table is persisted and counted — the count is the
+    action that materializes the cache the ranking join's broadcast
+    then reads, so the tier costs one cheap cached-read job (measured
+    +~0.03-0.05 s at sf0.1, interleaved) — and candidate scoring
+    switches to the vectorized Arrow kernel past
+    :data:`ARROW_SCORE_MIN_ROUTED` routed rows, where the expression
+    fold's interpreted per-pair cost dominates the serve.  Below the
+    threshold the codegen expression plan runs unchanged.  Both forms
+    are bit-identical (tests/test_arrow_folds.py).
     """
     seeds, _, assigned = _seeds_assigned_once(
         corpus, seed_stride, centroids, nlists
     )
-    return _rank_candidates(_route_probes(probes, seeds, nprobe), assigned, k)
+    probe_lists = deferred_persist(_route_probes(probes, seeds, nprobe))
+    n_routed = probe_lists.count()
+    return _rank_candidates(
+        probe_lists, assigned, k,
+        use_arrow=n_routed >= ARROW_SCORE_MIN_ROUTED,
+    )
 
 
 def _route_probes(probes: DataFrame, seeds: DataFrame, nprobe: int) -> DataFrame:

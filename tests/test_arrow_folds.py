@@ -301,3 +301,23 @@ def test_pq_adc_kernel_masks_null_probe_embeddings(spark, tmp_path, monkeypatch)
     _assert_same_rows(kern_rows, expr_rows)
     nulls = [r for r in kern_rows if r["probe_id"] == 999]
     assert nulls and all(r["pcos"] is None for r in nulls)
+
+
+def test_ivf_topk_tier_flips_to_kernel_above_crossover(spark, monkeypatch):
+    """VERDICT r18 #5: non-indexed ivf_topk now reads its routed-row
+    count from the persisted routing table (the count materializes the
+    cache the ranking broadcast reuses — no extra corpus pass) and
+    serves through the Arrow kernel past ARROW_SCORE_MIN_ROUTED.
+    Pinned: same rows on both sides of the threshold, MapInArrow in
+    the plan above it, the codegen expression plan below it."""
+    corpus = _vec_frame(spark, _rand_rows(80, seed=41)).select(
+        "vec_id", F.col("v").alias("embedding")
+    )
+    probes = corpus.filter(F.col("vec_id") % 10 == 0)
+    below = S.ivf_topk(probes, corpus, k=3, nprobe=2, nlists=4)
+    assert "MapInArrow" not in below._jdf.queryExecution().toString()
+    want = below.collect()
+    monkeypatch.setattr(S, "ARROW_SCORE_MIN_ROUTED", 1)
+    above = S.ivf_topk(probes, corpus, k=3, nprobe=2, nlists=4)
+    assert "MapInArrow" in above._jdf.queryExecution().toString()
+    _assert_same_rows(above.collect(), want)

@@ -214,3 +214,23 @@ def test_spread_to_cores_ignores_wide_looking_column_names(spark):
     assert _wide_ancestored(docs.dropDuplicates(["SortKey"]))
     assert _wide_ancestored(docs.repartition(4))
     assert spread_to_cores(docs.repartition(4)) is not None  # no probe crash
+
+
+def test_lsh_lifecycle_entries_demonstrate_pruned_reads(spark):
+    """VERDICT r18 #6: the persisted-LSH lifecycle entries must
+    certify a PRUNED check — saturation (batch routed to every band
+    bucket) means the check read the whole index.  Escalate the
+    warning to an error while running the incremental entry's exact
+    shape at the smoke SF."""
+    import warnings
+
+    from etl_pulumi_aws_snowflake_spark.operators.dedup import (
+        LshSaturationWarning,
+    )
+    from etl_pulumi_aws_snowflake_spark.queries import all_queries
+
+    q = all_queries()["dedup_lsh_incremental"]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", LshSaturationWarning)
+        rows = q(spark, SF).collect()
+    assert rows is not None
