@@ -432,9 +432,18 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new_labels.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             break
-        if (it + 1) % 8 == 0:
-            # eager lineage cut so long convergences keep analyzer time
-            # flat; the cut releases the cache chain behind it.
+        if (it + 1) % 4 == 0:
+            # eager lineage cut so long convergences keep plan size flat:
+            # each round's plan embeds the previous round's subtree TWICE
+            # (labels feeds the join's left side AND neighbor_min), so the
+            # rendered plan quadruples per round — measured 2.4 KB → 72 MB
+            # by round 7 under the old 8-round cadence, at which point the
+            # convergence count spent 21 s just generating the plan string
+            # for the SQL-start event (and OOMs a default-heap driver).
+            # Cutting every 4 rounds caps the plan at ~300 KB; the cut
+            # reads the round cache, so the extra job is one in-memory
+            # pass over the narrow label table.  Loops that converge in
+            # <= 4 rounds (the common near-dup case) never pay it.
             labels = tracked_local_checkpoint(labels)
             live.unpersist()
             live = None

@@ -50,6 +50,13 @@ ENGINE_CONF: dict[str, str] = {
     # runs shuffle.partitions tasks regardless of data size, where the
     # un-cached plan would have coalesced to the advisory size.
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # Bound the plan string rendered per SQL-execution event (default is
+    # effectively unlimited): iterative plans that slip past a lineage
+    # cut can render strings of tens of MB per action — pure driver-side
+    # overhead, and an OOM on a default-heap driver.  4 MiB keeps every
+    # legitimate explain intact (the engine's largest captured plan is
+    # < 100 KB) while capping the pathological case.
+    "spark.sql.maxPlanStringLength": str(4 * 1024 * 1024),
 }
 
 
