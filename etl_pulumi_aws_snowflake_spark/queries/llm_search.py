@@ -473,12 +473,22 @@ def search_hybrid_rrf_indexed(spark, sf_dir):
 
     probes = emb.filter(F.col("vec_id") % _PROBE_STRIDE == 0)
     probe_ids = probes.select(F.col("vec_id").alias("probe_id"))
-    barm = (
-        SR.bm25_topk_indexed(spark, bm_root, BM25_TERMS, k=_ARM_N)
-        .select("doc_id", "rank")
-        .crossJoin(F.broadcast(probe_ids))
-    )
-    varm = S.ivf_topk_indexed(probes, ivf_root, k=_ARM_N, nprobe=2).select(
-        "probe_id", F.col("vec_id").alias("doc_id"), "rank"
-    )
+    # The two SERVE arms also overlap (r19, guide §2.6): each arm's
+    # construction runs sequential driver collects (BM25: meta +
+    # in-bucket stats; IVF: probe routing), so building them from the
+    # same 2-thread pool as the builds lets one arm's routing jobs
+    # back-fill the other's collect latency — measured 1.64 -> 1.33 s
+    # median on the serve phase (interleaved, identical rows).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fb2 = pool.submit(
+            lambda: SR.bm25_topk_indexed(spark, bm_root, BM25_TERMS, k=_ARM_N)
+            .select("doc_id", "rank")
+            .crossJoin(F.broadcast(probe_ids))
+        )
+        fv2 = pool.submit(
+            lambda: S.ivf_topk_indexed(
+                probes, ivf_root, k=_ARM_N, nprobe=2
+            ).select("probe_id", F.col("vec_id").alias("doc_id"), "rank")
+        )
+        barm, varm = fb2.result(), fv2.result()
     return SR.rrf_fuse([barm, varm], k=_RRF_K, k_const=60)
