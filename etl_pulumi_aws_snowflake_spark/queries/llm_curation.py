@@ -182,10 +182,21 @@ def curation_pipeline_e2e(spark, sf_dir):
     # instead of serializing in front of the whole chain.
     from concurrent.futures import ThreadPoolExecutor
 
+    from ..cache import deferred_persist
+
     with ThreadPoolExecutor(max_workers=1) as pool:
         fmodel = pool.submit(train_quality_lda, docs)
 
-        keep = D.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+        # The exact-dedup keep set is read THREE times — the eager LSH
+        # checkpoint, dedup_survivors' id projection, and the final
+        # chain's rejoin — and each read re-runs the corpus-wide sha256
+        # aggregation.  Persist the NARROW id table (never the text
+        # payload: at 100 TB the decision table is the only thing worth
+        # holding), so the digest pass runs once; the deferred pool
+        # releases it at the next query boundary.
+        keep = deferred_persist(
+            D.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+        )
         deduped = docs.join(keep, "doc_id")
         npairs = D.minhash_lsh_pairs(
             deduped, k=3, num_hashes=16, bands=8, threshold=0.8
@@ -318,10 +329,16 @@ def indexed_curation_chain(batch, bench, root: str):
     desynchronize what the curve measures from what the driver
     certifies).  Returns the packed (doc_id, chunk_id, tok_start,
     tok_end) assignment of the surviving batch documents."""
+    from ..cache import deferred_persist
     from ..operators.dedup import lsh_index_check
 
     gate10 = F.expr(hash_gate_spark("doc_id", 10))
-    keep = D.exact_dedup(batch).select(F.col("keep_id").alias("doc_id"))
+    # Same narrow-decision persist as the e2e chain: the batch keep set
+    # feeds the routed index check AND the survivor rejoin, so without
+    # it the batch sha256 aggregation runs once per consumer.
+    keep = deferred_persist(
+        D.exact_dedup(batch).select(F.col("keep_id").alias("doc_id"))
+    )
     deduped = batch.join(keep, "doc_id")
     flagged_nd = (
         lsh_index_check(deduped, root, threshold=0.8)

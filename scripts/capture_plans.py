@@ -1,6 +1,7 @@
 #!/usr/bin/env python3
 """Capture ``.explain('formatted')`` for registry entries into
-``plans/r18/<entry>_<tag>.txt`` (optimization-round deliverable).
+``plans/<round>/<entry>_<tag>.txt`` (optimization-round deliverable).
+The round directory comes from ``$PLANS_ROUND`` (default ``r19``).
 
 Usage: python scripts/capture_plans.py <tag> entry [entry ...]
 
@@ -26,7 +27,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
-    outdir = REPO / "plans" / "r18"
+    outdir = REPO / "plans" / os.environ.get("PLANS_ROUND", "r19")
     outdir.mkdir(parents=True, exist_ok=True)
     queries = all_queries()
     spark = get_spark(app_name=f"plans-{tag}")
@@ -37,7 +38,7 @@ def main() -> None:
                 df._jdf.queryExecution(), "formatted"
             )
             (outdir / f"{name}_{tag}.txt").write_text(plan)
-            print(f"wrote plans/r18/{name}_{tag}.txt")
+            print(f"wrote {outdir.relative_to(REPO)}/{name}_{tag}.txt")
             spark.catalog.clearCache()
     finally:
         spark.stop()
